@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the deterministic test star schema (TESTDATA.md).
+  *
+  * Mirrors the reference's registry-driven table access
+  * (`load_dataset.py:92-112` resolves dataset -> tables); here the
+  * "registry" is the fixed parquet layout `<sfDir>/<table>.parquet`.
+  *
+  * Scale note: these are plain parquet scans — Catalyst pushes filters
+  * and prunes columns into the scan, so every query built on top of
+  * them starts from a pruned columnar read (verified via
+  * `.explain("formatted")`: PushedFilters / ReadSchema).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+    * microsecond timestamps — the same ns->us truncation DuckDB applies.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view (for spark.sql surfaces). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

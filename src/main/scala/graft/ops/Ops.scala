@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The core operator library: the reference's Postgres-isms re-expressed
+  * as Catalyst-built-in compositions (SURVEY.md §2.4 A2-A7, §2.5 D1).
+  *
+  * Everything here stays inside whole-stage codegen (no UDFs) and keeps
+  * partial (map-side) aggregation where the semantics allow, so each
+  * combinator scales to arbitrarily large inputs with exactly one shuffle
+  * on the grouping key.
+  */
+object Ops {
+
+  /** `count(*) FILTER (WHERE cond)` / `count(CASE WHEN cond THEN 1 END)` —
+    * reference `wow_original_create_bldgs_table.sql:23`,
+    * `wow_2021_create_bldgs_table.sql:58,92`.
+    */
+  def countWhere(cond: Column): Column = count(when(cond, 1))
+
+  /** `min(x) FILTER (WHERE cond)` — reference `wow_2021…sql:116-117`. */
+  def minWhere(cond: Column, c: Column): Column = min(when(cond, c))
+
+  /** `max(x) FILTER (WHERE cond)`. */
+  def maxWhere(cond: Column, c: Column): Column = max(when(cond, c))
+
+  /** `sum(x) FILTER (WHERE cond)`. */
+  def sumWhere(cond: Column, c: Column): Column = sum(when(cond, c))
+
+  /** Exact-decimal sum of a double column, returned as double.
+    * Summing doubles is order-dependent; at cluster scale the partial-agg
+    * combine order is nondeterministic, so a raw double sum is not
+    * reproducible run-to-run (and not oracle-comparable). Casting each
+    * value to DECIMAL(18,2) makes the sum exact and associative.
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** `string_agg(x, sep ORDER BY x)` — reference `lib/db_perms.py:36`.
+    * Ordering made explicit (sort_array) for determinism under
+    * distributed collect_list.
+    */
+  def stringAggOrdered(c: Column, sep: String): Column =
+    concat_ws(sep, sort_array(collect_list(c)))
+
+  /** Ordered + filtered array-of-struct aggregation:
+    * `json_agg(json_build_object(…) ORDER BY ord DESC) FILTER (WHERE cond)`
+    * — reference `wow_2021_create_bldgs_table.sql:43-46`.
+    *
+    * `payload` must be a struct whose FIRST field(s) are the ordering
+    * key(s); the array is sorted by struct comparison (lexicographic on
+    * fields), descending. Rows failing `cond` are dropped before
+    * aggregation (collect_list skips nulls produced by `when`).
+    */
+  def arrayAggOrderedFilteredDesc(cond: Column, payload: Column): Column =
+    reverse(sort_array(collect_list(when(cond, payload))))
+
+  implicit class RichDataFrame(private val df: DataFrame) extends AnyVal {
+
+    /** Postgres `SELECT DISTINCT ON (keys) … ORDER BY keys, tiebreak` —
+      * reference `wow_original…sql:7`, `wow_2020…sql:30`, `wow_2021…sql:67`
+      * (SURVEY.md §2.5 D1). Keeps exactly one row per key, chosen by
+      * `tiebreak` ordering (the reference leaves ties unspecified; we
+      * require an explicit deterministic ordering).
+      *
+      * Physical shape: one hash-partition shuffle on `keys` + an in-partition
+      * sort (window). No global sort; scales linearly with data size. For
+      * severely skewed keys prefer [[firstOrderedBy]] (partial-agg form).
+      */
+    def distinctOn(keys: Seq[Column], tiebreak: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(keys: _*).orderBy(tiebreak: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }
+
+    /** Top-1-per-group via ordered `first()` — the reference's custom
+      * Postgres aggregate `first(x)` over a pre-sorted CTE
+      * (`wow_2020…sql:8-28`, `wow_2021…sql:6-26`; SURVEY.md §2.4 A6).
+      *
+      * Implemented as `max_by(struct(payload...), struct(orderKeys...))`:
+      * a declarative aggregate with partial (map-side) aggregation —
+      * strictly better at scale than the window/row_number form because
+      * each map task reduces its partition to one row per key before the
+      * shuffle (no sort, no full-group materialization, skew-tolerant).
+      *
+      * `orderKeys` are ranked ASCENDING lexicographically and the MAX is
+      * kept; for "latest by date" pass the date itself; for descending
+      * semantics on a component, negate it or use [[lastOrderedBy]].
+      */
+    def firstOrderedBy(
+        groupKeys: Seq[Column],
+        orderKeys: Seq[Column],
+        payload: Seq[(String, Column)]): DataFrame = {
+      val pay = struct(payload.map { case (n, c) => c.as(n) }: _*)
+      val ord = struct(orderKeys: _*)
+      df.groupBy(groupKeys: _*)
+        .agg(max_by(pay, ord).as("__top"))
+        .select(groupKeys.map(identity) :+ col("__top.*"): _*)
+    }
+
+    /** min_by twin of [[firstOrderedBy]] (keeps the row with the smallest
+      * order key — "earliest per group").
+      */
+    def lastOrderedBy(
+        groupKeys: Seq[Column],
+        orderKeys: Seq[Column],
+        payload: Seq[(String, Column)]): DataFrame = {
+      val pay = struct(payload.map { case (n, c) => c.as(n) }: _*)
+      val ord = struct(orderKeys: _*)
+      df.groupBy(groupKeys: _*)
+        .agg(min_by(pay, ord).as("__top"))
+        .select(groupKeys.map(identity) :+ col("__top.*"): _*)
+    }
+  }
+}

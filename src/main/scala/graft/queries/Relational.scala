@@ -1,0 +1,467 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Ops._
+
+/** The reference's relational operator surface (SURVEY.md §2.2-§2.8)
+  * re-expressed as idiomatic DataFrame pipelines, one named query per
+  * operator family, each with a DuckDB oracle (SparkEntry contract).
+  *
+  * Determinism conventions (so Spark and DuckDB hash-match):
+  *  - double sums go through DECIMAL(18,2) ([[graft.ops.Ops.dsum]]) —
+  *    associative, order-independent;
+  *  - every top-1/distinct-on has a total deterministic ordering;
+  *  - no bare double->int casts (Spark truncates, DuckDB rounds): always
+  *    floor() first;
+  *  - DuckDB integer sums are cast to BIGINT (DuckDB widens to HUGEINT).
+  */
+object Relational {
+
+  // ---- A1: GROUP BY + count(*)  (wow_original…sql:22-26) ----
+  def a1GroupCount(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  // ---- A2: conditional count  (wow_original…sql:23) ----
+  def a2ConditionalCount(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        countWhere(col("o_orderstatus") === "O").as("open_orders"),
+        count(lit(1)).as("total_orders"))
+
+  // ---- A3 + P9: filtered count over a date lookback window
+  //      (wow_2021…sql:58: receiveddate > CURRENT_DATE - '3 YEARS') ----
+  // Fixed anchor date (not current_date) so the result is deterministic.
+  def a3FilteredRecent(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(countWhere(
+        col("o_orderdate") > expr("TIMESTAMP '2001-01-01 00:00:00' - INTERVAL '3' YEAR"))
+        .as("recent_orders"))
+
+  // ---- A4: filtered min  (wow_2021…sql:116-117) ----
+  def a4FilteredMin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(minWhere(col("o_orderpriority") === "1-URGENT", col("o_orderdate"))
+        .as("first_urgent"))
+
+  // ---- A5 + A10: sums over multi-key groups (TPC-H q1 shape) ----
+  def a5SumPricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+
+  // ---- A6 + O1: ordered first() per group — latest order per customer
+  //      (wow_2020…sql:8-28 `first(...)` over docdate-desc CTE) ----
+  // max_by(struct) form: partial-aggregating, no sort, skew-tolerant.
+  def a6FirstOrdered(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).firstOrderedBy(
+      groupKeys = Seq(col("o_custkey")),
+      orderKeys = Seq(col("o_orderdate"), col("o_orderkey")),
+      payload = Seq(
+        "last_orderdate" -> col("o_orderdate"),
+        "last_orderkey" -> col("o_orderkey"),
+        "last_totalprice" -> col("o_totalprice")))
+
+  // ---- A7 + O2: ordered+filtered array-of-struct agg, flattened
+  //      (wow_2021…sql:43-46 json_agg(json_build_object ORDER BY) FILTER) ----
+  def a7ArrayAgg(s: SparkSession, d: String): DataFrame = {
+    val perPriority = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val agged = perPriority
+      .groupBy(col("o_custkey"))
+      .agg(arrayAggOrderedFilteredDesc(
+        col("n") > 0,
+        struct(col("n"), col("o_orderpriority"))).as("arr"))
+    // posexplode flattens the array so the element ORDER is part of the
+    // oracle-checked output (SURVEY.md §7.4: array order must be hashed).
+    agged.select(col("o_custkey"), posexplode(col("arr")))
+      .select(
+        col("o_custkey"),
+        col("pos").cast("int").as("idx"),
+        col("col.n").as("n"),
+        col("col.o_orderpriority").as("o_orderpriority"))
+  }
+
+  // ---- A8: two-level aggregation (wow_2021…sql:38-65) ----
+  def a8TwoLevel(s: SparkSession, d: String): DataFrame = {
+    val inner = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    inner.groupBy(col("o_custkey"))
+      .agg(
+        sum(col("n")).as("total"),
+        max(col("n")).as("max_per_priority"),
+        count(lit(1)).as("n_priorities"))
+  }
+
+  // ---- A9: string_agg with deterministic ordering (db_perms.py:36) ----
+  def a9StringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(concat_ws(",", sort_array(collect_set(col("c_mktsegment"))))
+        .as("segments"))
+
+  // ---- D1: DISTINCT ON — best-balance customer per nation
+  //      (wow_original…sql:7; deterministic tiebreak per SURVEY §7.4) ----
+  def d1DistinctOn(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .distinctOn(
+        keys = Seq(col("c_nationkey")),
+        tiebreak = Seq(col("c_acctbal").desc, col("c_custkey").asc))
+      .select(col("c_nationkey"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  // ---- J1 + F1: left join table vs aggregated subquery + coalesce
+  //      (wow_original…sql:20-52) ----
+  def j1LeftJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("spend"))
+    Tables.customer(s, d)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("total_spend"))
+  }
+
+  // ---- J2: LEFT JOIN … USING(col)  (wow_2020…sql:13) ----
+  def j2UsingJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).withColumnRenamed("o_orderkey", "orderkey")
+    val l = Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "orderkey")
+    o.join(l, Seq("orderkey"), "left")
+      .groupBy(col("orderkey"))
+      .agg(
+        count(col("l_linenumber")).as("n_lines"),
+        dsum(col("l_extendedprice")).as("gross"))
+  }
+
+  // ---- J3: inner join on composite condition + inequality
+  //      (db_perms.py:47,51) ----
+  def j3CompositeJoin(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    l.join(o,
+        l("l_orderkey") === o("o_orderkey") && l("l_shipdate") > o("o_orderdate"),
+        "inner")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_shipped_after"))
+  }
+
+  // ---- J4 + J5: key-name-mismatched joins through broadcast lookup dims
+  //      (wow_original…sql:52; wow_2021…sql:119) ----
+  def j4DimLookup(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  def j5BroadcastLookup(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "inner")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  // ---- semi/anti joins (EXISTS — db_perms.py:12-18; Spark built-ins) ----
+  def jSemi(s: SparkSession, d: String): DataFrame = {
+    val withOrders = Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+    withOrders.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_active"))
+  }
+
+  def jAnti(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, d)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  // ---- P1-P8: projection / rename / predicate battery
+  //      (wow_original…sql:8-19,41; wow_2020…sql:14) ----
+  def pPredicates(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_extendedprice") > 1000 &&
+        col("l_returnflag").isin("A", "R") &&
+        col("l_linestatus") === "F" &&
+        col("l_shipdate").isNotNull &&
+        (col("l_discount") > 0.05 || col("l_tax") > 0.05))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("price"),
+        col("l_returnflag").as("flag"))
+
+  // ---- P6: case-insensitive regex (wow_2021…sql:120 `~* '421a'`) ----
+  def p6Regex(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").rlike("(?i)(spark|stream)"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_matching"))
+
+  // ---- P10: LIKE prefix (load_dataset.py:86-88) ----
+  def p10LikePrefix(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderpriority").like("1-%"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_urgent"))
+
+  // ---- F1-F5: scalar battery — coalesce/case/cast/arith/const
+  //      (wow_2021…sql:31-33,54-57,82,84-85) ----
+  def fScalars(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("price"),
+        when(col("o_orderstatus") === "O", "open")
+          .when(col("o_orderstatus") === "F", "done")
+          .otherwise("other").as("status_label"),
+        floor(col("o_totalprice")).cast("int").as("price_floor"),
+        (col("o_orderkey") % 100).cast("smallint").as("key_mod"),
+        (col("o_totalprice") - col("o_totalprice") * col("o_orderkey") % 7).as("arith"),
+        lit(2021).as("vintage"))
+
+  // ---- F9: timestamp format bucketing (wowutil.py:96,116-118) ----
+  def f9DateFormat(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n"))
+
+  // ---- F6: JSON extraction (wow_2021…sql:44 json_build_object dual) ----
+  def f6Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+
+  // ---- set ops: UNION ALL (SURVEY §2.7) ----
+  def setUnion(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .unionByName(
+        c.filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_custkey"), col("c_mktsegment")))
+  }
+
+  // ---- S9: row-count probe (dbtool.py:61-68) ----
+  def s9Rowcounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Seq("customer", "orders", "lineitem")
+      .map(t => (t, Tables.load(s, d, t).count()))
+      .toDF("tbl", "n")
+  }
+
+  // ---- window functions: running totals / sequence numbers ----
+  def wRunning(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(w).as("seq"),
+      sum(col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_spend"))
+  }
+
+  // ---- streaming-surface batch dual: tumbling event-time window
+  //      (SURVEY §2.10; events table) ----
+  def eTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_group_count" -> (a1GroupCount _),
+    "a2_conditional_count" -> (a2ConditionalCount _),
+    "a3_filtered_recent" -> (a3FilteredRecent _),
+    "a4_filtered_min" -> (a4FilteredMin _),
+    "a5_sum_pricing" -> (a5SumPricing _),
+    "a6_first_ordered" -> (a6FirstOrdered _),
+    "a7_array_agg" -> (a7ArrayAgg _),
+    "a8_two_level" -> (a8TwoLevel _),
+    "a9_string_agg" -> (a9StringAgg _),
+    "d1_distinct_on" -> (d1DistinctOn _),
+    "j1_left_join_agg" -> (j1LeftJoinAgg _),
+    "j2_using_join" -> (j2UsingJoin _),
+    "j3_composite_join" -> (j3CompositeJoin _),
+    "j4_dim_lookup" -> (j4DimLookup _),
+    "j5_broadcast_lookup" -> (j5BroadcastLookup _),
+    "j6_semi" -> (jSemi _),
+    "j7_anti" -> (jAnti _),
+    "p1_predicates" -> (pPredicates _),
+    "p6_regex" -> (p6Regex _),
+    "p10_like_prefix" -> (p10LikePrefix _),
+    "f1_scalars" -> (fScalars _),
+    "f6_json" -> (f6Json _),
+    "f9_date_format" -> (f9DateFormat _),
+    "s1_set_union" -> (setUnion _),
+    "s9_rowcounts" -> (s9Rowcounts _),
+    "w1_running" -> (wRunning _),
+    "e1_tumbling" -> (eTumbling _))
+
+  val oracles: Map[String, String] = Map(
+    "a1_group_count" ->
+      "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey",
+    "a2_conditional_count" ->
+      """SELECT o_custkey,
+         count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders,
+         count(*) AS total_orders
+         FROM orders GROUP BY o_custkey""",
+    "a3_filtered_recent" ->
+      """SELECT o_custkey,
+         count(CASE WHEN o_orderdate > TIMESTAMP '2001-01-01 00:00:00' - INTERVAL 3 YEAR THEN 1 END) AS recent_orders
+         FROM orders GROUP BY o_custkey""",
+    "a4_filtered_min" ->
+      """SELECT o_custkey,
+         min(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderdate END) AS first_urgent
+         FROM orders GROUP BY o_custkey""",
+    "a5_sum_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "a6_first_ordered" ->
+      """SELECT o_custkey, o_orderdate AS last_orderdate,
+                o_orderkey AS last_orderkey, o_totalprice AS last_totalprice
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+         WHERE rn = 1""",
+    "a7_array_agg" ->
+      """WITH c AS (SELECT o_custkey, o_orderpriority, count(*) AS n
+                    FROM orders GROUP BY 1, 2)
+         SELECT o_custkey,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY n DESC, o_orderpriority DESC) - 1 AS INT) AS idx,
+                n, o_orderpriority
+         FROM c WHERE n > 0""",
+    "a8_two_level" ->
+      """WITH c AS (SELECT o_custkey, o_orderpriority, count(*) AS n
+                    FROM orders GROUP BY 1, 2)
+         SELECT o_custkey, CAST(SUM(n) AS BIGINT) AS total,
+                MAX(n) AS max_per_priority, count(*) AS n_priorities
+         FROM c GROUP BY o_custkey""",
+    "a9_string_agg" ->
+      """SELECT c_nationkey,
+                string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+         FROM customer GROUP BY c_nationkey""",
+    "d1_distinct_on" ->
+      """SELECT c_nationkey, c_custkey, c_name, c_acctbal
+         FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey ASC) AS rn FROM customer)
+         WHERE rn = 1""",
+    "j1_left_join_agg" ->
+      """WITH per_cust AS (SELECT o_custkey, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+               FROM orders GROUP BY o_custkey)
+         SELECT c_custkey, c_name,
+                COALESCE(n, 0) AS n_orders,
+                COALESCE(spend, 0.0) AS total_spend
+         FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey""",
+    "j2_using_join" ->
+      """SELECT o_orderkey AS orderkey,
+                count(l_linenumber) AS n_lines,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross
+         FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey""",
+    "j3_composite_join" ->
+      """SELECT l_returnflag, count(*) AS n_shipped_after
+         FROM lineitem JOIN orders
+           ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+         GROUP BY l_returnflag""",
+    "j4_dim_lookup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers
+         FROM customer
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "j5_broadcast_lookup" ->
+      """SELECT p_brand, count(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "j6_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_active FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment""",
+    "j7_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')""",
+    "p1_predicates" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice AS price, l_returnflag AS flag
+         FROM lineitem
+         WHERE l_extendedprice > 1000
+           AND l_returnflag IN ('A', 'R')
+           AND l_linestatus = 'F'
+           AND l_shipdate IS NOT NULL
+           AND (l_discount > 0.05 OR l_tax > 0.05)""",
+    "p6_regex" ->
+      """SELECT lang, count(*) AS n_matching FROM documents
+         WHERE regexp_matches(text, '(?i)(spark|stream)')
+         GROUP BY lang""",
+    "p10_like_prefix" ->
+      """SELECT o_orderstatus, count(*) AS n_urgent FROM orders
+         WHERE o_orderpriority LIKE '1-%' GROUP BY o_orderstatus""",
+    "f1_scalars" ->
+      """SELECT o_orderkey,
+                COALESCE(o_totalprice, 0.0) AS price,
+                CASE WHEN o_orderstatus = 'O' THEN 'open'
+                     WHEN o_orderstatus = 'F' THEN 'done'
+                     ELSE 'other' END AS status_label,
+                CAST(FLOOR(o_totalprice) AS INT) AS price_floor,
+                CAST(o_orderkey % 100 AS SMALLINT) AS key_mod,
+                (o_totalprice - o_totalprice * o_orderkey % 7) AS arith,
+                CAST(2021 AS INT) AS vintage
+         FROM orders""",
+    "f6_json" ->
+      """SELECT event_type,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                count(*) AS n
+         FROM events GROUP BY event_type""",
+    "f9_date_format" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n
+         FROM orders GROUP BY 1""",
+    "s1_set_union" ->
+      """SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION ALL
+         SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""",
+    "s9_rowcounts" ->
+      """SELECT 'customer' AS tbl, count(*) AS n FROM customer
+         UNION ALL SELECT 'orders', count(*) FROM orders
+         UNION ALL SELECT 'lineitem', count(*) FROM lineitem""",
+    "w1_running" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(row_number() OVER w AS INT) AS seq,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "e1_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                count(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""")
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ops._
+
+/** Unit tests for the core operator combinators (SURVEY.md §2.4/§2.5):
+  * the two non-trivial Postgres-isms (DISTINCT ON, ordered first()) plus
+  * the filtered-aggregate family.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", 3, "x"), ("a", 1, "y"), ("a", 2, "z"),
+    ("b", 5, "p"), ("b", 5, "q"),
+    ("c", 7, "only")
+  ).toDF("k", "v", "tag")
+
+  test("distinctOn keeps exactly one row per key") {
+    val out = df.distinctOn(Seq(col("k")), Seq(col("v").desc, col("tag").asc))
+    assert(out.count() === 3)
+    val rows = out.orderBy("k").collect()
+    assert(rows.map(_.getString(2)).toSeq === Seq("x", "p", "only"))
+  }
+
+  test("distinctOn result rows come from their group") {
+    val out = df.distinctOn(Seq(col("k")), Seq(col("v").asc, col("tag").asc))
+      .collect()
+    val byKey = df.collect().groupBy(_.getString(0))
+    out.foreach { r =>
+      assert(byKey(r.getString(0)).exists(g =>
+        g.getInt(1) == r.getInt(1) && g.getString(2) == r.getString(2)))
+    }
+  }
+
+  test("firstOrderedBy == sort-then-head per group") {
+    val out = df.firstOrderedBy(
+      Seq(col("k")), Seq(col("v"), col("tag")),
+      Seq("top_v" -> col("v"), "top_tag" -> col("tag")))
+      .orderBy("k").collect()
+    // max (v, tag) per key: a->(3,x), b->(5,q), c->(7,only)
+    assert(out.toSeq === Seq(
+      Row("a", 3, "x"), Row("b", 5, "q"), Row("c", 7, "only")))
+  }
+
+  test("lastOrderedBy keeps the minimum-ordered row") {
+    val out = df.lastOrderedBy(
+      Seq(col("k")), Seq(col("v"), col("tag")),
+      Seq("bot_v" -> col("v"), "bot_tag" -> col("tag")))
+      .orderBy("k").collect()
+    assert(out.toSeq === Seq(
+      Row("a", 1, "y"), Row("b", 5, "p"), Row("c", 7, "only")))
+  }
+
+  test("countWhere / minWhere / sumWhere match filtered equivalents") {
+    val got = df.agg(
+      countWhere(col("v") > 2).as("c"),
+      minWhere(col("k") === "a", col("v")).as("m"),
+      sumWhere(col("v") % 2 === 1, col("v")).as("s")).head()
+    assert(got.getLong(0) === 4) // 3,5,5,7
+    assert(got.getInt(1) === 1)
+    assert(got.getLong(2) === 21) // 3+1+5+5+7
+  }
+
+  test("dsum is exact over decimal-cast doubles") {
+    val d = Seq(0.1, 0.2, 0.3, 0.4).toDF("x")
+    assert(d.agg(dsum(col("x"))).head().getDouble(0) === 1.0)
+  }
+
+  test("arrayAggOrderedFilteredDesc sorts desc and drops filtered rows") {
+    val out = df
+      .groupBy(col("k"))
+      .agg(arrayAggOrderedFilteredDesc(
+        col("v") > 1, struct(col("v"), col("tag"))).as("arr"))
+      .filter(col("k") === "a")
+      .select(explode(col("arr")))
+      .collect()
+    assert(out.map(r => r.getStruct(0).getInt(0)).toSeq === Seq(3, 2))
+  }
+
+  test("stringAggOrdered is deterministic") {
+    val out = df.groupBy(col("k"))
+      .agg(stringAggOrdered(col("tag"), ",").as("tags"))
+      .orderBy("k").collect().map(_.getString(1))
+    assert(out.toSeq === Seq("x,y,z", "p,q", "only"))
+  }
+}
