@@ -1,0 +1,112 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.state.JsonCodec
+
+/** Atomic staged publishing — the reference's temp-schema swap
+  * (`load_dataset.py:209-252,365-370`: build every table in
+  * `temp_<ds>_<epoch>`, then drop the public tables and
+  * `ALTER TABLE … SET SCHEMA public` so readers never observe a
+  * partial load; rollback drops the temp schema).
+  *
+  * Spark-first re-architecture: a warehouse directory whose
+  * table -> data-path bindings live in a single `manifest.json`
+  * snapshot pointer, replaced with a filesystem ATOMIC_MOVE. Readers
+  * resolve tables through the manifest, so a publish of N tables is
+  * exactly one atomic pointer flip — stronger than per-table renames
+  * (which would expose mixed generations between renames) and the same
+  * root-pointer design Iceberg/Delta use for snapshot isolation.
+  *
+  * Failure handling mirrors the reference's context manager
+  * (`load_dataset.py:228-241`): any exception while staging deletes the
+  * staged generation directory and leaves the manifest untouched.
+  *
+  * Scale note: table data is written once to its final location
+  * (`data/<table>__<gen>/`) — publish does NOT rewrite or move data
+  * files, so the swap cost is O(1) regardless of table size.
+  */
+final class Warehouse(val root: Path) {
+  def this(root: String) = this(Paths.get(root))
+
+  private val manifestPath = root.resolve("manifest.json")
+
+  /** Current table -> relative data dir bindings. */
+  def manifest: Map[String, String] =
+    if (Files.exists(manifestPath))
+      JsonCodec.parseObject(new String(
+        Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)).toMap
+    else Map.empty
+
+  def tableNames: Seq[String] = manifest.keys.toSeq.sorted
+
+  def tableExists(name: String): Boolean = manifest.contains(name)
+
+  /** Read a published table (readers always see one consistent
+    * generation — S10-style introspection + reads go through here).
+    */
+  def table(spark: SparkSession, name: String): DataFrame = {
+    val rel = manifest.getOrElse(name,
+      throw new NoSuchElementException(s"table not published: $name"))
+    spark.read.parquet(root.resolve(rel).toString)
+  }
+
+  /** Row-count probe (`dbtool.py:61-68`). */
+  def rowcounts(spark: SparkSession): Map[String, Long] =
+    manifest.keys.map(n => n -> table(spark, n).count()).toMap
+
+  /** Stage every DataFrame to a fresh generation dir, then atomically
+    * flip the manifest. `partitionBy` optionally hash-distributes /
+    * sorts big tables at rest.
+    */
+  def publishAtomically(
+      staged: Map[String, DataFrame],
+      generation: Long = System.currentTimeMillis()): Unit = {
+    Files.createDirectories(root.resolve("data"))
+    val written = collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      staged.foreach { case (name, df) =>
+        val rel = s"data/${name}__$generation"
+        df.write.mode("overwrite").parquet(root.resolve(rel).toString)
+        written += ((name, rel))
+      }
+      val next = collection.mutable.LinkedHashMap.empty[String, String]
+      manifest.toSeq.sortBy(_._1).foreach { case (k, v) => next.update(k, v) }
+      written.foreach { case (k, v) => next.update(k, v) }
+      val tmp = manifestPath.resolveSibling("manifest.json.tmp")
+      Files.write(tmp,
+        JsonCodec.renderObject(next).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Throwable =>
+        // rollback: drop the partially-staged generation, manifest intact
+        written.foreach { case (_, rel) => deleteRecursively(root.resolve(rel)) }
+        throw e
+    }
+  }
+
+  /** Drop data generations no longer referenced by the manifest
+    * (the reference's leftover-temp-schema cleanup,
+    * `load_dataset.py:82-89` + drop loop).
+    */
+  def vacuum(): Seq[String] = {
+    val live = manifest.values.map(root.resolve(_).normalize).toSet
+    val dataDir = root.resolve("data")
+    if (!Files.exists(dataDir)) return Nil
+    val dropped = Files.list(dataDir).iterator().asScala
+      .filterNot(p => live.contains(p.normalize))
+      .toList
+    dropped.foreach(deleteRecursively)
+    dropped.map(_.getFileName.toString)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}

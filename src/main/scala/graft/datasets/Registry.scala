@@ -1,0 +1,63 @@
+package graft.datasets
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.ParquetSource
+import graft.queries.Flagship
+
+/** The dataset registry — the engine's analogue of the nycdb dataset
+  * registry the reference iterates (`load_dataset.py:92-112`,
+  * `nycdb.dataset.datasets()`): every loadable dataset, its sources,
+  * derived tables, and cron cadence, as data.
+  *
+  * Datasets are defined over the local test star schema (TESTDATA.md);
+  * `urls` are empty because sources are local parquet — the conditional
+  * HTTP pre-flight only engages for remote sources (SURVEY §2.1 S1/S2).
+  */
+object Registry {
+
+  private def src(sfDir: String, table: String) =
+    ParquetSource(table, s"$sfDir/$table.parquet")
+
+  def datasets(sfDir: String): Seq[DatasetSpec] = Seq(
+    DatasetSpec(
+      name = "star_dims",
+      urls = Nil,
+      sources = Seq(src(sfDir, "region"), src(sfDir, "nation"),
+        src(sfDir, "part"), src(sfDir, "supplier")),
+      schedule = Scheduling.Yearly),
+    DatasetSpec(
+      name = "star_facts",
+      urls = Nil,
+      sources = Seq(src(sfDir, "customer"), src(sfDir, "orders"),
+        src(sfDir, "lineitem")),
+      schedule = Scheduling.Daily10pm),
+    DatasetSpec(
+      name = "events",
+      urls = Nil,
+      sources = Nil,
+      derived = Map("events" -> ((s, _) => graft.Tables.events(s, sfDir))),
+      schedule = Scheduling.EvenDays),
+    DatasetSpec(
+      name = "documents",
+      urls = Nil,
+      sources = Seq(src(sfDir, "documents"), src(sfDir, "embeddings")),
+      schedule = Scheduling.OddDays),
+    // the WOW-style derived-analytics build (wowutil.py build, SURVEY §3.2)
+    DatasetSpec(
+      name = "wow",
+      urls = Nil,
+      sources = Nil,
+      derived = Map(
+        "wow_bldgs" -> ((s, _) => Flagship.bldgs(s, sfDir)),
+        "wow_indicators" -> ((s, _) =>
+          graft.Tables.orders(s, sfDir)
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"),
+              graft.ops.Ops.dsum(col("o_totalprice")).as("total"))),
+      ),
+      schedule = Scheduling.Daily11pm))
+
+  def byName(sfDir: String, name: String): Option[DatasetSpec] =
+    datasets(sfDir).find(_.name == name)
+}

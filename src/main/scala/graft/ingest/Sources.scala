@@ -1,0 +1,51 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Declarative source specs — the reference's per-dataset file registry
+  * (`load_dataset.py:92-118`: each dataset owns URLs/files with declared
+  * schemas; schemas are never inferred in production, SURVEY §1.2).
+  */
+sealed trait SourceSpec {
+  def name: String
+  def read(spark: SparkSession): DataFrame
+}
+
+/** Parquet at rest (the engine's native format). */
+final case class ParquetSource(name: String, path: String) extends SourceSpec {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** CSV with a DECLARED schema — S3 in SURVEY §2.1 (`load_dataset.py:367`
+  * delegates to nycdb's schema-driven COPY; never `inferSchema`).
+  */
+final case class CsvSource(
+    name: String,
+    path: String,
+    schema: StructType,
+    header: Boolean = true,
+    delimiter: String = ",") extends SourceSpec {
+  def read(spark: SparkSession): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .csv(path)
+}
+
+/** Optional/protected source with declared-schema empty fallback — S5
+  * (`ocautil.py:49-68`, `signatureutil.py:52-71`: if S3 creds are
+  * absent, publish EMPTY tables with the right schema rather than fail).
+  * `available` models the creds/path check.
+  */
+final case class OptionalSource(
+    name: String,
+    inner: SourceSpec,
+    schema: StructType,
+    available: () => Boolean) extends SourceSpec {
+  def read(spark: SparkSession): DataFrame =
+    if (available()) inner.read(spark)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+}

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.Warehouse
+import graft.datasets.{DatasetSpec, Scheduling}
+import graft.ingest.{CsvSource, OptionalSource, ParquetSource}
+import graft.runner.{DbTool, JobRunner, Notifier, RecordingNotifier}
+import graft.sqlparse.CreatedTables
+import graft.state._
+
+/** End-to-end job orchestration — mirrors the reference's notifier
+  * golden sequences (`tests/test_load_dataset.py:113-151`), 304
+  * short-circuit (`:352-357`), idempotency (`:78-84`), and the S5
+  * empty-fallback source contract.
+  */
+class RunnerSpec extends SparkSpec {
+
+  private val fixedClock = () => Instant.parse("2024-06-01T12:00:00Z")
+
+  private def mkHttp(status: () => Int) = new HttpClient {
+    def check(url: String, headers: Map[String, String]) =
+      HttpCheck(status(), Some("e1"), None)
+  }
+
+  private def regionDataset = DatasetSpec(
+    name = "region_ds",
+    urls = Seq("http://example.test/region.csv"),
+    sources = Seq(ParquetSource("region", s"$sf/region.parquet")),
+    derived = Map(
+      "region_counts" -> ((s, base) =>
+        base("region").groupBy(col("r_name")).agg(count(lit(1)).as("n")))),
+    schedule = Scheduling.Daily10pm)
+
+  test("first run loads + publishes; 304 second run skips; golden messages") {
+    val wh = new Warehouse(Files.createTempDirectory("graft-run"))
+    val store = new MemoryStateStore
+    val outbox = new RecordingNotifier
+    var status = 200
+    val runner = new JobRunner(spark, wh, store, mkHttp(() => status),
+      outbox, fixedClock)
+
+    assert(runner.run(regionDataset))
+    assert(wh.rowcounts(spark).keySet === Set("region", "region_counts"))
+    assert(store.get("etag:http://example.test/region.csv").contains("e1"))
+    assert(new DatasetTracker(store).lastUpdated("region_ds").nonEmpty)
+    assert(outbox.outbox === Seq(
+      "Downloading and loading the dataset `region_ds` into the database...",
+      "Finished loading the dataset `region_ds` into the database."))
+
+    outbox.clear()
+    status = 304
+    assert(!runner.run(regionDataset)) // conditional-scan short-circuit
+    assert(outbox.outbox === Seq(
+      "The dataset `region_ds` has not changed since we last retrieved it."))
+
+    outbox.clear()
+    assert(runner.run(regionDataset, force = true)) // dbtool-style force
+    val first = wh.rowcounts(spark)
+    runner.run(regionDataset, force = true)
+    assert(wh.rowcounts(spark) === first) // idempotent
+  }
+
+  test("failure notifies and leaves warehouse state intact") {
+    val wh = new Warehouse(Files.createTempDirectory("graft-run"))
+    val store = new MemoryStateStore
+    val outbox = new RecordingNotifier
+    val runner = new JobRunner(spark, wh, store, mkHttp(() => 200),
+      outbox, fixedClock)
+    runner.run(regionDataset)
+    val before = wh.manifest
+
+    val bad = regionDataset.copy(
+      name = "bad_ds",
+      derived = Map("kaboom" -> ((s, base) => {
+        val boom = udf((i: Int) => { if (i >= 0) throw new RuntimeException("x"); i })
+        base("region").select(boom(col("r_regionkey")).as("k"))
+      })))
+    intercept[Exception] { runner.run(bad) }
+    assert(wh.manifest === before)
+    assert(outbox.outbox.last ===
+      "ERROR: Alas, an error occurred when loading the dataset `bad_ds`.")
+    // crash => validators NOT committed, so the next run retries
+    assert(store.get("etag:http://example.test/region.csv").contains("e1"))
+  }
+
+  test("OptionalSource publishes an empty declared-schema table when unavailable") {
+    // ocautil.py:49-68 / signatureutil.py:52-71 semantics
+    val schema = StructType(Seq(
+      StructField("bbl", StringType), StructField("unitsres", IntegerType)))
+    val src = OptionalSource("oca_addresses",
+      CsvSource("oca_addresses", "/nonexistent.csv", schema),
+      schema, available = () => false)
+    val df = src.read(spark)
+    assert(df.count() === 0)
+    assert(df.schema === schema)
+  }
+
+  test("CsvSource loads with DECLARED schema (no inference)") {
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.writeString(dir.resolve("d.csv"), "bbl,units\n1000010001,12\n1000010002,3\n")
+    val schema = StructType(Seq(
+      StructField("bbl", StringType), StructField("units", IntegerType)))
+    val df = CsvSource("d", dir.toString + "/d.csv", schema).read(spark)
+    assert(df.schema === schema)
+    assert(df.count() === 2)
+  }
+
+  test("DbTool: rowcounts, lastmod list + reset") {
+    val wh = new Warehouse(Files.createTempDirectory("graft-dbtool"))
+    val store = new MemoryStateStore
+    store.set("etag:http://a", "x"); store.set("last_modified:http://a", "y")
+    val runner = new JobRunner(spark, wh, store, mkHttp(() => 200),
+      new RecordingNotifier, fixedClock)
+    runner.run(regionDataset.copy(urls = Seq("http://a")))
+    val lines = collection.mutable.ArrayBuffer.empty[String]
+    val tool = new DbTool(spark, wh, store, lines += _)
+    assert(tool.rowcounts()("region") === 5L)
+    // run committed etag=e1 and DELETED last_modified (fake http sends
+    // none -> setOrDelete(None), lib/dbhash.py:28-32 semantics)
+    assert(tool.listLastmod() === Seq("etag:http://a" -> "e1"))
+    assert(tool.resetLastmod() === 1)
+    assert(store.keysWithPrefix("etag:").isEmpty)
+  }
+
+  test("Notifier escaping + hyperlink match slack.py goldens") {
+    // lib/slack.py:23-35, 79-87
+    assert(Notifier.escape("a<b>&c") === "a&lt;b&gt;&amp;c")
+    assert(Notifier.hyperlink("x & y", "http://z") === "<http://z|x &amp; y>")
+  }
+
+  test("CreatedTables chases renames across WOW-vintage scripts") {
+    // tests/test_parse_created_tables.py:11-69 shapes
+    assert(CreatedTables.inSql("CREATE TABLE foo (x char(1))") === Seq("foo"))
+    assert(CreatedTables.inSql(
+      """create table x as select 1;
+         alter table x rename to y;
+         create table if not exists z (a int);""") === Seq("z", "y")
+      || CreatedTables.inSql(
+      """create table x as select 1;
+         alter table x rename to y;
+         create table if not exists z (a int);""").toSet === Set("y", "z"))
+    assert(CreatedTables.inSql(
+      "ALTER TABLE nope RENAME TO other") === Seq.empty) // rename of uncreated
+    assert(CreatedTables.inScripts(Seq(
+      "create table a (x int)",
+      "create or replace table schema2.b as select * from a")) === Seq("a", "b"))
+  }
+}

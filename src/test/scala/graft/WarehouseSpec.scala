@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Warehouse
+
+/** Atomic-publish semantics — mirrors the reference's temp-schema swap
+  * guarantees (`load_dataset.py:209-252`) and the idempotency golden
+  * check (`tests/test_load_dataset.py:78-84`: re-run => identical
+  * rowcounts).
+  */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWh() =
+    new Warehouse(Files.createTempDirectory("graft-wh"))
+
+  test("publish then read back; rowcounts probe") {
+    val wh = freshWh()
+    wh.publishAtomically(Map(
+      "t1" -> Seq(1, 2, 3).toDF("x"),
+      "t2" -> Seq("a").toDF("s")), generation = 1L)
+    assert(wh.tableNames === Seq("t1", "t2"))
+    assert(wh.table(spark, "t1").as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+    assert(wh.rowcounts(spark) === Map("t1" -> 3L, "t2" -> 1L))
+  }
+
+  test("publish is idempotent: re-publish yields identical rowcounts") {
+    val wh = freshWh()
+    val tables = Map("t" -> Seq(1, 2).toDF("x"))
+    wh.publishAtomically(tables, generation = 1L)
+    val first = wh.rowcounts(spark)
+    wh.publishAtomically(tables, generation = 2L)
+    assert(wh.rowcounts(spark) === first)
+  }
+
+  test("failed staging rolls back: manifest untouched, staged data removed") {
+    val wh = freshWh()
+    wh.publishAtomically(Map("good" -> Seq(1).toDF("x")), generation = 1L)
+    val before = wh.manifest
+    val boom = udf((i: Int) => {
+      if (i >= 0) throw new RuntimeException("boom"); i
+    })
+    intercept[Exception] {
+      wh.publishAtomically(Map(
+        "good" -> Seq(9).toDF("x"),
+        "bad" -> Seq(1).toDF("x").select(boom(col("x")).as("x"))),
+        generation = 2L)
+    }
+    assert(wh.manifest === before) // readers still see generation 1
+    assert(wh.table(spark, "good").as[Int].head() === 1)
+    assert(!wh.tableExists("bad"))
+  }
+
+  test("readers on the old generation survive a new publish until vacuum") {
+    val wh = freshWh()
+    wh.publishAtomically(Map("t" -> Seq(1).toDF("x")), generation = 1L)
+    val oldDf = wh.table(spark, "t")
+    wh.publishAtomically(Map("t" -> Seq(2).toDF("x")), generation = 2L)
+    assert(oldDf.as[Int].head() === 1) // snapshot isolation
+    assert(wh.table(spark, "t").as[Int].head() === 2)
+    val dropped = wh.vacuum()
+    assert(dropped === Seq("t__1"))
+  }
+}
