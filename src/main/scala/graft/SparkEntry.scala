@@ -18,12 +18,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Flagship.queries ++
-      graft.queries.Relational.queries
+      graft.queries.Relational.queries ++
+      graft.queries.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Flagship.oracles ++
-      graft.queries.Relational.oracles
+      graft.queries.Relational.oracles ++
+      graft.queries.Extensions.oracles
 }

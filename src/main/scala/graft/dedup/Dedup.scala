@@ -1,0 +1,257 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+/** Deduplication operators for training-data pipelines (north-star in
+  * BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design notes (these run over ~10^9 docs in production):
+  *  - exact dedup shuffles a 64-hex digest, never the document body;
+  *  - candidate generation is always hash-bucket equi-joins (shuffle on
+  *    short keys) — no cross joins anywhere;
+  *  - pairwise verification only touches LSH candidates, whose count is
+  *    bounded by bucket collision rates, not N^2;
+  *  - "keep" policy is greedy min-id (drop any doc with a smaller-id
+  *    near-duplicate) — one extra semi-join, no connected components /
+  *    iterative driver loop.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------------
+  // Exact dedup (hash-groupBy)
+  // -------------------------------------------------------------------
+
+  /** One row per distinct content: (content_hash, keep_id = min id,
+    * n_copies). The groupBy key is sha2-256 of the body so the shuffle
+    * carries 64 chars per row regardless of document size.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(sha2(col(textCol), 256).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** The deduplicated id set under exact matching. */
+  def exactKeepIds(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exact(df, idCol, textCol).select(col("keep_id").as(idCol))
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH banding (word shingles)
+  // -------------------------------------------------------------------
+
+  /** Word-level k-shingles (documents shorter than k words collapse to
+    * one whole-text shingle).
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Character n-gram shingles (for the Jaccard verifier). */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(trim(text))
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+      .otherwise(array(t))
+  }
+
+  /** numHashes-wide MinHash signature: element j is
+    * min over shingles of xxhash64(shingle, j-salt). Pure higher-order
+    * functions — the whole signature computation is a codegen'd map.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingles, s => xxhash64(s, lit(j))))
+    }: _*)
+
+  /** Estimated Jaccard from two signatures: fraction of equal
+    * positions.
+    */
+  def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+  /** Candidate near-duplicate pairs via banded LSH:
+    * signature -> `bands` band-hashes -> explode -> self-equi-join on
+    * (band, bandHash) -> estimate Jaccard from signatures -> threshold.
+    *
+    * Returns (id_a, id_b, est_jaccard), id_a < id_b.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val signed = df.select(col(idCol).as("id"),
+      minhashSignature(wordShingles(col(textCol), shingleSize), numHashes)
+        .as("sig"))
+
+    // band index is static -> unrolled at plan time (better codegen)
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        transform(slice(col("sig"), b * rows + 1, rows),
+          x => x.cast("string"))), lit(b))
+    }
+    val banded = signed.select(col("id"), col("sig"),
+        posexplode(array(bandHashes: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("band_hash"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_hash"))
+
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Greedy near-dup removal: drop any doc that has a smaller-id
+    * near-duplicate (single anti-join over the pair set).
+    */
+  def keepAfterPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes
+    * +1/-1 per bit position; the sign vector is the fingerprint.
+    * Built from higher-order functions (fold over tokens of a 64-wide
+    * vote vector) — codegen'd, no UDF.
+    */
+  /** Literal array of the 64 bit masks 1L<<i (distinct powers, so a sum
+    * over a subset equals the bitwise OR — including the sign bit).
+    */
+  private val bitMasks: Column =
+    typedLit((0 until 64).map(i => 1L << i))
+
+  def simhash64(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, tok) => zip_with(acc,
+        transform(bitMasks,
+          m => when(xxhash64(tok).bitwiseAND(m) =!= 0, 1).otherwise(-1)),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(votes, bitMasks,
+        (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L), (acc, bit) => acc + bit)
+  }
+
+  /** Near-dup pairs with Hamming(simhash) <= maxHamming, via the
+    * pigeonhole band trick: split 64 bits into maxHamming+1 chunks —
+    * any pair within distance k agrees on >= 1 chunk, so candidates
+    * come from equi-joins on chunk values; verify with bit_count(xor).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val chunkVals = (0 until chunks).map { c =>
+      shiftrightunsigned(col("sh"), c * width).bitwiseAND((1L << width) - 1)
+    }
+    val banded = hashed.select(col("id"), col("sh"),
+        posexplode(array(chunkVals: _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("chunk"), col("chunk_val"))
+    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("chunk"), col("chunk_val"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // -------------------------------------------------------------------
+  // n-gram Jaccard (exact verify over MinHash candidates)
+  // -------------------------------------------------------------------
+
+  /** Exact Jaccard of two documents' char-n-gram SETS. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(charShingles(a, n))
+    val sb = array_distinct(charShingles(b, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    inter / (size(sa) + size(sb) - inter)
+  }
+
+  /** Near-dup pairs by exact character-trigram Jaccard, with MinHash
+    * LSH as the candidate generator (low threshold) and the exact
+    * measure as the verifier — the standard two-phase design: cheap
+    * recall-oriented banding, then precise scoring only on candidates.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.6,
+      candidateThreshold: Double = 0.2): DataFrame = {
+    val cands = minhashPairs(df, idCol, textCol,
+      threshold = candidateThreshold)
+    val docs = df.select(col(idCol), col(textCol))
+    cands
+      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("text_a")), Seq("id_a"))
+      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("text_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ngramJaccard(col("text_a"), col("text_b"), n).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // -------------------------------------------------------------------
+
+  /** Near-dup pairs with cosine >= threshold, candidates from
+    * random-hyperplane LSH buckets (exact cosine verified on
+    * candidates). Multi-table union for recall.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      dim: Int = 64,
+      bits: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val indexed = Similarity.buildLshIndex(df, idCol, vecCol, dim, bits, tables)
+    val a = indexed.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("table"), col("bucket"))
+    val b = indexed.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

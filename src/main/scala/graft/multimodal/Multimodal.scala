@@ -1,0 +1,96 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus batch-shaped decode / feature
+  * extraction (north-star in BASELINE.json).
+  *
+  * The ACTUAL media decode is STUBBED (this container has no
+  * image/audio libraries): `StubDecoder` produces a deterministic fake
+  * feature vector from the payload bytes. Everything Spark-side —
+  * schema, batching, partitioning, the mapPartitions pipeline shape —
+  * is real and is what matters at scale:
+  *
+  *  - payloads stay opaque binary end-to-end (never stringified);
+  *  - decode runs per PARTITION in bounded-size batches (the JVM
+  *    analogue of a Pandas-UDF `mapInPandas` batch loop): one decoder
+  *    init per partition, amortized over rows;
+  *  - output is (id, meta, features) — the decoded payload is NOT
+  *    retained, so the shuffle after feature extraction carries
+  *    ~dim*4 bytes per row instead of megabytes of media.
+  */
+object Multimodal {
+
+  /** Typed media row: opaque payload + metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      media_type: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      features: Array[Float])
+
+  /** The decode seam. Real pipelines plug an image/audio codec in
+    * here; the stub derives `featureDim` floats deterministically from
+    * the payload via an FNV-1a rolling hash (so tests are stable and
+    * the full pipeline is exercised).
+    */
+  trait Decoder extends Serializable {
+    def featureDim: Int
+    def decode(payload: Array[Byte]): Array[Float]
+  }
+
+  final class StubDecoder(val featureDim: Int = 8) extends Decoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      // ??? <- real codec goes here; deterministic fake below
+      var h = 0xcbf29ce484222325L
+      val out = new Array[Float](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        h = (h ^ (payload(i) & 0xffL)) * 0x100000001b3L
+        out(i % featureDim) += ((h % 1000L) / 1000.0f)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Wrap a text table as a binary media table (UTF-8 payloads) — the
+    * test harness for the plumbing; real sources would read raw bytes
+    * (`spark.read.format("binaryFile")`).
+    */
+  def documentsAsMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("text/plain").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit(0).as("width"),
+      lit(0).as("height"))
+
+  /** Batch-shaped feature extraction: mapPartitions with an explicit
+    * batch size. The decoder is constructed once per partition.
+    */
+  def extractFeatures(
+      spark: SparkSession,
+      media: DataFrame,
+      decoder: Decoder,
+      batchSize: Int = 256): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "model invocation" per batch — the mapInPandas shape
+        batch.iterator.map { r =>
+          MediaFeatures(r.media_id, r.media_type, r.payload.length,
+            decoder.decode(r.payload))
+        }
+      }
+    }
+  }
+}

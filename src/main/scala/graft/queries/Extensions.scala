@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.streaming.EventStreams
+import graft.text.TextFunctions
+
+/** Driver-contract queries for the training-data-pipeline extensions
+  * (dedup / similarity / multimodal / text analysis / event windows).
+  * SQL-expressible ops carry DuckDB oracles; hash-based ops (xxhash64
+  * signatures, LSH buckets) are engine-specific and get the rows-only
+  * check plus ScalaTest property coverage (DedupSpec/SimilaritySpec).
+  */
+object Extensions {
+
+  // ---- text analysis ------------------------------------------------
+
+  def t1Tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"))
+
+  def t2Quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.stopwordCount(col("text")).as("n_stopwords"),
+      TextFunctions.meanTokenLen(col("text")).as("mean_token_len"))
+
+  def t3LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      TextFunctions.langId(col("text")).as("predicted"))
+
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+
+  // ---- dedup --------------------------------------------------------
+
+  def dd1Exact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+
+  def dd2MinhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.2)
+
+  def dd3SimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 3)
+
+  def dd4NgramPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.5, candidateThreshold = 0.15)
+
+  // synthetic embeddings are near-orthogonal (max pairwise cos ~0.51),
+  // so the "near-dup" threshold is 0.4 here; production default is 0.95
+  def dd5EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id",
+      "embedding", threshold = 0.4, bits = 4, tables = 8)
+
+  // ---- similarity search -------------------------------------------
+
+  private def queryVec(s: SparkSession, d: String): Seq[Float] =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+
+  def ann1BruteForce(s: SparkSession, d: String): DataFrame = {
+    val topk = Similarity.bruteForceTopK(
+      Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(s, d), k = 10)
+    import org.apache.spark.sql.expressions.Window
+    topk.withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("rank"), col("vec_id"), round(col("sim"), 4).as("sim4"))
+  }
+
+  def ann2Lsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(
+      Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec(s, d), k = 10,
+      bits = 4, tables = 8)
+
+  // ---- multimodal (stubbed decode; real plumbing) -------------------
+
+  def mm1DecodeStub(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.documentsAsMedia(Tables.documents(s, d))
+    Multimodal.extractFeatures(s, media, new Multimodal.StubDecoder(8))
+      .toDF()
+      .select(col("media_id"), col("media_type"),
+        col("n_bytes"), size(col("features")).as("feat_dim"))
+  }
+
+  // ---- event-time windows (streaming duals) -------------------------
+
+  def e2Sliding(s: SparkSession, d: String): DataFrame =
+    EventStreams.slidingCounts(Tables.events(s, d))
+
+  def e3Session(s: SparkSession, d: String): DataFrame =
+    EventStreams.sessionCounts(Tables.events(s, d))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_tokens" -> (t1Tokens _),
+    "t2_quality" -> (t2Quality _),
+    "t3_langid" -> (t3LangId _),
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "dd1_exact" -> (dd1Exact _),
+    "dd2_minhash_pairs" -> (dd2MinhashPairs _),
+    "dd3_simhash_pairs" -> (dd3SimhashPairs _),
+    "dd4_ngram_pairs" -> (dd4NgramPairs _),
+    "dd5_embedding_neardup" -> (dd5EmbeddingNearDup _),
+    "ann1_bruteforce" -> (ann1BruteForce _),
+    "ann2_lsh" -> (ann2Lsh _),
+    "mm1_decode_stub" -> (mm1DecodeStub _),
+    "e2_sliding" -> (e2Sliding _),
+    "e3_session" -> (e3Session _))
+
+  val oracles: Map[String, String] = Map(
+    "t1_tokens" ->
+      """SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish
+         FROM documents""",
+    "t2_quality" ->
+      """SELECT doc_id,
+                CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+                CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|in|to|is|for|on)\b')) AS INT) AS n_stopwords,
+                CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
+         FROM documents""",
+    "t3_langid" ->
+      """WITH hits AS (
+           SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it)\b')) AS h_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS h_de,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pas|que)\b')) AS h_fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|por|que|para)\b')) AS h_es,
+             len(regexp_extract_all(lower(text), '\b(de5|shi4|bu4|wo3|zai4|le5|you3|he2)\b')) AS h_zh
+           FROM documents)
+         SELECT doc_id, lang,
+           CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_zh >= greatest(h_en, h_de, h_es, h_fr) THEN 'zh'
+                WHEN h_fr >= greatest(h_en, h_de, h_es) THEN 'fr'
+                WHEN h_es >= greatest(h_en, h_de) THEN 'es'
+                WHEN h_en >= h_de THEN 'en'
+                ELSE 'de' END AS predicted
+         FROM hits""",
+    "dd1_exact" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+                count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "ann1_bruteforce" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id, list_cosine_similarity(embedding, qv) AS sim
+           FROM embeddings, q WHERE vec_id <> 0)
+         SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank,
+                vec_id, round(CAST(sim AS DOUBLE), 4) AS sim4
+         FROM scored ORDER BY sim DESC, vec_id LIMIT 10""",
+    "mm1_decode_stub" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                CAST(8 AS INT) AS feat_dim
+         FROM documents""",
+    "e2_sliding" ->
+      """WITH slots AS (
+           SELECT event_type,
+                  unnest([
+                    make_timestamp(CAST(floor(epoch(ts)/1800)*1800*1000000 AS BIGINT)),
+                    make_timestamp(CAST((floor(epoch(ts)/1800)*1800 - 1800)*1000000 AS BIGINT))
+                  ]) AS window_start
+           FROM events)
+         SELECT window_start, event_type, count(*) AS n
+         FROM slots GROUP BY 1, 2""",
+    "e3_session" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sessioned AS (
+           SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT min(ts) AS session_start,
+                max(ts) + INTERVAL 10 MINUTE AS session_end,
+                user_id, count(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         FROM sessioned GROUP BY user_id, sid""")
+}

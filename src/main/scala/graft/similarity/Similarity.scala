@@ -1,0 +1,120 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over embedding columns (Array[Float]) —
+  * the north-star ANN surface (BASELINE.json; the reference's nearest
+  * analogue is pg_trgm similarity search, `wowutil.py:68-71`).
+  *
+  * Two tiers, per the standard large-scale design:
+  *  - exact brute-force top-k: a pure map + TakeOrdered — no shuffle,
+  *    scales linearly and is the correctness baseline;
+  *  - LSH-bucketed (random hyperplane signatures): candidates come from
+  *    hash-bucket joins, turning O(N) per query into O(N/2^bits · T);
+  *    recall is tuned with `tables` (multi-table OR-amplification).
+  *
+  * All distance math is built-in higher-order functions (zip_with /
+  * aggregate) — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns (computed in
+    * double; sequential fold => deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k nearest by cosine to a constant query vector.
+    * Physical plan: parquet scan -> project(sim) -> TakeOrderedAndProject
+    * — no shuffle; each partition reduces to k rows before the driver
+    * merge, so this works unchanged on a 1000-executor scan.
+    */
+  def bruteForceTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int): DataFrame = {
+    val q = typedLit(query)
+    emb.select(col(idCol),
+        cosine(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded; no RNG state
+    * shared with executors — planes are literal arrays baked into the
+    * plan, i.e. broadcast once with the serialized plan).
+    */
+  private[similarity] def hyperplanes(
+      dim: Int, bits: Int, table: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed + table * 7919)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id of a vector under one table's hyperplanes. */
+  private[similarity] def bucketExpr(
+      vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: probe the query's bucket in each
+    * of `tables` hash tables, union candidates, rank exactly.
+    * At scale the bucketed DataFrame should be written bucketed/sorted
+    * by (table, bucket) so a probe is a partition-pruned scan.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      dim: Int = 64,
+      bits: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val queryD = query.map(_.toDouble)
+    def bucketOf(planes: Seq[Seq[Double]]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        val d = p.zip(queryD).map { case (w, x) => w * x }.sum
+        if (d >= 0) 1L << i else 0L
+      }.sum
+
+    val candidates = (0 until tables).map { t =>
+      val planes = hyperplanes(dim, bits, t)
+      emb.filter(bucketExpr(col(vecCol), planes) === lit(bucketOf(planes)))
+    }.reduce(_ unionByName _).dropDuplicates(idCol)
+
+    candidates.select(col(idCol),
+        cosine(col(vecCol), typedLit(query)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Precompute per-table buckets for ALL rows — the "index build"
+    * phase: at 100 TB this DataFrame is what you persist, partitioned
+    * by (table, bucket), so query-time probes prune partitions instead
+    * of scanning.
+    */
+  def buildLshIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int = 64,
+      bits: Int = 8,
+      tables: Int = 4): DataFrame = {
+    val perTable = (0 until tables).map { t =>
+      val planes = hyperplanes(dim, bits, t)
+      emb.select(col(idCol), col(vecCol),
+        lit(t).as("table"),
+        bucketExpr(col(vecCol), planes).as("bucket"))
+    }
+    perTable.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` table.
+  *
+  * The reference has no streaming engine — its incremental semantics
+  * are poll-on-cron + full reload (SURVEY §2.10). This module is the
+  * Spark-native upgrade path: the same aggregations usable as a batch
+  * query today run unchanged over `readStream` with watermarks.
+  * Transform builders take a DataFrame so batch and streaming share ONE
+  * definition (tested both ways in StreamingSpec).
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts/sums per event_type (works on batch or
+    * streaming input; with streaming input add the watermark first).
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding 1h/30m windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows (10-minute gap) per user — built-in
+    * session_window works for both batch and streaming.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming wiring: watermarked tumbling aggregation ready for
+    * `writeStream` (used with MemoryStream in tests; with a file/kafka
+    * source in production).
+    */
+  def streamingTumbling(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("ts", "2 hours"))
+
+  // ---- custom state: running per-user counters via mapGroupsWithState
+  final case class Event(ts: Timestamp, user_id: Long, event_type: String,
+      value: Double)
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** flatMapGroupsWithState-style custom stateful op: emits the running
+    * (count,total) per user after each batch — the KeyValueGroupedDataset
+    * state surface the reference's KV tracker maps onto in a true
+    * streaming deployment.
+    */
+  def runningPerUser(
+      spark: SparkSession,
+      events: Dataset[Event]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          it.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(uid, n, total)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north-star; the reference's text surface is limited to
+  * pg_trgm trigram similarity, `wowutil.py:68-71` — these generalize it).
+  *
+  * Everything here is composed from built-in codegen'd expressions
+  * (split / regexp / higher-order array functions) — no UDFs — so the
+  * whole column pipeline stays inside whole-stage codegen and scales as
+  * a pure map over documents: no shuffle, no state, embarrassingly
+  * parallel at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword-ish token count: word pieces + standalone
+    * punctuation (a cheap proxy for LLM token budgeting).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Mean token length (characters). */
+  def meanTokenLen(text: Column): Column =
+    (length(regexp_replace(text, "\\s+", "")).cast("double") /
+      tokenCount(text))
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+      .cast("double") / length(text)
+
+  private val enStopwords =
+    Seq("the", "a", "an", "of", "and", "in", "to", "is", "for", "on")
+
+  /** Count of English stopword occurrences. */
+  def stopwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(" + enStopwords.mkString("|") + ")\\b"), lit(0)))
+
+  /** Stopword density (stopwords per token). */
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text)
+
+  /** Heuristic document-quality score in [0,1] — the standard
+    * length / punctuation / stopword-density gates used by web-scale
+    * corpus filters, as one deterministic arithmetic expression.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5, lit(1.0))
+    (lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3)
+  }
+
+  /** Per-language marker words for the n-gram/stopword lang-ID
+    * heuristic (tiny closed-class word lists — the classic cheap
+    * signal; real pipelines would use fastText-style models).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pas", "que"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por", "que", "para"),
+    "zh" -> Seq("de5", "shi4", "bu4", "wo3", "zai4", "le5", "you3", "he2"))
+
+  def langHits(text: Column, lang: String): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(" + langMarkers(lang).mkString("|") + ")\\b"), lit(0)))
+
+  /** Predicted language: argmax of marker-hit counts, "und"
+    * (undetermined) when nothing matches. Deterministic tie-break by
+    * language code (greatest-first comparison on (hits, code)).
+    */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.keys.toSeq.sorted.map { l =>
+      struct(langHits(text, l).as("hits"), lit(l).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** 64-bit rolling-hash document fingerprint over whitespace tokens:
+    * fp = fold(tokens, acc -> xxhash64(acc, token)) — an order-sensitive
+    * hash chain (unlike a bag-of-words hash), built purely from
+    * codegen'd higher-order functions. (A polynomial acc*31+h rolling
+    * hash would wrap Long arithmetic, which ANSI mode rejects; the
+    * xxhash64 chain has the same properties without overflow.)
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(trim(text), "\\s+"),
+      lit(0L),
+      (acc, tok) => xxhash64(acc, tok))
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near-dup
+    (4L, "completely different words about spark query engines and shuffles"),
+    (5L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length === 4)
+    val dupGroup = out.find(_.getLong(2) === 2L).get
+    assert(dupGroup.getLong(1) === 1L) // keep_id = min(1,2)
+    assert(Dedup.exactKeepIds(docs, "doc_id", "text").count() === 4)
+  }
+
+  test("minhash pairs find exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      threshold = 0.3, shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // identical
+    val exact = pairs.find(p => (p._1, p._2) == ((1L, 2L))).get
+    assert(exact._3 === 1.0) // identical signatures
+    assert(keys.contains((1L, 3L)) || keys.contains((2L, 3L))) // near-dup
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+    assert(!keys.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("keepAfterPairs drops the larger id of each pair") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
+    val kept = Dedup.keepAfterPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(!kept.contains(2L)) // exact dup of 1 dropped
+    assert(kept.contains(1L))
+  }
+
+  test("simhash: identical => hamming 0; near-identical => small; unrelated => large") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(5L)))
+  }
+
+  test("simhashPairs returns identical pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+  }
+
+  test("ngramJaccard matches hand-computed trigram jaccard") {
+    val df = Seq(("abcd", "abce")).toDF("a", "b")
+    // trigrams: {abc,bcd} vs {abc,bce} -> 1/3
+    val j = df.select(Dedup.ngramJaccard(col("a"), col("b"), 3)).head().getDouble(0)
+    assert(math.abs(j - 1.0 / 3.0) < 1e-9)
+  }
+
+  test("embedding near-dup finds the planted near-duplicate vector") {
+    val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val near = base.zipWithIndex.map { case (v, i) =>
+      v + (if (i == 0) 0.01f else 0.0f) }
+    val ortho = Array.tabulate(64)(i => math.cos(i * 3.1).toFloat)
+    val df = Seq((1L, base.toSeq), (2L, near.toSeq), (3L, ortho.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, bits = 4, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+
+  test("lsh recall vs brute force on real embeddings is usable") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10,
+      bits = 4, tables = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact intersect approx).size >= 5,
+      s"recall too low: $exact vs $approx")
+  }
+
+  test("cosine HOF matches a hand-rolled dot/norm computation") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f)))
+      .toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12) // parallel vectors
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("sessionCounts splits on >= gap, merges within gap") {
+    val events = Seq(
+      Event(ts(0), 1L, "click", 1.0),
+      Event(ts(5), 1L, "click", 2.0),   // within 10m -> same session
+      Event(ts(20), 1L, "view", 3.0),   // 15m after -> new session
+      Event(ts(0), 2L, "click", 4.0)
+    ).toDF()
+    val out = EventStreams.sessionCounts(events).collect()
+    assert(out.length === 3)
+    val u1 = out.filter(_.getLong(2) == 1L).sortBy(_.getTimestamp(0).getTime)
+    assert(u1(0).getLong(3) === 2) // first session: 2 events
+    assert(u1(0).getDouble(4) === 3.0)
+    assert(u1(1).getLong(3) === 1)
+    // session end = last event + gap
+    assert(u1(0).getTimestamp(1).getTime === ts(5).getTime + 10 * 60000L)
+  }
+
+  test("streaming tumbling agg over MemoryStream equals the batch dual") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val data = Seq(
+      Event(ts(1), 1L, "click", 1.5),
+      Event(ts(2), 1L, "click", 2.5),
+      Event(ts(70), 2L, "view", 3.0))
+    mem.addData(data: _*)
+    val q = EventStreams.streamingTumbling(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = EventStreams.tumblingCounts(data.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed === batch) // ONE definition serves both engines
+    assert(streamed.size === 2) // two distinct hours
+  }
+
+  test("runningPerUser keeps custom state per key (batch surface)") {
+    val out = EventStreams.runningPerUser(spark, Seq(
+      Event(ts(0), 1L, "click", 1.0),
+      Event(ts(1), 1L, "click", 2.0),
+      Event(ts(0), 2L, "view", 5.0)).toDS())
+      .collect().map(u => u.user_id -> ((u.n, u.total))).toMap
+    assert(out(1L) === ((2L, 3.0)))
+    assert(out(2L) === ((1L, 5.0)))
+  }
+}
