@@ -42,18 +42,29 @@ object Dedup {
   // MinHash + LSH banding (word shingles)
   // -------------------------------------------------------------------
 
-  /** Word-level k-shingles (documents shorter than k words collapse to
-    * one whole-text shingle).
+  /** Word-level k-shingles over an ALREADY-MATERIALIZED token-array
+    * column. IMPORTANT: `toks` must be a plain column reference, not an
+    * expression — higher-order lambdas re-evaluate captured
+    * subexpressions once per array element, so passing `split(...)`
+    * here directly costs O(tokens * split) per row.
     */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+  def wordShinglesFromTokens(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(1), size(toks) - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
       .otherwise(array(concat_ws(" ", toks)))
-  }
 
-  /** Character n-gram shingles (for the Jaccard verifier). */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Convenience form; prefer staging `tokens(text)` as its own column
+    * first (see [[minhashPairs]]) on hot paths.
+    */
+  def wordShingles(text: Column, k: Int): Column =
+    wordShinglesFromTokens(tokens(text), k)
+
+  /** Character n-gram shingles; same staging caveat — pass a
+    * materialized lowercased column on hot paths.
+    */
   def charShingles(text: Column, n: Int): Column = {
     val t = lower(trim(text))
     when(length(t) >= n,
@@ -62,14 +73,32 @@ object Dedup {
       .otherwise(array(t))
   }
 
-  /** numHashes-wide MinHash signature: element j is
-    * min over shingles of xxhash64(shingle, j-salt). Pure higher-order
-    * functions — the whole signature computation is a codegen'd map.
+  /** numHashes-wide MinHash signature: element j is min over shingles
+    * of xxh64(j, seed = xxh64(shingle, 42)).
+    *
+    * Native codegen expression ([[graft.functions.MinHashSig]]): one
+    * JVM loop, O(shingles * numHashes) per row. The composable HOF
+    * form ([[minhashSignatureHof]]) is kept for cross-checking; it is
+    * interpreted per element and — because higher-order lambdas
+    * re-evaluate captured subexpressions per element — trivially
+    * becomes quadratic if fed an unmaterialized shingle expression
+    * (observed as one task pinning a core for minutes at sf0.1).
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      array_min(transform(shingles, s => xxhash64(s, lit(j))))
-    }: _*)
+    graft.functions.HashFunctions.minhash_sig(shingles, numHashes)
+
+  /** Built-ins-only fold form of [[minhashSignature]] (same hash
+    * chain, same output values).
+    */
+  def minhashSignatureHof(shingles: Column, numHashes: Int): Column =
+    aggregate(
+      shingles,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          j => xxhash64(s, j.cast("long"))),
+        (a, h) => least(a, h)))
 
   /** Estimated Jaccard from two signatures: fraction of equal
     * positions.
@@ -94,9 +123,17 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val signed = df.select(col(idCol).as("id"),
-      minhashSignature(wordShingles(col(textCol), shingleSize), numHashes)
-        .as("sig"))
+    // staged projections: tokenize ONCE, shingle ONCE, then sign — each
+    // step consumes a materialized attribute so HOF lambdas never
+    // recompute upstream expressions per element (CollapseProject keeps
+    // multi-referenced non-cheap aliases in separate projects)
+    val signed = df
+      .select(col(idCol).as("id"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        wordShinglesFromTokens(col("__toks"), shingleSize).as("__shingles"))
+      .select(col("id"),
+        minhashSignature(col("__shingles"), numHashes).as("sig"))
 
     // band index is static -> unrolled at plan time (better codegen)
     val bandHashes = (0 until bands).map { b =>
@@ -144,14 +181,24 @@ object Dedup {
   private val bitMasks: Column =
     typedLit((0 until 64).map(i => 1L << i))
 
-  def simhash64(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+  /** Native codegen expression ([[graft.functions.SimHash64Expr]]);
+    * [[simhash64Hof]] is the equivalent built-ins-only fold (identical
+    * outputs — same xxh64(token, 42) bit votes).
+    */
+  def simhash64(text: Column): Column =
+    graft.functions.HashFunctions.simhash64(tokens(text))
+
+  def simhash64Hof(text: Column): Column = {
+    // hash each token ONCE up front (the fold lambda below reads the
+    // hash 64 times — one per bit mask — so it must be an element
+    // value, not a recomputed expression)
+    val tokenHashes = transform(tokens(text), t => xxhash64(t))
     val votes = aggregate(
-      toks,
+      tokenHashes,
       array_repeat(lit(0), 64),
-      (acc, tok) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         transform(bitMasks,
-          m => when(xxhash64(tok).bitwiseAND(m) =!= 0, 1).otherwise(-1)),
+          m => when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)),
         (a, v) => a + v))
     aggregate(
       zip_with(votes, bitMasks,
@@ -217,12 +264,19 @@ object Dedup {
       candidateThreshold: Double = 0.2): DataFrame = {
     val cands = minhashPairs(df, idCol, textCol,
       threshold = candidateThreshold)
-    val docs = df.select(col(idCol), col(textCol))
+    // precompute each doc's shingle SET once; the pair join then only
+    // moves (id, set) and the jaccard is array math on attributes
+    val sets = df
+      .select(col(idCol), lower(trim(col(textCol))).as("__t"))
+      .select(col(idCol), array_distinct(charShingles(col("__t"), n)).as("__sh"))
+    val setJaccard = {
+      val inter = size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double")
+      inter / (size(col("__sh_a")) + size(col("__sh_b")) - inter)
+    }
     cands
-      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("text_a")), Seq("id_a"))
-      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("text_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        ngramJaccard(col("text_a"), col("text_b"), n).as("jaccard"))
+      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), setJaccard.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector-similarity hot path.
+  *
+  * The composable higher-order-function forms (zip_with + aggregate in
+  * [[graft.similarity.Similarity]]) are interpreted per array element —
+  * measured ~10-40x slower on the LSH candidate-verification joins.
+  * These expressions evaluate as one tight JVM loop per row and emit
+  * the same loop under whole-stage codegen (`doGenCode`), keeping the
+  * surrounding join/filter pipeline fully codegen'd.
+  *
+  * Accumulation is double, sequential over element index — bit-for-bit
+  * identical to the HOF forms (and to the DuckDB oracle).
+  */
+trait VectorBinaryExpression extends BinaryExpression {
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, " +
+        s"got ${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  protected def get(arr: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  /** Java accessor snippet for codegen. */
+  protected def getJava(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+}
+
+/** dot(a, b) = sum a_i * b_i (double). */
+case class ArrayDot(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += get(x, i, fx) * get(y, i, fy); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${getJava(a, i, fx)} * ${getJava(b, i, fy)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused cosine(a, b): one loop accumulating dot, |a|^2, |b|^2. */
+case class CosineSim(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xa = get(x, i, fx); val xb = get(y, i, fy)
+      dot += xa * xb; na += xa * xa; nb += xb * xb
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xa = ctx.freshName("xa")
+      val xb = ctx.freshName("xb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xa = ${getJava(a, i, fx)};
+         |  double $xb = ${getJava(b, i, fy)};
+         |  $dot += $xa * $xb; $na += $xa * $xa; $nb += $xb * $xb;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level facade. */
+object VectorFunctions {
+  def array_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

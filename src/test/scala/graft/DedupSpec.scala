@@ -92,6 +92,31 @@ class DedupSpec extends SparkSpec {
       s"recall too low: $exact vs $approx")
   }
 
+  test("native codegen expressions match the HOF forms bit-for-bit") {
+    val staged = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        Dedup.wordShinglesFromTokens(col("toks"), 3).as("sh"))
+    staged.select(
+        Dedup.minhashSignature(col("sh"), 16).as("native"),
+        Dedup.minhashSignatureHof(col("sh"), 16).as("hof"))
+      .collect()
+      .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+
+    docs.select(Dedup.simhash64(col("text")).as("n"),
+        Dedup.simhash64Hof(col("text")).as("h"))
+      .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1)
+    Tables.embeddings(spark, sf).limit(100)
+      .select(
+        Similarity.cosine(col("embedding"), typedLit(q)).as("n"),
+        Similarity.cosineHof(col("embedding"), typedLit(q)).as("h"))
+      .collect()
+      .foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("cosine HOF matches a hand-rolled dot/norm computation") {
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f)))
       .toDF("a", "b")
