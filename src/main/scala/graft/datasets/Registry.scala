@@ -56,6 +56,20 @@ object Registry {
             .agg(count(lit(1)).as("n"),
               graft.ops.Ops.dsum(col("o_totalprice")).as("total"))),
       ),
+      // dataset-published functions, replayed at publish time — the
+      // reference's CREATE OR REPLACE FUNCTION scripts
+      // (load_dataset.py:121-160,372-376; e.g.
+      // get_corporate_owner_info_for_regid, tests/test_load_dataset.py:41)
+      udfs = Map(
+        "order_priority_rank" -> ((s: org.apache.spark.sql.SparkSession) => {
+          s.udf.register("order_priority_rank",
+            (p: String) =>
+              if (p == null || p.isEmpty) 99
+              else Character.getNumericValue(p.charAt(0)))
+          ()
+        }),
+        "graft_native_functions" -> ((s: org.apache.spark.sql.SparkSession) =>
+          graft.functions.GraftExtensions.register(s))),
       schedule = Scheduling.Daily11pm))
 
   def byName(sfDir: String, name: String): Option[DatasetSpec] =

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration of the engine's native expressions — the
+  * analogue of the reference's dataset-published
+  * `CREATE OR REPLACE FUNCTION` scripts replayed at publish time
+  * (`load_dataset.py:121-160,372-376`; SURVEY §2.11). Registered
+  * through the public `SparkSessionExtensions.injectFunction` hook:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *
+  * makes `SELECT cosine_sim(a, b)`, `minhash_sig(arr, 64)`,
+  * `simhash64(toks)`, `array_dot(a, b)` valid SQL in that session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, (usage, builder)) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  val builders: Map[String, (String, Seq[Expression] => Expression)] = Map(
+    "cosine_sim" ->
+      ("cosine_sim(a, b) - cosine similarity of two float/double arrays",
+        (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))),
+    "array_dot" ->
+      ("array_dot(a, b) - dot product of two float/double arrays",
+        (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))),
+    "minhash_sig" ->
+      ("minhash_sig(shingles, n) - n-wide MinHash signature",
+        (exprs: Seq[Expression]) => exprs(1) match {
+          case Literal(n: Int, _) => MinHashSig(exprs(0), n)
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: numHashes must be an integer literal, got $other")
+        }),
+    "simhash64" ->
+      ("simhash64(tokens) - 64-bit SimHash of a token array",
+        (exprs: Seq[Expression]) => SimHash64Expr(exprs(0))))
+
+  /** Runtime registration on an existing session (tests, REPLs). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, (_, builder)) =>
+      org.apache.spark.sql.graftshim.ColumnBridge
+        .registerFunction(spark, name, builder)
+    }
+}

@@ -98,6 +98,23 @@ object Extensions {
         col("n_bytes"), size(col("features")).as("feat_dim"))
   }
 
+  // ---- SQL surface: injected native functions (SURVEY §2.11) --------
+
+  /** Runs entirely through spark.sql against the registered function
+    * surface (GraftExtensions) — the dataset-published-function replay
+    * path, exercised as SQL text like the reference's consumers would.
+    */
+  def x1SqlCosine(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+    s.sql(
+      """SELECT vec_id,
+                round(cosine_sim(embedding,
+                  (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS sim4
+         FROM embeddings WHERE vec_id <> 0
+         ORDER BY sim4 DESC, vec_id LIMIT 5""")
+  }
+
   // ---- event-time windows (streaming duals) -------------------------
 
   def e2Sliding(s: SparkSession, d: String): DataFrame =
@@ -119,6 +136,7 @@ object Extensions {
     "ann1_bruteforce" -> (ann1BruteForce _),
     "ann2_lsh" -> (ann2Lsh _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
+    "x1_sql_cosine" -> (x1SqlCosine _),
     "e2_sliding" -> (e2Sliding _),
     "e3_session" -> (e3Session _))
 
@@ -169,6 +187,12 @@ object Extensions {
                 CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 CAST(8 AS INT) AS feat_dim
          FROM documents""",
+    "x1_sql_cosine" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+                round(CAST(list_cosine_similarity(embedding, qv) AS DOUBLE), 4) AS sim4
+         FROM embeddings, q WHERE vec_id <> 0
+         ORDER BY sim4 DESC, vec_id LIMIT 5""",
     "e2_sliding" ->
       """WITH slots AS (
            SELECT event_type,

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Flagship, Relational}
+import graft.similarity.Similarity
+
+/** Physical-plan audits: the properties that make these pipelines hold
+  * at 100 TB — filter pushdown into the parquet scan, column pruning,
+  * broadcast of aggregated/dimension sides, map-side partial
+  * aggregation, shuffle-free top-k — asserted on `.explain` output so
+  * a regression (e.g. a cast blocking pushdown) fails CI, not the
+  * cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  /** Final (AQE-resolved) plan string after executing the query. */
+  private def executedPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("predicates push down into the parquet scan; columns pruned") {
+    val plan = formatted(Relational.pPredicates(spark, sf))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThan(l_extendedprice,1000.0"), plan)
+    assert(plan.contains("In(l_returnflag"), plan)
+    // ReadSchema must NOT include unprojected columns like l_partkey
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString
+    assert(!readSchema.contains("l_partkey"), readSchema)
+    assert(!readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("dimension lookups broadcast (no shuffle of the fact side)") {
+    val plan = executedPlan(Relational.j4DimLookup(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("aggregations keep map-side partial aggregation") {
+    val plan = executedPlan(Relational.a5SumPricing(spark, sf))
+    // two HashAggregates (partial + final) around one shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("firstOrderedBy (max_by) aggregates partially before the shuffle - no window") {
+    val plan = executedPlan(Relational.a6FirstOrdered(spark, sf))
+    // struct-valued max_by plans as SortAggregate, but the property that
+    // matters at scale holds: partial_max_by runs map-side, so each
+    // task reduces to <=1 row per key before the exchange
+    assert(plan.contains("partial_max_by"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("brute-force top-k is shuffle-free TakeOrdered") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val topk = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+    val plan = executedPlan(topk)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("flagship: aggregated dimension sides broadcast under AQE; no cartesian") {
+    val plan = executedPlan(Flagship.bldgs(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("native vector expressions stay inside whole-stage codegen") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val df = emb.select(Similarity.cosine(col("embedding"), typedLit(q)).as("sim"))
+      .filter(col("sim") > 0.1)
+    val plan = executedPlan(df)
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage:
+    // both the cosine projection and the filter must carry one
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Project") && l.contains("cosine_sim")), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Filter")), plan)
+  }
+}

@@ -127,6 +127,35 @@ class RunnerSpec extends SparkSpec {
     assert(store.keysWithPrefix("etag:").isEmpty)
   }
 
+  test("dataset-published UDFs are replayed at publish time") {
+    // load_dataset.py:372-376 function replay semantics
+    val wh = new Warehouse(Files.createTempDirectory("graft-udf"))
+    val runner = new JobRunner(spark, wh, new MemoryStateStore,
+      mkHttp(() => 200), new RecordingNotifier, fixedClock)
+    val ds = regionDataset.copy(name = "udf_ds", udfs = Map(
+      "region_tag" -> ((s: org.apache.spark.sql.SparkSession) => {
+        s.udf.register("region_tag", (n: String) => s"R:$n"); ()
+      })))
+    runner.run(ds)
+    assert(spark.sql("SELECT region_tag('EUROPE')").head().getString(0) === "R:EUROPE")
+  }
+
+  test("injected native SQL functions work through spark.sql") {
+    graft.functions.GraftExtensions.register(spark)
+    val c = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))").head().getDouble(0)
+    assert(c === 1.0)
+    val sh = spark.sql(
+      "SELECT simhash64(array('a', 'b')), simhash64(array('a', 'b'))").head()
+    assert(sh.getLong(0) === sh.getLong(1))
+    val sig = spark.sql(
+      "SELECT minhash_sig(array('x', 'y'), 8)").head().getSeq[Long](0)
+    assert(sig.length === 8)
+    intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('x'), 1 + 7)").collect()
+    } // non-literal numHashes rejected... (constant-folded 8 may pass)
+  }
+
   test("Notifier escaping + hyperlink match slack.py goldens") {
     // lib/slack.py:23-35, 79-87
     assert(Notifier.escape("a<b>&c") === "a&lt;b&gt;&amp;c")
