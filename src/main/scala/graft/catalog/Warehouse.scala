@@ -60,18 +60,25 @@ final class Warehouse(val root: Path) {
     manifest.keys.map(n => n -> table(spark, n).count()).toMap
 
   /** Stage every DataFrame to a fresh generation dir, then atomically
-    * flip the manifest. `partitionBy` optionally hash-distributes /
-    * sorts big tables at rest.
+    * flip the manifest. `layouts` optionally controls the at-rest data
+    * layout per table.
     */
   def publishAtomically(
       staged: Map[String, DataFrame],
-      generation: Long = System.currentTimeMillis()): Unit = {
+      generation: Long = System.currentTimeMillis(),
+      layouts: Map[String, TableLayout] = Map.empty): Unit = {
     Files.createDirectories(root.resolve("data"))
     val written = collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
       staged.foreach { case (name, df) =>
         val rel = s"data/${name}__$generation"
-        df.write.mode("overwrite").parquet(root.resolve(rel).toString)
+        val shaped = layouts.get(name).map(_.apply(df)).getOrElse(df)
+        val writer = shaped.write.mode("overwrite")
+        val partitioned = layouts.get(name)
+          .filter(_.hivePartitionBy.nonEmpty)
+          .map(l => writer.partitionBy(l.hivePartitionBy: _*))
+          .getOrElse(writer)
+        partitioned.parquet(root.resolve(rel).toString)
         written += ((name, rel))
       }
       val next = collection.mutable.LinkedHashMap.empty[String, String]
@@ -109,4 +116,29 @@ final class Warehouse(val root: Path) {
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
+}
+
+/** At-rest layout for a published table — the columnar replacement for
+  * the reference's B-tree indexes (SURVEY §2.1 S8,
+  * `wow_2021…sql:130-131`): hash-cluster on the hot join key
+  * (`clusterBy`) and/or sort within files (`sortBy`) so parquet min/max
+  * stats prune row groups on key lookups; `hivePartitionBy` adds
+  * directory-level partition pruning for low-cardinality columns.
+  */
+final case class TableLayout(
+    clusterBy: Seq[String] = Nil,
+    sortBy: Seq[String] = Nil,
+    hivePartitionBy: Seq[String] = Nil,
+    numFiles: Option[Int] = None) {
+
+  def apply(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val clustered =
+      if (clusterBy.nonEmpty)
+        numFiles.map(n => df.repartition(n, clusterBy.map(col): _*))
+          .getOrElse(df.repartition(clusterBy.map(col): _*))
+      else numFiles.map(df.repartition(_)).getOrElse(df)
+    if (sortBy.nonEmpty) clustered.sortWithinPartitions(sortBy.map(col): _*)
+    else clustered
+  }
 }

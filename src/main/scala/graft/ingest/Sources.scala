@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StructType
   * (`load_dataset.py:92-118`: each dataset owns URLs/files with declared
   * schemas; schemas are never inferred in production, SURVEY §1.2).
   */
-sealed trait SourceSpec {
+trait SourceSpec {
   def name: String
   def read(spark: SparkSession): DataFrame
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.Ops._
+
+/** Property tests for the two non-trivial Postgres-isms (SURVEY §5's
+  * test plan): distinctOn returns exactly one member row per key and it
+  * is the ordered head; firstOrderedBy equals sort-then-head. Plain
+  * scalacheck generators sampled with fixed seeds (scalatestplus is not
+  * in the offline dependency set).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(String, Int, Int)]] =
+    Gen.listOfN(60, for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      v <- Gen.choose(-5, 5)
+      t <- Gen.choose(0, 100)
+    } yield (k, v, t))
+
+  private def samples(n: Int): Seq[List[(String, Int, Int)]] =
+    (1 to n).flatMap(i => rowsGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("distinctOn: exactly one row per key, and it is the ordered head") {
+    samples(15).foreach { rows =>
+      val df = rows.toDF("k", "v", "t")
+      val got = df.distinctOn(Seq(col("k")), Seq(col("v").desc, col("t").asc))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      val expected = rows.groupBy(_._1).map { case (_, g) =>
+        g.minBy(r => (-r._2, r._3))
+      }.toSet
+      assert(got.toSet === expected)
+      assert(got.map(_._1).distinct.length === got.length)
+    }
+  }
+
+  test("firstOrderedBy == sort-then-head per group") {
+    samples(15).foreach { rows =>
+      val df = rows.toDF("k", "v", "t")
+      val got = df.firstOrderedBy(
+        Seq(col("k")), Seq(col("v"), col("t")),
+        Seq("top_v" -> col("v"), "top_t" -> col("t")))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      val expected = rows.groupBy(_._1).map { case (k, g) =>
+        val top = g.maxBy(r => (r._2, r._3)); (k, top._2, top._3)
+      }.toSet
+      assert(got === expected)
+    }
+  }
+}
