@@ -260,6 +260,66 @@ object Relational {
           .select(col("c_custkey"), col("c_mktsegment")))
   }
 
+  // ---- set ops beyond UNION: INTERSECT / EXCEPT (Spark built-ins) ----
+  def s2IntersectExcept(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey")).distinct()
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_nationkey")).distinct()
+    building.intersect(machinery)
+      .withColumn("op", lit("both"))
+      .unionByName(building.except(machinery)
+        .withColumn("op", lit("building_only")))
+  }
+
+  // ---- grouping sets: ROLLUP (superset of the reference's aggs) ----
+  def a12Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+
+  // ---- distinct counts: exact + approximate (HLL) ----
+  def a13DistinctCounts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+
+  /** HLL sketch counts — engine-specific estimates, rows-only check;
+    * accuracy asserted against exact counts in ScalaTest.
+    */
+  def a14ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  // ---- window functions beyond running sums: lag / rank / ntile ----
+  def w2LagRank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      rank().over(Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("int").as("price_rank"),
+      // TIMESTAMP_NTZ has no direct long cast; go via session-TZ (UTC)
+      // timestamp — equivalent to DuckDB's epoch() on the naive value
+      (col("o_orderdate").cast("timestamp").cast("long") -
+        lag(col("o_orderdate"), 1).over(w).cast("timestamp").cast("long"))
+        .as("secs_since_prev"))
+  }
+
+  // ---- exact interpolated percentiles ----
+  def a15Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+
   // ---- S9: row-count probe (dbtool.py:61-68) ----
   def s9Rowcounts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -315,8 +375,14 @@ object Relational {
     "f6_json" -> (f6Json _),
     "f9_date_format" -> (f9DateFormat _),
     "s1_set_union" -> (setUnion _),
+    "s2_intersect_except" -> (s2IntersectExcept _),
+    "a12_rollup" -> (a12Rollup _),
+    "a13_distinct_counts" -> (a13DistinctCounts _),
+    "a14_approx_distinct" -> (a14ApproxDistinct _),
+    "a15_percentiles" -> (a15Percentiles _),
     "s9_rowcounts" -> (s9Rowcounts _),
     "w1_running" -> (wRunning _),
+    "w2_lag_rank" -> (w2LagRank _),
     "e1_tumbling" -> (eTumbling _))
 
   val oracles: Map[String, String] = Map(
@@ -448,6 +514,34 @@ object Relational {
       """SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
          UNION ALL
          SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""",
+    "s2_intersect_except" ->
+      """WITH b AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+              m AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+         SELECT c_nationkey, 'both' AS op FROM (SELECT * FROM b INTERSECT SELECT * FROM m)
+         UNION ALL
+         SELECT c_nationkey, 'building_only' AS op FROM (SELECT * FROM b EXCEPT SELECT * FROM m)""",
+    "a12_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "a13_distinct_counts" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+                count(*) AS n_lines
+         FROM lineitem GROUP BY l_returnflag""",
+    "a15_percentiles" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_extendedprice, 0.5) AS p50,
+                quantile_cont(l_extendedprice, 0.95) AS p95
+         FROM lineitem GROUP BY l_returnflag""",
+    "w2_lag_rank" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                CAST(rank() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank,
+                CAST(epoch(o_orderdate) AS BIGINT)
+                  - CAST(epoch(lag(o_orderdate, 1) OVER w) AS BIGINT) AS secs_since_prev
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
     "s9_rowcounts" ->
       """SELECT 'customer' AS tbl, count(*) AS n FROM customer
          UNION ALL SELECT 'orders', count(*) FROM orders

@@ -14,6 +14,16 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("approx_count_distinct (rows-only query) is within 5% of exact") {
+    val exact = graft.queries.Relational.a13DistinctCounts(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.queries.Relational.a14ApproxDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: $n vs ${approx(k)}")
+    }
+  }
+
   test("every query runs and returns a non-degenerate schema") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
