@@ -82,6 +82,14 @@ object Extensions {
       .select(col("rank"), col("vec_id"), round(col("sim"), 4).as("sim4"))
   }
 
+  def ann3Ivf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+    val (indexed, centroids) =
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", nLists = 16)
+    Similarity.ivfTopK(indexed, centroids, "vec_id", "embedding",
+      queryVec(s, d), k = 10, nprobe = 4)
+  }
+
   def ann2Lsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(
       Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
@@ -96,6 +104,23 @@ object Extensions {
       .toDF()
       .select(col("media_id"), col("media_type"),
         col("n_bytes"), size(col("features")).as("feat_dim"))
+  }
+
+  // ---- as-of join (operator Spark lacks; graft.ops.AsOfJoin) --------
+
+  /** Each event gets the user's latest signup `value` at-or-before the
+    * event time (backward as-of). Oracle: DuckDB's native ASOF JOIN.
+    */
+  def asof1Backward(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Ops._
+    val ev = Tables.events(s, d)
+    val left = ev.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"))
+    val right = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+      .distinctOn(Seq(col("user_id"), col("ts")),
+        Seq(col("signup_value").desc))
+    graft.ops.AsOfJoin.asofJoinBackward(left, right, "user_id", "ts", "ts")
   }
 
   // ---- SQL surface: injected native functions (SURVEY §2.11) --------
@@ -135,8 +160,10 @@ object Extensions {
     "dd5_embedding_neardup" -> (dd5EmbeddingNearDup _),
     "ann1_bruteforce" -> (ann1BruteForce _),
     "ann2_lsh" -> (ann2Lsh _),
+    "ann3_ivf" -> (ann3Ivf _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "x1_sql_cosine" -> (x1SqlCosine _),
+    "asof1_backward" -> (asof1Backward _),
     "e2_sliding" -> (e2Sliding _),
     "e3_session" -> (e3Session _))
 
@@ -187,6 +214,17 @@ object Extensions {
                 CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 CAST(8 AS INT) AS feat_dim
          FROM documents""",
+    "asof1_backward" ->
+      """WITH r AS (
+           SELECT user_id, ts, signup_value FROM (
+             SELECT user_id, ts, value AS signup_value,
+                    row_number() OVER (PARTITION BY user_id, ts
+                      ORDER BY value DESC) AS rn
+             FROM events WHERE event_type = 'signup')
+           WHERE rn = 1)
+         SELECT l.event_id, l.ts, l.user_id, l.event_type, r.signup_value
+         FROM events l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "x1_sql_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,

@@ -109,6 +109,61 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- IVF (inverted-file) index: the k-means scale path ----
+
+  /** Build an IVF index: KMeans centroids over (a sample of) the
+    * corpus; every vector is assigned to its nearest centroid
+    * ("list"). At 100 TB the assigned DataFrame is persisted
+    * partitioned by `list` so a probe scans only nprobe partitions —
+    * the standard FAISS-style coarse quantizer, expressed as Spark
+    * primitives (fit on sample, assign via broadcast centroids).
+    */
+  def buildIvfIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 16,
+      seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = emb.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .fit(featured)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val assigned = model.transform(featured)
+      .select(col(idCol), col(vecCol), col("prediction").as("list"))
+    (assigned, centroids)
+  }
+
+  /** Probe the `nprobe` nearest centroid lists, rank candidates by
+    * exact cosine. Recall/cost knob: nprobe/nLists.
+    */
+  def ivfTopK(
+      indexed: DataFrame,
+      centroids: Array[Array[Double]],
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val qd = query.map(_.toDouble).toArray
+    def cos(c: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < c.length) {
+        dot += c(i) * qd(i); na += c(i) * c(i); nb += qd(i) * qd(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeLists = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(c) }.take(nprobe).map(_._2)
+    indexed.filter(col("list").isin(probeLists.toSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Precompute per-table buckets for ALL rows — the "index build"
     * phase: at 100 TB this DataFrame is what you persist, partitioned
     * by (table, bucket), so query-time probes prune partitions instead

@@ -117,6 +117,21 @@ class DedupSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("ivf index probes recover most of the exact top-k") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val (indexed, centroids) =
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", nLists = 16)
+    val approx = Similarity.ivfTopK(indexed, centroids, "vec_id",
+      "embedding", q, 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact intersect approx).size >= 4,
+      s"ivf recall too low: $exact vs $approx")
+  }
+
   test("cosine HOF matches a hand-rolled dot/norm computation") {
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f)))
       .toDF("a", "b")
