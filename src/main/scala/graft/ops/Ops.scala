@@ -56,6 +56,29 @@ object Ops {
   def arrayAggOrderedFilteredDesc(cond: Column, payload: Column): Column =
     reverse(sort_array(collect_list(when(cond, payload))))
 
+  /** Two-phase salted aggregation for skewed grouping keys: phase 1
+    * aggregates on (keys, salt) — spreading each hot key over
+    * `saltBuckets` reducers — phase 2 merges the partials per key.
+    * Results are identical to the direct groupBy (count/sum/min/max are
+    * associative); the win is that no single reducer owns a hot key.
+    * AQE's skew handling covers joins; aggregation skew still needs
+    * this when one key dominates (e.g. 3-value status columns over
+    * billions of rows).
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[Column],
+      saltBuckets: Int)(
+      partial: Seq[Column],
+      merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+    salted.groupBy(keys :+ col("__salt"): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys: _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+
   implicit class RichDataFrame(private val df: DataFrame) extends AnyVal {
 
     /** Postgres `SELECT DISTINCT ON (keys) … ORDER BY keys, tiebreak` —

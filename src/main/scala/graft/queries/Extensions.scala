@@ -106,6 +106,26 @@ object Extensions {
         col("n_bytes"), size(col("features")).as("feat_dim"))
   }
 
+  // ---- end-to-end corpus cleaning pipeline (composition demo) ------
+
+  /** The canonical training-data prep chain: quality gate -> exact
+    * dedup -> near-dup removal -> per-doc stats. Rows-only check (the
+    * minhash stage is hash-engine-specific); each stage has its own
+    * oracle/test elsewhere.
+    */
+  def pipe1CorpusClean(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val quality = docs.filter(TextFunctions.qualityScore(col("text")) > 0.3)
+    val exactKept = quality.join(
+      Dedup.exactKeepIds(quality, "doc_id", "text"), Seq("doc_id"), "left_semi")
+    val nearPairs = Dedup.minhashPairs(exactKept, "doc_id", "text",
+      threshold = 0.9)
+    Dedup.keepAfterPairs(exactKept, "doc_id", nearPairs)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.langId(col("text")).as("predicted_lang"))
+  }
+
   // ---- as-of join (operator Spark lacks; graft.ops.AsOfJoin) --------
 
   /** Each event gets the user's latest signup `value` at-or-before the
@@ -164,6 +184,7 @@ object Extensions {
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "x1_sql_cosine" -> (x1SqlCosine _),
     "asof1_backward" -> (asof1Backward _),
+    "pipe1_corpus_clean" -> (pipe1CorpusClean _),
     "e2_sliding" -> (e2Sliding _),
     "e3_session" -> (e3Session _))
 

@@ -320,6 +320,17 @@ object Relational {
         expr("percentile(l_extendedprice, 0.5)").as("p50"),
         expr("percentile(l_extendedprice, 0.95)").as("p95"))
 
+  // ---- skew-mitigated aggregation: salted two-phase over a 3-value
+  //      (maximally skewed) key; results identical to direct groupBy ----
+  def sk1SaltedAgg(s: SparkSession, d: String): DataFrame =
+    saltedAgg(Tables.orders(s, d), Seq(col("o_orderstatus")), 16)(
+      partial = Seq(
+        count(lit(1)).as("__n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("__t")),
+      merge = Seq(
+        sum(col("__n")).as("n"),
+        sum(col("__t")).cast("double").as("total")))
+
   // ---- S9: row-count probe (dbtool.py:61-68) ----
   def s9Rowcounts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -380,6 +391,7 @@ object Relational {
     "a13_distinct_counts" -> (a13DistinctCounts _),
     "a14_approx_distinct" -> (a14ApproxDistinct _),
     "a15_percentiles" -> (a15Percentiles _),
+    "sk1_salted_agg" -> (sk1SaltedAgg _),
     "s9_rowcounts" -> (s9Rowcounts _),
     "w1_running" -> (wRunning _),
     "w2_lag_rank" -> (w2LagRank _),
@@ -533,6 +545,10 @@ object Relational {
                 quantile_cont(l_extendedprice, 0.5) AS p50,
                 quantile_cont(l_extendedprice, 0.95) AS p95
          FROM lineitem GROUP BY l_returnflag""",
+    "sk1_salted_agg" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus""",
     "w2_lag_rank" ->
       """SELECT o_custkey, o_orderkey,
                 lag(o_totalprice, 1) OVER w AS prev_price,
