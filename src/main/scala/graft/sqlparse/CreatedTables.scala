@@ -42,4 +42,47 @@ object CreatedTables {
 
   def inScripts(sqls: Seq[String]): Seq[String] =
     sqls.flatMap(inSql).distinct
+
+  /** Parser-backed variant (SURVEY §2.11's recommendation): parse each
+    * statement with Spark's own SQL parser and walk the logical plan
+    * for CreateTable / CTAS / RenameTable nodes. Statements that don't
+    * parse as Spark SQL (the reference's scripts are Postgres dialect)
+    * fall back to the lexical scan — same robustness trade-off,
+    * exact results whenever the dialect IS Spark's.
+    */
+  def inSqlViaParser(
+      spark: org.apache.spark.sql.SparkSession, sql: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val created = collection.mutable.LinkedHashSet.empty[String]
+    def nameOf(plan: LogicalPlan): Option[String] = plan match {
+      case u: UnresolvedIdentifier => Some(u.nameParts.last.toLowerCase)
+      case _ => None
+    }
+    splitStatements(sql).foreach { stmt =>
+      try {
+        org.apache.spark.sql.graftshim.ColumnBridge
+          .parsePlan(spark, stmt).foreach {
+            case c: CreateTable => nameOf(c.name).foreach(created += _)
+            case c: CreateTableAsSelect => nameOf(c.name).foreach(created += _)
+            case c: ReplaceTableAsSelect => nameOf(c.name).foreach(created += _)
+            case r: RenameTable =>
+              r.child match {
+                case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+                  val from = u.multipartIdentifier.last.toLowerCase
+                  val to = r.newName.last.toLowerCase
+                  if (created.remove(from)) created += to
+                case _ =>
+              }
+            case _ =>
+          }
+      } catch {
+        case _: Exception => inSql(stmt).foreach(created += _)
+      }
+    }
+    created.toSeq
+  }
+
+  private[sqlparse] def splitStatements(sql: String): Seq[String] =
+    sql.split(";").map(_.trim).filter(_.nonEmpty).toSeq
 }

@@ -16,6 +16,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Parse SQL text to a logical plan with the session's own parser
+    * (for created-table discovery — strictly better than regex when
+    * the dialect is Spark's).
+    */
+  def parsePlan(
+      spark: org.apache.spark.sql.SparkSession,
+      sql: String): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(sql)
+
   /** Register a SQL function builder on an EXISTING session (the
     * builder-time path is `SparkSession.builder().withExtensions(new
     * GraftExtensions)`; this covers sessions we didn't construct).
