@@ -34,9 +34,14 @@ object Flagship {
     // to the latest sale per customer through the orders key.
     val deeds = lineitem
       .filter(col("l_extendedprice") > 1 && col("l_returnflag").isin("A", "R"))
+    // NOTE: l_linenumber is NOT unique within an order in this data, so
+    // the ordering must include l_extendedprice to be total — otherwise
+    // engines break the (shipdate, linenumber) tie differently
+    // (observed at sf0.1; the SURVEY §7.4 tie-breaking trap).
     val lastLinePerOrder = deeds.firstOrderedBy(
       groupKeys = Seq(col("l_orderkey")),
-      orderKeys = Seq(col("l_shipdate"), col("l_linenumber")),
+      orderKeys = Seq(col("l_shipdate"), col("l_linenumber"),
+        col("l_extendedprice")),
       payload = Seq(
         "lastsaledate" -> col("l_shipdate"),
         "lastsaleprice" -> col("l_extendedprice")))
@@ -96,7 +101,8 @@ object Flagship {
          SELECT l_orderkey, l_shipdate AS lastsaledate,
                 l_extendedprice AS lastsaleprice
          FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
-               ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn FROM deeds)
+               ORDER BY l_shipdate DESC, l_linenumber DESC,
+                        l_extendedprice DESC) AS rn FROM deeds)
          WHERE rn = 1
        ),
        firstdeeds AS (

@@ -55,6 +55,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 2) // two distinct hours
   }
 
+  test("file-source streaming: readStream over a parquet dir matches batch") {
+    // production wiring: a directory the loader appends to, consumed
+    // as a stream with watermarking (SURVEY §2.10 upgrade path)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    val data = Seq(
+      Event(ts(1), 1L, "click", 1.0),
+      Event(ts(2), 2L, "view", 2.0),
+      Event(ts(65), 1L, "click", 4.0))
+    data.toDF().write.mode("overwrite").parquet(dir.toString)
+
+    val stream = spark.readStream
+      .schema(data.toDF().schema)
+      .parquet(dir.toString)
+    val q = EventStreams.streamingTumbling(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_tumbling")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("file_tumbling").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStreams.tumblingCounts(data.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("runningPerUser keeps custom state per key (batch surface)") {
     val out = EventStreams.runningPerUser(spark, Seq(
       Event(ts(0), 1L, "click", 1.0),
