@@ -31,4 +31,17 @@ class EntrySpec extends SparkSpec {
       df.count() // executes the plan; throws on analysis/runtime errors
     }
   }
+
+  test("every query is run-to-run deterministic (the tie-break trap)") {
+    // the flagship lastsaleprice bug (non-total ordering) surfaced only
+    // at sf0.1 — this guards the whole surface: two executions must
+    // produce identical canonicalized results
+    def canon(name: String): Seq[String] = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect().map(_.toString).sorted.toSeq
+    }
+    SparkEntry.queries.keys.foreach { name =>
+      assert(canon(name) === canon(name), s"nondeterministic: $name")
+    }
+  }
 }
