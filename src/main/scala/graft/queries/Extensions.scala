@@ -106,6 +106,19 @@ object Extensions {
         col("n_bytes"), size(col("features")).as("feat_dim"))
   }
 
+  // ---- seeded stratified sampling (data-recipe surface) ------------
+
+  /** Per-language sampling quotas (seeded, reproducible). Rows-only
+    * check — the sampler hash is engine-specific; quota adherence and
+    * determinism are asserted in SamplingSpec.
+    */
+  def smp1Stratified(s: SparkSession, d: String): DataFrame =
+    graft.sampling.Sampling.stratifiedSample(
+      Tables.documents(s, d), "lang",
+      Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25, "zh" -> 0.25))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+
   // ---- end-to-end corpus cleaning pipeline (composition demo) ------
 
   /** The canonical training-data prep chain: quality gate -> exact
@@ -185,6 +198,7 @@ object Extensions {
     "x1_sql_cosine" -> (x1SqlCosine _),
     "asof1_backward" -> (asof1Backward _),
     "pipe1_corpus_clean" -> (pipe1CorpusClean _),
+    "smp1_stratified" -> (smp1Stratified _),
     "e2_sliding" -> (e2Sliding _),
     "e3_session" -> (e3Session _))
 

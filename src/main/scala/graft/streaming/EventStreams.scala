@@ -82,4 +82,55 @@ object EventStreams {
           next
       }
   }
+
+  final case class SessionState(start: Long, lastTs: Long, n: Long,
+      total: Double)
+  final case class ClosedSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, session_value: Double)
+
+  /** True streaming sessionization with custom state:
+    * flatMapGroupsWithState + EventTimeTimeout. A user's session state
+    * accumulates while events arrive within `gapMs`; when the
+    * watermark passes lastEvent+gap the state times out and the CLOSED
+    * session is emitted — the hand-rolled equivalent of
+    * session_window, needed whenever per-session state is richer than
+    * an aggregate (dedup sets, ML features, ...). Input must be
+    * watermarked on `ts` by the caller.
+    */
+  def streamingSessions(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapMs: Long = 10 * 60 * 1000L): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, new Timestamp(s.start),
+              new Timestamp(s.lastTs + gapMs), s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption.orNull
+            val closed = collection.mutable.ArrayBuffer.empty[ClosedSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (cur == null) cur = SessionState(t, t, 1L, e.value)
+              else if (t - cur.lastTs >= gapMs) {
+                closed += ClosedSession(uid, new Timestamp(cur.start),
+                  new Timestamp(cur.lastTs + gapMs), cur.n, cur.total)
+                cur = SessionState(t, t, 1L, e.value)
+              } else cur = SessionState(cur.start, math.max(cur.lastTs, t),
+                cur.n + 1, cur.total + e.value)
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.lastTs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

@@ -81,6 +81,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streamingSessions: custom state closes sessions on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = EventStreams.streamingSessions(spark,
+      mem.toDS().withWatermark("ts", "0 seconds").as[Event])
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // batch 1: two events in one session for u1
+      mem.addData(Event(ts(0), 1L, "click", 1.0), Event(ts(5), 1L, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() === 0) // still open
+      // batch 2: far-future event advances the watermark past u1's gap
+      mem.addData(Event(ts(60), 2L, "view", 9.0))
+      q.processAllAvailable()
+      // one more batch so the timeout fires after watermark update
+      mem.addData(Event(ts(120), 2L, "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out")
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+      assert(closed.contains((1L, 2L, 3.0)),
+        s"expected u1's closed 2-event session, got ${closed.toSeq}")
+    } finally q.stop()
+  }
+
   test("runningPerUser keeps custom state per key (batch surface)") {
     val out = EventStreams.runningPerUser(spark, Seq(
       Event(ts(0), 1L, "click", 1.0),
