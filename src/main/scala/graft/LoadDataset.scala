@@ -19,8 +19,13 @@ import graft.state.{FileStateStore, JavaHttpClient}
   */
 object LoadDataset {
   def main(args: Array[String]): Unit = {
+    val valueFlags = Set("--sf-dir", "--warehouse")
     val flags = args.filter(_.startsWith("--")).toSeq
-    val pos = args.filterNot(_.startsWith("--")).toSeq
+    // positional args exclude flags AND their values
+    val pos = args.indices
+      .filter(i => !args(i).startsWith("--") &&
+        !(i > 0 && valueFlags.contains(args(i - 1))))
+      .map(args).toSeq
     def flagVal(name: String): Option[String] = {
       val i = args.indexOf(name)
       if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None

@@ -64,6 +64,32 @@ class OpsSpec extends SparkSpec {
     assert(got.getLong(2) === 21) // 3+1+5+5+7
   }
 
+  test("null semantics: firstOrderedBy ignores null-ordered rows unless all null") {
+    // max_by skips null ordering values — callers relying on
+    // "null sorts first/last" (window semantics) must not use this form
+    val d = Seq(("a", Some(1), "x"), ("a", None, "ynull"), ("b", None, "only"))
+      .toDF("k", "v", "tag")
+    val out = d.firstOrderedBy(Seq(col("k")), Seq(col("v")),
+      Seq("tag" -> col("tag"))).orderBy("k").collect()
+    assert(out(0).getString(1) === "x") // null-ordered row ignored
+    assert(out(1).getString(1) === "only") // all-null group still yields a row
+  }
+
+  test("null semantics: distinctOn keeps null keys as their own group") {
+    val d = Seq((Some("a"), 1), (None, 2), (None, 3)).toDF("k", "v")
+    val out = d.distinctOn(Seq(col("k")), Seq(col("v").asc))
+    assert(out.count() === 2) // "a" and the null group
+    assert(out.filter(col("k").isNull).head().getInt(1) === 2)
+  }
+
+  test("ops on empty input yield empty output, not errors") {
+    val e = spark.emptyDataFrame.select(lit("x").as("k"), lit(1).as("v"))
+      .filter(lit(false))
+    assert(e.distinctOn(Seq(col("k")), Seq(col("v"))).count() === 0)
+    assert(e.firstOrderedBy(Seq(col("k")), Seq(col("v")),
+      Seq("v" -> col("v"))).count() === 0)
+  }
+
   test("dsum is exact over decimal-cast doubles") {
     val d = Seq(0.1, 0.2, 0.3, 0.4).toDF("x")
     assert(d.agg(dsum(col("x"))).head().getDouble(0) === 1.0)
