@@ -72,6 +72,9 @@ final class Warehouse(val root: Path) {
     try {
       staged.foreach { case (name, df) =>
         val rel = s"data/${name}__$generation"
+        // record BEFORE the write so rollback also covers the table
+        // that failed mid-write (its partial directory must go too)
+        written += ((name, rel))
         val shaped = layouts.get(name).map(_.apply(df)).getOrElse(df)
         val writer = shaped.write.mode("overwrite")
         val partitioned = layouts.get(name)
@@ -79,7 +82,6 @@ final class Warehouse(val root: Path) {
           .map(l => writer.partitionBy(l.hivePartitionBy: _*))
           .getOrElse(writer)
         partitioned.parquet(root.resolve(rel).toString)
-        written += ((name, rel))
       }
       val next = collection.mutable.LinkedHashMap.empty[String, String]
       manifest.toSeq.sortBy(_._1).foreach { case (k, v) => next.update(k, v) }
@@ -105,16 +107,20 @@ final class Warehouse(val root: Path) {
     val live = manifest.values.map(root.resolve(_).normalize).toSet
     val dataDir = root.resolve("data")
     if (!Files.exists(dataDir)) return Nil
-    val dropped = Files.list(dataDir).iterator().asScala
-      .filterNot(p => live.contains(p.normalize))
-      .toList
+    val dropped = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.filterNot(p => live.contains(p.normalize)).toList
+      finally s.close()
+    }
     dropped.foreach(deleteRecursively)
     dropped.map(_.getFileName.toString)
   }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
     }
 }
 

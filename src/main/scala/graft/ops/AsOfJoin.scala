@@ -76,7 +76,17 @@ object AsOfJoin {
       it.flatMap { r =>
         val k = r.get(0)
         if (k != curKey) { curKey = k; lastPayload = null }
-        if (r.getInt(2) == 0) {
+        // SQL equi-key semantics: NULL keys never match (DuckDB ASOF
+        // JOIN drops them) — suppress the stateful carry entirely so
+        // null-keyed left rows get a null payload.
+        if (k == null) {
+          if (r.getInt(2) == 0) Iterator.empty
+          else {
+            val leftVals = Array.tabulate(nLeft)(i => r.get(3 + i))
+            Iterator.single(Row.fromSeq(
+              leftVals.toIndexedSeq ++ Seq.fill[Any](nPayload)(null)))
+          }
+        } else if (r.getInt(2) == 0) {
           // right row: update carried payload
           lastPayload = Array.tabulate(nPayload)(i => r.get(3 + nLeft + i))
           Iterator.empty

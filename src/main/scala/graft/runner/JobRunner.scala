@@ -33,7 +33,11 @@ final class JobRunner(
   def run(ds: DatasetSpec, force: Boolean = false): Boolean =
     try {
       val tracker = new UrlModTracker(ds.urls, store, http)
-      if (!force && ds.urls.nonEmpty && !tracker.didAnyUrlsChange()) {
+      // Probe validators even when forced (result ignored) so a forced
+      // load still refreshes etag/last-modified and the next scheduled
+      // run doesn't redundantly re-detect change and reload.
+      val changed = ds.urls.nonEmpty && tracker.didAnyUrlsChange()
+      if (!force && ds.urls.nonEmpty && !changed) {
         notifier.sendmsg(
           s"The dataset `${ds.name}` has not changed since we last retrieved it.")
         false

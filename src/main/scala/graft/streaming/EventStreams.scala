@@ -122,8 +122,8 @@ object EventStreams {
                 closed += ClosedSession(uid, new Timestamp(cur.start),
                   new Timestamp(cur.lastTs + gapMs), cur.n, cur.total)
                 cur = SessionState(t, t, 1L, e.value)
-              } else cur = SessionState(cur.start, math.max(cur.lastTs, t),
-                cur.n + 1, cur.total + e.value)
+              } else cur = SessionState(math.min(cur.start, t),
+                math.max(cur.lastTs, t), cur.n + 1, cur.total + e.value)
             }
             if (cur != null) {
               state.update(cur)

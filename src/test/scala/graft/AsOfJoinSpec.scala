@@ -43,6 +43,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head().getDouble(3) === 9.0) // last in (ts, v) order
   }
 
+  test("null keys never match (SQL equi-join semantics)") {
+    val left = Seq(
+      (1L, Option("u"), ts(5)),
+      (2L, Option.empty[String], ts(5)), // null key -> null payload
+      (3L, Option.empty[String], ts(9))
+    ).toDF("id", "user", "ts")
+    val right = Seq(
+      (Option("u"), ts(1), 7.0),
+      (Option.empty[String], ts(1), 666.0) // null-keyed right: never carried
+    ).toDF("user", "ts", "v")
+    val out = AsOfJoin.asofJoinBackward(left, right, "user", "ts", "ts")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getDouble(3)))
+      .toSeq === Seq((1L, 7.0), (2L, null), (3L, null)))
+  }
+
   test("empty right side leaves all payloads null") {
     val left = Seq((1L, "u", ts(1))).toDF("id", "user", "ts")
     val right = Seq.empty[(String, Timestamp, Double)].toDF("user", "ts", "v")

@@ -65,6 +65,25 @@ class RunnerSpec extends SparkSpec {
     assert(wh.rowcounts(spark) === first) // idempotent
   }
 
+  test("forced run still refreshes etag/last-modified validators") {
+    val wh = new Warehouse(Files.createTempDirectory("graft-force"))
+    val store = new MemoryStateStore
+    var etag = "e1"
+    val http = new HttpClient {
+      def check(url: String, headers: Map[String, String]) =
+        HttpCheck(200, Some(etag), None)
+    }
+    val runner = new JobRunner(spark, wh, store, http,
+      new RecordingNotifier, fixedClock)
+    runner.run(regionDataset)
+    assert(store.get("etag:http://example.test/region.csv").contains("e1"))
+    etag = "e2"
+    runner.run(regionDataset, force = true)
+    // without the probe-on-force fix this stays "e1" and the next
+    // scheduled run would redundantly re-detect change and reload
+    assert(store.get("etag:http://example.test/region.csv").contains("e2"))
+  }
+
   test("failure notifies and leaves warehouse state intact") {
     val wh = new Warehouse(Files.createTempDirectory("graft-run"))
     val store = new MemoryStateStore

@@ -106,6 +106,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSessions: late in-watermark event extends session start backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = EventStreams.streamingSessions(spark,
+      mem.toDS().withWatermark("ts", "2 hours").as[Event])
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions_out").start()
+    try {
+      mem.addData(Event(ts(10), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // late event (within the 2h watermark) BEFORE the session's start
+      mem.addData(Event(ts(5), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close u1's session, then tick
+      mem.addData(Event(ts(300), 2L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts(600), 2L, "view", 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("late_sessions_out")
+        .collect().filter(_.getLong(0) == 1L)
+        .map(r => (r.getTimestamp(1), r.getLong(3)))
+      assert(closed.toSeq === Seq((ts(5), 2L)),
+        s"session_start must move back to the late event, got ${closed.toSeq}")
+    } finally q.stop()
+  }
+
   test("runningPerUser keeps custom state per key (batch surface)") {
     val out = EventStreams.runningPerUser(spark, Seq(
       Event(ts(0), 1L, "click", 1.0),

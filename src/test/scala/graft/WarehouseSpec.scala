@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.catalog.Warehouse
@@ -52,6 +54,11 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.manifest === before) // readers still see generation 1
     assert(wh.table(spark, "good").as[Int].head() === 1)
     assert(!wh.tableExists("bad"))
+    // rollback also removes the partial dir of the table that FAILED
+    // mid-write, not just previously completed ones
+    val gen2Dirs = java.nio.file.Files.list(wh.root.resolve("data"))
+    try assert(!gen2Dirs.iterator().asScala.exists(_.getFileName.toString.endsWith("__2")))
+    finally gen2Dirs.close()
   }
 
   test("readers on the old generation survive a new publish until vacuum") {
