@@ -101,9 +101,14 @@ object Dedup {
         (a, h) => least(a, h)))
 
   /** Estimated Jaccard from two signatures: fraction of equal
-    * positions.
+    * positions. Native codegen loop
+    * ([[graft.functions.LongArrayMatchFrac]]); [[estJaccardHof]] is the
+    * built-ins-only fold with identical output.
     */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    graft.functions.VectorFunctions.array_match_frac(sigA, sigB)
+
+  def estJaccardHof(sigA: Column, sigB: Column, numHashes: Int): Column =
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / numHashes
 
@@ -122,40 +127,39 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    // staged projections: tokenize ONCE, shingle ONCE, then sign — each
-    // step consumes a materialized attribute so HOF lambdas never
-    // recompute upstream expressions per element (CollapseProject keeps
-    // multi-referenced non-cheap aliases in separate projects)
-    val signed = df
-      .select(col(idCol).as("id"),
-        tokens(col(textCol)).as("__toks"))
-      .select(col("id"),
-        wordShinglesFromTokens(col("__toks"), shingleSize).as("__shingles"))
-      .select(col("id"),
-        minhashSignature(col("__shingles"), numHashes).as("sig"))
+    // fused native expression: token array -> signature in one loop —
+    // no materialized shingle array, no interpreted HOF (the shingle
+    // build alone was ~6x the hashing cost; see MinHashTokensSig)
+    val signed = df.select(col(idCol).as("id"),
+      graft.functions.HashFunctions.minhash_tokens_sig(
+        tokens(col(textCol)), shingleSize, numHashes).as("sig"))
 
-    // band index is static -> unrolled at plan time (better codegen)
-    val bandHashes = (0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        transform(slice(col("sig"), b * rows + 1, rows),
-          x => x.cast("string"))), lit(b))
-    }
-    val banded = signed.select(col("id"), col("sig"),
-        posexplode(array(bandHashes: _*)))
+    // SLIM candidate generation: the exploded self-join moves only
+    // (id, band, band_hash) — never the 8*numHashes-byte signature —
+    // so at 10^9 docs the band shuffle is ~24 B/row instead of ~0.5 KB
+    // per band, and the two join arms are identical subplans so Spark
+    // reuses one exchange. Signatures then ride a plain scan+project
+    // into the pair join (shuffled once per side keyed by id, not once
+    // per band) and each distinct pair is scored exactly once with the
+    // codegen'd match-fraction loop.
+    val banded = signed.select(col("id"),
+        posexplode(graft.functions.HashFunctions.minhash_band_hashes(
+          col("sig"), bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("band_hash"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("band_hash"))
-
-    a.join(b, Seq("band", "band_hash"))
+    val pairs = banded.select(col("id").as("id_a"), col("band"), col("band_hash"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    pairs
+      .join(signed.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(signed.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -264,11 +268,13 @@ object Dedup {
       candidateThreshold: Double = 0.2): DataFrame = {
     val cands = minhashPairs(df, idCol, textCol,
       threshold = candidateThreshold)
-    // precompute each doc's shingle SET once; the pair join then only
-    // moves (id, set) and the jaccard is array math on attributes
-    val sets = df
-      .select(col(idCol), lower(trim(col(textCol))).as("__t"))
-      .select(col(idCol), array_distinct(charShingles(col("__t"), n)).as("__sh"))
+    // each doc's distinct-shingle SET from the fused native expression
+    // (one loop; the interpreted charShingles + array_distinct HOF
+    // build dominated this operator's wall-clock); the pair join then
+    // only moves (id, set) and the jaccard is array math on attributes
+    val sets = df.select(col(idCol),
+      graft.functions.HashFunctions.char_ngram_set(
+        lower(trim(col(textCol))), n).as("__sh"))
     val setJaccard = {
       val inter = size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double")
       inter / (size(col("__sh_a")) + size(col("__sh_b")) - inter)
@@ -286,7 +292,14 @@ object Dedup {
 
   /** Near-dup pairs with cosine >= threshold, candidates from
     * random-hyperplane LSH buckets (exact cosine verified on
-    * candidates). Multi-table union for recall.
+    * candidates). Multi-table OR-amplification for recall.
+    *
+    * Scale shape: ONE scan computes all `tables` bucket ids per row
+    * (posexplode of a plan-time-unrolled array — not `tables` unioned
+    * scans); the self-join moves only (id, table, bucket) — 20 B/row —
+    * never the embedding; vectors are joined back keyed by id for the
+    * DISTINCT candidate pairs only, so each pair's cosine is computed
+    * exactly once and the wide columns never ride a band shuffle.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
@@ -296,14 +309,24 @@ object Dedup {
       dim: Int = 64,
       bits: Int = 8,
       tables: Int = 4): DataFrame = {
-    val indexed = Similarity.buildLshIndex(df, idCol, vecCol, dim, bits, tables)
-    val a = indexed.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-      col("table"), col("bucket"))
-    val b = indexed.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-      col("table"), col("bucket"))
-    a.join(b, Seq("table", "bucket"))
+    val buckets = (0 until tables).map { t =>
+      Similarity.bucketExpr(col(vecCol), Similarity.hyperplanes(dim, bits, t))
+    }
+    val keyed = df.select(col(idCol).as("id"),
+        posexplode(array(buckets: _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+
+    val pairs = keyed.select(col("id").as("id_a"), col("table"), col("bucket"))
+      .join(keyed.select(col("id").as("id_b"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    pairs
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)

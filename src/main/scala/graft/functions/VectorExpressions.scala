@@ -127,6 +127,54 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fraction of positions where two array&lt;long&gt; columns are equal —
+  * the MinHash Jaccard estimate (matching positions / signature width).
+  * Identical value to the HOF fold `aggregate(zip_with(a,b,eq),sum)/n`
+  * in [[graft.dedup.Dedup.estJaccard]] but evaluates as one codegen'd
+  * loop, keeping LSH candidate verification inside whole-stage codegen.
+  */
+case class LongArrayMatchFrac(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_match_frac"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> inputs, got ${l.sql} / ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val eq = ctx.freshName("eq")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |}
+         |${ev.value} = $n == 0 ? 0.0 : (double) $eq / $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level facade. */
 object VectorFunctions {
   def array_dot(a: Column, b: Column): Column =
@@ -135,5 +183,9 @@ object VectorFunctions {
 
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def array_match_frac(a: Column, b: Column): Column =
+    ColumnBridge.column(LongArrayMatchFrac(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

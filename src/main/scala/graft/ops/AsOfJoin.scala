@@ -1,12 +1,18 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.StructType
 
-/** As-of join: for every left row, attach the payload of the LATEST
-  * right row with the same key and `rightTs <= leftTs` (left outer:
-  * unmatched left rows keep null payload).
+/** As-of joins: for every left row, attach the payload of the right
+  * row with the same key that is nearest in time under a direction
+  * constraint (left outer: unmatched left rows keep null payload).
+  *
+  *  - backward: LATEST right with `rightTs <= leftTs` (the default
+  *    financial-data semantics; DuckDB `ASOF JOIN ON l.ts >= r.ts`)
+  *  - forward:  EARLIEST right with `rightTs >= leftTs`
+  *    (DuckDB `ASOF JOIN ON l.ts <= r.ts`)
+  *  - nearest:  whichever of the two is closer; ties -> backward
   *
   * Spark has no built-in as-of join, and the compositional encodings
   * are wrong at scale: an inequality theta-join explodes to
@@ -24,13 +30,20 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   *
   * Scale: cost is shuffle(left+right) + sort, identical to a
   * sort-merge join; skewed keys behave like any skewed SMJ (AQE skew
-  * handling applies to the exchange).
+  * handling applies to the exchange). `nearest` additionally buffers
+  * the left rows between two consecutive right rows of one key (it
+  * must see the next-future right before deciding) — bounded by the
+  * left:right arrival ratio, not the partition size.
   *
   * Ties: right rows sort BEFORE left rows at equal (key, ts), so a
-  * right row taking effect at t matches a left row at the same t
-  * (DuckDB `ASOF JOIN ... ON l.ts >= r.ts` semantics). Multiple right
-  * rows at the same (key, ts): the last in (key, ts, tiebreak) order
-  * wins — pass `rightTiebreak` to pin it.
+  * right row taking effect at t matches a left row at the same t.
+  * Multiple right rows at the same (key, ts): the last in (key, ts,
+  * tiebreak) order wins for backward, the first for forward — pass
+  * `rightTiebreak` (or pre-dedup per (key, ts)) to pin it.
+  *
+  * NULL keys never match (SQL equi-join semantics, as DuckDB ASOF):
+  * null-keyed left rows get a null payload, null-keyed right rows are
+  * dropped.
   */
 object AsOfJoin {
 
@@ -40,34 +53,35 @@ object AsOfJoin {
       keyCol: String,
       leftTsCol: String,
       rightTsCol: String,
-      rightTiebreak: Seq[String] = Nil): DataFrame = {
-    val spark = left.sparkSession
-    val leftCols = left.columns.toSeq
-    val payloadCols = right.columns.toSeq
-      .filterNot(c => c == keyCol || c == rightTsCol)
+      rightTiebreak: Seq[String] = Nil): DataFrame =
+    asofScan(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
+      forward = false)
 
-    // common layout: key, ts, side(0=right,1=left), left..., payload...
-    val lNorm = left.select(
-      col(keyCol).as("__k") +: col(leftTsCol).as("__ts") +: lit(1).as("__side") +:
-        (leftCols.map(col) ++
-          payloadCols.map(c => lit(null).cast(
-            right.schema(c).dataType).as(s"__p_$c"))): _*)
-    val rNorm = right.select(
-      col(keyCol).as("__k") +: col(rightTsCol).as("__ts") +: lit(0).as("__side") +:
-        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          payloadCols.map(c => col(c).as(s"__p_$c"))): _*)
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame =
+    asofScan(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
+      forward = true)
 
-    val tieCols = rightTiebreak.map(c => col(s"__p_$c"))
-    val sorted = lNorm.unionByName(rNorm)
-      .repartition(col("__k"))
-      .sortWithinPartitions(
-        (col("__k") +: col("__ts") +: col("__side") +: tieCols): _*)
-
-    val outSchema = StructType(
-      left.schema.fields ++
-        payloadCols.map(c => right.schema(c).copy(nullable = true)))
-    val nLeft = leftCols.length
-    val nPayload = payloadCols.length
+  /** Shared one-shuffle merge scan. `forward = true` sweeps time
+    * DESCENDING, so "last seen right" is the earliest right at-or-after
+    * the left row — the exact mirror of the backward carry.
+    */
+  private def asofScan(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTiebreak: Seq[String],
+      forward: Boolean): DataFrame = {
+    val (sorted, outSchema, nLeft, nPayload) =
+      normalize(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
+        descendingTs = forward)
     val rowEncoder = org.apache.spark.sql.Encoders.row(outSchema)
 
     val joined = sorted.mapPartitions { it =>
@@ -76,10 +90,9 @@ object AsOfJoin {
       it.flatMap { r =>
         val k = r.get(0)
         if (k != curKey) { curKey = k; lastPayload = null }
-        // SQL equi-key semantics: NULL keys never match (DuckDB ASOF
-        // JOIN drops them) — suppress the stateful carry entirely so
-        // null-keyed left rows get a null payload.
         if (k == null) {
+          // SQL equi-key semantics: NULL keys never match — suppress
+          // the stateful carry so null-keyed lefts get a null payload
           if (r.getInt(2) == 0) Iterator.empty
           else {
             val leftVals = Array.tabulate(nLeft)(i => r.get(3 + i))
@@ -101,5 +114,153 @@ object AsOfJoin {
       }
     }(rowEncoder)
     joined.toDF()
+  }
+
+  /** Nearest-in-time as-of: per left row, the closer of the backward
+    * and forward matches (ties -> backward). Single ascending merge
+    * scan: left rows buffer until the next right row of their key
+    * arrives (which fixes their forward candidate), then flush.
+    */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    val (sorted, outSchema, nLeft, nPayload) =
+      normalize(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
+        descendingTs = false)
+    val rowEncoder = org.apache.spark.sql.Encoders.row(outSchema)
+
+    val joined = sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var lastPayload: Array[Any] = null
+      var lastTs: Long = 0L
+      // lefts since the previous right of this key: (vals, backDist or -1)
+      val pending = scala.collection.mutable.ArrayBuffer
+        .empty[(Array[Any], Long)]
+      val out = scala.collection.mutable.Queue.empty[Row]
+
+      def flush(fwdPayload: Array[Any], fwdTs: Long, haveFwd: Boolean): Unit = {
+        pending.foreach { case (leftVals, backDist) =>
+          val useBack =
+            if (backDist < 0) false
+            else if (!haveFwd) true
+            else backDist <= fwdTs - tsOf(leftVals) // tie -> backward
+          val payload =
+            if (useBack) lastPayloadAt(leftVals) // captured below
+            else if (haveFwd) fwdPayload
+            else Array.fill[Any](nPayload)(null)
+          out += Row.fromSeq(leftVals.take(nLeft).toIndexedSeq ++
+            payload.toIndexedSeq)
+        }
+        pending.clear()
+      }
+      // leftVals layout: [left cols..., backPayload..., leftTsMicros]
+      def tsOf(v: Array[Any]): Long = v(v.length - 1).asInstanceOf[Long]
+      def lastPayloadAt(v: Array[Any]): Array[Any] =
+        v.slice(nLeft, nLeft + nPayload)
+
+      new Iterator[Row] {
+        private var done = false
+        private def fill(): Unit = {
+          while (out.isEmpty && !done) {
+            if (!it.hasNext) {
+              flush(null, 0L, haveFwd = false)
+              done = true
+            } else {
+              val r = it.next()
+              val k = r.get(0)
+              if (k != curKey) {
+                flush(null, 0L, haveFwd = false)
+                curKey = k; lastPayload = null; lastTs = 0L
+              }
+              if (k == null) {
+                if (r.getInt(2) != 0) {
+                  val leftVals = Array.tabulate(nLeft)(i => r.get(3 + i))
+                  out += Row.fromSeq(leftVals.toIndexedSeq ++
+                    Seq.fill[Any](nPayload)(null))
+                }
+              } else if (r.getInt(2) == 0) {
+                val ts = toMicros(r.get(1))
+                val payload = Array.tabulate(nPayload)(i => r.get(3 + nLeft + i))
+                flush(payload, ts, haveFwd = true)
+                lastPayload = payload
+                lastTs = ts
+              } else {
+                val ts = toMicros(r.get(1))
+                val backDist = if (lastPayload != null) ts - lastTs else -1L
+                val vals = new Array[Any](nLeft + nPayload + 1)
+                var i = 0
+                while (i < nLeft) { vals(i) = r.get(3 + i); i += 1 }
+                val bp = if (lastPayload != null) lastPayload
+                  else Array.fill[Any](nPayload)(null)
+                System.arraycopy(bp, 0, vals, nLeft, nPayload)
+                vals(nLeft + nPayload) = ts
+                pending += ((vals, backDist))
+              }
+            }
+          }
+        }
+        override def hasNext: Boolean = { fill(); out.nonEmpty }
+        override def next(): Row = { fill(); out.dequeue() }
+      }
+    }(rowEncoder)
+    joined.toDF()
+  }
+
+  /** Common layout: key, ts, side(0=right,1=left), left..., payload...,
+    * hash-partitioned by key and sorted within partitions so a linear
+    * scan sees each key's timeline in order (rights before lefts at
+    * equal ts, in both sweep directions).
+    */
+  private def normalize(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTiebreak: Seq[String],
+      descendingTs: Boolean) = {
+    val leftCols = left.columns.toSeq
+    val payloadCols = right.columns.toSeq
+      .filterNot(c => c == keyCol || c == rightTsCol)
+
+    val lNorm = left.select(
+      col(keyCol).as("__k") +: col(leftTsCol).as("__ts") +: lit(1).as("__side") +:
+        (leftCols.map(col) ++
+          payloadCols.map(c => lit(null).cast(
+            right.schema(c).dataType).as(s"__p_$c"))): _*)
+    val rNorm = right.select(
+      col(keyCol).as("__k") +: col(rightTsCol).as("__ts") +: lit(0).as("__side") +:
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payloadCols.map(c => col(c).as(s"__p_$c"))): _*)
+
+    val tsOrder = if (descendingTs) col("__ts").desc else col("__ts").asc
+    val tieCols = rightTiebreak.map(c => col(s"__p_$c"))
+    val sorted = lNorm.unionByName(rNorm)
+      .repartition(col("__k"))
+      .sortWithinPartitions(
+        (col("__k") +: tsOrder +: col("__side") +: tieCols): _*)
+
+    val outSchema = StructType(
+      left.schema.fields ++
+        payloadCols.map(c => right.schema(c).copy(nullable = true)))
+    (sorted, outSchema, leftCols.length, payloadCols.length)
+  }
+
+  /** Event-time as micros for distance arithmetic (nearest). */
+  private def toMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case d: java.sql.Date => d.getTime * 1000L
+    case d: java.time.LocalDate => d.toEpochDay * 86400L * 1000000L
+    case other => throw new IllegalArgumentException(
+      s"asofJoinNearest: unsupported ts type ${other.getClass}")
   }
 }

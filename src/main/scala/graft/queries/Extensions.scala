@@ -144,7 +144,7 @@ object Extensions {
   /** Each event gets the user's latest signup `value` at-or-before the
     * event time (backward as-of). Oracle: DuckDB's native ASOF JOIN.
     */
-  def asof1Backward(s: SparkSession, d: String): DataFrame = {
+  private def asofSides(s: SparkSession, d: String) = {
     import graft.ops.Ops._
     val ev = Tables.events(s, d)
     val left = ev.select(col("event_id"), col("ts"), col("user_id"),
@@ -153,7 +153,28 @@ object Extensions {
       .select(col("user_id"), col("ts"), col("value").as("signup_value"))
       .distinctOn(Seq(col("user_id"), col("ts")),
         Seq(col("signup_value").desc))
+    (left, right)
+  }
+
+  def asof1Backward(s: SparkSession, d: String): DataFrame = {
+    val (left, right) = asofSides(s, d)
     graft.ops.AsOfJoin.asofJoinBackward(left, right, "user_id", "ts", "ts")
+  }
+
+  /** Earliest signup value at-or-after each event (forward as-of).
+    * Oracle: DuckDB `ASOF LEFT JOIN ... ON l.ts <= r.ts`.
+    */
+  def asof2Forward(s: SparkSession, d: String): DataFrame = {
+    val (left, right) = asofSides(s, d)
+    graft.ops.AsOfJoin.asofJoinForward(left, right, "user_id", "ts", "ts")
+  }
+
+  /** Nearest-in-time signup value (ties -> backward). Oracle composes
+    * DuckDB's backward + forward ASOF and picks per-row by distance.
+    */
+  def asof3Nearest(s: SparkSession, d: String): DataFrame = {
+    val (left, right) = asofSides(s, d)
+    graft.ops.AsOfJoin.asofJoinNearest(left, right, "user_id", "ts", "ts")
   }
 
   // ---- SQL surface: injected native functions (SURVEY §2.11) --------
@@ -197,6 +218,8 @@ object Extensions {
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "x1_sql_cosine" -> (x1SqlCosine _),
     "asof1_backward" -> (asof1Backward _),
+    "asof2_forward" -> (asof2Forward _),
+    "asof3_nearest" -> (asof3Nearest _),
     "pipe1_corpus_clean" -> (pipe1CorpusClean _),
     "smp1_stratified" -> (smp1Stratified _),
     "e2_sliding" -> (e2Sliding _),
@@ -260,6 +283,37 @@ object Extensions {
          SELECT l.event_id, l.ts, l.user_id, l.event_type, r.signup_value
          FROM events l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "asof2_forward" ->
+      """WITH r AS (
+           SELECT user_id, ts, signup_value FROM (
+             SELECT user_id, ts, value AS signup_value,
+                    row_number() OVER (PARTITION BY user_id, ts
+                      ORDER BY value DESC) AS rn
+             FROM events WHERE event_type = 'signup')
+           WHERE rn = 1)
+         SELECT l.event_id, l.ts, l.user_id, l.event_type, r.signup_value
+         FROM events l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts <= r.ts""",
+    "asof3_nearest" ->
+      """WITH r AS (
+           SELECT user_id, ts, signup_value FROM (
+             SELECT user_id, ts, value AS signup_value,
+                    row_number() OVER (PARTITION BY user_id, ts
+                      ORDER BY value DESC) AS rn
+             FROM events WHERE event_type = 'signup')
+           WHERE rn = 1),
+         b AS (SELECT l.event_id, r.signup_value AS bv, r.ts AS bts
+               FROM events l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts >= r.ts),
+         f AS (SELECT l.event_id, r.signup_value AS fv, r.ts AS fts
+               FROM events l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts <= r.ts)
+         SELECT e.event_id, e.ts, e.user_id, e.event_type,
+                CASE WHEN bts IS NULL THEN fv
+                     WHEN fts IS NULL THEN bv
+                     WHEN e.ts - bts <= fts - e.ts THEN bv
+                     ELSE fv END AS signup_value
+         FROM events e JOIN b USING (event_id) JOIN f USING (event_id)""",
     "x1_sql_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,

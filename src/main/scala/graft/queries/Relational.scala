@@ -352,6 +352,42 @@ object Relational {
         .cast("double").as("running_spend"))
   }
 
+  // ---- windowed moving aggregate (explicit ROWS frame) ----
+  def w3MovingFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").as("moving_spend"),
+      count(lit(1)).over(w).as("n_window"))
+  }
+
+  // ---- pivot (conditional-aggregation reshape; columns from values) ----
+  def p11Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+
+  // ---- range join without an equi-key (banded interval join;
+  //      graft.ops.RangeJoin — Spark's planner would nested-loop it) ----
+  def j8RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val windows = ev.filter(col("user_id") <= 20)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("w_start"))
+      .select(col("user_id").as("window_id"), col("w_start"),
+        (col("w_start") + expr("INTERVAL '2' HOUR")).as("w_end"))
+    graft.ops.RangeJoin.pointInInterval(
+        ev.select(col("event_id"), col("ts")), "ts",
+        windows, "w_start", "w_end", bucketWidthSec = 3600)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   // ---- streaming-surface batch dual: tumbling event-time window
   //      (SURVEY §2.10; events table) ----
   def eTumbling(s: SparkSession, d: String): DataFrame =
@@ -395,6 +431,9 @@ object Relational {
     "s9_rowcounts" -> (s9Rowcounts _),
     "w1_running" -> (wRunning _),
     "w2_lag_rank" -> (w2LagRank _),
+    "w3_moving_frame" -> (w3MovingFrame _),
+    "p11_pivot" -> (p11Pivot _),
+    "j8_range_join" -> (j8RangeJoin _),
     "e1_tumbling" -> (eTumbling _))
 
   val oracles: Map[String, String] = Map(
@@ -569,6 +608,28 @@ object Relational {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "w3_moving_frame" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS moving_spend,
+                count(*) OVER w AS n_window
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "p11_pivot" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CASE WHEN l_linestatus = 'F'
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+                CAST(SUM(CASE WHEN l_linestatus = 'O'
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+         FROM lineitem GROUP BY l_returnflag""",
+    "j8_range_join" ->
+      """WITH w AS (
+           SELECT user_id AS window_id, min(ts) AS w_start,
+                  min(ts) + INTERVAL '2' HOUR AS w_end
+           FROM events WHERE user_id <= 20 GROUP BY user_id)
+         SELECT w.window_id, count(*) AS n_events
+         FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+         GROUP BY w.window_id""",
     "e1_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
                 count(*) AS n,

@@ -64,14 +64,14 @@ object Similarity {
     * shared with executors — planes are literal arrays baked into the
     * plan, i.e. broadcast once with the serialized plan).
     */
-  private[similarity] def hyperplanes(
+  private[graft] def hyperplanes(
       dim: Int, bits: Int, table: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed + table * 7919)
     Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
   /** Sign-bit bucket id of a vector under one table's hyperplanes. */
-  private[similarity] def bucketExpr(
+  private[graft] def bucketExpr(
       vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
@@ -98,12 +98,19 @@ object Similarity {
         if (d >= 0) 1L << i else 0L
       }.sum
 
-    val candidates = (0 until tables).map { t =>
+    // ONE scan with an OR-of-tables predicate (disjunction of `tables`
+    // bucket equalities, all codegen'd into a single pass over the
+    // vector) — not `tables` filtered scans unioned + dropDuplicates.
+    // A row matching several tables still passes the filter once, so
+    // the candidate set is the same multi-table union, dedup'd for
+    // free, with no shuffle before the final TakeOrdered.
+    val probe = (0 until tables).map { t =>
       val planes = hyperplanes(dim, bits, t)
-      emb.filter(bucketExpr(col(vecCol), planes) === lit(bucketOf(planes)))
-    }.reduce(_ unionByName _).dropDuplicates(idCol)
+      bucketExpr(col(vecCol), planes) === lit(bucketOf(planes))
+    }.reduce(_ || _)
 
-    candidates.select(col(idCol),
+    emb.filter(probe)
+      .select(col(idCol),
         cosine(col(vecCol), typedLit(query)).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
@@ -176,12 +183,13 @@ object Similarity {
       dim: Int = 64,
       bits: Int = 8,
       tables: Int = 4): DataFrame = {
-    val perTable = (0 until tables).map { t =>
-      val planes = hyperplanes(dim, bits, t)
-      emb.select(col(idCol), col(vecCol),
-        lit(t).as("table"),
-        bucketExpr(col(vecCol), planes).as("bucket"))
+    // one scan: all tables' buckets computed per row, then exploded —
+    // at 100 TB this is 1 pass over the corpus, not `tables` passes
+    val buckets = (0 until tables).map { t =>
+      bucketExpr(col(vecCol), hyperplanes(dim, bits, t))
     }
-    perTable.reduce(_ unionByName _)
+    emb.select(col(idCol), col(vecCol), posexplode(array(buckets: _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
   }
 }

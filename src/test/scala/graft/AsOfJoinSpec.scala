@@ -66,4 +66,100 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() === 1)
     assert(out.head().isNullAt(3))
   }
+
+  test("forward as-of: earliest right at-or-after; null after last right") {
+    val left = Seq(
+      (1L, "u1", ts(0)),   // -> quote@5
+      (2L, "u1", ts(5)),   // equal ts matches forward too -> quote@5
+      (3L, "u1", ts(7)),   // -> quote@10
+      (4L, "u1", ts(12)),  // after last right -> null
+      (5L, "u2", ts(1))    // -> u2 quote@2
+    ).toDF("event_id", "user", "ts")
+    val right = Seq(
+      ("u1", ts(5), 100.0),
+      ("u1", ts(10), 200.0),
+      ("u2", ts(2), 50.0)
+    ).toDF("user", "ts", "quote")
+
+    val out = AsOfJoin.asofJoinForward(left, right, "user", "ts", "ts")
+      .orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getDouble(3)))
+      .toSeq === Seq(
+      (1L, 100.0), (2L, 100.0), (3L, 200.0), (4L, null), (5L, 50.0)))
+  }
+
+  test("nearest as-of: closer of the two sides wins, ties go backward") {
+    val left = Seq(
+      (1L, "u1", ts(0)),   // only forward exists -> quote@5
+      (2L, "u1", ts(6)),   // dist 1 back vs 4 fwd -> quote@5
+      (3L, "u1", ts(8)),   // dist 3 back vs 2 fwd -> quote@10
+      (4L, "u1", ts(15)),  // TIE (5 back, 5 fwd... none fwd) -> quote@10
+      (5L, "u2", ts(9))    // no rights for u2 -> null
+    ).toDF("event_id", "user", "ts")
+    val right = Seq(
+      ("u1", ts(5), 100.0),
+      ("u1", ts(10), 200.0)
+    ).toDF("user", "ts", "quote")
+
+    val out = AsOfJoin.asofJoinNearest(left, right, "user", "ts", "ts")
+      .orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getDouble(3)))
+      .toSeq === Seq(
+      (1L, 100.0), (2L, 100.0), (3L, 200.0), (4L, 200.0), (5L, null)))
+    assert(out.head.schema.fieldNames.toSeq ===
+      Seq("event_id", "user", "ts", "quote"))
+  }
+
+  test("nearest as-of: exact tie prefers the backward match") {
+    val left = Seq((1L, "u", ts(7))).toDF("id", "user", "ts") // 2 back, 2 fwd
+    val right = Seq(("u", ts(5), 1.0), ("u", ts(9), 2.0))
+      .toDF("user", "ts", "v")
+    val out = AsOfJoin.asofJoinNearest(left, right, "user", "ts", "ts")
+    assert(out.head().getDouble(3) === 1.0)
+  }
+
+  test("nearest as-of agrees with composing backward+forward by distance") {
+    // randomized-ish (deterministic seed) cross-check on a bigger surface
+    val rnd = new scala.util.Random(7)
+    val lefts = (1 to 300).map { i =>
+      (i.toLong, s"u${rnd.nextInt(5)}", ts(rnd.nextInt(240)))
+    }
+    val rights = (1 to 60).map { _ =>
+      (s"u${rnd.nextInt(6)}", ts(rnd.nextInt(240)), rnd.nextInt(1000).toDouble)
+    }.distinct
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // dedup (key,ts)
+    val left = lefts.toDF("id", "user", "ts")
+    val right = rights.toDF("user", "ts", "v")
+
+    val near = AsOfJoin.asofJoinNearest(left, right, "user", "ts", "ts")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+
+    val back = AsOfJoin.asofJoinBackward(left, right, "user", "ts", "ts")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else (r.getDouble(3), r.getTimestamp(2)))).toMap
+    val fwd = AsOfJoin.asofJoinForward(left, right, "user", "ts", "ts")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else (r.getDouble(3), r.getTimestamp(2)))).toMap
+
+    val rightTs = rights.groupBy(_._1).view
+      .mapValues(_.map(r => (r._2.getTime, r._3)).sortBy(_._1)).toMap
+    lefts.foreach { case (id, u, lts) =>
+      val expected = rightTs.get(u) match {
+        case None => null
+        case Some(quotes) =>
+          val backC = quotes.filter(_._1 <= lts.getTime).lastOption
+          val fwdC = quotes.find(_._1 >= lts.getTime)
+          (backC, fwdC) match {
+            case (None, None) => null
+            case (Some(b), None) => b._2
+            case (None, Some(f)) => f._2
+            case (Some(b), Some(f)) =>
+              if (lts.getTime - b._1 <= f._1 - lts.getTime) b._2 else f._2
+          }
+      }
+      assert(near(id) === expected,
+        s"id=$id u=$u lts=$lts near=${near(id)} back=${back.get(id)} fwd=${fwd.get(id)}")
+    }
+  }
 }

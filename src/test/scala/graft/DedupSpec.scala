@@ -107,6 +107,38 @@ class DedupSpec extends SparkSpec {
         Dedup.simhash64Hof(col("text")).as("h"))
       .collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
 
+    // fused tokens->signature expression == shingle-then-sign chain
+    // (incl. degenerate short docs: fewer tokens than the shingle
+    // width collapses to one all-tokens shingle in both forms)
+    val short = Seq((1L, "one two"), (2L, ""), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    docs.unionByName(short)
+      .select(Dedup.tokens(col("text")).as("toks"))
+      .select(
+        graft.functions.HashFunctions.minhash_tokens_sig(col("toks"), 3, 16).as("fused"),
+        Dedup.minhashSignature(
+          Dedup.wordShinglesFromTokens(col("toks"), 3), 16).as("staged"))
+      .collect()
+      .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+
+    // fused char-n-gram SET == array_distinct(charShingles) HOF build
+    docs.unionByName(short)
+      .select(lower(trim(col("text"))).as("t"))
+      .select(
+        graft.functions.HashFunctions.char_ngram_set(col("t"), 3).as("fused"),
+        array_distinct(Dedup.charShingles(col("t"), 3)).as("staged"))
+      .collect()
+      .foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+
+    // est-jaccard native loop == HOF fold
+    val sigs = docs.select(
+      graft.functions.HashFunctions.minhash_tokens_sig(
+        Dedup.tokens(col("text")), 3, 16).as("s"))
+    sigs.crossJoin(sigs.limit(3).select(col("s").as("s2")))
+      .select(Dedup.estJaccard(col("s"), col("s2"), 16).as("n"),
+        Dedup.estJaccardHof(col("s"), col("s2"), 16).as("h"))
+      .collect().foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+
     val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
       .head().getSeq[Float](1)
     Tables.embeddings(spark, sf).limit(100)
