@@ -199,6 +199,20 @@ object Extensions {
   def e2Sliding(s: SparkSession, d: String): DataFrame =
     EventStreams.slidingCounts(Tables.events(s, d))
 
+  /** Click->purchase attribution: the batch face of the stream-stream
+    * interval join (same definition runs watermarked in
+    * EventStreams.streamingAttribution; StreamingSpec proves parity).
+    */
+  def e4IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    EventStreams.clickPurchaseJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_buys"),
+        sum(col("buy_value").cast("decimal(18,2)")).cast("double").as("buy_total"))
+  }
+
   def e3Session(s: SparkSession, d: String): DataFrame =
     EventStreams.sessionCounts(Tables.events(s, d))
 
@@ -223,7 +237,8 @@ object Extensions {
     "pipe1_corpus_clean" -> (pipe1CorpusClean _),
     "smp1_stratified" -> (smp1Stratified _),
     "e2_sliding" -> (e2Sliding _),
-    "e3_session" -> (e3Session _))
+    "e3_session" -> (e3Session _),
+    "e4_interval_join" -> (e4IntervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "t1_tokens" ->
@@ -320,6 +335,14 @@ object Extensions {
                 round(CAST(list_cosine_similarity(embedding, qv) AS DOUBLE), 4) AS sim4
          FROM embeddings, q WHERE vec_id <> 0
          ORDER BY sim4 DESC, vec_id LIMIT 5""",
+    "e4_interval_join" ->
+      """SELECT c.event_id AS click_id, count(*) AS n_buys,
+                CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS buy_total
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '1' HOUR
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         GROUP BY c.event_id""",
     "e2_sliding" ->
       """WITH slots AS (
            SELECT event_type,

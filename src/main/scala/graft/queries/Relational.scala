@@ -365,6 +365,37 @@ object Relational {
       count(lit(1)).over(w).as("n_window"))
   }
 
+  // ---- top-k per group (rank-limit; Spark pushes WindowGroupLimit
+  //      so each partition keeps only k rows before the final sort) ----
+  def o3TopkPerGroup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        col("o_totalprice"))
+  }
+
+  // ---- F7/F11-F15 string surface as one columnar query ----
+  def f7Strings(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      // F7: format templating (GRANT reconstruction, db_perms.py:33-45)
+      format_string("GRANT SELECT ON TABLE %s TO %s",
+        col("c_mktsegment"), col("c_name")).as("grant_sql"),
+      // F11: non-word collapse (load_dataset.py:155-156)
+      regexp_replace(col("c_name"), "\\W+", " ").as("collapsed"),
+      // F12: case-fold + containment (load_dataset.py:159-160)
+      upper(col("c_name")).contains("0").as("has_zero"),
+      // F13: entity escaping (slack.py:23-35)
+      regexp_replace(regexp_replace(regexp_replace(
+        col("c_name"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+        .as("escaped"),
+      // F15: slugify (k8s_build_jobs.py:37-38)
+      regexp_replace(lower(col("c_mktsegment")), "[_ ]", "-").as("slug"))
+
   // ---- pivot (conditional-aggregation reshape; columns from values) ----
   def p11Pivot(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -432,6 +463,8 @@ object Relational {
     "w1_running" -> (wRunning _),
     "w2_lag_rank" -> (w2LagRank _),
     "w3_moving_frame" -> (w3MovingFrame _),
+    "o3_topk_per_group" -> (o3TopkPerGroup _),
+    "f7_strings" -> (f7Strings _),
     "p11_pivot" -> (p11Pivot _),
     "j8_range_join" -> (j8RangeJoin _),
     "e1_tumbling" -> (eTumbling _))
@@ -615,6 +648,23 @@ object Relational {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "o3_topk_per_group" ->
+      """SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+         FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders)
+         WHERE rk <= 3""",
+    "f7_strings" ->
+      """SELECT c_custkey,
+                format('GRANT SELECT ON TABLE {} TO {}', c_mktsegment, c_name) AS grant_sql,
+                regexp_replace(c_name, '\W+', ' ', 'g') AS collapsed,
+                contains(upper(c_name), '0') AS has_zero,
+                replace(replace(replace(c_name, '&', '&amp;'),
+                  '<', '&lt;'), '>', '&gt;') AS escaped,
+                regexp_replace(lower(c_mktsegment), '[_ ]', '-', 'g') AS slug
+         FROM customer""",
     "p11_pivot" ->
       """SELECT l_returnflag,
                 CAST(SUM(CASE WHEN l_linestatus = 'F'

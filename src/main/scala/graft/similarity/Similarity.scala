@@ -135,7 +135,13 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val featured = emb.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+    // A coarse quantizer doesn't need converged clusters — recall is
+    // governed by nprobe/nLists, not centroid quality. Random init
+    // (seeded, deterministic) skips k-means||'s extra distributed
+    // passes, and 5 Lloyd iterations place centroids well enough;
+    // each saved iteration is one full pass over the corpus at scale.
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .fit(featured)
     val centroids = model.clusterCenters.map(_.toArray)
     val assigned = model.transform(featured)

@@ -55,6 +55,45 @@ object EventStreams {
   def streamingTumbling(events: DataFrame): DataFrame =
     tumblingCounts(events.withWatermark("ts", "2 hours"))
 
+  /** Click -> purchase attribution: join each click to the same user's
+    * purchases inside `[click_ts, click_ts + within)`. ONE definition
+    * serves both engines:
+    *  - batch: an ordinary equi+range join (equi key user_id, range as
+    *    a post-filterable condition — no nested loop);
+    *  - streaming (both sides watermarked, see
+    *    [[streamingAttribution]]): Spark's stream-stream interval join —
+    *    the time bound in the join condition is what lets the state
+    *    store evict rows once the watermark passes `click_ts + within`,
+    *    keeping state bounded regardless of stream length.
+    */
+  def clickPurchaseJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      within: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").as("buy_ts"), col("value").as("buy_value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") < col("click_ts") + expr(s"INTERVAL '$within'"))
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("click_ts"), col("buy_ts"), col("buy_value"))
+  }
+
+  /** Stream-stream wiring for [[clickPurchaseJoin]]: watermark both
+    * sides so the interval join's state is evictable.
+    */
+  def streamingAttribution(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      within: String = "1 hour"): DataFrame =
+    clickPurchaseJoin(
+      clicks.withWatermark("ts", "2 hours"),
+      purchases.withWatermark("ts", "2 hours"),
+      within)
+
   // ---- custom state: running per-user counters via mapGroupsWithState
   final case class Event(ts: Timestamp, user_id: Long, event_type: String,
       value: Double)

@@ -55,6 +55,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 2) // two distinct hours
   }
 
+  test("stream-stream interval join over MemoryStreams equals the batch dual") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickData = Seq(
+      (ts(0), 100L, 1L, "click", 0.0),
+      (ts(30), 101L, 1L, "click", 0.0),
+      (ts(0), 102L, 2L, "click", 0.0))
+    val buyData = Seq(
+      (ts(10), 200L, 1L, "purchase", 9.5),  // in [0,60) of click 100 only
+      (ts(45), 201L, 1L, "purchase", 4.5),  // within 1h of clicks 100 and 101
+      (ts(90), 202L, 2L, "purchase", 7.0))  // 90m after click 102 -> no match
+    def df(rows: Seq[(Timestamp, Long, Long, String, Double)]) =
+      rows.toDF("ts", "event_id", "user_id", "event_type", "value")
+
+    val clicks = MemoryStream[(Timestamp, Long, Long, String, Double)]
+    val buys = MemoryStream[(Timestamp, Long, Long, String, Double)]
+    clicks.addData(clickData: _*)
+    buys.addData(buyData: _*)
+    def df2(m: MemoryStream[(Timestamp, Long, Long, String, Double)]) =
+      m.toDS().toDF("ts", "event_id", "user_id", "event_type", "value")
+    val q = EventStreams.streamingAttribution(df2(clicks), df2(buys))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("attr_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3), r.getDouble(4))).toSet
+    val batch = EventStreams.clickPurchaseJoin(df(clickData), df(buyData))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3), r.getDouble(4))).toSet
+    assert(streamed === batch)
+    assert(batch === Set(
+      (100L, ts(10), 9.5), (100L, ts(45), 4.5), (101L, ts(45), 4.5)))
+  }
+
   test("file-source streaming: readStream over a parquet dir matches batch") {
     // production wiring: a directory the loader appends to, consumed
     // as a stream with watermarking (SURVEY §2.10 upgrade path)
