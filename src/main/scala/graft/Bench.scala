@@ -22,9 +22,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: exercise scan + shuffle + codegen paths once on the
-    // smallest SF so stage-0 JIT cost doesn't land on the first query
-    try SparkEntry.entry(spark).count()
-    catch { case _: Throwable => () }
+    // smallest SF so stage-0 JIT/codegen cost doesn't land on the first
+    // query of each family (joins, minhash/LSH, vector math, as-of)
+    val warmupSf = "/root/testdata/sf0.001"
+    Seq("q0_flagship_bldgs", "dd2_minhash_pairs", "dd5_embedding_neardup",
+      "ann2_lsh", "asof1_backward").foreach { q =>
+      try SparkEntry.queries(q)(spark, warmupSf).count()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

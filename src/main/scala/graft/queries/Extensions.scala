@@ -43,6 +43,16 @@ object Extensions {
       col("doc_id"),
       TextFunctions.fingerprint(col("text")).as("fp"))
 
+  def t5Redact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.redactPii(col("text")).as("redacted"))
+
+  def t6Repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.lineRepetitionRatio(col("text")).as("rep_ratio"))
+
   // ---- dedup --------------------------------------------------------
 
   def dd1Exact(s: SparkSession, d: String): DataFrame =
@@ -129,8 +139,14 @@ object Extensions {
   def pipe1CorpusClean(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val quality = docs.filter(TextFunctions.qualityScore(col("text")) > 0.3)
+    // stage materialization: the downstream near-dup pass references
+    // this frame several times (band explode + per-side signature
+    // fetches + the final anti-join); caching it turns 4 recomputes of
+    // the filter+semi-join subtree into 1 — exactly what a production
+    // pipeline does between stages (write to parquet at 100 TB).
     val exactKept = quality.join(
-      Dedup.exactKeepIds(quality, "doc_id", "text"), Seq("doc_id"), "left_semi")
+        Dedup.exactKeepIds(quality, "doc_id", "text"), Seq("doc_id"), "left_semi")
+      .persist()
     val nearPairs = Dedup.minhashPairs(exactKept, "doc_id", "text",
       threshold = 0.9)
     Dedup.keepAfterPairs(exactKept, "doc_id", nearPairs)
@@ -221,6 +237,8 @@ object Extensions {
     "t2_quality" -> (t2Quality _),
     "t3_langid" -> (t3LangId _),
     "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_redact" -> (t5Redact _),
+    "t6_repetition" -> (t6Repetition _),
     "dd1_exact" -> (dd1Exact _),
     "dd2_minhash_pairs" -> (dd2MinhashPairs _),
     "dd3_simhash_pairs" -> (dd3SimhashPairs _),
@@ -270,6 +288,19 @@ object Extensions {
                 WHEN h_en >= h_de THEN 'en'
                 ELSE 'de' END AS predicted
          FROM hits""",
+    "t5_redact" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\+?\d[\d() .-]{7,}\d', '<PHONE>', 'g') AS redacted
+         FROM documents""",
+    "t6_repetition" ->
+      """SELECT doc_id,
+                1.0 - CAST(len(list_distinct(str_split(text, chr(10)))) AS DOUBLE)
+                      / len(str_split(text, chr(10))) AS rep_ratio
+         FROM documents""",
     "dd1_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
                 count(*) AS n_copies

@@ -130,23 +130,96 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nLists: Int = 16,
-      seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val featured = emb.select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    // A coarse quantizer doesn't need converged clusters — recall is
-    // governed by nprobe/nLists, not centroid quality. Random init
-    // (seeded, deterministic) skips k-means||'s extra distributed
-    // passes, and 5 Lloyd iterations place centroids well enough;
-    // each saved iteration is one full pass over the corpus at scale.
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
-      .setInitMode("random")
-      .fit(featured)
-    val centroids = model.clusterCenters.map(_.toArray)
-    val assigned = model.transform(featured)
-      .select(col(idCol), col(vecCol), col("prediction").as("list"))
+      seed: Long = 42L,
+      trainSample: Int = 20000): (DataFrame, Array[Array[Double]]) = {
+    // Train the coarse quantizer on a DRIVER-SIDE SAMPLE, assign the
+    // full corpus distributedly with broadcast centroids — the
+    // FAISS-style IVF build. Quantizer quality needs only a sample
+    // (recall is governed by nprobe/nLists); shipping k-means
+    // iterations over 100 TB via MLlib would cost one full distributed
+    // pass per iteration for no recall gain. The deterministic
+    // lowest-id sample is a TakeOrdered (no full sort at scale).
+    val sample = emb.select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(trainSample)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val centroids = kmeansPlusPlus(sample, nLists, seed, iters = 10)
+
+    // assignment: argmin over lists of ||v - c||^2, equivalently
+    // |c|^2 - 2 v.c (|v|^2 is constant per row) — nLists codegen'd
+    // ArrayDot evaluations + a least(struct) fold, all whole-stage
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(col(vecCol), typedLit(c.toSeq)))
+        .as("score"), lit(i).as("list"))
+    }
+    val assigned = emb.select(col(idCol), col(vecCol),
+      least(scored: _*).getField("list").as("list"))
     (assigned, centroids)
+  }
+
+  /** Seeded k-means++ init + Lloyd iterations over an in-memory
+    * sample (driver-side; sample sizes are bounded by `trainSample`).
+    * Empty clusters keep their previous centroid.
+    */
+  private[graft] def kmeansPlusPlus(
+      data: Array[Array[Double]],
+      k: Int,
+      seed: Long,
+      iters: Int): Array[Array[Double]] = {
+    require(data.nonEmpty, "kmeans: empty training sample")
+    val dim = data.head.length
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = scala.collection.mutable.ArrayBuffer(
+      data(rnd.nextInt(data.length)).clone())
+    while (centers.length < math.min(k, data.length)) {
+      val dists = data.map(v => centers.map(c => d2(v, c)).min)
+      val total = dists.sum
+      if (total <= 0) {
+        centers += data(rnd.nextInt(data.length)).clone()
+      } else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < data.length - 1 && r > dists(i)) { r -= dists(i); i += 1 }
+        centers += data(i).clone()
+      }
+    }
+    while (centers.length < k) centers += centers.head.clone() // degenerate
+    val cs = centers.toArray
+
+    // Lloyd
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      data.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          val d = d2(v, cs(j)); if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          var i = 0
+          while (i < dim) { cs(j)(i) = sums(j)(i) / counts(j); i += 1 }
+        }
+        j += 1
+      }
+      it += 1
+    }
+    cs
   }
 
   /** Probe the `nprobe` nearest centroid lists, rank candidates by

@@ -85,6 +85,25 @@ object TextFunctions {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** PII scrub: redact email addresses, then phone-shaped digit runs
+    * (order matters — emails can contain digits). Pure regexp_replace
+    * chain: codegen'd, shuffle-free, linear over the corpus.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail,
+      "\\+?\\d[\\d() .-]{7,}\\d", "<PHONE>")
+  }
+
+  /** Line-repetition ratio: 1 - distinct_lines/lines — the standard
+    * boilerplate/spam signal (high ratio = repeated lines dominate).
+    */
+  def lineRepetitionRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines)
+  }
+
   /** 64-bit rolling-hash document fingerprint over whitespace tokens:
     * fp = fold(tokens, acc -> xxhash64(acc, token)) — an order-sensitive
     * hash chain (unlike a bag-of-words hash), built purely from

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii masks emails and phone-shaped digit runs, leaves prose") {
+    val df = Seq(
+      "mail me at jane.doe+x@example.co.uk thanks",
+      "call +1 (555) 123-4567 now",
+      "order 12 items for 34 dollars", // short digit runs survive
+      "plain text"
+    ).toDF("text")
+    val out = df.select(TextFunctions.redactPii(col("text"))).as[String].collect()
+    assert(out(0) === "mail me at <EMAIL> thanks")
+    assert(out(1) === "call <PHONE> now")
+    assert(out(2) === "order 12 items for 34 dollars")
+    assert(out(3) === "plain text")
+  }
+
+  test("lineRepetitionRatio: fraction of duplicated lines") {
+    val df = Seq(
+      "a\nb\nc",          // all distinct -> 0
+      "a\na\na\nb",       // 4 lines, 2 distinct -> 0.5
+      "single line"       // 1 line -> 0
+    ).toDF("text")
+    val out = df.select(TextFunctions.lineRepetitionRatio(col("text")))
+      .as[Double].collect()
+    assert(out(0) === 0.0)
+    assert(out(1) === 0.5)
+    assert(out(2) === 0.0)
+  }
+
+  test("langId picks the marker-dominant language, und when none") {
+    val df = Seq(
+      "the cat and the dog is in that house it",
+      "der hund und die katze ist nicht ein zu",
+      "xyzzy qwerty"
+    ).toDF("text")
+    val out = df.select(TextFunctions.langId(col("text"))).as[String].collect()
+    assert(out.toSeq === Seq("en", "de", "und"))
+  }
+}
