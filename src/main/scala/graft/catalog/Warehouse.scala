@@ -49,6 +49,20 @@ final class Warehouse(val root: Path) {
   /** Read a published table (readers always see one consistent
     * generation — S10-style introspection + reads go through here).
     */
+  /** Incremental merge: upsert `delta` into a published table by key
+    * (delta rows replace same-key rows, new keys insert) and publish
+    * the result atomically as a new generation — the incremental
+    * alternative to the reference's full reload (readers still never
+    * observe partial state; rollback/vacuum semantics unchanged).
+    */
+  def upsertInto(
+      spark: SparkSession,
+      name: String,
+      delta: DataFrame,
+      keys: Seq[String]): Unit =
+    publishAtomically(Map(
+      name -> graft.ops.Ops.upsert(table(spark, name), delta, keys)))
+
   def table(spark: SparkSession, name: String): DataFrame = {
     val rel = manifest.getOrElse(name,
       throw new NoSuchElementException(s"table not published: $name"))

@@ -79,6 +79,20 @@ object Ops {
       .agg(merge.head, merge.tail: _*)
   }
 
+  /** Merge/upsert: `delta` rows replace same-key `base` rows; delta
+    * keys absent from base are inserts. The reference has no
+    * incremental path (it reloads whole datasets on change,
+    * load_dataset.py:352-370); this is the Spark-native upgrade:
+    * ONE left-anti hash join on the keys + union. For the common
+    * incremental-load case (small delta) AQE broadcasts the delta key
+    * set, so the base is a single streamed pass — no shuffle of the
+    * 100 TB side; with the base bucketed on the key even the shuffle
+    * fallback is exchange-free on that side.
+    */
+  def upsert(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    delta.unionByName(
+      base.join(delta.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+
   implicit class RichDataFrame(private val df: DataFrame) extends AnyVal {
 
     /** Postgres `SELECT DISTINCT ON (keys) … ORDER BY keys, tiebreak` —

@@ -365,6 +365,16 @@ object Relational {
       count(lit(1)).over(w).as("n_window"))
   }
 
+  // ---- incremental merge/upsert (the reference reloads whole
+  //      datasets; Ops.upsert is the incremental path) ----
+  def u1Upsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val delta = base.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    graft.ops.Ops.upsert(base, delta, Seq("o_orderkey"))
+  }
+
   // ---- top-k per group (rank-limit; Spark pushes WindowGroupLimit
   //      so each partition keeps only k rows before the final sort) ----
   def o3TopkPerGroup(s: SparkSession, d: String): DataFrame = {
@@ -464,6 +474,7 @@ object Relational {
     "w2_lag_rank" -> (w2LagRank _),
     "w3_moving_frame" -> (w3MovingFrame _),
     "o3_topk_per_group" -> (o3TopkPerGroup _),
+    "u1_upsert" -> (u1Upsert _),
     "f7_strings" -> (f7Strings _),
     "p11_pivot" -> (p11Pivot _),
     "j8_range_join" -> (j8RangeJoin _),
@@ -648,6 +659,28 @@ object Relational {
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "u1_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+         delta AS (
+           SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+           FROM base WHERE o_orderkey % 97 = 0)
+         SELECT * FROM delta
+         UNION ALL
+         SELECT b.* FROM base b
+         WHERE NOT EXISTS (SELECT 1 FROM delta x
+                           WHERE x.o_orderkey = b.o_orderkey)""",
+    "u1_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+         delta AS (
+           SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+           FROM base WHERE o_orderkey % 97 = 0)
+         SELECT * FROM delta
+         UNION ALL
+         SELECT b.* FROM base b
+         WHERE NOT EXISTS (SELECT 1 FROM delta x
+                           WHERE x.o_orderkey = b.o_orderkey)""",
     "o3_topk_per_group" ->
       """SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
          FROM (

@@ -94,6 +94,20 @@ object EventStreams {
       purchases.withWatermark("ts", "2 hours"),
       within)
 
+  /** Event dedup by id for at-least-once sources. Batch face:
+    * dropDuplicates. Streaming face: dropDuplicatesWithinWatermark, so
+    * the seen-ids state is EVICTED once the watermark passes — bounded
+    * state, unlike plain streaming dropDuplicates which keeps every id
+    * forever.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  def streamingDedupedEvents(
+      events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- custom state: running per-user counters via mapGroupsWithState
   final case class Event(ts: Timestamp, user_id: Long, event_type: String,
       value: Double)

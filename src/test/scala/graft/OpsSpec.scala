@@ -106,6 +106,17 @@ class OpsSpec extends SparkSpec {
     assert(out.map(r => r.getStruct(0).getInt(0)).toSeq === Seq(3, 2))
   }
 
+  test("upsert: delta replaces same-key rows, inserts new keys, keeps rest") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val delta = Seq((2L, "B2"), (9L, "new")).toDF("id", "v")
+    val out = graft.ops.Ops.upsert(base, delta, Seq("id"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a", 2L -> "B2", 3L -> "c", 9L -> "new"))
+    // empty delta is the identity
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    assert(graft.ops.Ops.upsert(base, empty, Seq("id")).count() === 3)
+  }
+
   test("stringAggOrdered is deterministic") {
     val out = df.groupBy(col("k"))
       .agg(stringAggOrdered(col("tag"), ",").as("tags"))

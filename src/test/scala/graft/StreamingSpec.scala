@@ -89,6 +89,27 @@ class StreamingSpec extends SparkSpec {
       (100L, ts(10), 9.5), (100L, ts(45), 4.5), (101L, ts(45), 4.5)))
   }
 
+  test("streaming dedup by id drops in-watermark replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Long, String, Double)]
+    def dfOf(m: MemoryStream[(Timestamp, Long, Long, String, Double)]) =
+      m.toDS().toDF("ts", "event_id", "user_id", "event_type", "value")
+    val q = EventStreams.streamingDedupedEvents(dfOf(mem))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      mem.addData((ts(0), 1L, 7L, "click", 1.0))
+      q.processAllAvailable()
+      // replay of id 1 in a later batch, still inside the watermark
+      mem.addData((ts(1), 1L, 7L, "click", 1.0), (ts(2), 2L, 7L, "view", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("file-source streaming: readStream over a parquet dir matches batch") {
     // production wiring: a directory the loader appends to, consumed
     // as a stream with watermarking (SURVEY §2.10 upgrade path)

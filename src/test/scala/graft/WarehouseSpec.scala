@@ -61,6 +61,18 @@ class WarehouseSpec extends SparkSpec {
     finally gen2Dirs.close()
   }
 
+  test("upsertInto merges a delta as a new atomic generation") {
+    val wh = freshWh()
+    wh.publishAtomically(Map(
+      "t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")), generation = 1L)
+    wh.upsertInto(spark, "t",
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    val out = wh.table(spark, "t").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    // the old generation is a distinct directory until vacuum
+    assert(wh.vacuum().nonEmpty)
+  }
+
   test("readers on the old generation survive a new publish until vacuum") {
     val wh = freshWh()
     wh.publishAtomically(Map("t" -> Seq(1).toDF("x")), generation = 1L)
