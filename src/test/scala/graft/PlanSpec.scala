@@ -77,6 +77,43 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("upsert of a small delta broadcasts the delta key set (base never shuffles)") {
+    val plan = executedPlan(Relational.u1Upsert(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("top-k per group pushes the rank limit (WindowGroupLimit)") {
+    val plan = executedPlan(Relational.o3TopkPerGroup(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("keyless range join and interval join avoid nested loops") {
+    val j8 = executedPlan(Relational.j8RangeJoin(spark, sf))
+    assert(!j8.contains("BroadcastNestedLoopJoin"), j8)
+    assert(!j8.contains("CartesianProduct"), j8)
+    val e4 = executedPlan(
+      graft.queries.Extensions.e4IntervalJoin(spark, sf))
+    assert(!e4.contains("BroadcastNestedLoopJoin"), e4)
+    assert(!e4.contains("CartesianProduct"), e4)
+  }
+
+  test("minhash banded self-join moves slim rows and reuses one exchange") {
+    val pairs = graft.dedup.Dedup.minhashPairs(
+      Tables.documents(spark, sf), "doc_id", "text", threshold = 0.2)
+    val plan = executedPlan(pairs)
+    // the exploded (id, band, band_hash) subplan is identical on both
+    // join arms -> Spark computes one exchange and reuses it
+    assert(plan.contains("ReusedExchange") ||
+      "Exchange hashpartitioning\\(band".r.findAllIn(plan).size == 1, plan)
+    // signatures never ride the band shuffle: no `sig` attribute in any
+    // Exchange input projection on the banded side
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(band")).mkString
+    assert(!exchangeLines.contains("sig"), exchangeLines)
+  }
+
   test("native vector expressions stay inside whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
