@@ -93,4 +93,85 @@ object Multimodal {
       }
     }
   }
+
+  // ---- resize (binary -> binary transform) --------------------------
+
+  /** The resize seam (real codecs plug in here; the stub keeps a
+    * deterministic byte-stride downsample so tests are stable).
+    */
+  trait Resizer extends Serializable {
+    def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte]
+  }
+
+  final class StubResizer extends Resizer {
+    def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      // ??? <- real image resize goes here; deterministic stride stub:
+      // output size = min(len, targetW*targetH), sampled evenly
+      val target = math.min(payload.length, targetW * targetH)
+      if (target <= 0) Array.emptyByteArray
+      else {
+        val out = new Array[Byte](target)
+        var i = 0
+        while (i < target) {
+          out(i) = payload((i.toLong * payload.length / target).toInt)
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** Binary-in/binary-out transform with the same per-partition batch
+    * shape as [[extractFeatures]]; metadata (width/height) updated
+    * alongside the payload so downstream stages trust the schema.
+    */
+  def resizeMedia(
+      spark: SparkSession,
+      media: DataFrame,
+      targetW: Int,
+      targetH: Int,
+      resizer: Resizer,
+      batchSize: Int = 256): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          MediaRecord(r.media_id, r.media_type,
+            resizer.resize(r.payload, targetW, targetH), targetW, targetH)
+        }
+      }
+    }
+  }
+
+  // ---- frame sampling (one -> many generator shape) -----------------
+
+  final case class MediaFrame(
+      media_id: Long,
+      frame_idx: Int,
+      payload: Array[Byte])
+
+  /** Sample every `everyNth` fixed-size frame from each payload — the
+    * video-frame-extraction shape: a one-to-many flatMap that NEVER
+    * materializes all frames of a row in driver memory, emits only the
+    * sampled frames (the dominated cost at 100 TB is the frames you
+    * DON'T keep), and preserves provenance via (media_id, frame_idx).
+    * The stub "frame" is a fixed byte window; a real codec would seek
+    * keyframes.
+    */
+  def sampleFrames(
+      spark: SparkSession,
+      media: DataFrame,
+      frameBytes: Int = 1024,
+      everyNth: Int = 2): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      val n = (r.payload.length + frameBytes - 1) / frameBytes
+      Iterator.range(0, n).filter(_ % everyNth == 0).map { idx =>
+        val from = idx * frameBytes
+        val until = math.min(from + frameBytes, r.payload.length)
+        MediaFrame(r.media_id, idx,
+          java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+  }
 }

@@ -116,6 +116,19 @@ object Extensions {
         col("n_bytes"), size(col("features")).as("feat_dim"))
   }
 
+  /** Frame sampling (one->many generator shape): every 2nd 1 KiB frame
+    * per payload, provenance via (media_id, frame_idx). The frame
+    * boundaries are pure arithmetic over payload length, so DuckDB can
+    * oracle the full output shape.
+    */
+  def mm2FrameSample(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.documentsAsMedia(Tables.documents(s, d))
+    Multimodal.sampleFrames(s, media, frameBytes = 1024, everyNth = 2)
+      .toDF()
+      .select(col("media_id"), col("frame_idx"),
+        length(col("payload")).as("frame_bytes"))
+  }
+
   // ---- seeded stratified sampling (data-recipe surface) ------------
 
   /** Per-language sampling quotas (seeded, reproducible). Rows-only
@@ -248,6 +261,7 @@ object Extensions {
     "ann2_lsh" -> (ann2Lsh _),
     "ann3_ivf" -> (ann3Ivf _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
+    "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),
     "asof1_backward" -> (asof1Backward _),
     "asof2_forward" -> (asof2Forward _),
@@ -318,6 +332,18 @@ object Extensions {
                 CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 CAST(8 AS INT) AS feat_dim
          FROM documents""",
+    "mm2_frame_sample" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id, octet_length(encode(text)) AS L
+           FROM documents),
+         c AS (
+           SELECT media_id, L, CAST(ceil(L / 1024.0) AS BIGINT) AS nc
+           FROM m),
+         f AS (
+           SELECT media_id, L, unnest(range(0, nc)) AS idx FROM c)
+         SELECT media_id, CAST(idx AS INT) AS frame_idx,
+                CAST(LEAST(1024, L - idx * 1024) AS INT) AS frame_bytes
+         FROM f WHERE idx % 2 = 0""",
     "asof1_backward" ->
       """WITH r AS (
            SELECT user_id, ts, signup_value FROM (

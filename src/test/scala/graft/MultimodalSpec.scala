@@ -33,4 +33,32 @@ class MultimodalSpec extends SparkSpec {
     assert(a === b)
     assert(a !== c)
   }
+
+  test("resizeMedia: binary->binary with updated metadata, bounded size") {
+    val media = Multimodal.documentsAsMedia(Tables.documents(spark, sf))
+    val resized = Multimodal.resizeMedia(spark, media, 16, 16,
+      new Multimodal.StubResizer, batchSize = 32).collect()
+    assert(resized.length === 500)
+    assert(resized.forall(r => r.width == 16 && r.height == 16))
+    assert(resized.forall(r => r.payload.length <= 16 * 16))
+    // deterministic
+    val again = Multimodal.resizeMedia(spark, media, 16, 16,
+      new Multimodal.StubResizer, batchSize = 7).collect()
+    val byId = resized.map(r => r.media_id -> r.payload.toSeq).toMap
+    assert(again.forall(r => byId(r.media_id) == r.payload.toSeq))
+  }
+
+  test("sampleFrames: every-nth fixed windows with provenance, exact bytes") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](2500)(i => (i % 127).toByte)
+    val one = Seq(Multimodal.MediaRecord(7L, "video/stub", payload, 0, 0))
+      .toDF()
+    val frames = Multimodal.sampleFrames(spark, one,
+      frameBytes = 1000, everyNth = 2).collect().sortBy(_.frame_idx)
+    // 3 frames of (1000, 1000, 500); sampled idx 0 and 2
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2))
+    assert(frames.map(_.payload.length).toSeq === Seq(1000, 500))
+    assert(frames(0).payload.toSeq === payload.slice(0, 1000).toSeq)
+    assert(frames(1).payload.toSeq === payload.slice(2000, 2500).toSeq)
+  }
 }
