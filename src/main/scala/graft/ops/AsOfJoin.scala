@@ -29,8 +29,11 @@ import org.apache.spark.sql.types.StructType
   * blow-up).
   *
   * Scale: cost is shuffle(left+right) + sort, identical to a
-  * sort-merge join; skewed keys behave like any skewed SMJ (AQE skew
-  * handling applies to the exchange). `nearest` additionally buffers
+  * sort-merge join. Skewed keys concentrate in one partition (the
+  * stateful carry needs each key's full timeline, and AQE's skew
+  * splitting does not apply to this custom exchange) — mitigate by
+  * pre-aggregating the right side per (key, ts) and pre-filtering
+  * left to the keys of interest. `nearest` additionally buffers
   * the left rows between two consecutive right rows of one key (it
   * must see the next-future right before deciding) — bounded by the
   * left:right arrival ratio, not the partition size.

@@ -93,6 +93,36 @@ object Ops {
     delta.unionByName(
       base.join(delta.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
+  /** SCD Type-2 merge: versioned history with `[validFrom, validTo)`
+    * windows (`validTo` null = current). Every delta row supersedes its
+    * key's current version as of `effectiveTs`: the open row is closed
+    * (validTo := effectiveTs) and a new open version is appended.
+    * Closed history rows pass through untouched.
+    *
+    * Plan shape: one left join of base against the delta KEY SET
+    * (broadcast for the typical small increment) + union with the
+    * delta — same never-shuffle-the-base property as [[upsert]].
+    */
+  def scd2Merge(
+      base: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      validFrom: String,
+      validTo: String,
+      effectiveTs: Column): DataFrame = {
+    val hit = delta.select(keys.map(col): _*).distinct()
+      .withColumn("__hit", lit(1))
+    val closed = base.join(hit, keys, "left")
+      .withColumn(validTo,
+        when(col(validTo).isNull && col("__hit") === 1, effectiveTs)
+          .otherwise(col(validTo)))
+      .drop("__hit")
+    val opened = delta
+      .withColumn(validFrom, effectiveTs)
+      .withColumn(validTo, lit(null).cast(base.schema(validTo).dataType))
+    closed.unionByName(opened)
+  }
+
   implicit class RichDataFrame(private val df: DataFrame) extends AnyVal {
 
     /** Postgres `SELECT DISTINCT ON (keys) … ORDER BY keys, tiebreak` —

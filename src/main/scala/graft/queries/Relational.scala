@@ -375,6 +375,19 @@ object Relational {
     graft.ops.Ops.upsert(base, delta, Seq("o_orderkey"))
   }
 
+  // ---- SCD Type-2 versioned merge (history tracking) ----
+  def u2Scd2(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("valid_from", expr("TIMESTAMP '2000-01-01 00:00:00'"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val delta = Tables.customer(s, d)
+      .filter(col("c_nationkey") < 5)
+      .select(col("c_custkey"), (col("c_acctbal") * 1.1).as("c_acctbal"))
+    graft.ops.Ops.scd2Merge(base, delta, Seq("c_custkey"),
+      "valid_from", "valid_to", expr("TIMESTAMP '2020-06-01 00:00:00'"))
+  }
+
   // ---- top-k per group (rank-limit; Spark pushes WindowGroupLimit
   //      so each partition keeps only k rows before the final sort) ----
   def o3TopkPerGroup(s: SparkSession, d: String): DataFrame = {
@@ -475,6 +488,7 @@ object Relational {
     "w3_moving_frame" -> (w3MovingFrame _),
     "o3_topk_per_group" -> (o3TopkPerGroup _),
     "u1_upsert" -> (u1Upsert _),
+    "u2_scd2" -> (u2Scd2 _),
     "f7_strings" -> (f7Strings _),
     "p11_pivot" -> (p11Pivot _),
     "j8_range_join" -> (j8RangeJoin _),
@@ -681,6 +695,26 @@ object Relational {
          SELECT b.* FROM base b
          WHERE NOT EXISTS (SELECT 1 FROM delta x
                            WHERE x.o_orderkey = b.o_orderkey)""",
+    "u2_scd2" ->
+      """WITH base AS (
+           SELECT c_custkey, c_acctbal,
+                  TIMESTAMP '2000-01-01 00:00:00' AS valid_from,
+                  CAST(NULL AS TIMESTAMP) AS valid_to
+           FROM customer),
+         delta AS (
+           SELECT c_custkey, c_acctbal * 1.1 AS c_acctbal
+           FROM customer WHERE c_nationkey < 5)
+         SELECT b.c_custkey, b.c_acctbal, b.valid_from,
+                CASE WHEN b.valid_to IS NULL AND d.c_custkey IS NOT NULL
+                     THEN TIMESTAMP '2020-06-01 00:00:00'
+                     ELSE b.valid_to END AS valid_to
+         FROM base b LEFT JOIN (SELECT DISTINCT c_custkey FROM delta) d
+           ON b.c_custkey = d.c_custkey
+         UNION ALL
+         SELECT c_custkey, c_acctbal,
+                TIMESTAMP '2020-06-01 00:00:00' AS valid_from,
+                CAST(NULL AS TIMESTAMP) AS valid_to
+         FROM delta""",
     "o3_topk_per_group" ->
       """SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
          FROM (

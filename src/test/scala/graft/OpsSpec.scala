@@ -117,6 +117,29 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.Ops.upsert(base, empty, Seq("id")).count() === 3)
   }
 
+  test("scd2Merge closes current versions and appends new ones") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2000-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2020-06-01 00:00:00")
+    val base = Seq(
+      (1L, "a", t0, Option.empty[Timestamp]),          // current, updated
+      (2L, "b", t0, Option.empty[Timestamp]),          // current, untouched
+      (1L, "a0", Timestamp.valueOf("1990-01-01 00:00:00"), Some(t0)) // history
+    ).toDF("id", "v", "valid_from", "valid_to")
+    val delta = Seq((1L, "a1"), (3L, "new")).toDF("id", "v")
+    val out = graft.ops.Ops.scd2Merge(base, delta, Seq("id"),
+        "valid_from", "valid_to", lit(t1))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getTimestamp(3)))).toSet
+    assert(out === Set(
+      (1L, "a", Some(t1)),      // closed at the effective ts
+      (2L, "b", None),          // untouched current
+      (1L, "a0", Some(t0)),     // history untouched
+      (1L, "a1", None),         // new current version
+      (3L, "new", None)))       // brand-new key
+  }
+
   test("stringAggOrdered is deterministic") {
     val out = df.groupBy(col("k"))
       .agg(stringAggOrdered(col("tag"), ",").as("tags"))

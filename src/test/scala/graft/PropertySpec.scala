@@ -51,4 +51,20 @@ class PropertySpec extends SparkSpec {
       assert(got === expected)
     }
   }
+
+  test("upsert == map-override semantics for any base/delta") {
+    samples(15).foreach { rows =>
+      val (baseRows, deltaRows) = rows.splitAt(rows.length / 2)
+      // one row per key on each side (upsert contract: delta keyed)
+      val base = baseRows.distinctBy(_._1)
+      val delta = deltaRows.distinctBy(_._1)
+      val got = graft.ops.Ops.upsert(
+          base.toDF("k", "v", "t"), delta.toDF("k", "v", "t"), Seq("k"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      val expected =
+        (base.map(r => r._1 -> r).toMap ++ delta.map(r => r._1 -> r).toMap)
+          .values.toSet
+      assert(got === expected)
+    }
+  }
 }
