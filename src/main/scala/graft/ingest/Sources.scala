@@ -34,6 +34,22 @@ final case class CsvSource(
       .csv(path)
 }
 
+/** JSON-Lines with a DECLARED schema — the de-facto interchange format
+  * of training-data pipelines (one JSON document per line, splittable,
+  * append-friendly). Schema is declared, never inferred (inference
+  * costs a full extra pass over 100 TB and is non-deterministic under
+  * ragged keys); unparseable lines are captured in a `_corrupt_record`
+  * column when the schema declares one, PERMISSIVE-mode default
+  * otherwise.
+  */
+final case class JsonlSource(
+    name: String,
+    path: String,
+    schema: StructType) extends SourceSpec {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.schema(schema).json(path)
+}
+
 /** Optional/protected source with declared-schema empty fallback — S5
   * (`ocautil.py:49-68`, `signatureutil.py:52-71`: if S3 creds are
   * absent, publish EMPTY tables with the right schema rather than fail).
