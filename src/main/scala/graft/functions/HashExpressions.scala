@@ -326,6 +326,49 @@ object CharNgramSet {
   }
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) — corpus hygiene ahead of
+  * dedup/hashing: byte-identical text is a precondition for exact
+  * dedup, and composed-vs-decomposed accents defeat it. Spark has no
+  * builtin; this wraps `java.text.Normalizer` as a codegen'd
+  * expression (DuckDB's `nfc_normalize` is the oracle dual).
+  */
+case class NormalizeUnicode(child: Expression, form: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_unicode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if NormalizeUnicode.forms.contains(form) =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"unknown normalization form $form (NFC|NFD|NFKC|NFKD)")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"normalize_unicode requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeUnicode.compute(input.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.functions.NormalizeUnicode.compute($s, "$form");""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NormalizeUnicode {
+  private[functions] val forms = Set("NFC", "NFD", "NFKC", "NFKD")
+
+  def compute(s: UTF8String, form: String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is a scan without allocation
+    val f = java.text.Normalizer.Form.valueOf(form)
+    if (java.text.Normalizer.isNormalized(str, f)) s.clone()
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+}
+
 object HashFunctions {
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(
@@ -344,4 +387,7 @@ object HashFunctions {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
+
+  def normalize_unicode(s: Column, form: String = "NFC"): Column =
+    ColumnBridge.column(NormalizeUnicode(ColumnBridge.expression(s), form))
 }

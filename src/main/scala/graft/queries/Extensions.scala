@@ -53,6 +53,12 @@ object Extensions {
       col("doc_id"),
       TextFunctions.lineRepetitionRatio(col("text")).as("rep_ratio"))
 
+  def t7Nfc(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      graft.functions.HashFunctions.normalize_unicode(col("text"), "NFC")
+        .as("nfc"))
+
   // ---- dedup --------------------------------------------------------
 
   def dd1Exact(s: SparkSession, d: String): DataFrame =
@@ -252,6 +258,7 @@ object Extensions {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_redact" -> (t5Redact _),
     "t6_repetition" -> (t6Repetition _),
+    "t7_nfc" -> (t7Nfc _),
     "dd1_exact" -> (dd1Exact _),
     "dd2_minhash_pairs" -> (dd2MinhashPairs _),
     "dd3_simhash_pairs" -> (dd3SimhashPairs _),
@@ -315,6 +322,8 @@ object Extensions {
                 1.0 - CAST(len(list_distinct(str_split(text, chr(10)))) AS DOUBLE)
                       / len(str_split(text, chr(10))) AS rep_ratio
          FROM documents""",
+    "t7_nfc" ->
+      """SELECT doc_id, nfc_normalize(text) AS nfc FROM documents""",
     "dd1_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
                 count(*) AS n_copies

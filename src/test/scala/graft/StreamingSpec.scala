@@ -110,6 +110,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("warehouse sink publishes micro-batch snapshots atomically, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    import graft.catalog.Warehouse
+    import graft.state.MemoryStateStore
+    import graft.streaming.WarehouseSink
+
+    val wh = new Warehouse(Files.createTempDirectory("graft-sink"))
+    val store = new MemoryStateStore
+    val mem = MemoryStream[Event]
+    val agg = EventStreams.tumblingCounts(mem.toDF())
+    val q = WarehouseSink.start(agg, wh, store, "hourly", "wh_sink_test")
+    try {
+      mem.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(2), 1L, "click", 2.0))
+      q.processAllAvailable()
+      val afterFirst = wh.table(spark, "hourly").collect()
+      assert(afterFirst.map(_.getLong(2)).sum === 2)
+
+      mem.addData(Event(ts(70), 2L, "view", 3.0))
+      q.processAllAvailable()
+      val snap = wh.table(spark, "hourly")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(snap === Set(("click", 2L), ("view", 1L)))
+    } finally q.stop()
+
+    // replayed batch id (crash-restart) must NOT publish a new generation
+    val genBefore = wh.manifest("hourly")
+    WarehouseSink.commitBatch(wh, store, "hourly")(
+      wh.table(spark, "hourly"), batchId = 0L)
+    assert(wh.manifest("hourly") === genBefore)
+    // a NEW batch id does publish
+    WarehouseSink.commitBatch(wh, store, "hourly")(
+      wh.table(spark, "hourly").limit(1), batchId = 99L)
+    assert(wh.manifest("hourly") !== genBefore)
+    assert(wh.table(spark, "hourly").count() === 1)
+  }
+
   test("file-source streaming: readStream over a parquet dir matches batch") {
     // production wiring: a directory the loader appends to, consumed
     // as a stream with watermarking (SURVEY §2.10 upgrade path)

@@ -34,6 +34,22 @@ class TextSpec extends SparkSpec {
     assert(out(2) === 0.0)
   }
 
+  test("normalize_unicode folds decomposed accents to composed NFC") {
+    import graft.functions.HashFunctions.normalize_unicode
+    val composed = "caf\u00e9"        // e-acute as one code point
+    val decomposed = "cafe\u0301"     // e + combining acute
+    val df = Seq(decomposed, composed, "plain").toDF("text")
+    val out = df.select(normalize_unicode(col("text"), "NFC")).as[String].collect()
+    assert(out(0) === composed)
+    assert(out(1) === composed)
+    assert(out(2) === "plain")
+    // exact dedup sees the two spellings as one document after NFC
+    val hashes = df.select(sha2(normalize_unicode(col("text"), "NFC"), 256))
+      .as[String].collect()
+    assert(hashes(0) === hashes(1))
+    assert(hashes(0) !== hashes(2))
+  }
+
   test("langId picks the marker-dominant language, und when none") {
     val df = Seq(
       "the cat and the dog is in that house it",
