@@ -43,7 +43,40 @@ object GraftExtensions {
         }),
     "simhash64" ->
       ("simhash64(tokens) - 64-bit SimHash of a token array",
-        (exprs: Seq[Expression]) => SimHash64Expr(exprs(0))))
+        (exprs: Seq[Expression]) => SimHash64Expr(exprs(0))),
+    "minhash_tokens_sig" ->
+      ("minhash_tokens_sig(tokens, k, n) - fused k-shingle MinHash signature",
+        (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
+          case (Literal(k: Int, _), Literal(n: Int, _)) =>
+            MinHashTokensSig(exprs(0), k, n)
+          case other => throw new IllegalArgumentException(
+            s"minhash_tokens_sig: k and numHashes must be integer literals, got $other")
+        }),
+    "minhash_band_hashes" ->
+      ("minhash_band_hashes(sig, bands) - LSH band hashes of a signature",
+        (exprs: Seq[Expression]) => exprs(1) match {
+          case Literal(b: Int, _) => MinHashBandHashes(exprs(0), b)
+          case other => throw new IllegalArgumentException(
+            s"minhash_band_hashes: bands must be an integer literal, got $other")
+        }),
+    "char_ngram_set" ->
+      ("char_ngram_set(s, n) - distinct character n-grams, first-occurrence order",
+        (exprs: Seq[Expression]) => exprs(1) match {
+          case Literal(n: Int, _) => CharNgramSet(exprs(0), n)
+          case other => throw new IllegalArgumentException(
+            s"char_ngram_set: n must be an integer literal, got $other")
+        }),
+    "array_match_frac" ->
+      ("array_match_frac(a, b) - fraction of equal positions in two bigint arrays",
+        (exprs: Seq[Expression]) => LongArrayMatchFrac(exprs(0), exprs(1))),
+    "normalize_unicode" ->
+      ("normalize_unicode(s, form) - Unicode normalization (NFC|NFD|NFKC|NFKD)",
+        (exprs: Seq[Expression]) => exprs(1) match {
+          case Literal(f: org.apache.spark.unsafe.types.UTF8String, _) =>
+            NormalizeUnicode(exprs(0), f.toString)
+          case other => throw new IllegalArgumentException(
+            s"normalize_unicode: form must be a string literal, got $other")
+        }))
 
   /** Runtime registration on an existing session (tests, REPLs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -218,6 +218,20 @@ object Extensions {
     * surface (GraftExtensions) — the dataset-published-function replay
     * path, exercised as SQL text like the reference's consumers would.
     */
+  /** Text/dedup kernels exercised as PURE SQL through the registered
+    * function surface (the other half of the §2.11 replay path —
+    * n-gram set size and NFC check have exact DuckDB duals).
+    */
+  def x2SqlTextops(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(
+      """SELECT doc_id,
+                normalize_unicode(text, 'NFC') = text AS already_nfc,
+                size(char_ngram_set(lower(text), 3)) AS n_trigrams
+         FROM documents""")
+  }
+
   def x1SqlCosine(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftExtensions.register(s)
     Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
@@ -270,6 +284,7 @@ object Extensions {
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),
+    "x2_sql_textops" -> (x2SqlTextops _),
     "asof1_backward" -> (asof1Backward _),
     "asof2_forward" -> (asof2Forward _),
     "asof3_nearest" -> (asof3Nearest _),
@@ -395,6 +410,14 @@ object Extensions {
                      WHEN e.ts - bts <= fts - e.ts THEN bv
                      ELSE fv END AS signup_value
          FROM events e JOIN b USING (event_id) JOIN f USING (event_id)""",
+    "x2_sql_textops" ->
+      """SELECT doc_id,
+                nfc_normalize(text) = text AS already_nfc,
+                CAST(CASE WHEN length(lower(text)) < 3 THEN 1
+                     ELSE len(list_distinct([substring(lower(text), i, 3)
+                       for i in range(1, length(lower(text)) - 1)])) END AS INT)
+                  AS n_trigrams
+         FROM documents""",
     "x1_sql_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,
