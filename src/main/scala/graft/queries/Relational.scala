@@ -279,6 +279,22 @@ object Relational {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
 
+  def a16Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+
+  // ---- fixed-width histogram binning (corpus/data profiling) ----
+  def a17Histogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("bucket_total"))
+
+  // ---- one-pass per-column profile (data-quality probe) ----
+  def prof1Profile(s: SparkSession, d: String): DataFrame =
+    graft.ops.Profiler.profile(Tables.customer(s, d))
+
   // ---- distinct counts: exact + approximate (HLL) ----
   def a13DistinctCounts(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -478,6 +494,9 @@ object Relational {
     "s1_set_union" -> (setUnion _),
     "s2_intersect_except" -> (s2IntersectExcept _),
     "a12_rollup" -> (a12Rollup _),
+    "a16_cube" -> (a16Cube _),
+    "prof1_profile" -> (prof1Profile _),
+    "a17_histogram" -> (a17Histogram _),
     "a13_distinct_counts" -> (a13DistinctCounts _),
     "a14_approx_distinct" -> (a14ApproxDistinct _),
     "a15_percentiles" -> (a15Percentiles _),
@@ -633,6 +652,27 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "prof1_profile" ->
+      """SELECT 'c_custkey' AS col_name,
+                count(*) - count(c_custkey) AS n_nulls,
+                count(DISTINCT c_custkey) AS n_distinct FROM customer
+         UNION ALL SELECT 'c_name', count(*) - count(c_name),
+                count(DISTINCT c_name) FROM customer
+         UNION ALL SELECT 'c_nationkey', count(*) - count(c_nationkey),
+                count(DISTINCT c_nationkey) FROM customer
+         UNION ALL SELECT 'c_acctbal', count(*) - count(c_acctbal),
+                count(DISTINCT c_acctbal) FROM customer
+         UNION ALL SELECT 'c_mktsegment', count(*) - count(c_mktsegment),
+                count(DISTINCT c_mktsegment) FROM customer""",
+    "a16_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "a17_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS bucket,
+                count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+         FROM orders GROUP BY 1""",
     "a13_distinct_counts" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
                 count(*) AS n_lines

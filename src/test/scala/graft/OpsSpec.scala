@@ -117,6 +117,21 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.Ops.upsert(base, empty, Seq("id")).count() === 3)
   }
 
+  test("profile counts nulls and distincts per column in one pass") {
+    val df = Seq(
+      (Option(1), Option("a")),
+      (Option(1), Option.empty[String]),
+      (Option.empty[Int], Option("b"))
+    ).toDF("x", "y")
+    val out = graft.ops.Profiler.profile(df)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("x") === ((1L, 1L))) // one null, distinct {1}
+    assert(out("y") === ((1L, 2L))) // one null, distinct {a, b}
+    // single job: exactly one aggregation plan, no per-column actions
+    assert(graft.ops.Profiler.profile(df).queryExecution.executedPlan
+      .toString.contains("Expand"))
+  }
+
   test("scd2Merge closes current versions and appends new ones") {
     import java.sql.Timestamp
     val t0 = Timestamp.valueOf("2000-01-01 00:00:00")
