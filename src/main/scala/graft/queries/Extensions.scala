@@ -59,6 +59,18 @@ object Extensions {
       graft.functions.HashFunctions.normalize_unicode(col("text"), "NFC")
         .as("nfc"))
 
+  /** Corpus-wide token frequencies, top 100 (explode -> count -> rank
+    * with a deterministic total order): the classic vocabulary-stats
+    * pass; partial aggregation absorbs the explode fan-out map-side.
+    */
+  def t8Wordcount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
   // ---- dedup --------------------------------------------------------
 
   def dd1Exact(s: SparkSession, d: String): DataFrame =
@@ -273,6 +285,7 @@ object Extensions {
     "t5_redact" -> (t5Redact _),
     "t6_repetition" -> (t6Repetition _),
     "t7_nfc" -> (t7Nfc _),
+    "t8_wordcount" -> (t8Wordcount _),
     "dd1_exact" -> (dd1Exact _),
     "dd2_minhash_pairs" -> (dd2MinhashPairs _),
     "dd3_simhash_pairs" -> (dd3SimhashPairs _),
@@ -339,6 +352,11 @@ object Extensions {
          FROM documents""",
     "t7_nfc" ->
       """SELECT doc_id, nfc_normalize(text) AS nfc FROM documents""",
+    "t8_wordcount" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 100""",
     "dd1_exact" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
                 count(*) AS n_copies

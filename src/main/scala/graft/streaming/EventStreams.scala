@@ -69,7 +69,8 @@ object EventStreams {
   def clickPurchaseJoin(
       clicks: DataFrame,
       purchases: DataFrame,
-      within: String = "1 hour"): DataFrame = {
+      within: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.select(col("user_id").as("c_user"),
       col("event_id").as("click_id"), col("ts").as("click_ts"))
     val p = purchases.select(col("user_id").as("p_user"),
@@ -77,22 +78,27 @@ object EventStreams {
     c.join(p,
       col("c_user") === col("p_user") &&
         col("buy_ts") >= col("click_ts") &&
-        col("buy_ts") < col("click_ts") + expr(s"INTERVAL '$within'"))
+        col("buy_ts") < col("click_ts") + expr(s"INTERVAL '$within'"),
+      joinType)
       .select(col("click_id"), col("c_user").as("user_id"),
         col("click_ts"), col("buy_ts"), col("buy_value"))
   }
 
   /** Stream-stream wiring for [[clickPurchaseJoin]]: watermark both
-    * sides so the interval join's state is evictable.
+    * sides so the interval join's state is evictable. `left_outer`
+    * additionally emits unmatched clicks with null purchase columns —
+    * but only once the watermark proves no in-window purchase can
+    * still arrive (the streaming-correct "no conversion" signal).
     */
   def streamingAttribution(
       clicks: DataFrame,
       purchases: DataFrame,
-      within: String = "1 hour"): DataFrame =
+      within: String = "1 hour",
+      joinType: String = "inner"): DataFrame =
     clickPurchaseJoin(
       clicks.withWatermark("ts", "2 hours"),
       purchases.withWatermark("ts", "2 hours"),
-      within)
+      within, joinType)
 
   /** Event dedup by id for at-least-once sources. Batch face:
     * dropDuplicates. Streaming face: dropDuplicatesWithinWatermark, so

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.EventStreams
@@ -87,6 +88,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch === Set(
       (100L, ts(10), 9.5), (100L, ts(45), 4.5), (101L, ts(45), 4.5)))
+  }
+
+  test("stream-stream LEFT OUTER interval join emits null-conversions after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long, String, Double)]
+    val buys = MemoryStream[(Timestamp, Long, Long, String, Double)]
+    def dfOf(m: MemoryStream[(Timestamp, Long, Long, String, Double)]) =
+      m.toDS().toDF("ts", "event_id", "user_id", "event_type", "value")
+    val q = EventStreams.streamingAttribution(
+        dfOf(clicks), dfOf(buys), joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("outer_attr_out")
+      .start()
+    try {
+      clicks.addData((ts(0), 100L, 1L, "click", 0.0),   // converts
+        (ts(0), 101L, 3L, "click", 0.0))                // never converts
+      buys.addData((ts(10), 200L, 1L, "purchase", 9.5))
+      q.processAllAvailable()
+      // advance the watermark far past click_ts + 1h on BOTH inputs so
+      // the unmatched click's "no conversion" can be finalized
+      clicks.addData((ts(400), 900L, 8L, "click", 0.0))
+      buys.addData((ts(401), 901L, 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      clicks.addData((ts(800), 902L, 8L, "click", 0.0))
+      buys.addData((ts(801), 903L, 9L, "purchase", 1.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("outer_attr_out")
+        .filter(col("click_id").isin(100L, 101L))
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getDouble(4)))
+        .toSet
+      assert(rows === Set((100L, 9.5), (101L, null)))
+    } finally q.stop()
   }
 
   test("streaming dedup by id drops in-watermark replays") {
