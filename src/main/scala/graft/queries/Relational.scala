@@ -417,6 +417,23 @@ object Relational {
         col("o_totalprice"))
   }
 
+  /** Same result as [[o3TopkPerGroup]] but via the custom partial
+    * aggregate [[graft.functions.BoundedTopN]]: map-side bounded heaps
+    * instead of a full per-group sort — only k rows per group per task
+    * reach the shuffle (the skew-proof top-k shape). Descending price
+    * is encoded by negating the leading struct key.
+    */
+  def o4TopkAgg(s: SparkSession, d: String): DataFrame = {
+    val e = struct((-col("o_totalprice")).as("negprice"),
+      col("o_orderkey"), col("o_totalprice"))
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.AggFunctions.bounded_topn(e, 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.o_orderkey"), col("col.o_totalprice"))
+  }
+
   // ---- F7/F11-F15 string surface as one columnar query ----
   def f7Strings(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(
@@ -506,6 +523,7 @@ object Relational {
     "w2_lag_rank" -> (w2LagRank _),
     "w3_moving_frame" -> (w3MovingFrame _),
     "o3_topk_per_group" -> (o3TopkPerGroup _),
+    "o4_topk_agg" -> (o4TopkAgg _),
     "u1_upsert" -> (u1Upsert _),
     "u2_scd2" -> (u2Scd2 _),
     "f7_strings" -> (f7Strings _),
@@ -756,6 +774,14 @@ object Relational {
                 CAST(NULL AS TIMESTAMP) AS valid_to
          FROM delta""",
     "o3_topk_per_group" ->
+      """SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+         FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders)
+         WHERE rk <= 3""",
+    "o4_topk_agg" ->
       """SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
          FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

@@ -114,6 +114,19 @@ class PlanSpec extends SparkSpec {
     assert(!exchangeLines.contains("sig"), exchangeLines)
   }
 
+  test("bounded_topn top-k: partial object aggregate, no window sort; == window result") {
+    val plan = executedPlan(Relational.o4TopkAgg(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_bounded_topn"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+
+    val viaAgg = Relational.o4TopkAgg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaWindow = Relational.o3TopkPerGroup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaAgg === viaWindow)
+  }
+
   test("native vector expressions stay inside whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
