@@ -124,6 +124,20 @@ object Extensions {
       "vec_id", "embedding", queryVec(s, d), k = 10,
       bits = 4, tables = 8)
 
+  /** Batch exact top-k: queries 1..5 scored against the rest of the
+    * corpus in one pass, per-query bounded-heap top-10.
+    */
+  def ann4Batch(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.filter(col("vec_id") > 5)
+    Similarity.batchTopK(queries, corpus, "qid", "qvec",
+        "vec_id", "embedding", k = 10)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("sim"), 4).as("sim4"))
+  }
+
   // ---- multimodal (stubbed decode; real plumbing) -------------------
 
   def mm1DecodeStub(s: SparkSession, d: String): DataFrame = {
@@ -294,6 +308,7 @@ object Extensions {
     "ann1_bruteforce" -> (ann1BruteForce _),
     "ann2_lsh" -> (ann2Lsh _),
     "ann3_ivf" -> (ann3Ivf _),
+    "ann4_batch" -> (ann4Batch _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),
@@ -374,6 +389,22 @@ object Extensions {
                 CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 CAST(8 AS INT) AS feat_dim
          FROM documents""",
+    "ann4_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                    FROM embeddings WHERE vec_id BETWEEN 1 AND 5),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 5),
+         scored AS (
+           SELECT qid, c.vec_id,
+                  list_cosine_similarity(c.embedding, qv) AS sim
+           FROM c, q),
+         ranked AS (
+           SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, vec_id) AS rk
+           FROM scored)
+         SELECT qid, CAST(rk AS INT) AS rank, vec_id,
+                round(CAST(sim AS DOUBLE), 4) AS sim4
+         FROM ranked WHERE rk <= 10""",
     "mm2_frame_sample" ->
       """WITH m AS (
            SELECT doc_id AS media_id, octet_length(encode(text)) AS L

@@ -116,6 +116,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact top-k for a BATCH of query vectors in one corpus pass: the
+    * realistic serving shape (score Q queries per corpus row against a
+    * broadcast query table, then per-query bounded-heap top-k via
+    * [[graft.functions.BoundedTopN]]). The corpus is never globally
+    * sorted and never shuffled in full — each task reduces to k rows
+    * per query before the exchange, so cost is Q*N cosines + a
+    * k*Q-row shuffle, independent of corpus skew.
+    */
+  def batchTopK(
+      queries: DataFrame, // (qidCol, qvecCol)
+      corpus: DataFrame,  // (idCol, vecCol)
+      qidCol: String,
+      qvecCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qidCol), col(idCol),
+        cosine(col(vecCol), col(qvecCol)).as("sim"))
+    scored.groupBy(col(qidCol))
+      .agg(graft.functions.AggFunctions.bounded_topn(
+        struct((-col("sim")).as("negsim"), col(idCol), col("sim")), k).as("top"))
+      .select(col(qidCol), posexplode(col("top")))
+      .select(col(qidCol), (col("pos") + 1).cast("int").as("rank"),
+        col(s"col.$idCol"), col("col.sim"))
+  }
+
   // ---- IVF (inverted-file) index: the k-means scale path ----
 
   /** Build an IVF index: KMeans centroids over (a sample of) the
