@@ -82,10 +82,22 @@ final class Warehouse(val root: Path) {
       generation: Long = System.currentTimeMillis(),
       layouts: Map[String, TableLayout] = Map.empty): Unit = {
     Files.createDirectories(root.resolve("data"))
+    // the requested generation must never collide with a LIVE or
+    // on-disk generation dir: two publishes of one table within the
+    // same millisecond (rapid upsertInto / streaming micro-batches)
+    // would otherwise stage INTO the directory readers are on — the
+    // overwrite-while-reading fails and rollback would then delete
+    // live data. Bump until every staged table's dir is fresh.
+    var gen = generation
+    def collides(g: Long): Boolean = staged.keys.exists { name =>
+      val rel = s"data/${name}__$g"
+      manifest.get(name).contains(rel) || Files.exists(root.resolve(rel))
+    }
+    while (collides(gen)) gen += 1
     val written = collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
       staged.foreach { case (name, df) =>
-        val rel = s"data/${name}__$generation"
+        val rel = s"data/${name}__$gen"
         // record BEFORE the write so rollback also covers the table
         // that failed mid-write (its partial directory must go too)
         written += ((name, rel))

@@ -61,7 +61,11 @@ case class BoundedTopN(
 
   override def update(buf: BoundedTopN.Buffer, input: InternalRow): BoundedTopN.Buffer = {
     val v = child.eval(input)
-    if (v != null) buf.offer(v.asInstanceOf[InternalRow].copy())
+    // UnsafeProjection + copy gives a DEEP copy: a GenericInternalRow
+    // from struct eval may hold UTF8String/array VIEWS into the scan's
+    // reused buffers, which a shallow InternalRow.copy() would keep
+    // pointing at (corrupting buffered rows as the scan advances)
+    if (v != null) buf.offer(proj(v.asInstanceOf[InternalRow]).copy())
     buf
   }
 
@@ -81,7 +85,10 @@ case class BoundedTopN(
     val rows = buf.sortedAscending
     out.writeInt(rows.length)
     rows.foreach { r =>
-      val bytes = proj(r).getBytes
+      val bytes = r match {
+        case u: UnsafeRow => u.getBytes
+        case other => proj(other).getBytes
+      }
       out.writeInt(bytes.length)
       out.write(bytes)
     }

@@ -184,7 +184,11 @@ case class MinHashTokensSig(child: Expression, k: Int, numHashes: Int)
 object MinHashTokensSig {
   private val SPACE = ' '.toByte
 
-  /** One pass: window the token byte arrays, join with ' ', hash. */
+  /** One pass: window the token byte arrays, join with ' ', hash.
+    * NULL tokens are skipped entirely (no separator), matching
+    * `concat_ws`'s null handling in the composable HOF form, while the
+    * window POSITIONS still count them (slice is positional).
+    */
   def compute(arr: ArrayData, k: Int, numHashes: Int): GenericArrayData = {
     val n = arr.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
@@ -193,8 +197,8 @@ object MinHashTokensSig {
     val toks = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      toks(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      val s = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      toks(i) = if (s == null) null else s.getBytes
       i += 1
     }
     val last = if (n >= k) n - k else 0
@@ -203,16 +207,20 @@ object MinHashTokensSig {
     i = 0
     while (i <= last) {
       var len = 0
+      var appended = 0
       var j = 0
       while (j < width) {
         val t = toks(i + j)
-        val need = len + t.length + 1
-        if (need > buf.length) {
-          buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        if (t != null) {
+          val need = len + t.length + 1
+          if (need > buf.length) {
+            buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+          }
+          if (appended > 0) { buf(len) = SPACE; len += 1 }
+          System.arraycopy(t, 0, buf, len, t.length)
+          len += t.length
+          appended += 1
         }
-        if (j > 0) { buf(len) = SPACE; len += 1 }
-        System.arraycopy(t, 0, buf, len, t.length)
-        len += t.length
         j += 1
       }
       val base = XXH64.hashUnsafeBytes(

@@ -93,9 +93,11 @@ object AsOfJoin {
       it.flatMap { r =>
         val k = r.get(0)
         if (k != curKey) { curKey = k; lastPayload = null }
-        if (k == null) {
-          // SQL equi-key semantics: NULL keys never match — suppress
-          // the stateful carry so null-keyed lefts get a null payload
+        if (k == null || r.isNullAt(1)) {
+          // SQL comparison semantics: NULL keys and NULL timestamps
+          // never satisfy the as-of predicate — suppress the stateful
+          // carry (null-ts rights are dropped regardless of where the
+          // sweep direction sorts them) so such lefts get null payload
           if (r.getInt(2) == 0) Iterator.empty
           else {
             val leftVals = Array.tabulate(nLeft)(i => r.get(3 + i))
@@ -179,7 +181,10 @@ object AsOfJoin {
                 flush(null, 0L, haveFwd = false)
                 curKey = k; lastPayload = null; lastTs = 0L
               }
-              if (k == null) {
+              if (k == null || r.isNullAt(1)) {
+                // NULL keys/timestamps never satisfy the distance
+                // predicate (SQL comparison semantics): lefts emit a
+                // null payload immediately, rights are dropped
                 if (r.getInt(2) != 0) {
                   val leftVals = Array.tabulate(nLeft)(i => r.get(3 + i))
                   out += Row.fromSeq(leftVals.toIndexedSeq ++
@@ -241,7 +246,14 @@ object AsOfJoin {
           payloadCols.map(c => col(c).as(s"__p_$c"))): _*)
 
     val tsOrder = if (descendingTs) col("__ts").desc else col("__ts").asc
-    val tieCols = rightTiebreak.map(c => col(s"__p_$c"))
+    // carry semantics: the LAST right processed at equal (key, ts)
+    // wins. Backward promises the last in tiebreak order, forward the
+    // FIRST (mirroring the nearest scan, whose forward candidate is
+    // the first right it meets) — so the descending sweep sorts the
+    // tiebreak descending to make the first-in-order right land last.
+    val tieCols = rightTiebreak.map { c =>
+      if (descendingTs) col(s"__p_$c").desc else col(s"__p_$c").asc
+    }
     val sorted = lNorm.unionByName(rNorm)
       .repartition(col("__k"))
       .sortWithinPartitions(

@@ -16,15 +16,23 @@ object Profiler {
 
   def profile(df: DataFrame): DataFrame = {
     require(df.columns.nonEmpty, "profile: no columns")
-    val aggs = df.columns.toSeq.flatMap { c =>
+    // backtick-quoted resolution + positional aliases sidestep any
+    // quoting issue a raw column name (dots, quotes, backticks) could
+    // inject into column lookup or the selectExpr below
+    def quoted(c: String) = col("`" + c.replace("`", "``") + "`")
+    val aggs = df.columns.toSeq.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"))
+        sum(when(quoted(c).isNull, 1L).otherwise(0L)).as(s"__nn_$i"),
+        countDistinct(quoted(c)).as(s"__nd_$i"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stackExpr =
       s"stack(${df.columns.length}, " +
-        df.columns.map(c => s"'$c', `__nn_$c`, `__nd_$c`").mkString(", ") +
+        df.columns.zipWithIndex.map { case (c, i) =>
+          // string-literal escape for the emitted col_name value
+          val lit = c.replace("\\", "\\\\").replace("'", "\\'")
+          s"'$lit', __nn_$i, __nd_$i"
+        }.mkString(", ") +
         ") as (col_name, n_nulls, n_distinct)"
     row.selectExpr(stackExpr)
   }

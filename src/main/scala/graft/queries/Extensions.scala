@@ -189,6 +189,10 @@ object Extensions {
     // fetches + the final anti-join); caching it turns 4 recomputes of
     // the filter+semi-join subtree into 1 — exactly what a production
     // pipeline does between stages (write to parquet at 100 TB).
+    // The cache entry outlives the query (no unpersist hook on a lazy
+    // DataFrame), but CacheManager keys on the canonicalized plan so
+    // repeated invocations reuse ONE bounded entry per input dir;
+    // long-lived sessions reclaim it via spark.catalog.clearCache().
     val exactKept = quality.join(
         Dedup.exactKeepIds(quality, "doc_id", "text"), Seq("doc_id"), "left_semi")
       .persist()

@@ -742,17 +742,6 @@ object Relational {
          SELECT b.* FROM base b
          WHERE NOT EXISTS (SELECT 1 FROM delta x
                            WHERE x.o_orderkey = b.o_orderkey)""",
-    "u1_upsert" ->
-      """WITH base AS (
-           SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
-         delta AS (
-           SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
-           FROM base WHERE o_orderkey % 97 = 0)
-         SELECT * FROM delta
-         UNION ALL
-         SELECT b.* FROM base b
-         WHERE NOT EXISTS (SELECT 1 FROM delta x
-                           WHERE x.o_orderkey = b.o_orderkey)""",
     "u2_scd2" ->
       """WITH base AS (
            SELECT c_custkey, c_acctbal,

@@ -179,8 +179,12 @@ object Similarity {
       struct((lit(c2) - lit(2.0) * dot(col(vecCol), typedLit(c.toSeq)))
         .as("score"), lit(i).as("list"))
     }
+    // least() needs >= 2 args; a single list degenerates to list 0
+    val listExpr =
+      if (scored.length == 1) lit(0)
+      else least(scored: _*).getField("list")
     val assigned = emb.select(col(idCol), col(vecCol),
-      least(scored: _*).getField("list").as("list"))
+      listExpr.as("list"))
     (assigned, centroids)
   }
 

@@ -118,6 +118,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head().getDouble(3) === 1.0)
   }
 
+  test("null timestamps never match in any direction (no NPE in nearest)") {
+    val left = Seq(
+      (1L, "u", Option(ts(5))),
+      (2L, "u", Option.empty[Timestamp]) // null ts -> null payload
+    ).toDF("id", "user", "ts")
+    val right = Seq(
+      ("u", Option(ts(3)), 7.0),
+      ("u", Option.empty[Timestamp], 666.0) // null-ts right: dropped
+    ).toDF("user", "ts", "v")
+    def payloads(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    assert(payloads(AsOfJoin.asofJoinBackward(left, right, "user", "ts", "ts"))
+      === Seq((1L, 7.0), (2L, null)))
+    assert(payloads(AsOfJoin.asofJoinForward(left, right, "user", "ts", "ts"))
+      === Seq((1L, null), (2L, null))) // no right at-or-after ts(5)
+    assert(payloads(AsOfJoin.asofJoinNearest(left, right, "user", "ts", "ts"))
+      === Seq((1L, 7.0), (2L, null)))
+  }
+
+  test("forward tiebreak picks the FIRST right in (ts, tiebreak) order") {
+    val left = Seq((1L, "u", ts(3))).toDF("id", "user", "ts")
+    val right = Seq(("u", ts(5), 1.0), ("u", ts(5), 9.0))
+      .toDF("user", "ts", "v")
+    val fwd = AsOfJoin.asofJoinForward(left, right, "user", "ts", "ts",
+      rightTiebreak = Seq("v"))
+    assert(fwd.head().getDouble(3) === 1.0) // first in (ts, v) order
+    // and nearest's forward candidate agrees
+    val near = AsOfJoin.asofJoinNearest(left, right, "user", "ts", "ts",
+      rightTiebreak = Seq("v"))
+    assert(near.head().getDouble(3) === 1.0)
+  }
+
   test("nearest as-of agrees with composing backward+forward by distance") {
     // randomized-ish (deterministic seed) cross-check on a bigger surface
     val rnd = new scala.util.Random(7)

@@ -121,6 +121,17 @@ class DedupSpec extends SparkSpec {
       .collect()
       .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
 
+    // null tokens: concat_ws skips them without a separator; the fused
+    // loop must agree (window positions still count null slots)
+    val withNulls = Seq(1).toDF("x").select(
+      array(lit("a"), lit(null).cast("string"), lit("b"), lit("c")).as("toks"))
+    withNulls.select(
+        graft.functions.HashFunctions.minhash_tokens_sig(col("toks"), 3, 16).as("fused"),
+        Dedup.minhashSignature(
+          Dedup.wordShinglesFromTokens(col("toks"), 3), 16).as("staged"))
+      .collect()
+      .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+
     // fused char-n-gram SET == array_distinct(charShingles) HOF build
     docs.unionByName(short)
       .select(lower(trim(col("text"))).as("t"))
