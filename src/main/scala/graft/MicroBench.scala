@@ -53,6 +53,27 @@ object MicroBench {
       threshold = 0.5, candidateThreshold = 0.15)
     time("ngramJaccardPairs")(ngp.count())
 
+    // pipe1 stage decomposition
+    {
+      import graft.text.TextFunctions
+      val quality = docs.filter(TextFunctions.qualityScore(col("text")) > 0.3)
+      time("pipe1: quality filter")(quality.count())
+      val kept = quality.join(
+        Dedup.exactKeepIds(quality, "doc_id", "text"), Seq("doc_id"), "left_semi")
+      time("pipe1: exact dedup semi-join")(kept.count())
+      val keptP = kept.persist()
+      time("pipe1: persist materialize")(keptP.count())
+      val pairs = Dedup.minhashPairs(keptP, "doc_id", "text", threshold = 0.9)
+      time("pipe1: minhashPairs(cached)")(pairs.count())
+      val fin = Dedup.keepAfterPairs(keptP, "doc_id", pairs)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.langId(col("text")).as("predicted_lang"))
+      time("pipe1: final anti+project")(fin.count())
+      time("pipe1: full query")(
+        graft.queries.Extensions.pipe1CorpusClean(spark, sfDir).count())
+    }
+
     spark.stop()
   }
 }
