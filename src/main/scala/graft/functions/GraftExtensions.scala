@@ -76,6 +76,13 @@ object GraftExtensions {
             NormalizeUnicode(exprs(0), f.toString)
           case other => throw new IllegalArgumentException(
             s"normalize_unicode: form must be a string literal, got $other")
+        }),
+    "bounded_topn" ->
+      ("bounded_topn(struct, n) - array of the n smallest struct values (aggregate)",
+        (exprs: Seq[Expression]) => exprs(1) match {
+          case Literal(n: Int, _) => BoundedTopN(exprs(0), n)
+          case other => throw new IllegalArgumentException(
+            s"bounded_topn: n must be an integer literal, got $other")
         }))
 
   /** Runtime registration on an existing session (tests, REPLs). */

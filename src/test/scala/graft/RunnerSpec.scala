@@ -173,6 +173,16 @@ class RunnerSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT minhash_sig(array('x'), 1 + 7)").collect()
     } // non-literal numHashes rejected... (constant-folded 8 may pass)
+
+    // the custom AGGREGATE is SQL-callable too (top-2 smallest per key)
+    val top = spark.sql(
+      """SELECT k, bounded_topn(struct(v), 2) AS t
+         FROM VALUES ('a', 3), ('a', 1), ('a', 2), ('b', 9) AS tbl(k, v)
+         GROUP BY k ORDER BY k""").collect()
+    assert(top(0).getSeq[org.apache.spark.sql.Row](1).map(_.getInt(0))
+      === Seq(1, 2))
+    assert(top(1).getSeq[org.apache.spark.sql.Row](1).map(_.getInt(0))
+      === Seq(9))
   }
 
   test("Notifier escaping + hyperlink match slack.py goldens") {
