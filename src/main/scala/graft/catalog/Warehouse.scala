@@ -89,9 +89,10 @@ final class Warehouse(val root: Path) {
     // overwrite-while-reading fails and rollback would then delete
     // live data. Bump until every staged table's dir is fresh.
     var gen = generation
+    val live = manifest // one read; cannot change mid-publish here
     def collides(g: Long): Boolean = staged.keys.exists { name =>
       val rel = s"data/${name}__$g"
-      manifest.get(name).contains(rel) || Files.exists(root.resolve(rel))
+      live.get(name).contains(rel) || Files.exists(root.resolve(rel))
     }
     while (collides(gen)) gen += 1
     val written = collection.mutable.ArrayBuffer.empty[(String, String)]

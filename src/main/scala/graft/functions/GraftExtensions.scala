@@ -22,11 +22,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     builders.foreach { case (name, (usage, builder)) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
-        builder))
+        guarded(name, builder)))
     }
 }
 
 object GraftExtensions {
+  /** Declared arity per function — checked up front so a wrong-arity
+    * SQL call fails with a clear message instead of the builder's raw
+    * IndexOutOfBoundsException.
+    */
+  private val arities: Map[String, Int] = Map(
+    "cosine_sim" -> 2, "array_dot" -> 2, "minhash_sig" -> 2,
+    "simhash64" -> 1, "minhash_tokens_sig" -> 3,
+    "minhash_band_hashes" -> 2, "char_ngram_set" -> 2,
+    "array_match_frac" -> 2, "normalize_unicode" -> 2,
+    "bounded_topn" -> 2)
+
+  private[functions] def guarded(
+      name: String,
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      val expected = arities(name)
+      if (exprs.length != expected) throw new IllegalArgumentException(
+        s"$name expects $expected arguments, got ${exprs.length}")
+      b(exprs)
+    }
+
   val builders: Map[String, (String, Seq[Expression] => Expression)] = Map(
     "cosine_sim" ->
       ("cosine_sim(a, b) - cosine similarity of two float/double arrays",
@@ -89,6 +110,6 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     builders.foreach { case (name, (_, builder)) =>
       org.apache.spark.sql.graftshim.ColumnBridge
-        .registerFunction(spark, name, builder)
+        .registerFunction(spark, name, guarded(name, builder))
     }
 }
