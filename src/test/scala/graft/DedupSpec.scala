@@ -175,6 +175,25 @@ class DedupSpec extends SparkSpec {
       s"ivf recall too low: $exact vs $approx")
   }
 
+  test("batchTopK equals per-query bruteForceTopK ranks") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") > 5)
+    val queries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").between(1, 3))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Similarity.batchTopK(queries, emb, "qid", "qvec",
+        "vec_id", "embedding", k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    (1L to 3L).foreach { qid =>
+      val q = Tables.embeddings(spark, sf).filter(col("vec_id") === qid)
+        .head().getSeq[Float](1)
+      val single = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(batch(qid) === single, s"qid=$qid")
+    }
+  }
+
   test("cosine HOF matches a hand-rolled dot/norm computation") {
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f)))
       .toDF("a", "b")
