@@ -165,10 +165,39 @@ object Dedup {
 
   /** Greedy near-dup removal: drop any doc that has a smaller-id
     * near-duplicate (single anti-join over the pair set).
+    *
+    * Greedy keeps every doc whose near-dup neighbors all have LARGER
+    * ids — it is not transitive. Pairs {1~3, 2~3} keep {1, 2} here
+    * (two survivors from one duplicate cluster); use
+    * [[nearDupClusters]] + [[keepAfterClusters]] for transitive-closure
+    * semantics (exactly one survivor per cluster).
     */
   def keepAfterPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Near-duplicate CLUSTERS: the transitive closure of the pair
+    * relation, computed with distributed star contraction
+    * ([[graft.graph.ConnectedComponents]] — O(log n) rounds, two
+    * node-keyed shuffles per round, no driver-side union-find).
+    * Returns (node, component) with component = min doc id reachable
+    * through any chain of near-duplicate pairs; docs with no pairs are
+    * their own singleton component.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    graft.graph.ConnectedComponents.run(
+      pairs, "id_a", "id_b", nodes = Some(df.select(col(idCol))))
+
+  /** One survivor per near-dup cluster: the minimum doc id of each
+    * component (the canonical representative under transitive-closure
+    * semantics — what union-find-based corpus dedup pipelines keep).
+    */
+  def keepAfterClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val keep = nearDupClusters(df, idCol, pairs)
+      .filter(col("node") === col("component"))
+      .select(col("node").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
 
   // -------------------------------------------------------------------
   // SimHash

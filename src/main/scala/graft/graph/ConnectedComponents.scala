@@ -1,0 +1,144 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list, via alternating
+  * large-star / small-star contraction (the MapReduce-and-beyond
+  * formulation: each round is two shuffles on node id, and the edge set
+  * converges to per-component stars in O(log^2 n) rounds — O(log n) on
+  * real-world graphs — independent of component diameter).
+  *
+  * This is the engine behind two reference-shaped capabilities:
+  *  - the portfolio build (`/root/reference/wowutil.py:162-163` populates
+  *    landlords/portfolios via graph clustering of landlord aliases —
+  *    the one derived-table step the reference delegates to an external
+  *    graph package, SURVEY.md §3.2);
+  *  - near-duplicate CLUSTERS for dedup: pairs from MinHash/SimHash LSH
+  *    are edges; a component is a duplicate cluster; keep one canonical
+  *    doc per component ([[graft.dedup.Dedup.nearDupClusters]]).
+  *
+  * Why not label propagation (`label := min(neighbor labels)` to a
+  * fixpoint)? Its round count is the graph DIAMETER — a 10^6-node chain
+  * needs 10^6 rounds. Star contraction rewires edges toward component
+  * minima, halving (at least) the remaining height every round, so even
+  * adversarial chains converge in tens of rounds at any scale.
+  *
+  * Scale shape per round: one hash aggregation + one equi-join, both
+  * keyed on node id (map-side combine applies; AQE handles skew —
+  * high-degree hubs are exactly the skewed-key case). Edges are
+  * deduplicated every round so the working set only shrinks. Lineage is
+  * truncated each round with `localCheckpoint` (iterative plans
+  * otherwise grow exponentially in the optimizer); a multi-executor
+  * deployment would use `checkpoint` to a reliable dir instead — swap
+  * [[truncate]] — at the cost of one HDFS write per round.
+  */
+object ConnectedComponents {
+
+  /** Per-round lineage truncation. Eager so each round's work is done
+    * (and measured) inside its own round, not re-run by later rounds.
+    */
+  private def truncate(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** Large-star: every node u attaches its LARGER neighbors to
+    * m(u) = min(u ∪ neighbors(u)). Keeps connectivity, strictly reduces
+    * the height of tall trees.
+    */
+  private[graph] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min(col("dst")).as("__mn"))
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"),
+        least(col("__mn"), col("src")).as("dst"))
+      .distinct()
+  }
+
+  /** Small-star: canonicalize edges to (bigger, smaller); every node u
+    * re-points its smaller neighbors (and itself) at
+    * m(u) = min(neighbors(u)). Flattens shallow trees into stars.
+    */
+  private[graph] def smallStar(e: DataFrame): DataFrame = {
+    val canon = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val mins = canon.groupBy("src").agg(min(col("dst")).as("__mn"))
+    val rewired = canon.join(mins, "src")
+      .filter(col("dst") =!= col("__mn"))
+      .select(col("dst").as("src"), col("__mn").as("dst"))
+    val self = mins.select(col("src"), col("__mn").as("dst"))
+    rewired.union(self).distinct()
+  }
+
+  /** Order-independent fingerprint of an edge set (count + xxh64 XOR of
+    * canonicalized pairs; XOR is associative/commutative and — unlike a
+    * long sum — cannot overflow under ANSI mode; the edge set is
+    * distinct so no cancellation) — the per-round convergence probe.
+    * One extra aggregation per round, no collect of the edges.
+    */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val row = e.select(
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(
+          greatest(col("src"), col("dst")),
+          least(col("src"), col("dst")))), lit(0L)).as("h"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Connected components of the undirected graph given by `edges`.
+    *
+    * @param edges  any DataFrame with two integral node-id columns
+    * @param nodes  optional single-column DataFrame of ALL node ids —
+    *               ids with no edges become singleton components
+    * @return (node BIGINT, component BIGINT) — component is the minimum
+    *         node id in the node's component
+    */
+  def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes: Option[DataFrame] = None,
+      maxIter: Int = 30): DataFrame = {
+    var e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+
+    var prev = (-1L, 0L)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      e = truncate(smallStar(largeStar(e)))
+      val fp = fingerprint(e)
+      converged = fp == prev
+      prev = fp
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+
+    // Converged state is a star forest: every edge is (member, root).
+    val members = e.select(col("src").as("node"), col("dst").as("component"))
+    val roots = e.select(col("dst")).distinct()
+      .select(col("dst").as("node"), col("dst").as("component"))
+    val connected = members.union(roots)
+    nodes match {
+      case None => connected
+      case Some(ns) =>
+        val allNodes = ns.select(ns.columns.head)
+          .select(col(ns.columns.head).cast("long").as("node"))
+          .filter(col("node").isNotNull)
+          .distinct()
+        val isolated = allNodes
+          .join(connected, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("component"))
+        connected.union(isolated)
+    }
+  }
+}

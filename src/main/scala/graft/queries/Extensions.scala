@@ -242,6 +242,51 @@ object Extensions {
     graft.ops.AsOfJoin.asofJoinNearest(left, right, "user_id", "ts", "ts")
   }
 
+  // ---- graph clustering (the reference's portfolio build:
+  //      wowutil.py:162-163 clusters landlord aliases into portfolios
+  //      via an external graph package; here: distributed connected
+  //      components, graft.graph.ConnectedComponents) ----------------
+
+  /** Generic connected components, oracle-checked: edges chain each
+    * customer to the next custkey within its (nation, mktsegment)
+    * group, so every group is a PATH — the worst case for label
+    * propagation (diameter = group size) and exactly what star
+    * contraction must collapse in O(log n) rounds. The oracle computes
+    * the expected partition analytically (component = min custkey of
+    * the group); the Spark side discovers it generically from the edge
+    * list alone.
+    */
+  def g1Components(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(s, d)
+    val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+    val edges = c
+      .select(col("c_custkey"),
+        lag(col("c_custkey"), 1).over(w).as("prev_custkey"))
+      .filter(col("prev_custkey").isNotNull)
+    graft.graph.ConnectedComponents.run(
+      edges, "prev_custkey", "c_custkey",
+      nodes = Some(c.select(col("c_custkey"))))
+  }
+
+  /** Near-dup clusters + canonical-survivor selection: MinHash pairs
+    * as edges, connected components as duplicate clusters, keep the
+    * min doc id per cluster. Output is the per-cluster membership
+    * summary for non-singleton clusters (rows-only check — the pair
+    * set is hash-engine-specific; cluster semantics are verified
+    * against a driver-side union-find in GraphSpec).
+    */
+  def dd6ClusterKeep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+    Dedup.nearDupClusters(docs, "doc_id", pairs)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("node")).as("keep_id"))
+      .filter(col("n_members") > 1)
+  }
+
   // ---- SQL surface: injected native functions (SURVEY §2.11) --------
 
   /** Runs entirely through spark.sql against the registered function
@@ -321,12 +366,20 @@ object Extensions {
     "asof2_forward" -> (asof2Forward _),
     "asof3_nearest" -> (asof3Nearest _),
     "pipe1_corpus_clean" -> (pipe1CorpusClean _),
+    "g1_components" -> (g1Components _),
+    "dd6_cluster_keep" -> (dd6ClusterKeep _),
     "smp1_stratified" -> (smp1Stratified _),
     "e2_sliding" -> (e2Sliding _),
     "e3_session" -> (e3Session _),
     "e4_interval_join" -> (e4IntervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "g1_components" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS node,
+                CAST(min(c_custkey) OVER (
+                  PARTITION BY c_nationkey, c_mktsegment) AS BIGINT)
+                  AS component
+         FROM customer""",
     "t1_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,

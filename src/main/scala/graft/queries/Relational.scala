@@ -475,6 +475,105 @@ object Relational {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  // ---- FULL OUTER join (unmatched rows survive on BOTH sides) ----
+  def j9FullOuter(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_urgent"))
+    val subset = Tables.customer(s, d)
+      .filter(col("c_nationkey") < 10)
+      .select(col("c_custkey"), col("c_name"))
+    urgent.join(subset, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("n_urgent"), col("c_name"))
+  }
+
+  // ---- global top-k (ORDER BY LIMIT): plans as TakeOrderedAndProject —
+  //      per-partition bounded heaps, no global sort, no single-reducer
+  //      shuffle (PlanSpec asserts) ----
+  def o5GlobalTopk(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  // ---- unpivot / melt (inverse of p11_pivot): wide -> long ----
+  def p12Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nationkey"))
+      .unpivot(
+        ids = Array(col("c_custkey")),
+        values = Array(col("c_acctbal"), col("c_nationkey")),
+        variableColumnName = "metric",
+        valueColumnName = "val")
+
+  // ---- statistical moments (mean/variance/correlation) from EXACT
+  //      decimal power sums: associative partial aggregation (one
+  //      shuffle), and the derived doubles are identical across engines
+  //      because the float math happens once, on identical inputs, in
+  //      an identical expression tree (vs built-in corr/stddev whose
+  //      merge order is nondeterministic under partial aggregation) ----
+  def a18Moments(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_extendedprice")
+    val y = col("l_quantity")
+    val sums = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast("decimal(18,2)")).cast("double").as("sx"),
+        sum(y.cast("decimal(18,2)")).cast("double").as("sy"),
+        sum((x * x).cast("decimal(27,4)")).cast("double").as("sxx"),
+        sum((y * y).cast("decimal(27,4)")).cast("double").as("syy"),
+        sum((x * y).cast("decimal(27,4)")).cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    sums.select(
+      col("l_returnflag"), col("n"),
+      (col("sx") / nd).as("mean_price"),
+      ((col("sxx") - col("sx") * col("sx") / nd) / (nd - 1)).as("var_price"),
+      ((col("sxy") - col("sx") * col("sy") / nd) /
+        sqrt((col("sxx") - col("sx") * col("sx") / nd) *
+          (col("syy") - col("sy") * col("sy") / nd))).as("corr_price_qty"))
+  }
+
+  // ---- rank-derived window stats: ntile / percent_rank / cume_dist
+  //      (all exact rationals of rank and partition size -> engine-
+  //      independent doubles) ----
+  def w4NtilePctRank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
+  // ---- F10: timezone conversion as a columnar op (the reference
+  //      stamps America/New_York wall times, lib/dataset_tracker.py:
+  //      14-16; here: UTC event times bucketed by NY wall-clock hour) ----
+  def f10TzConvert(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(
+        from_utc_timestamp(col("ts"), "America/New_York"),
+        "yyyy-MM-dd HH").as("ny_hour"))
+      .agg(count(lit(1)).as("n"))
+
+  // ---- union with schema reconciliation by NAME (missing columns ->
+  //      nulls): the multi-vintage-dataset merge shape (the reference
+  //      loads per-year table vintages with drifting columns) ----
+  def s3UnionByName(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val v2023 = c.filter(col("c_nationkey") === 1)
+      .select(col("c_custkey"), col("c_name"))
+    val v2024 = c.filter(col("c_nationkey") === 2)
+      .select(col("c_custkey"), col("c_acctbal"))
+    v2023.unionByName(v2024, allowMissingColumns = true)
+  }
+
   // ---- streaming-surface batch dual: tumbling event-time window
   //      (SURVEY §2.10; events table) ----
   def eTumbling(s: SparkSession, d: String): DataFrame =
@@ -529,6 +628,13 @@ object Relational {
     "f7_strings" -> (f7Strings _),
     "p11_pivot" -> (p11Pivot _),
     "j8_range_join" -> (j8RangeJoin _),
+    "j9_full_outer" -> (j9FullOuter _),
+    "o5_global_topk" -> (o5GlobalTopk _),
+    "p12_unpivot" -> (p12Unpivot _),
+    "a18_moments" -> (a18Moments _),
+    "w4_ntile_pctrank" -> (w4NtilePctRank _),
+    "f10_tz_convert" -> (f10TzConvert _),
+    "s3_union_by_name" -> (s3UnionByName _),
     "e1_tumbling" -> (eTumbling _))
 
   val oracles: Map[String, String] = Map(
@@ -806,5 +912,58 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
                 count(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM events GROUP BY 1, 2""")
+         FROM events GROUP BY 1, 2""",
+    "j9_full_outer" ->
+      """WITH urgent AS (
+           SELECT o_custkey, count(*) AS n_urgent FROM orders
+           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+         subset AS (
+           SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 10)
+         SELECT COALESCE(o_custkey, c_custkey) AS custkey, n_urgent, c_name
+         FROM urgent FULL OUTER JOIN subset ON o_custkey = c_custkey""",
+    "o5_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "p12_unpivot" ->
+      """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS val
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE)
+         FROM customer""",
+    "a18_moments" ->
+      """WITH s AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                sx / CAST(n AS DOUBLE) AS mean_price,
+                (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_price,
+                (sxy - sx * sy / CAST(n AS DOUBLE)) /
+                  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) *
+                       (syy - sy * sy / CAST(n AS DOUBLE))) AS corr_price_qty
+         FROM s""",
+    "w4_ntile_pctrank" ->
+      """SELECT o_orderkey, o_orderstatus,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice, o_orderkey)""",
+    "f10_tz_convert" ->
+      """SELECT strftime(timezone('America/New_York',
+                  timezone('UTC', CAST(ts AS TIMESTAMP))),
+                  '%Y-%m-%d %H') AS ny_hour,
+                count(*) AS n
+         FROM events GROUP BY 1""",
+    "s3_union_by_name" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+         FROM customer WHERE c_nationkey = 1
+         UNION ALL
+         SELECT c_custkey, CAST(NULL AS VARCHAR), c_acctbal
+         FROM customer WHERE c_nationkey = 2""")
 }
