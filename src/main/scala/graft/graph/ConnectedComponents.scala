@@ -42,7 +42,9 @@ object ConnectedComponents {
 
   /** Large-star: every node u attaches its LARGER neighbors to
     * m(u) = min(u ∪ neighbors(u)). Keeps connectivity, strictly reduces
-    * the height of tall trees.
+    * the height of tall trees. Output may carry duplicates (two u's can
+    * emit the same (v, m)) — bounded by 2|E| and deduplicated by the
+    * small-star half of the round, so no extra shuffle here.
     */
   private[graph] def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("src"), col("dst"))
@@ -52,7 +54,6 @@ object ConnectedComponents {
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"),
         least(col("__mn"), col("src")).as("dst"))
-      .distinct()
   }
 
   /** Small-star: canonicalize edges to (bigger, smaller); every node u
@@ -72,21 +73,17 @@ object ConnectedComponents {
     rewired.union(self).distinct()
   }
 
-  /** Order-independent fingerprint of an edge set (count + xxh64 XOR of
-    * canonicalized pairs; XOR is associative/commutative and — unlike a
-    * long sum — cannot overflow under ANSI mode; the edge set is
-    * distinct so no cancellation) — the per-round convergence probe.
-    * One extra aggregation per round, no collect of the edges.
+  /** Convergence probe: the edge set (all src > dst after small-star)
+    * is a finished star forest iff no parent is itself a child — i.e.
+    * no dst appears as a src. One small semi-join per round, and it
+    * detects convergence the round stars FORM (a
+    * fingerprint-of-consecutive-rounds compare needs one extra
+    * confirming round).
     */
-  private def fingerprint(e: DataFrame): (Long, Long) = {
-    val row = e.select(
-        count(lit(1)).as("n"),
-        coalesce(bit_xor(xxhash64(
-          greatest(col("src"), col("dst")),
-          least(col("src"), col("dst")))), lit(0L)).as("h"))
-      .head()
-    (row.getLong(0), row.getLong(1))
-  }
+  private def isStarForest(e: DataFrame): Boolean =
+    e.select(col("dst").as("n"))
+      .join(e.select(col("src").as("n")), Seq("n"), "left_semi")
+      .isEmpty
 
   /** Connected components of the undirected graph given by `edges`.
     *
@@ -102,22 +99,27 @@ object ConnectedComponents {
       dstCol: String,
       nodes: Option[DataFrame] = None,
       maxIter: Int = 30): DataFrame = {
-    var e = edges
+    // materialize the cleaned input ONCE: each round references the
+    // edge set several times (symmetrization + both join sides), so an
+    // unmaterialized upstream plan would be re-evaluated 4x in round 1
+    var e = truncate(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-      .distinct()
+      .distinct())
 
-    var prev = (-1L, 0L)
     var converged = false
     var it = 0
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && it < maxIter) {
+      val t0 = System.nanoTime()
       e = truncate(smallStar(largeStar(e)))
-      val fp = fingerprint(e)
-      converged = fp == prev
-      prev = fp
+      val t1 = System.nanoTime()
+      converged = isStarForest(e)
       it += 1
+      if (debug) System.err.println(
+        f"[cc] round $it: star=${(t1 - t0) / 1e9}%.2fs probe=${(System.nanoTime() - t1) / 1e9}%.2fs converged=$converged")
     }
     if (!converged)
       throw new IllegalStateException(

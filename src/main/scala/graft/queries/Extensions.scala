@@ -248,18 +248,22 @@ object Extensions {
   //      components, graft.graph.ConnectedComponents) ----------------
 
   /** Generic connected components, oracle-checked: edges chain each
-    * customer to the next custkey within its (nation, mktsegment)
-    * group, so every group is a PATH — the worst case for label
-    * propagation (diameter = group size) and exactly what star
-    * contraction must collapse in O(log n) rounds. The oracle computes
-    * the expected partition analytically (component = min custkey of
-    * the group); the Spark side discovers it generically from the edge
-    * list alone.
+    * customer to the next custkey within its
+    * (nation, mktsegment, custkey%10) group, so every group is a PATH
+    * — multi-hop transitive structure that label propagation would
+    * need diameter rounds to close, collapsed by star contraction in
+    * O(log diameter) rounds. The oracle computes the expected
+    * partition analytically (component = min custkey of the group);
+    * the Spark side discovers it generically from the edge list alone.
+    * (GraphSpec's 200-node path covers the deep-diameter worst case;
+    * the query keeps path length ~ sf-independent so bench timings
+    * measure per-round cost, not round count.)
     */
   def g1Components(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = Tables.customer(s, d)
-    val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+    val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"),
+        pmod(col("c_custkey"), lit(10)))
       .orderBy(col("c_custkey"))
     val edges = c
       .select(col("c_custkey"),
@@ -377,8 +381,8 @@ object Extensions {
     "g1_components" ->
       """SELECT CAST(c_custkey AS BIGINT) AS node,
                 CAST(min(c_custkey) OVER (
-                  PARTITION BY c_nationkey, c_mktsegment) AS BIGINT)
-                  AS component
+                  PARTITION BY c_nationkey, c_mktsegment, c_custkey % 10)
+                  AS BIGINT) AS component
          FROM customer""",
     "t1_tokens" ->
       """SELECT doc_id,

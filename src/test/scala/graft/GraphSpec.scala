@@ -110,7 +110,8 @@ class GraphSpec extends SparkSpec {
       .select(col("c_custkey").cast("long").as("node"),
         min(col("c_custkey").cast("long"))
           .over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("c_nationkey"), col("c_mktsegment")))
+            .partitionBy(col("c_nationkey"), col("c_mktsegment"),
+              pmod(col("c_custkey"), lit(10))))
           .as("component"))
     assert(got.except(expected).count() == 0 &&
       expected.except(got).count() == 0)
