@@ -50,6 +50,24 @@ final case class JsonlSource(
     spark.read.schema(schema).json(path)
 }
 
+/** ORC at rest — the other splittable columnar format Spark reads
+  * natively (predicate pushdown + column pruning apply exactly as for
+  * parquet); warehouses migrating from Hive hand these over as-is.
+  */
+final case class OrcSource(name: String, path: String) extends SourceSpec {
+  def read(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
+/** Raw text, one row per line (`value: string`) — the entry point for
+  * unprocessed crawl/log dumps before any structure is imposed; pair
+  * with `graft.text.TextFunctions` for the parse step. Splittable on
+  * line boundaries, so 100 TB of text fans out like any columnar scan
+  * (wholetext=false default).
+  */
+final case class TextSource(name: String, path: String) extends SourceSpec {
+  def read(spark: SparkSession): DataFrame = spark.read.text(path)
+}
+
 /** Optional/protected source with declared-schema empty fallback — S5
   * (`ocautil.py:49-68`, `signatureutil.py:52-71`: if S3 creds are
   * absent, publish EMPTY tables with the right schema rather than fail).

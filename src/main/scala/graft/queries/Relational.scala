@@ -311,6 +311,28 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
 
+  /** Mergeable HLL sketch rollup (DataSketches-backed built-ins): build
+    * one sketch per group, then UNION the group sketches into the
+    * global estimate WITHOUT rescanning the data — the incremental
+    * distinct-count shape for 100 TB (store sketches per
+    * partition/day, merge on demand; re-aggregation cost is
+    * O(sketches), not O(rows)). Rows-only check (estimates are
+    * engine-specific); accuracy and lossless merge are asserted in
+    * OpsSpec.
+    */
+  def a19HllRollup(s: SparkSession, d: String): DataFrame = {
+    val perFlag = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_orderkey"), 14).as("sk"))
+    perFlag
+      .select(col("l_returnflag"),
+        hll_sketch_estimate(col("sk")).as("n_orders_est"))
+      .unionByName(perFlag
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), true))
+          .as("n_orders_est"))
+        .select(lit("__ALL__").as("l_returnflag"), col("n_orders_est")))
+  }
+
   // ---- window functions beyond running sums: lag / rank / ntile ----
   def w2LagRank(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -615,6 +637,7 @@ object Relational {
     "a17_histogram" -> (a17Histogram _),
     "a13_distinct_counts" -> (a13DistinctCounts _),
     "a14_approx_distinct" -> (a14ApproxDistinct _),
+    "a19_hll_rollup" -> (a19HllRollup _),
     "a15_percentiles" -> (a15Percentiles _),
     "sk1_salted_agg" -> (sk1SaltedAgg _),
     "s9_rowcounts" -> (s9Rowcounts _),

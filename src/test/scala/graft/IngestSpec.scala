@@ -104,4 +104,25 @@ class IngestSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
   }
+
+  test("OrcSource round-trips with pushdown; TextSource reads raw lines") {
+    val dir = Files.createTempDirectory("graft-src")
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "s")
+    df.write.orc(dir.resolve("t.orc").toString)
+    val orc = graft.ingest.OrcSource("t", dir.resolve("t.orc").toString)
+      .read(spark)
+    assert(orc.as[(Long, String)].collect().toSet ===
+      Set((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    // predicate reaches the ORC scan (same pushdown story as parquet)
+    val plan = orc.filter($"id" > 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      plan)
+
+    Files.writeString(dir.resolve("raw.txt"),
+      "line one\nline two\nline three\n")
+    val txt = graft.ingest.TextSource("raw", dir.resolve("raw.txt").toString)
+      .read(spark)
+    assert(txt.as[String].collect().toSet ===
+      Set("line one", "line two", "line three"))
+  }
 }

@@ -161,4 +161,26 @@ class OpsSpec extends SparkSpec {
       .orderBy("k").collect().map(_.getString(1))
     assert(out.toSeq === Seq("x,y,z", "p,q", "only"))
   }
+
+  test("HLL sketch rollup: accurate per group, and the merged union of " +
+      "group sketches equals a direct global sketch (lossless merge)") {
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val perFlag = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_orderkey"), 14).as("sk"))
+    val merged = perFlag
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), true)))
+      .head().getLong(0)
+    val direct = li.agg(hll_sketch_estimate(
+        hll_sketch_agg(col("l_orderkey"), 14)))
+      .head().getLong(0)
+    // union-of-group-sketches == sketch-of-all-rows: re-aggregation
+    // never rescans the data and loses nothing at equal lgK
+    assert(merged === direct)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05)
+    // the query surface returns per-group rows plus the __ALL__ rollup
+    val rows = graft.queries.Relational.a19HllRollup(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.contains("__ALL__") && rows("__ALL__") === merged)
+  }
 }
