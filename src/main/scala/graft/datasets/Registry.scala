@@ -55,6 +55,15 @@ object Registry {
             .groupBy(col("o_orderpriority"))
             .agg(count(lit(1)).as("n"),
               graft.ops.Ops.dsum(col("o_totalprice")).as("total"))),
+        // the portfolio build: the reference delegates landlord-alias
+        // graph clustering to an external package
+        // (wowutil.py:162-163, populate_landlords/portfolios_table);
+        // here: distributed connected components over the same-named
+        // "alias" relation (customers sharing a (nation, segment,
+        // bucket) chain), one row per node with its portfolio id
+        "wow_portfolios" -> ((s, _) =>
+          graft.queries.Extensions.g1Components(s, sfDir)
+            .withColumnRenamed("component", "portfolio_id")),
       ),
       // dataset-published functions, replayed at publish time — the
       // reference's CREATE OR REPLACE FUNCTION scripts

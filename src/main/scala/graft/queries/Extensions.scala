@@ -71,6 +71,34 @@ object Extensions {
       .orderBy(col("n").desc, col("token"))
       .limit(100)
 
+  /** TF-IDF top terms per document — the classic corpus-analytics
+    * pass: token explode -> per-doc term counts -> document
+    * frequencies -> idf-weighted scores -> top-3 per doc
+    * (WindowGroupLimit keeps only k rows per partition pre-shuffle).
+    * Both engines rank by the ROUNDED score with a token tiebreak so
+    * the ordering is engine-independent.
+    */
+  def t9Tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.count()
+    val scored = tf.join(dfreq, "token")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs + 1.0) / (col("df") + lit(1.0))), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("tfidf"))
+  }
+
   // ---- dedup --------------------------------------------------------
 
   def dd1Exact(s: SparkSession, d: String): DataFrame =
@@ -353,6 +381,7 @@ object Extensions {
     "t6_repetition" -> (t6Repetition _),
     "t7_nfc" -> (t7Nfc _),
     "t8_wordcount" -> (t8Wordcount _),
+    "t9_tfidf" -> (t9Tfidf _),
     "dd1_exact" -> (dd1Exact _),
     "dd2_minhash_pairs" -> (dd2MinhashPairs _),
     "dd3_simhash_pairs" -> (dd3SimhashPairs _),
@@ -437,6 +466,25 @@ object Extensions {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
                 count(*) AS n_copies
          FROM documents GROUP BY 1""",
+    "t9_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+                  round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+           FROM tf JOIN df USING (token), n),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, token) AS rk
+           FROM scored)
+         SELECT doc_id, CAST(rk AS INT) AS rk, token, tf, tfidf
+         FROM ranked WHERE rk <= 3""",
     "ann1_bruteforce" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          scored AS (

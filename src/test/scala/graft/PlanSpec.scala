@@ -70,6 +70,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("global top-k (ORDER BY LIMIT) is TakeOrderedAndProject, not a full sort") {
+    val plan = executedPlan(
+      graft.queries.Relational.o5GlobalTopk(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // per-partition bounded heaps; no global Sort node materializes
+    assert(!plan.contains("+- Sort"), plan)
+  }
+
   test("flagship: aggregated dimension sides broadcast under AQE; no cartesian") {
     val plan = executedPlan(Flagship.bldgs(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan)
