@@ -73,17 +73,27 @@ object ConnectedComponents {
     rewired.union(self).distinct()
   }
 
-  /** Convergence probe: the edge set (all src > dst after small-star)
-    * is a finished star forest iff no parent is itself a child — i.e.
-    * no dst appears as a src. One small semi-join per round, and it
-    * detects convergence the round stars FORM (a
-    * fingerprint-of-consecutive-rounds compare needs one extra
-    * confirming round).
+  /** Convergence probe: the (distinct, src>dst) edge set is a finished
+    * star forest iff BOTH hold:
+    *  (a) every src has exactly ONE parent — a node attached to two
+    *      roots means its component is still split mid-merge (e.g.
+    *      edges {5-10, 5-20, 1-10, 2-20} pass probe (b) alone after one
+    *      round with node 5 under roots 1 AND 2 — not converged);
+    *  (b) no parent is itself a child (no dst appears as a src).
+    * Star forest + the rounds' connectivity preservation ⇒ the forest
+    * is the true component partition. Two small probe jobs per round;
+    * detects convergence the round stars form (a consecutive-round
+    * fingerprint compare needs an extra confirming round).
     */
-  private def isStarForest(e: DataFrame): Boolean =
-    e.select(col("dst").as("n"))
+  private def isStarForest(e: DataFrame): Boolean = {
+    val uniqueParents = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .isEmpty
+    uniqueParents && e.select(col("dst").as("n"))
       .join(e.select(col("src").as("n")), Seq("n"), "left_semi")
       .isEmpty
+  }
 
   /** Connected components of the undirected graph given by `edges`.
     *

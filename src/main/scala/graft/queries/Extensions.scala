@@ -87,10 +87,15 @@ object Extensions {
       .agg(count(lit(1)).as("tf"))
     val dfreq = toks.select(col("doc_id"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.count()
+    // corpus size as a LAZY broadcast scalar (1-row cross join), not a
+    // driver-side count(): constructing the query stays a pure plan —
+    // no job fires until the caller executes it
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val scored = tf.join(dfreq, "token")
+      .crossJoin(nDocs)
       .withColumn("tfidf",
-        round(col("tf") * log(lit(nDocs + 1.0) / (col("df") + lit(1.0))), 6))
+        round(col("tf") *
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token"))
     scored
@@ -312,10 +317,11 @@ object Extensions {
   def dd6ClusterKeep(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+    // component IS the canonical survivor id (min doc id of the
+    // cluster, by ConnectedComponents' contract) — surface it as such
     Dedup.nearDupClusters(docs, "doc_id", pairs)
-      .groupBy(col("component"))
-      .agg(count(lit(1)).as("n_members"),
-        min(col("node")).as("keep_id"))
+      .groupBy(col("component").as("keep_id"))
+      .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1)
   }
 

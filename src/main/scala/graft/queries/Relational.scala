@@ -321,9 +321,15 @@ object Relational {
     * OpsSpec.
     */
   def a19HllRollup(s: SparkSession, d: String): DataFrame = {
+    // persist the (3-row) sketch table: both union branches reference
+    // it, and without materialization the lazy plan would re-scan and
+    // re-aggregate lineitem per branch — the exact rescan this
+    // operator exists to avoid (same CacheManager caveat as
+    // pipe1_corpus_clean; production stores the sketch table at rest)
     val perFlag = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(hll_sketch_agg(col("l_orderkey"), 14).as("sk"))
+      .persist()
     perFlag
       .select(col("l_returnflag"),
         hll_sketch_estimate(col("sk")).as("n_orders_est"))
@@ -551,13 +557,18 @@ object Relational {
         sum((y * y).cast("decimal(27,4)")).cast("double").as("syy"),
         sum((x * y).cast("decimal(27,4)")).cast("double").as("sxy"))
     val nd = col("n").cast("double")
+    // degenerate groups (n=1, or zero variance) -> NULL via explicit
+    // nullif in BOTH engines: under ANSI mode Spark would throw
+    // DIVIDE_BY_ZERO where DuckDB quietly yields NULL
     sums.select(
       col("l_returnflag"), col("n"),
       (col("sx") / nd).as("mean_price"),
-      ((col("sxx") - col("sx") * col("sx") / nd) / (nd - 1)).as("var_price"),
+      ((col("sxx") - col("sx") * col("sx") / nd) / nullif(nd - 1, lit(0.0)))
+        .as("var_price"),
       ((col("sxy") - col("sx") * col("sy") / nd) /
-        sqrt((col("sxx") - col("sx") * col("sx") / nd) *
-          (col("syy") - col("sy") * col("sy") / nd))).as("corr_price_qty"))
+        nullif(sqrt((col("sxx") - col("sx") * col("sx") / nd) *
+          (col("syy") - col("sy") * col("sy") / nd)), lit(0.0)))
+        .as("corr_price_qty"))
   }
 
   // ---- rank-derived window stats: ntile / percent_rank / cume_dist
@@ -964,10 +975,11 @@ object Relational {
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, n,
                 sx / CAST(n AS DOUBLE) AS mean_price,
-                (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_price,
+                (sxx - sx * sx / CAST(n AS DOUBLE))
+                  / NULLIF(CAST(n AS DOUBLE) - 1, 0.0) AS var_price,
                 (sxy - sx * sy / CAST(n AS DOUBLE)) /
-                  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) *
-                       (syy - sy * sy / CAST(n AS DOUBLE))) AS corr_price_qty
+                  NULLIF(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) *
+                       (syy - sy * sy / CAST(n AS DOUBLE))), 0.0) AS corr_price_qty
          FROM s""",
     "w4_ntile_pctrank" ->
       """SELECT o_orderkey, o_orderstatus,

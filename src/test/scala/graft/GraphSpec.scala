@@ -39,8 +39,15 @@ class GraphSpec extends SparkSpec {
       nodes: Option[Seq[Long]] = None): Map[Long, Long] = {
     val e = edges.toDF("src", "dst")
     val n = nodes.map(_.toDF("node"))
-    ConnectedComponents.run(e, "src", "dst", n)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = ConnectedComponents.run(e, "src", "dst", n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val m = rows.toMap
+    // one component per node — duplicate membership rows (the symptom
+    // of a premature-convergence bug) must fail loudly, not be
+    // silently collapsed by toMap
+    assert(rows.length == m.size,
+      s"duplicate node rows: ${rows.groupBy(_._1).filter(_._2.length > 1)}")
+    m
   }
 
   test("path graph collapses to one component (worst case for label prop)") {
@@ -56,6 +63,17 @@ class GraphSpec extends SparkSpec {
     val got = ccMap(edges, Some(Seq(10L, 11L, 12L, 20L, 21L, 99L)))
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L, 99L -> 99L))
+  }
+
+  test("regression: mid-merge two-parent state must not be declared " +
+      "converged (probe soundness counterexample)") {
+    // After one round, {5-10, 5-20, 1-10, 2-20} becomes
+    // {(5,1),(5,2),(10,1),(20,2)}: no parent is a child, but node 5
+    // hangs under BOTH roots — a chain-free probe alone stops here and
+    // returns node 5 in two components. All four edges are one
+    // component with min 1.
+    val got = ccMap(Seq((5L, 10L), (5L, 20L), (1L, 10L), (2L, 20L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 1L, 20L -> 1L))
   }
 
   test("self-loops and duplicate/reversed edges are harmless") {
