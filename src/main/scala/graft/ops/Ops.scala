@@ -79,6 +79,34 @@ object Ops {
       .agg(merge.head, merge.tail: _*)
   }
 
+  /** Salted equi-join for SKEWED join keys — the join-side complement
+    * of [[saltedAgg]]: every fact row gets a salt bucket, the (small)
+    * dimension side is replicated once per bucket, and the join runs
+    * on (keys, salt) so a hot key's rows spread over `saltBuckets`
+    * reducers instead of pinning one. Result set is identical to the
+    * unsalted join for inner/left semantics (each fact row matches
+    * exactly the one replica carrying its salt).
+    *
+    * AQE's skew-join split covers sort-merge joins after the fact;
+    * explicit salting is the deterministic-plan alternative when the
+    * skew is known up front (3-value status keys over billions of
+    * rows) or when AQE is unavailable (streaming micro-batches).
+    * The salt derives from a hash of the fact row's id expression —
+    * any assignment is correct; spreading quality only affects balance.
+    */
+  def saltedJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    val salted = facts.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Merge/upsert: `delta` rows replace same-key `base` rows; delta
     * keys absent from base are inserts. The reference has no
     * incremental path (it reloads whole datasets on change,

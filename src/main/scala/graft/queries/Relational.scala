@@ -375,6 +375,20 @@ object Relational {
         sum(col("__n")).as("n"),
         sum(col("__t")).cast("double").as("total")))
 
+  /** Salted JOIN on a maximally skewed key (3-value order status):
+    * facts spread over 16 salt buckets, dim replicated per bucket —
+    * result identical to the direct join (the oracle).
+    */
+  def sk2SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val statusDim = orders.select(col("o_orderstatus")).distinct()
+      .withColumn("status_label",
+        concat(lit("S_"), col("o_orderstatus")))
+    saltedJoin(orders, statusDim, Seq("o_orderstatus"), 16)
+      .groupBy(col("status_label"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+  }
+
   // ---- S9: row-count probe (dbtool.py:61-68) ----
   def s9Rowcounts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -651,6 +665,7 @@ object Relational {
     "a19_hll_rollup" -> (a19HllRollup _),
     "a15_percentiles" -> (a15Percentiles _),
     "sk1_salted_agg" -> (sk1SaltedAgg _),
+    "sk2_salted_join" -> (sk2SaltedJoin _),
     "s9_rowcounts" -> (s9Rowcounts _),
     "w1_running" -> (wRunning _),
     "w2_lag_rank" -> (w2LagRank _),
@@ -844,6 +859,15 @@ object Relational {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus""",
+    "sk2_salted_join" ->
+      """WITH dim AS (
+           SELECT DISTINCT o_orderstatus,
+                  'S_' || o_orderstatus AS status_label
+           FROM orders)
+         SELECT status_label, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN dim USING (o_orderstatus)
+         GROUP BY status_label""",
     "w2_lag_rank" ->
       """SELECT o_custkey, o_orderkey,
                 lag(o_totalprice, 1) OVER w AS prev_price,

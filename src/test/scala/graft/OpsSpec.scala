@@ -162,6 +162,23 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq("x,y,z", "p,q", "only"))
   }
 
+  test("saltedJoin == direct join (inner and left), row for row") {
+    val facts = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"), (5L, "A"))
+      .toDF("id", "k")
+    val dim = Seq(("A", 10L), ("B", 20L)).toDF("k", "v")
+    for (jt <- Seq("inner", "left")) {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id"), col("k"), col("v"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2)))
+          .sorted.toSeq
+      val direct = rows(facts.join(dim, Seq("k"), jt))
+      val salted = rows(graft.ops.Ops.saltedJoin(facts, dim, Seq("k"), 7, jt))
+      assert(salted === direct, jt)
+    }
+  }
+
   test("HLL sketch rollup: accurate per group, and the merged union of " +
       "group sketches equals a direct global sketch (lossless merge)") {
     val li = Tables.lineitem(spark, sf)
