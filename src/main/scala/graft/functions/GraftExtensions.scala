@@ -36,7 +36,7 @@ object GraftExtensions {
     "simhash64" -> 1, "minhash_tokens_sig" -> 3,
     "minhash_band_hashes" -> 2, "char_ngram_set" -> 2,
     "array_match_frac" -> 2, "normalize_unicode" -> 2,
-    "bounded_topn" -> 2)
+    "bounded_topn" -> 2, "freq_items" -> 2)
 
   private[functions] def guarded(
       name: String,
@@ -104,6 +104,13 @@ object GraftExtensions {
           case Literal(n: Int, _) => BoundedTopN(exprs(0), n)
           case other => throw new IllegalArgumentException(
             s"bounded_topn: n must be an integer literal, got $other")
+        }),
+    "freq_items" ->
+      ("freq_items(str, k) - Misra-Gries heavy hitters, array<struct<item,est>> (aggregate)",
+        (exprs: Seq[Expression]) => exprs(1) match {
+          case Literal(n: Int, _) => FreqItems(exprs(0), n)
+          case other => throw new IllegalArgumentException(
+            s"freq_items: k must be an integer literal, got $other")
         }))
 
   /** Runtime registration on an existing session (tests, REPLs). */

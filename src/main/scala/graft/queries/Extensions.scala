@@ -85,8 +85,10 @@ object Extensions {
       explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // document frequency from the tf aggregate itself (one row per
+    // (doc, token) by construction) — no second explode pass over the
+    // corpus, no distinct
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // corpus size as a LAZY broadcast scalar (1-row cross join), not a
     // driver-side count(): constructing the query stays a pure plan —
     // no job fires until the caller executes it

@@ -339,6 +339,22 @@ object Relational {
         .select(lit("__ALL__").as("l_returnflag"), col("n_orders_est")))
   }
 
+  /** Misra-Gries heavy hitters ([[graft.functions.FreqItems]]) run in
+    * the EXACT regime: k=8 counters over a 5-value column, so no
+    * decrement ever fires and the sketch returns true counts —
+    * oracle-comparable. The approximate regime (k << distinct, error
+    * <= n/(k+1), bounded memory AND shuffle per task) is asserted in
+    * SketchSpec over the token stream.
+    */
+  def hh1HeavyHitters(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(graft.functions.FreqItems.freq_items(
+        col("o_orderpriority"), 8).as("hh"))
+      .select(col("o_orderstatus"), explode(col("hh")))
+      .select(col("o_orderstatus"), col("col.item").as("o_orderpriority"),
+        col("col.est").as("n"))
+
   // ---- window functions beyond running sums: lag / rank / ntile ----
   def w2LagRank(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -666,6 +682,7 @@ object Relational {
     "a15_percentiles" -> (a15Percentiles _),
     "sk1_salted_agg" -> (sk1SaltedAgg _),
     "sk2_salted_join" -> (sk2SaltedJoin _),
+    "hh1_heavy_hitters" -> (hh1HeavyHitters _),
     "s9_rowcounts" -> (s9Rowcounts _),
     "w1_running" -> (wRunning _),
     "w2_lag_rank" -> (w2LagRank _),
@@ -859,6 +876,10 @@ object Relational {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus""",
+    "hh1_heavy_hitters" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1, 2""",
     "sk2_salted_join" ->
       """WITH dim AS (
            SELECT DISTINCT o_orderstatus,
