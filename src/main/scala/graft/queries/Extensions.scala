@@ -159,6 +159,21 @@ object Extensions {
       "vec_id", "embedding", queryVec(s, d), k = 10,
       bits = 4, tables = 8)
 
+  /** Radius (range) similarity search: ALL corpus vectors with cosine
+    * >= threshold of the query — the dual of top-k (fixed quality bar,
+    * unbounded result count). One scan, codegen'd cosine, the filter
+    * sits directly on the scan output.
+    */
+  def ann5RadiusSearch(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineScores(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", queryVec(s, d))
+      // threshold the ROUNDED score: raw cosines differ in low bits
+      // across engines (float32 vs double accumulation); the rounded
+      // values are the cross-engine contract (x1_sql_cosine precedent)
+      .select(col("vec_id"), round(col("sim"), 4).as("sim4"))
+      .filter(col("sim4") >= 0.3)
+
   /** Batch exact top-k: queries 1..5 scored against the rest of the
     * corpus in one pass, per-query bounded-heap top-10.
     */
@@ -399,6 +414,7 @@ object Extensions {
     "ann2_lsh" -> (ann2Lsh _),
     "ann3_ivf" -> (ann3Ivf _),
     "ann4_batch" -> (ann4Batch _),
+    "ann5_radius" -> (ann5RadiusSearch _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),
@@ -506,6 +522,13 @@ object Extensions {
                 CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 CAST(8 AS INT) AS feat_dim
          FROM documents""",
+    "ann5_radius" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id,
+                  round(CAST(list_cosine_similarity(embedding, qv) AS DOUBLE), 4) AS sim4
+           FROM embeddings, q WHERE vec_id <> 0)
+         SELECT vec_id, sim4 FROM scored WHERE sim4 >= 0.3""",
     "ann4_batch" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
                     FROM embeddings WHERE vec_id BETWEEN 1 AND 5),

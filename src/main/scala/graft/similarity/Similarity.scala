@@ -47,18 +47,26 @@ object Similarity {
     * — no shuffle; each partition reduces to k rows before the driver
     * merge, so this works unchanged on a 1000-executor scan.
     */
+  /** One-pass cosine scoring of the whole corpus against a broadcast
+    * query literal: (id, sim). The building block for top-k (order +
+    * limit) and radius search (filter on sim).
+    */
+  def cosineScores(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float]): DataFrame =
+    emb.select(col(idCol), cosine(col(vecCol), typedLit(query)).as("sim"))
+
   def bruteForceTopK(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       query: Seq[Float],
-      k: Int): DataFrame = {
-    val q = typedLit(query)
-    emb.select(col(idCol),
-        cosine(col(vecCol), q).as("sim"))
+      k: Int): DataFrame =
+    cosineScores(emb, idCol, vecCol, query)
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
-  }
 
   /** Deterministic pseudo-random hyperplanes (seeded; no RNG state
     * shared with executors — planes are literal arrays baked into the

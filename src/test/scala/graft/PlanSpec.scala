@@ -135,6 +135,13 @@ class PlanSpec extends SparkSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("freq_items heavy hitters: partial object aggregate — map-side " +
+      "sketches, O(k) rows to the shuffle") {
+    val plan = executedPlan(Relational.hh1HeavyHitters(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_freq_items"), plan)
+  }
+
   test("native vector expressions stay inside whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
