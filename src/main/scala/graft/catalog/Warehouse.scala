@@ -69,6 +69,48 @@ final class Warehouse(val root: Path) {
     spark.read.parquet(root.resolve(rel).toString)
   }
 
+  // -- snapshot log (time travel) -------------------------------------
+
+  private val snapshotsDir = root.resolve("snapshots")
+
+  /** Published snapshot ids, oldest first. Every successful publish
+    * appends `snapshots/manifest-<gen>.json` (the full binding map,
+    * Iceberg-style root-pointer history); the current `manifest.json`
+    * stays the single source of truth for LIVE reads.
+    */
+  def snapshots: Seq[Long] =
+    if (!Files.exists(snapshotsDir)) Nil
+    else {
+      val s = Files.list(snapshotsDir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case SnapshotFile(gen) => gen.toLong }
+        .toSeq.sorted
+      finally s.close()
+    }
+
+  private val SnapshotFile = "manifest-(\\d+)\\.json".r
+
+  /** Table bindings as of a past snapshot. */
+  def manifestAt(snapshot: Long): Map[String, String] = {
+    val p = snapshotsDir.resolve(s"manifest-$snapshot.json")
+    if (!Files.exists(p)) throw new NoSuchElementException(
+      s"no such snapshot: $snapshot (have: ${snapshots.mkString(",")})")
+    JsonCodec.parseObject(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).toMap
+  }
+
+  /** Time-travel read: the table as of `snapshot`. Valid as long as the
+    * generation dirs it references survive — [[vacuum]] with
+    * `retainSnapshots >= 1` keeps them.
+    */
+  def tableAt(spark: SparkSession, name: String, snapshot: Long): DataFrame = {
+    val rel = manifestAt(snapshot).getOrElse(name,
+      throw new NoSuchElementException(
+        s"table $name not in snapshot $snapshot"))
+    spark.read.parquet(root.resolve(rel).toString)
+  }
+
   /** Row-count probe (`dbtool.py:61-68`). */
   def rowcounts(spark: SparkSession): Map[String, Long] =
     manifest.keys.map(n => n -> table(spark, n).count()).toMap
@@ -118,6 +160,13 @@ final class Warehouse(val root: Path) {
         JsonCodec.renderObject(next).getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      // snapshot log entry AFTER the flip: a publish that dies at the
+      // manifest move leaves no dangling snapshot pointing at
+      // rolled-back dirs; a crash between move and this write only
+      // costs the history entry, never live-read correctness
+      Files.createDirectories(snapshotsDir)
+      Files.write(snapshotsDir.resolve(s"manifest-$gen.json"),
+        JsonCodec.renderObject(next).getBytes(StandardCharsets.UTF_8))
     } catch {
       case e: Throwable =>
         // rollback: drop the partially-staged generation, manifest intact
@@ -126,12 +175,22 @@ final class Warehouse(val root: Path) {
     }
   }
 
-  /** Drop data generations no longer referenced by the manifest
-    * (the reference's leftover-temp-schema cleanup,
-    * `load_dataset.py:82-89` + drop loop).
+  /** Drop data generations no longer referenced by the manifest or the
+    * `retainSnapshots` most recent snapshots (the reference's
+    * leftover-temp-schema cleanup, `load_dataset.py:82-89` + drop
+    * loop). Older snapshot log entries are expired first so history
+    * never dangles: default `retainSnapshots = 0` keeps only live
+    * data; `>= 1` preserves that many past snapshots time-travel
+    * readable.
     */
-  def vacuum(): Seq[String] = {
-    val live = manifest.values.map(root.resolve(_).normalize).toSet
+  def vacuum(retainSnapshots: Int = 0): Seq[String] = {
+    val all = snapshots
+    val (keep, expire) = all.splitAt(math.max(0, all.size - retainSnapshots))
+      match { case (older, newer) => (newer, older) }
+    expire.foreach(g =>
+      Files.deleteIfExists(snapshotsDir.resolve(s"manifest-$g.json")))
+    val live = (manifest.values ++ keep.flatMap(manifestAt(_).values))
+      .map(root.resolve(_).normalize).toSet
     val dataDir = root.resolve("data")
     if (!Files.exists(dataDir)) return Nil
     val dropped = {

@@ -83,4 +83,28 @@ class WarehouseSpec extends SparkSpec {
     val dropped = wh.vacuum()
     assert(dropped === Seq("t__1"))
   }
+
+  test("time travel: snapshot log reads past generations; vacuum " +
+      "retention governs their lifetime") {
+    val wh = freshWh()
+    wh.publishAtomically(Map("t" -> Seq(1).toDF("x")), generation = 1L)
+    wh.publishAtomically(Map("t" -> Seq(2).toDF("x"),
+      "u" -> Seq("new").toDF("s")), generation = 2L)
+    wh.publishAtomically(Map("t" -> Seq(3).toDF("x")), generation = 3L)
+    assert(wh.snapshots === Seq(1L, 2L, 3L))
+    // read every vintage of t; u only exists from snapshot 2 on
+    assert(wh.tableAt(spark, "t", 1L).as[Int].head() === 1)
+    assert(wh.tableAt(spark, "t", 2L).as[Int].head() === 2)
+    assert(wh.table(spark, "t").as[Int].head() === 3)
+    intercept[NoSuchElementException](wh.tableAt(spark, "u", 1L))
+    // retain 2 snapshots: gen-1 data goes, gen-2 stays readable
+    val dropped = wh.vacuum(retainSnapshots = 2)
+    assert(dropped === Seq("t__1"))
+    assert(wh.snapshots === Seq(2L, 3L))
+    assert(wh.tableAt(spark, "t", 2L).as[Int].head() === 2)
+    // full vacuum: only live data remains, history expired
+    wh.vacuum()
+    assert(wh.snapshots.isEmpty)
+    assert(wh.table(spark, "t").as[Int].head() === 3)
+  }
 }
