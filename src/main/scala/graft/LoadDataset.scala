@@ -12,6 +12,7 @@ import graft.state.{FileStateStore, JavaHttpClient}
   *
   *   LoadDataset <dataset|all> [--sf-dir D] [--warehouse W] [--force]
   *   LoadDataset rowcounts|lastmod:list|lastmod:reset [--warehouse W]
+  *   LoadDataset snapshots|vacuum [retainN] [--warehouse W]
   *
   * One process per dataset is the reference's parallelism model
   * (`k8s_build_jobs.py:63-75`); here each invocation is one Spark batch
@@ -34,7 +35,7 @@ object LoadDataset {
     val whDir = flagVal("--warehouse").getOrElse("/tmp/graft-warehouse")
     val force = flags.contains("--force")
     val cmd = pos.headOption.getOrElse {
-      System.err.println("usage: LoadDataset <dataset|all|rowcounts|lastmod:list|lastmod:reset>")
+      System.err.println("usage: LoadDataset <dataset|all|rowcounts|lastmod:list|lastmod:reset|snapshots|vacuum>")
       sys.exit(2)
     }
 
@@ -60,6 +61,9 @@ object LoadDataset {
       case "rowcounts" => tool.rowcounts()
       case "lastmod:list" => tool.listLastmod()
       case "lastmod:reset" => tool.resetLastmod(pos.drop(1).headOption.getOrElse(""))
+      case "snapshots" => tool.listSnapshots()
+      case "vacuum" =>
+        tool.vacuum(pos.drop(1).headOption.map(_.toInt).getOrElse(0))
       case "all" =>
         Registry.datasets(sfDir).foreach(runner.run(_, force))
       case name =>

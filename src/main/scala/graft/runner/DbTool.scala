@@ -45,4 +45,22 @@ final class DbTool(
     out(s"reset ${victims.size} lastmod entries")
     victims.size
   }
+
+  /** Snapshot-log listing (no reference analogue — the warehouse keeps
+    * publish history the temp-schema design threw away).
+    */
+  def listSnapshots(): Seq[Long] = {
+    val snaps = warehouse.snapshots
+    snaps.foreach(g => out(
+      s"snapshot $g: ${warehouse.manifestAt(g).keys.toSeq.sorted.mkString(", ")}"))
+    snaps
+  }
+
+  /** Expire history + drop unreferenced generations. */
+  def vacuum(retainSnapshots: Int = 0): Seq[String] = {
+    val dropped = warehouse.vacuum(retainSnapshots)
+    out(s"dropped ${dropped.size} generation dirs " +
+      s"(retaining $retainSnapshots snapshots)")
+    dropped
+  }
 }

@@ -70,6 +70,32 @@ class SketchSpec extends SparkSpec {
     assert(est.contains("x0")) // above-threshold item always survives
   }
 
+  test("streaming: freq_items aggregates a MemoryStream in complete " +
+      "mode and matches the batch dual (sketch state is mergeable " +
+      "across micro-batches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val batch1 = Seq("a", "b", "a")
+    val batch2 = Seq("a", "c", "b", "a")
+    mem.addData(batch1: _*)
+    mem.addData(batch2: _*)
+    val q = mem.toDF().toDF("s")
+      .agg(FreqItems.freq_items(col("s"), 8).as("hh"))
+      .select(explode(col("hh")))
+      .select(col("col.item"), col("col.est"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_stream")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hh_stream")
+      .as[(String, Long)].collect().toSet
+    // exact regime (k > distinct) => true totals over all micro-batches
+    assert(streamed === Set(("a", 4L), ("b", 2L), ("c", 1L)))
+  }
+
   test("SQL surface: freq_items registered and callable as text") {
     graft.functions.GraftExtensions.register(spark)
     Seq("a", "a", "b").toDF("s").createOrReplaceTempView("hh_in")
