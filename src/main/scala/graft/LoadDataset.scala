@@ -63,7 +63,11 @@ object LoadDataset {
       case "lastmod:reset" => tool.resetLastmod(pos.drop(1).headOption.getOrElse(""))
       case "snapshots" => tool.listSnapshots()
       case "vacuum" =>
-        tool.vacuum(pos.drop(1).headOption.map(_.toInt).getOrElse(0))
+        val retain = pos.drop(1).headOption.map(a => a.toIntOption.getOrElse {
+          System.err.println(s"vacuum: retain count must be an integer, got $a")
+          sys.exit(2)
+        }).getOrElse(0)
+        tool.vacuum(retain)
       case "all" =>
         Registry.datasets(sfDir).foreach(runner.run(_, force))
       case name =>

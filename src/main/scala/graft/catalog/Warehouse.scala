@@ -100,9 +100,11 @@ final class Warehouse(val root: Path) {
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).toMap
   }
 
-  /** Time-travel read: the table as of `snapshot`. Valid as long as the
-    * generation dirs it references survive — [[vacuum]] with
-    * `retainSnapshots >= 1` keeps them.
+  /** Time-travel read: the table as of `snapshot`. Valid as long as
+    * the generation dirs it references survive — [[vacuum]] keeps a
+    * past snapshot readable while it is among the `retainSnapshots`
+    * newest log entries (the newest entry usually IS the live state,
+    * so one past state needs `retainSnapshots = 2`).
     */
   def tableAt(spark: SparkSession, name: String, snapshot: Long): DataFrame = {
     val rel = manifestAt(snapshot).getOrElse(name,
@@ -135,9 +137,14 @@ final class Warehouse(val root: Path) {
     def collides(g: Long): Boolean = staged.keys.exists { name =>
       val rel = s"data/${name}__$g"
       live.get(name).contains(rel) || Files.exists(root.resolve(rel))
-    }
+    } ||
+      // a snapshot id must also be fresh: reusing one would truncate
+      // that history entry (two publishes of DISJOINT table sets can
+      // otherwise share a gen and overwrite manifest-<gen>.json)
+      Files.exists(snapshotsDir.resolve(s"manifest-$g.json"))
     while (collides(gen)) gen += 1
     val written = collection.mutable.ArrayBuffer.empty[(String, String)]
+    var nextJson: String = null
     try {
       staged.foreach { case (name, df) =>
         val rel = s"data/${name}__$gen"
@@ -155,33 +162,36 @@ final class Warehouse(val root: Path) {
       val next = collection.mutable.LinkedHashMap.empty[String, String]
       manifest.toSeq.sortBy(_._1).foreach { case (k, v) => next.update(k, v) }
       written.foreach { case (k, v) => next.update(k, v) }
+      nextJson = JsonCodec.renderObject(next)
       val tmp = manifestPath.resolveSibling("manifest.json.tmp")
-      Files.write(tmp,
-        JsonCodec.renderObject(next).getBytes(StandardCharsets.UTF_8))
+      Files.write(tmp, nextJson.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      // snapshot log entry AFTER the flip: a publish that dies at the
-      // manifest move leaves no dangling snapshot pointing at
-      // rolled-back dirs; a crash between move and this write only
-      // costs the history entry, never live-read correctness
-      Files.createDirectories(snapshotsDir)
-      Files.write(snapshotsDir.resolve(s"manifest-$gen.json"),
-        JsonCodec.renderObject(next).getBytes(StandardCharsets.UTF_8))
     } catch {
       case e: Throwable =>
         // rollback: drop the partially-staged generation, manifest intact
         written.foreach { case (_, rel) => deleteRecursively(root.resolve(rel)) }
         throw e
     }
+    // snapshot log entry AFTER (and outside) the guarded flip: once the
+    // manifest references the new dirs they are LIVE and must never hit
+    // the rollback delete — a failure here (or a crash between flip and
+    // write) only costs the history entry, never live-read correctness
+    try {
+      Files.createDirectories(snapshotsDir)
+      Files.write(snapshotsDir.resolve(s"manifest-$gen.json"),
+        nextJson.getBytes(StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Drop data generations no longer referenced by the manifest or the
-    * `retainSnapshots` most recent snapshots (the reference's
-    * leftover-temp-schema cleanup, `load_dataset.py:82-89` + drop
-    * loop). Older snapshot log entries are expired first so history
-    * never dangles: default `retainSnapshots = 0` keeps only live
-    * data; `>= 1` preserves that many past snapshots time-travel
-    * readable.
+    * `retainSnapshots` most recent snapshot-log entries (the
+    * reference's leftover-temp-schema cleanup,
+    * `load_dataset.py:82-89` + drop loop). Older snapshot entries are
+    * expired first so history never dangles. Note the NEWEST snapshot
+    * normally duplicates the live manifest, so keeping N truly-PAST
+    * states readable needs `retainSnapshots = N + 1`; the default 0
+    * keeps only live data (the pre-snapshot-log behavior).
     */
   def vacuum(retainSnapshots: Int = 0): Seq[String] = {
     val all = snapshots

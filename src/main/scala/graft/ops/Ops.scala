@@ -100,6 +100,12 @@ object Ops {
       keys: Seq[String],
       saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
+    // right/full/outer would duplicate unmatched dim rows once per salt
+    // replica — reject rather than return a plausible wrong answer
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got $joinType " +
+        "(unmatched dim rows would appear once per salt bucket)")
     val salted = facts.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
     val replicated = dim.withColumn("__salt",

@@ -42,11 +42,6 @@ object Similarity {
   def cosineHof(a: Column, b: Column): Column =
     dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
-  /** Exact top-k nearest by cosine to a constant query vector.
-    * Physical plan: parquet scan -> project(sim) -> TakeOrderedAndProject
-    * — no shuffle; each partition reduces to k rows before the driver
-    * merge, so this works unchanged on a 1000-executor scan.
-    */
   /** One-pass cosine scoring of the whole corpus against a broadcast
     * query literal: (id, sim). The building block for top-k (order +
     * limit) and radius search (filter on sim).
@@ -58,6 +53,11 @@ object Similarity {
       query: Seq[Float]): DataFrame =
     emb.select(col(idCol), cosine(col(vecCol), typedLit(query)).as("sim"))
 
+  /** Exact top-k nearest by cosine to a constant query vector.
+    * Physical plan: parquet scan -> project(sim) -> TakeOrderedAndProject
+    * — no shuffle; each partition reduces to k rows before the driver
+    * merge, so this works unchanged on a 1000-executor scan.
+    */
   def bruteForceTopK(
       emb: DataFrame,
       idCol: String,

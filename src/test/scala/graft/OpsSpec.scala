@@ -177,6 +177,11 @@ class OpsSpec extends SparkSpec {
       val salted = rows(graft.ops.Ops.saltedJoin(facts, dim, Seq("k"), 7, jt))
       assert(salted === direct, jt)
     }
+    // right/full would replicate unmatched dim rows per salt bucket
+    for (bad <- Seq("right", "full", "full_outer")) {
+      intercept[IllegalArgumentException](
+        graft.ops.Ops.saltedJoin(facts, dim, Seq("k"), 7, bad))
+    }
   }
 
   test("HLL sketch rollup: accurate per group, and the merged union of " +

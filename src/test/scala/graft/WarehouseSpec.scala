@@ -84,6 +84,17 @@ class WarehouseSpec extends SparkSpec {
     assert(dropped === Seq("t__1"))
   }
 
+  test("regression: same requested generation for DISJOINT table sets " +
+      "still yields distinct snapshot entries (no history truncation)") {
+    val wh = freshWh()
+    wh.publishAtomically(Map("a" -> Seq(1).toDF("x")), generation = 7L)
+    wh.publishAtomically(Map("b" -> Seq(2).toDF("x")), generation = 7L)
+    assert(wh.snapshots.size === 2)
+    val Seq(s1, s2) = wh.snapshots
+    assert(wh.manifestAt(s1).keySet === Set("a"))
+    assert(wh.manifestAt(s2).keySet === Set("a", "b"))
+  }
+
   test("time travel: snapshot log reads past generations; vacuum " +
       "retention governs their lifetime") {
     val wh = freshWh()
