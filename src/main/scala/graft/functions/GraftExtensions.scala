@@ -36,7 +36,7 @@ object GraftExtensions {
     "simhash64" -> 1, "minhash_tokens_sig" -> 3,
     "minhash_band_hashes" -> 2, "char_ngram_set" -> 2,
     "array_match_frac" -> 2, "normalize_unicode" -> 2,
-    "bounded_topn" -> 2, "freq_items" -> 2)
+    "bounded_topn" -> 2, "freq_items" -> 2, "split_frames" -> 3)
 
   private[functions] def guarded(
       name: String,
@@ -111,6 +111,14 @@ object GraftExtensions {
           case Literal(n: Int, _) => FreqItems(exprs(0), n)
           case other => throw new IllegalArgumentException(
             s"freq_items: k must be an integer literal, got $other")
+        }),
+    "split_frames" ->
+      ("split_frames(payload, frameBytes, everyNth) - sampled (frame_idx, frame) rows (generator)",
+        (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
+          case (Literal(fb: Int, _), Literal(n: Int, _)) =>
+            SplitFrames(exprs(0), fb, n)
+          case other => throw new IllegalArgumentException(
+            s"split_frames: frameBytes/everyNth must be integer literals, got $other")
         }))
 
   /** Runtime registration on an existing session (tests, REPLs). */

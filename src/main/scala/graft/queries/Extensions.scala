@@ -362,6 +362,21 @@ object Extensions {
          FROM documents""")
   }
 
+  /** The native Generator (UDTF) exercised as pure SQL through
+    * LATERAL VIEW — the table-valued half of the §2.11 published-
+    * function surface. Frame arithmetic is pure byte math, so DuckDB
+    * can oracle the full fan-out shape.
+    */
+  def x3SqlFrames(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(
+      """SELECT doc_id, f.frame_idx, length(f.frame) AS frame_bytes
+         FROM (SELECT doc_id, cast(text AS BINARY) AS payload
+               FROM documents)
+         LATERAL VIEW split_frames(payload, 128, 3) f AS frame_idx, frame""")
+  }
+
   def x1SqlCosine(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftExtensions.register(s)
     Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
@@ -419,6 +434,7 @@ object Extensions {
     "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),
     "x2_sql_textops" -> (x2SqlTextops _),
+    "x3_sql_frames" -> (x3SqlFrames _),
     "asof1_backward" -> (asof1Backward _),
     "asof2_forward" -> (asof2Forward _),
     "asof3_nearest" -> (asof3Nearest _),
@@ -607,6 +623,16 @@ object Extensions {
                        for i in range(1, length(lower(text)) - 1)])) END AS INT)
                   AS n_trigrams
          FROM documents""",
+    "x3_sql_frames" ->
+      """WITH m AS (
+           SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+         c AS (
+           SELECT doc_id, L, CAST(ceil(L / 128.0) AS BIGINT) AS nc FROM m),
+         f AS (
+           SELECT doc_id, L, unnest(range(0, nc)) AS idx FROM c)
+         SELECT doc_id, CAST(idx AS INT) AS frame_idx,
+                CAST(LEAST(128, L - idx * 128) AS INT) AS frame_bytes
+         FROM f WHERE idx % 3 = 0""",
     "x1_sql_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,

@@ -61,4 +61,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).payload.toSeq === payload.slice(0, 1000).toSeq)
     assert(frames(1).payload.toSeq === payload.slice(2000, 2500).toSeq)
   }
+
+  test("SplitFrames generator == sampleFrames flatMap dual, byte for byte") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.documentsAsMedia(Tables.documents(spark, sf))
+    val viaGenerator = media
+      .select(col("media_id"),
+        graft.functions.GeneratorFunctions.split_frames(
+          col("payload"), 1024, 2))
+      .select(col("media_id"), col("frame_idx"),
+        xxhash64(col("frame")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaFlatMap = Multimodal.sampleFrames(spark, media,
+        frameBytes = 1024, everyNth = 2)
+      .toDF()
+      .select(col("media_id"), col("frame_idx"),
+        xxhash64(col("payload")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaGenerator === viaFlatMap)
+    assert(viaGenerator.nonEmpty)
+  }
 }
