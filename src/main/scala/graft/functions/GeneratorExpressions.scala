@@ -66,6 +66,54 @@ case class SplitFrames(
     copy(payload = newChildren.head)
 }
 
+/** Size-only sibling of [[SplitFrames]]: emits `(frame_idx,
+  * frame_bytes)` with pure integer arithmetic — NO byte copies, and no
+  * dependence on the payload CONTENT at all, only its length. The
+  * optimizer rule [[graft.plans.PruneFrameBytes]] swaps this in when a
+  * query provably consumes only `length(frame)` — at 100 TB of media
+  * that turns a full payload slice-and-copy pass into per-row integer
+  * math.
+  */
+case class SplitFrameSizes(
+    payload: Expression,
+    frameBytes: Int,
+    everyNth: Int)
+  extends Generator with CodegenFallback {
+
+  require(frameBytes > 0, "split_frame_sizes: frameBytes must be positive")
+  require(everyNth > 0, "split_frame_sizes: everyNth must be positive")
+
+  override def children: Seq[Expression] = Seq(payload)
+  override def prettyName: String = "split_frame_sizes"
+
+  override def checkInputDataTypes(): TypeCheckResult = payload.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary payload, got ${t.sql}")
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", IntegerType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = payload.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val len = v.asInstanceOf[Array[Byte]].length
+      val nFrames = (len + frameBytes - 1) / frameBytes
+      Iterator.range(0, nFrames).filter(_ % everyNth == 0).map { idx =>
+        new GenericInternalRow(Array[Any](
+          idx, math.min(frameBytes, len - idx * frameBytes)))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SplitFrameSizes =
+    copy(payload = newChildren.head)
+}
+
 object GeneratorFunctions {
   /** `split_frames(payload, frameBytes, everyNth)` as a Column for the
     * DataFrame API (`df.select(col("id"), split_frames(...))`).

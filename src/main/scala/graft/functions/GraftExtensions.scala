@@ -18,12 +18,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, (usage, builder)) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         guarded(name, builder)))
     }
+    e.injectOptimizerRule(_ => graft.plans.PruneFrameBytes)
+  }
 }
 
 object GraftExtensions {
@@ -122,9 +124,12 @@ object GraftExtensions {
         }))
 
   /** Runtime registration on an existing session (tests, REPLs). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, (_, builder)) =>
       org.apache.spark.sql.graftshim.ColumnBridge
         .registerFunction(spark, name, guarded(name, builder))
     }
+    org.apache.spark.sql.graftshim.ColumnBridge
+      .addOptimizerRule(spark, graft.plans.PruneFrameBytes)
+  }
 }

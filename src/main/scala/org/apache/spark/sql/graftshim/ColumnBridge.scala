@@ -37,4 +37,19 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Install an optimizer rule on an EXISTING session (builder-time
+    * path: `SparkSessionExtensions.injectOptimizerRule`) — idempotent
+    * by rule identity, Spark's sanctioned runtime hook
+    * (`experimentalMethods.extraOptimizations`).
+    */
+  def addOptimizerRule(
+      spark: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val em = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.experimentalMethods
+    if (!em.extraOptimizations.contains(rule))
+      em.extraOptimizations = em.extraOptimizations :+ rule
+  }
 }
