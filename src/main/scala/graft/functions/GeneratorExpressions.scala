@@ -8,6 +8,34 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
 
+/** Shared frame arithmetic for the two frame generators: ceil-div
+  * frame count (computed in Long — `len + frameBytes - 1` overflows
+  * Int for large frameBytes) and the every-Nth sampling filter. One
+  * definition keeps the [[graft.plans.PruneFrameBytes]] rewrite's
+  * result-identity guarantee trivially true.
+  */
+sealed trait FrameGenerator extends Generator with CodegenFallback {
+  def payload: Expression
+  def frameBytes: Int
+  def everyNth: Int
+
+  require(frameBytes > 0, s"$prettyName: frameBytes must be positive")
+  require(everyNth > 0, s"$prettyName: everyNth must be positive")
+
+  override def children: Seq[Expression] = Seq(payload)
+
+  override def checkInputDataTypes(): TypeCheckResult = payload.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary payload, got ${t.sql}")
+  }
+
+  protected final def frameIndices(len: Int): Iterator[Int] = {
+    val nFrames = ((len.toLong + frameBytes - 1) / frameBytes).toInt
+    Iterator.range(0, nFrames).filter(_ % everyNth == 0)
+  }
+}
+
 /** Native table-valued function (Catalyst `Generator`) — the §2.11
   * UDTF surface: `split_frames(payload, frameBytes, everyNth)` emits
   * one `(frame_idx, frame)` row per sampled fixed-size window of a
@@ -28,19 +56,9 @@ case class SplitFrames(
     payload: Expression,
     frameBytes: Int,
     everyNth: Int)
-  extends Generator with CodegenFallback {
+  extends FrameGenerator {
 
-  require(frameBytes > 0, "split_frames: frameBytes must be positive")
-  require(everyNth > 0, "split_frames: everyNth must be positive")
-
-  override def children: Seq[Expression] = Seq(payload)
   override def prettyName: String = "split_frames"
-
-  override def checkInputDataTypes(): TypeCheckResult = payload.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires binary payload, got ${t.sql}")
-  }
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("frame_idx", IntegerType, nullable = false),
@@ -51,10 +69,9 @@ case class SplitFrames(
     if (v == null) Iterator.empty
     else {
       val bytes = v.asInstanceOf[Array[Byte]]
-      val nFrames = (bytes.length + frameBytes - 1) / frameBytes
-      Iterator.range(0, nFrames).filter(_ % everyNth == 0).map { idx =>
+      frameIndices(bytes.length).map { idx =>
         val from = idx * frameBytes
-        val until = math.min(from + frameBytes, bytes.length)
+        val until = math.min(from.toLong + frameBytes, bytes.length).toInt
         new GenericInternalRow(Array[Any](
           idx, java.util.Arrays.copyOfRange(bytes, from, until)))
       }
@@ -70,27 +87,17 @@ case class SplitFrames(
   * frame_bytes)` with pure integer arithmetic — NO byte copies, and no
   * dependence on the payload CONTENT at all, only its length. The
   * optimizer rule [[graft.plans.PruneFrameBytes]] swaps this in when a
-  * query provably consumes only `length(frame)` — at 100 TB of media
-  * that turns a full payload slice-and-copy pass into per-row integer
-  * math.
+  * query provably consumes at most `length(frame)` — at 100 TB of
+  * media that turns a full payload slice-and-copy pass into per-row
+  * integer math.
   */
 case class SplitFrameSizes(
     payload: Expression,
     frameBytes: Int,
     everyNth: Int)
-  extends Generator with CodegenFallback {
+  extends FrameGenerator {
 
-  require(frameBytes > 0, "split_frame_sizes: frameBytes must be positive")
-  require(everyNth > 0, "split_frame_sizes: everyNth must be positive")
-
-  override def children: Seq[Expression] = Seq(payload)
   override def prettyName: String = "split_frame_sizes"
-
-  override def checkInputDataTypes(): TypeCheckResult = payload.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires binary payload, got ${t.sql}")
-  }
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("frame_idx", IntegerType, nullable = false),
@@ -101,10 +108,9 @@ case class SplitFrameSizes(
     if (v == null) Iterator.empty
     else {
       val len = v.asInstanceOf[Array[Byte]].length
-      val nFrames = (len + frameBytes - 1) / frameBytes
-      Iterator.range(0, nFrames).filter(_ % everyNth == 0).map { idx =>
+      frameIndices(len).map { idx =>
         new GenericInternalRow(Array[Any](
-          idx, math.min(frameBytes, len - idx * frameBytes)))
+          idx, math.min(frameBytes.toLong, len - idx.toLong * frameBytes).toInt))
       }
     }
   }

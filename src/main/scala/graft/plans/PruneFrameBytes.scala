@@ -32,8 +32,12 @@ import graft.functions.{SplitFrameSizes, SplitFrames}
 object PruneFrameBytes extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // outer == false only: LATERAL VIEW OUTER null-pads missing rows
+    // through Generate.qualifiedGeneratorOutput's nullability widening,
+    // which the freshly-minted non-nullable sizeAttr would defeat
+    // (a null slot read as 0 / IsNull folded to false)
     case p @ Project(projectList,
-        g @ Generate(sf: SplitFrames, _, _, _, generatorOutput, _))
+        g @ Generate(sf: SplitFrames, _, false, _, generatorOutput, _))
         if generatorOutput.length == 2 &&
           onlyMeasured(projectList, frameAttr = generatorOutput(1)) =>
       val frameAttr = generatorOutput(1)
@@ -50,17 +54,18 @@ object PruneFrameBytes extends Rule[LogicalPlan] {
 
   /** True iff every reference to `frameAttr` in the project list sits
     * directly under `length(...)` — i.e. the bytes themselves are
-    * never consumed.
+    * never consumed. A project list that never references the frame at
+    * all (pure counts: `SELECT doc_id, frame_idx`) qualifies too — the
+    * rewrite is equally safe and saves the most.
     */
   private def onlyMeasured(
       projectList: Seq[NamedExpression], frameAttr: Attribute): Boolean = {
-    val referencesFrame = projectList.exists(_.references.contains(frameAttr))
     def bareUses(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
       e match {
         case Length(a: Attribute) if a.exprId == frameAttr.exprId => 0
         case a: Attribute if a.exprId == frameAttr.exprId => 1
         case other => other.children.map(bareUses).sum
       }
-    referencesFrame && projectList.map(bareUses(_)).sum == 0
+    projectList.map(bareUses(_)).sum == 0
   }
 }

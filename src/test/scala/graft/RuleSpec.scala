@@ -28,6 +28,27 @@ class RuleSpec extends SparkSpec {
     assert(!plan.contains("split_frames("), plan)
   }
 
+  test("zero-reference frame (pure counts) also rewrites") {
+    graft.functions.GraftExtensions.register(spark)
+    val q = media
+      .select(col("media_id"), split_frames(col("payload"), 256, 2))
+      .select(col("media_id"), col("frame_idx"))
+    assert(optimized(q).contains("split_frame_sizes"), optimized(q))
+  }
+
+  test("LATERAL VIEW OUTER is NOT rewritten (null-padding semantics)") {
+    graft.functions.GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("documents_rule_outer")
+    val q = spark.sql(
+      """SELECT doc_id, length(f.frame) AS frame_bytes
+         FROM (SELECT doc_id, cast(text AS BINARY) AS payload
+               FROM documents_rule_outer)
+         LATERAL VIEW OUTER split_frames(payload, 256, 2) f
+           AS frame_idx, frame""")
+    assert(optimized(q).contains("split_frames("), optimized(q))
+    assert(!optimized(q).contains("split_frame_sizes"), optimized(q))
+  }
+
   test("byte consumers are NOT rewritten") {
     graft.functions.GraftExtensions.register(spark)
     val q = media
@@ -49,18 +70,19 @@ class RuleSpec extends SparkSpec {
       .select(col("media_id"), split_frames(col("payload"), 256, 2))
       .select(col("media_id"), col("frame_idx"),
         length(col("frame")).as("frame_bytes")))
-    // ground truth: sizes computed from the full-bytes generator
-    // WITHOUT the enclosing length-only Project shape (extra column
-    // defeats the rule)
+    // ground truth COLLECTED from the full-bytes generator: the __keep
+    // byte consumer defeats the rewrite in the very plan we execute
+    // (projecting it away before collect would re-enable the rule via
+    // CollapseProject, comparing the rewrite against itself)
     val direct = media
       .select(col("media_id"), split_frames(col("payload"), 256, 2))
       .select(col("media_id"), col("frame_idx"),
         length(col("frame")).as("frame_bytes"),
         xxhash64(col("frame")).as("__keep"))
     assert(optimized(direct).contains("split_frames("))
-    val truth = direct.select(col("media_id"), col("frame_idx"),
-      col("frame_bytes"))
-    assert(viaRule === collectRows(truth))
+    val truth = direct.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(viaRule === truth)
     assert(viaRule.nonEmpty)
 
     Tables.documents(spark, sf).createOrReplaceTempView("documents_rule_test")
