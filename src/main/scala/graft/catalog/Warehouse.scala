@@ -63,6 +63,18 @@ final class Warehouse(val root: Path) {
     publishAtomically(Map(
       name -> graft.ops.Ops.upsert(table(spark, name), delta, keys)))
 
+  /** Atomic delete: publish `table WHERE NOT cond` as a new generation
+    * (readers flip from the old snapshot to the filtered one at the
+    * manifest move; the old generation stays time-travel readable
+    * until vacuumed) — completes the mutation triad with [[upsertInto]]
+    * and SCD2 merges. `cond` selects the rows to REMOVE.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      name: String,
+      cond: org.apache.spark.sql.Column): Unit =
+    publishAtomically(Map(name -> table(spark, name).filter(!cond)))
+
   def table(spark: SparkSession, name: String): DataFrame = {
     val rel = manifest.getOrElse(name,
       throw new NoSuchElementException(s"table not published: $name"))

@@ -84,6 +84,18 @@ class WarehouseSpec extends SparkSpec {
     assert(dropped === Seq("t__1"))
   }
 
+  test("deleteWhere publishes the filtered table atomically; old " +
+      "generation stays time-travel readable") {
+    val wh = freshWh()
+    wh.publishAtomically(Map("t" -> Seq(1, 2, 3, 4).toDF("x")),
+      generation = 1L)
+    wh.deleteWhere(spark, "t", col("x") % 2 === 0)
+    assert(wh.table(spark, "t").as[Int].collect().sorted.toSeq === Seq(1, 3))
+    val before = wh.snapshots.head
+    assert(wh.tableAt(spark, "t", before).as[Int].collect().sorted.toSeq
+      === Seq(1, 2, 3, 4))
+  }
+
   test("regression: same requested generation for DISJOINT table sets " +
       "still yields distinct snapshot entries (no history truncation)") {
     val wh = freshWh()
