@@ -637,6 +637,51 @@ object Relational {
     v2023.unionByName(v2024, allowMissingColumns = true)
   }
 
+  // ---- null-semantics battery: null-safe equality, nullif, nvl2 ----
+  def p13NullOps(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(minWhere(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
+        .as("min_urgent"))
+    Tables.customer(s, d)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        (col("min_urgent") <=> lit(null)).as("no_urgent"),   // null-safe eq
+        nullif(col("c_nationkey"), lit(3)).as("nat_or_null"),
+        nvl2(col("min_urgent"), lit("has"), lit("none")).as("urgency"),
+        coalesce(col("min_urgent"), col("c_acctbal"), lit(0.0)).as("fallback"))
+  }
+
+  // ---- exact-math scalar battery (engine-identical functions only:
+  //      no exp/ln ulp roulette) ----
+  def f12Math(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      abs(col("o_totalprice") - 150000.0).as("absdev"),
+      ceil(col("o_totalprice") / 1000).cast("long").as("kceil"),
+      floor(col("o_totalprice") / 1000).cast("long").as("kfloor"),
+      pmod(col("o_orderkey"), lit(7)).as("m7"),
+      signum(col("o_totalprice") - 150000.0).cast("int").as("side"),
+      greatest(col("o_orderkey") % 13, col("o_orderkey") % 7).as("gmax"),
+      least(col("o_orderkey") % 13, col("o_orderkey") % 7).as("gmin"))
+
+  // ---- explicit cross join (tiny dims; the one join type the corpus
+  //      lacks — bounded: 5 regions x 5 priorities) ----
+  def j10Cross(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).select(col("r_name"))
+    val p = Tables.orders(s, d).select(col("o_orderpriority")).distinct()
+    r.crossJoin(p)
+  }
+
+  // ---- grouping_id over rollup: distinguish "null key" from
+  //      "rollup total" rows ----
+  def a20GroupingId(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      // grouping_id() is only resolvable INSIDE the grouping-sets agg
+      .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"))
+
   // ---- streaming-surface batch dual: tumbling event-time window
   //      (SURVEY §2.10; events table) ----
   def eTumbling(s: SparkSession, d: String): DataFrame =
@@ -701,6 +746,10 @@ object Relational {
     "w4_ntile_pctrank" -> (w4NtilePctRank _),
     "f10_tz_convert" -> (f10TzConvert _),
     "s3_union_by_name" -> (s3UnionByName _),
+    "p13_null_ops" -> (p13NullOps _),
+    "f12_math" -> (f12Math _),
+    "j10_cross" -> (j10Cross _),
+    "a20_grouping_id" -> (a20GroupingId _),
     "e1_tumbling" -> (eTumbling _))
 
   val oracles: Map[String, String] = Map(
@@ -1045,5 +1094,37 @@ object Relational {
          FROM customer WHERE c_nationkey = 1
          UNION ALL
          SELECT c_custkey, CAST(NULL AS VARCHAR), c_acctbal
-         FROM customer WHERE c_nationkey = 2""")
+         FROM customer WHERE c_nationkey = 2""",
+    "p13_null_ops" ->
+      """WITH per_cust AS (
+           SELECT o_custkey,
+                  min(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice END) AS min_urgent
+           FROM orders GROUP BY o_custkey)
+         SELECT c_custkey,
+                min_urgent IS NOT DISTINCT FROM NULL AS no_urgent,
+                NULLIF(c_nationkey, 3) AS nat_or_null,
+                CASE WHEN min_urgent IS NOT NULL THEN 'has' ELSE 'none' END
+                  AS urgency,
+                COALESCE(min_urgent, c_acctbal, 0.0) AS fallback
+         FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey""",
+    "f12_math" ->
+      """SELECT o_orderkey,
+                abs(o_totalprice - 150000.0) AS absdev,
+                CAST(ceil(o_totalprice / 1000) AS BIGINT) AS kceil,
+                CAST(floor(o_totalprice / 1000) AS BIGINT) AS kfloor,
+                o_orderkey % 7 AS m7,
+                CAST(sign(o_totalprice - 150000.0) AS INT) AS side,
+                greatest(o_orderkey % 13, o_orderkey % 7) AS gmax,
+                least(o_orderkey % 13, o_orderkey % 7) AS gmin
+         FROM orders""",
+    "j10_cross" ->
+      """SELECT r_name, o_orderpriority
+         FROM region CROSS JOIN
+              (SELECT DISTINCT o_orderpriority FROM orders)""",
+    "a20_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+                count(*) AS n
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")
 }
