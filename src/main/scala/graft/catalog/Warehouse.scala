@@ -67,13 +67,18 @@ final class Warehouse(val root: Path) {
     * (readers flip from the old snapshot to the filtered one at the
     * manifest move; the old generation stays time-travel readable
     * until vacuumed) — completes the mutation triad with [[upsertInto]]
-    * and SCD2 merges. `cond` selects the rows to REMOVE.
+    * and SCD2 merges. `cond` selects the rows to REMOVE; rows where
+    * `cond` is NULL are NOT selected and are kept (SQL DELETE
+    * semantics — a bare `filter(!cond)` would silently drop them).
     */
   def deleteWhere(
       spark: SparkSession,
       name: String,
-      cond: org.apache.spark.sql.Column): Unit =
-    publishAtomically(Map(name -> table(spark, name).filter(!cond)))
+      cond: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    publishAtomically(Map(
+      name -> table(spark, name).filter(!coalesce(cond, lit(false)))))
+  }
 
   def table(spark: SparkSession, name: String): DataFrame = {
     val rel = manifest.getOrElse(name,

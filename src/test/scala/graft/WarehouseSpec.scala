@@ -85,15 +85,18 @@ class WarehouseSpec extends SparkSpec {
   }
 
   test("deleteWhere publishes the filtered table atomically; old " +
-      "generation stays time-travel readable") {
+      "generation stays time-travel readable; NULL predicates keep rows") {
     val wh = freshWh()
-    wh.publishAtomically(Map("t" -> Seq(1, 2, 3, 4).toDF("x")),
+    wh.publishAtomically(
+      Map("t" -> Seq(Some(1), Some(2), Some(3), Some(4), None).toDF("x")),
       generation = 1L)
     wh.deleteWhere(spark, "t", col("x") % 2 === 0)
-    assert(wh.table(spark, "t").as[Int].collect().sorted.toSeq === Seq(1, 3))
+    // x=2, x=4 removed; the NULL row is NOT selected by the predicate
+    // (cond evaluates NULL) and must survive, per SQL DELETE semantics
+    assert(wh.table(spark, "t").as[Option[Int]].collect().toSet
+      === Set(Some(1), Some(3), None))
     val before = wh.snapshots.head
-    assert(wh.tableAt(spark, "t", before).as[Int].collect().sorted.toSeq
-      === Seq(1, 2, 3, 4))
+    assert(wh.tableAt(spark, "t", before).count() === 5)
   }
 
   test("regression: same requested generation for DISJOINT table sets " +
