@@ -74,26 +74,28 @@ object ConnectedComponents {
   }
 
   /** Convergence probe: the (distinct, src>dst) edge set is a finished
-    * star forest iff BOTH hold:
-    *  (a) every src has exactly ONE parent — a node attached to two
-    *      roots means its component is still split mid-merge (e.g.
-    *      edges {5-10, 5-20, 1-10, 2-20} pass probe (b) alone after one
-    *      round with node 5 under roots 1 AND 2 — not converged);
-    *  (b) no parent is itself a child (no dst appears as a src).
+    * star forest iff, per node n with parents(n) = #edges where n is
+    * src and children(n) = #edges where n is dst, BOTH hold:
+    *  (a) parents(n) <= 1 — a node attached to two roots means its
+    *      component is still split mid-merge (e.g. edges
+    *      {5-10, 5-20, 1-10, 2-20} after one round hang node 5 under
+    *      roots 1 AND 2: chain-free but NOT converged);
+    *  (b) not (parents(n) >= 1 and children(n) >= 1) — no parent is
+    *      itself a child.
     * Star forest + the rounds' connectivity preservation ⇒ the forest
-    * is the true component partition. Two small probe jobs per round;
-    * detects convergence the round stars form (a consecutive-round
-    * fingerprint compare needs an extra confirming round).
+    * is the true component partition. ONE aggregation job per round
+    * (node-keyed, map-side combined), and it detects convergence the
+    * round stars form (a consecutive-round fingerprint compare needs
+    * an extra confirming round).
     */
-  private def isStarForest(e: DataFrame): Boolean = {
-    val uniqueParents = e.groupBy(col("src"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1)
+  private def isStarForest(e: DataFrame): Boolean =
+    e.select(col("src").as("n"), lit(1L).as("p"), lit(0L).as("c"))
+      .union(e.select(col("dst").as("n"), lit(0L).as("p"), lit(1L).as("c")))
+      .groupBy(col("n"))
+      .agg(sum(col("p")).as("parents"), sum(col("c")).as("children"))
+      .filter(col("parents") > 1 ||
+        (col("parents") >= 1 && col("children") >= 1))
       .isEmpty
-    uniqueParents && e.select(col("dst").as("n"))
-      .join(e.select(col("src").as("n")), Seq("n"), "left_semi")
-      .isEmpty
-  }
 
   /** Connected components of the undirected graph given by `edges`.
     *
