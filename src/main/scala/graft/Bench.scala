@@ -41,10 +41,30 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%8.2f s  ($n rows)")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ONE compact JSON line. The driver records only the LAST ~2000
+    // characters of the run log; a per-query map over the full query
+    // set (~94 entries) is ~3000 chars and gets truncated mid-line,
+    // making the metric unparseable. So: value = total seconds across
+    // ALL queries run (n = how many), and "queries" carries a curated
+    // headline subset (one per operator family, 3-decimal seconds)
+    // that keeps the whole line comfortably inside the capture window.
+    // Full per-query timings still go to stderr above.
+    val headline = Seq(
+      "q0_flagship_bldgs", "a1_group_count", "a5_sum_pricing",
+      "a6_first_ordered", "a7_array_agg", "a12_rollup", "a15_percentiles",
+      "a19_hll_rollup", "j1_left_join_agg", "j5_broadcast_lookup",
+      "j8_range_join", "asof1_backward", "w1_running", "o3_topk_per_group",
+      "d1_distinct_on", "e1_tumbling", "e3_session", "e4_interval_join",
+      "g1_components", "hh1_heavy_hitters", "dd1_exact", "dd2_minhash_pairs",
+      "dd5_embedding_neardup", "dd6_cluster_keep", "ann1_bruteforce",
+      "ann3_ivf", "t1_tokens", "t9_tfidf", "u1_upsert", "pipe1_corpus_clean",
+      "x1_sql_cosine", "sk2_salted_join")
+    val byName = results.toMap
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + r3(v)))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -198,7 +198,16 @@ final class Warehouse(val root: Path) {
       Files.createDirectories(snapshotsDir)
       Files.write(snapshotsDir.resolve(s"manifest-$gen.json"),
         nextJson.getBytes(StandardCharsets.UTF_8))
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      case e: java.io.IOException =>
+        // deliberately non-fatal (the publish IS live), but a
+        // persistent snapshots-dir problem silently disables time
+        // travel + vacuum retention — leave a signal
+        System.err.println(
+          s"[warehouse] WARN: snapshot-log entry for generation $gen " +
+            s"not written (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+            "time travel to this generation will be unavailable")
+    }
   }
 
   /** Drop data generations no longer referenced by the manifest or the

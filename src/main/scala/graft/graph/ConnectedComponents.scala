@@ -40,6 +40,33 @@ object ConnectedComponents {
     */
   private def truncate(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Free a superseded round's checkpoint blocks. localCheckpoint
+    * stores the round's edge set as cached RDD blocks; without an
+    * explicit unpersist, cleanup waits on ContextCleaner GC, so peak
+    * storage would grow with round count on large graphs. The plan a
+    * localCheckpoint returns is a single LogicalRDD leaf — unpersist
+    * its RDD once the next round has materialized.
+    */
+  private def release(df: DataFrame): Unit = {
+    silenceExpectedUnpersistWarn
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
+  /** RDD.unpersist on a locally-checkpointed RDD logs a WARN that the
+    * lineage cannot be recomputed — correct in general, but here it is
+    * the POINT (the superseded round is dead; nothing references it),
+    * and one warning per round is pure noise in long jobs. Silence
+    * that one logger (it logs nothing else at WARN).
+    */
+  private lazy val silenceExpectedUnpersistWarn: Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+
   /** Large-star: every node u attaches its LARGER neighbors to
     * m(u) = min(u ∪ neighbors(u)). Keeps connectivity, strictly reduces
     * the height of tall trees. Output may carry duplicates (two u's can
@@ -126,7 +153,9 @@ object ConnectedComponents {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && it < maxIter) {
       val t0 = System.nanoTime()
-      e = truncate(smallStar(largeStar(e)))
+      val next = truncate(smallStar(largeStar(e)))
+      release(e) // next is materialized; the prior round's blocks are dead
+      e = next
       val t1 = System.nanoTime()
       converged = isStarForest(e)
       it += 1

@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
+  /** A temp-column name guaranteed absent from `taken` (user data may
+    * legitimately contain a column named `__salt`; overwriting it would
+    * corrupt the input and dropping it afterwards would lose it).
+    */
+  private def freshCol(base: String, taken: Iterable[String]): String = {
+    val used = taken.toSet
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(!used(_)).get
+  }
+
   /** `count(*) FILTER (WHERE cond)` / `count(CASE WHEN cond THEN 1 END)` —
     * reference `wow_original_create_bldgs_table.sql:23`,
     * `wow_2021_create_bldgs_table.sql:58,92`.
@@ -71,9 +82,10 @@ object Ops {
       saltBuckets: Int)(
       partial: Seq[Column],
       merge: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt",
+    val saltCol = freshCol("__salt", df.columns)
+    val salted = df.withColumn(saltCol,
       pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
-    salted.groupBy(keys :+ col("__salt"): _*)
+    salted.groupBy(keys :+ col(saltCol): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys: _*)
       .agg(merge.head, merge.tail: _*)
@@ -91,8 +103,9 @@ object Ops {
     * explicit salting is the deterministic-plan alternative when the
     * skew is known up front (3-value status keys over billions of
     * rows) or when AQE is unavailable (streaming micro-batches).
-    * The salt derives from a hash of the fact row's id expression —
-    * any assignment is correct; spreading quality only affects balance.
+    * The salt derives from a hash of the fact row's physical position
+    * (`monotonically_increasing_id`) — any assignment is correct;
+    * spreading quality only affects balance, never the result.
     */
   def saltedJoin(
       facts: DataFrame,
@@ -106,11 +119,12 @@ object Ops {
         .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left joins only, got $joinType " +
         "(unmatched dim rows would appear once per salt bucket)")
-    val salted = facts.withColumn("__salt",
+    val saltCol = freshCol("__salt", facts.columns ++ dim.columns)
+    val salted = facts.withColumn(saltCol,
       pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
-    val replicated = dim.withColumn("__salt",
+    val replicated = dim.withColumn(saltCol,
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
-    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+    salted.join(replicated, keys :+ saltCol, joinType).drop(saltCol)
   }
 
   /** Merge/upsert: `delta` rows replace same-key `base` rows; delta

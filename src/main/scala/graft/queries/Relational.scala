@@ -321,15 +321,18 @@ object Relational {
     * OpsSpec.
     */
   def a19HllRollup(s: SparkSession, d: String): DataFrame = {
-    // persist the (3-row) sketch table: both union branches reference
-    // it, and without materialization the lazy plan would re-scan and
-    // re-aggregate lineitem per branch — the exact rescan this
-    // operator exists to avoid (same CacheManager caveat as
-    // pipe1_corpus_clean; production stores the sketch table at rest)
+    // materialize the (3-row) sketch table once: both union branches
+    // reference it, and without materialization the lazy plan would
+    // re-scan and re-aggregate lineitem per branch — the exact rescan
+    // this operator exists to avoid. localCheckpoint (not persist):
+    // persist() pins a CacheManager entry for the session lifetime
+    // unless the caller unpersists, which a queries()-map entry can't
+    // arrange; checkpointed blocks are GC'd with the plan reference
+    // (production stores the sketch table at rest instead)
     val perFlag = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(hll_sketch_agg(col("l_orderkey"), 14).as("sk"))
-      .persist()
+      .localCheckpoint(true)
     perFlag
       .select(col("l_returnflag"),
         hll_sketch_estimate(col("sk")).as("n_orders_est"))
