@@ -38,7 +38,8 @@ object GraftExtensions {
     "simhash64" -> 1, "minhash_tokens_sig" -> 3,
     "minhash_band_hashes" -> 2, "char_ngram_set" -> 2,
     "array_match_frac" -> 2, "normalize_unicode" -> 2,
-    "bounded_topn" -> 2, "freq_items" -> 2, "split_frames" -> 3)
+    "bounded_topn" -> 2, "freq_items" -> 2, "split_frames" -> 3,
+    "kll_sketch_agg" -> 2, "kll_merge_agg" -> 2, "kll_quantiles" -> 2)
 
   private[functions] def guarded(
       name: String,
@@ -114,6 +115,23 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"freq_items: k must be an integer literal, got $other")
         }),
+    "kll_sketch_agg" ->
+      ("kll_sketch_agg(dbl, k) - mergeable KLL quantile sketch bytes (aggregate)",
+        (exprs: Seq[Expression]) => exprs(1) match {
+          case Literal(n: Int, _) => KllSketchAgg(exprs(0), n)
+          case other => throw new IllegalArgumentException(
+            s"kll_sketch_agg: k must be an integer literal, got $other")
+        }),
+    "kll_merge_agg" ->
+      ("kll_merge_agg(sketch, k) - union of KLL sketch bytes (aggregate)",
+        (exprs: Seq[Expression]) => exprs(1) match {
+          case Literal(n: Int, _) => KllMergeAgg(exprs(0), n)
+          case other => throw new IllegalArgumentException(
+            s"kll_merge_agg: k must be an integer literal, got $other")
+        }),
+    "kll_quantiles" ->
+      ("kll_quantiles(sketch, ranks) - quantile values at the given ranks",
+        (exprs: Seq[Expression]) => KllQuantiles(exprs(0), exprs(1))),
     "split_frames" ->
       ("split_frames(payload, frameBytes, everyNth) - sampled (frame_idx, frame) rows (generator)",
         (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {

@@ -342,6 +342,36 @@ object Relational {
         .select(lit("__ALL__").as("l_returnflag"), col("n_orders_est")))
   }
 
+  /** Mergeable KLL quantile-sketch rollup
+    * ([[graft.functions.KllExpressions]]) — the quantile counterpart
+    * of [[a19HllRollup]]: one KLL sketch per group, then the global
+    * p50/p95 from a lossless-error MERGE of the group sketches,
+    * without rescanning lineitem. At 100 TB the sketch column is
+    * stored per partition/day and any later quantile query (any group
+    * subset) is answered in O(#sketches) — no raw-data pass.
+    * Rows-only at the driver gate and excluded from the run-twice
+    * determinism regression: KLL compaction flips coins, so estimates
+    * carry the rank-error bound (asserted in SketchSpec) rather than
+    * bitwise stability.
+    */
+  def kll1QuantileRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KllExpressions._
+    // materialized once for the same double-reference reason as a19
+    val perFlag = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(kll_sketch_agg(col("l_extendedprice").cast("double")).as("sk"))
+      .localCheckpoint(true)
+    val ranks = array(lit(0.5), lit(0.95))
+    perFlag
+      .select(col("l_returnflag"), kll_quantiles(col("sk"), ranks).as("qs"))
+      .unionByName(perFlag
+        .agg(kll_quantiles(kll_merge_agg(col("sk")), ranks).as("qs"))
+        .select(lit("__ALL__").as("l_returnflag"), col("qs")))
+      .select(col("l_returnflag"),
+        col("qs").getItem(0).as("p50_est"),
+        col("qs").getItem(1).as("p95_est"))
+  }
+
   /** Misra-Gries heavy hitters ([[graft.functions.FreqItems]]) run in
     * the EXACT regime: k=8 counters over a 5-value column, so no
     * decrement ever fires and the sketch returns true counts —
@@ -727,6 +757,7 @@ object Relational {
     "a13_distinct_counts" -> (a13DistinctCounts _),
     "a14_approx_distinct" -> (a14ApproxDistinct _),
     "a19_hll_rollup" -> (a19HllRollup _),
+    "kll1_quantile_rollup" -> (kll1QuantileRollup _),
     "a15_percentiles" -> (a15Percentiles _),
     "sk1_salted_agg" -> (sk1SaltedAgg _),
     "sk2_salted_join" -> (sk2SaltedJoin _),

@@ -35,13 +35,20 @@ class EntrySpec extends SparkSpec {
   test("every query is run-to-run deterministic (the tie-break trap)") {
     // the flagship lastsaleprice bug (non-total ordering) surfaced only
     // at sf0.1 — this guards the whole surface: two executions must
-    // produce identical canonicalized results
+    // produce identical canonicalized results.
+    // kll1 is the one exception BY CONTRACT: KLL compaction flips
+    // coins, so its estimates carry a rank-error bound (SketchSpec)
+    // instead of bitwise stability — row count is still checked here.
+    val sketchJitter = Set("kll1_quantile_rollup")
     def canon(name: String): Seq[String] = {
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect().map(_.toString).sorted.toSeq
     }
     SparkEntry.queries.keys.foreach { name =>
-      assert(canon(name) === canon(name), s"nondeterministic: $name")
+      if (sketchJitter(name))
+        assert(canon(name).length === canon(name).length, s"row count unstable: $name")
+      else
+        assert(canon(name) === canon(name), s"nondeterministic: $name")
     }
   }
 }

@@ -104,4 +104,72 @@ class SketchSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(out === Seq(("a", 2L), ("b", 1L)))
   }
+
+  // ---- KLL quantile sketch (graft.functions.KllExpressions) --------
+
+  import graft.functions.KllExpressions._
+
+  test("KLL: rank error within the k=200 bound on a known distribution, " +
+      "across many partitions") {
+    // values 0..99999 => true quantile at rank r is ~ r * 100000.
+    // k=200 one-sided normalized rank error is ~1.65% (99% conf);
+    // assert 3% to keep the test stable across coin flips.
+    val n = 100000
+    val df = (0 until n).map(_.toDouble).toDF("v").repartition(16)
+    val qs = df.agg(kll_quantiles(
+        kll_sketch_agg(col("v")), array(lit(0.1), lit(0.5), lit(0.99))).as("q"))
+      .select(col("q").getItem(0), col("q").getItem(1), col("q").getItem(2))
+      .as[(Double, Double, Double)].head()
+    def rankOf(v: Double): Double = v / n
+    assert(math.abs(rankOf(qs._1) - 0.10) < 0.03, s"p10 -> ${qs._1}")
+    assert(math.abs(rankOf(qs._2) - 0.50) < 0.03, s"p50 -> ${qs._2}")
+    assert(math.abs(rankOf(qs._3) - 0.99) < 0.03, s"p99 -> ${qs._3}")
+  }
+
+  test("KLL rollup: merged per-group sketches answer global quantiles " +
+      "within the error bound (no rescan)") {
+    val n = 60000
+    val df = (0 until n).map(i => (i % 3, i.toDouble)).toDF("g", "v")
+      .repartition(8)
+    val perGroup = df.groupBy("g").agg(kll_sketch_agg(col("v")).as("sk"))
+    val global = perGroup
+      .agg(kll_quantiles(kll_merge_agg(col("sk")), array(lit(0.5))).as("q"))
+      .select(col("q").getItem(0)).as[Double].head()
+    // global median of 0..n-1 is ~n/2; merged estimate must land
+    // within the (post-merge) rank error of ~3%
+    assert(math.abs(global / n - 0.5) < 0.04, s"merged p50 -> $global")
+  }
+
+  test("KLL: empty input and all-null input yield an empty sketch -> " +
+      "null quantiles, not an error") {
+    val empty = Seq.empty[Double].toDF("v")
+      .agg(kll_quantiles(kll_sketch_agg(col("v")), array(lit(0.5))).as("q"))
+      .collect()
+    assert(empty.length === 1 && empty.head.isNullAt(0))
+    val nulls = Seq[Option[Double]](None, None).toDF("v")
+      .agg(kll_quantiles(kll_sketch_agg(col("v")), array(lit(0.5))).as("q"))
+      .collect()
+    assert(nulls.length === 1 && nulls.head.isNullAt(0))
+  }
+
+  test("KLL: plans as ObjectHashAggregate with partial merge (map-side " +
+      "sketching; O(k) bytes per group on the shuffle)") {
+    val df = (0 until 1000).map(_.toDouble).toDF("v").repartition(4)
+      .agg(kll_sketch_agg(col("v")).as("sk"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_kll_sketch_agg"), plan)
+  }
+
+  test("SQL surface: kll_sketch_agg / kll_merge_agg / kll_quantiles " +
+      "callable as text") {
+    graft.functions.GraftExtensions.register(spark)
+    (0 until 10000).map(_.toDouble).toDF("v").createOrReplaceTempView("kll_in")
+    val p50 = spark.sql(
+      """SELECT kll_quantiles(kll_merge_agg(sk, 200), array(0.5d))[0]
+        |FROM (SELECT kll_sketch_agg(v, 200) AS sk FROM kll_in GROUP BY
+        |      CAST(v AS INT) % 4)""".stripMargin)
+      .as[Double].head()
+    assert(math.abs(p50 / 10000 - 0.5) < 0.04, s"sql p50 -> $p50")
+  }
 }
