@@ -224,6 +224,24 @@ object Extensions {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"))
 
+  /** Deterministic fixed-SIZE sample: 5 docs per language by Knuth
+    * multiplicative-hash priority (engine-portable, so DuckDB
+    * reproduces the EXACT sample — priority sampling's cross-engine
+    * reproducibility is the point). Bottom-k runs inside a partial
+    * aggregate: only k rows per group per task reach the shuffle.
+    */
+  def smp2SampleK(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.sampling.Sampling.sampleKPerGroup(
+      docs,
+      groupCols = Seq("lang"),
+      priority = graft.sampling.Sampling.knuthPriority(col("doc_id"), 42L),
+      payload = Seq(
+        "prio" -> graft.sampling.Sampling.knuthPriority(col("doc_id"), 42L),
+        "doc_id" -> col("doc_id")),
+      k = 5)
+  }
+
   // ---- end-to-end corpus cleaning pipeline (composition demo) ------
 
   /** The canonical training-data prep chain: quality gate -> exact
@@ -442,11 +460,26 @@ object Extensions {
     "g1_components" -> (g1Components _),
     "dd6_cluster_keep" -> (dd6ClusterKeep _),
     "smp1_stratified" -> (smp1Stratified _),
+    "smp2_sample_k" -> (smp2SampleK _),
     "e2_sliding" -> (e2Sliding _),
     "e3_session" -> (e3Session _),
     "e4_interval_join" -> (e4IntervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    // priority sampling is engine-portable by construction: the Knuth
+    // multiplicative hash is plain integer arithmetic, so DuckDB
+    // reproduces the EXACT sample (not just its size)
+    "smp2_sample_k" ->
+      """WITH pri AS (
+           SELECT lang, doc_id,
+                  (CAST(doc_id AS BIGINT) * 2654435761 + 42) % 4294967296 AS prio
+           FROM documents),
+         ranked AS (
+           SELECT lang, prio, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY prio, doc_id) AS rk
+           FROM pri)
+         SELECT lang, prio, doc_id FROM ranked WHERE rk <= 5""",
     "g1_components" ->
       """SELECT CAST(c_custkey AS BIGINT) AS node,
                 CAST(min(c_custkey) OVER (

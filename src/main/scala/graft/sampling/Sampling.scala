@@ -1,6 +1,6 @@
 package graft.sampling
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus sampling / mixing for training-data pipelines: seeded
@@ -34,5 +34,58 @@ object Sampling {
       require(w > 0 && w <= 1.0, s"weight must be in (0,1]: $w")
       if (w >= 1.0) df else df.sample(withReplacement = false, w, seed + i)
     }.reduce(_ unionByName _)
+  }
+
+  // ---- fixed-SIZE deterministic sampling (hash-priority bottom-k) --
+
+  /** Sampling priority of a row: a seeded hash of its key. Rows are
+    * "reservoir-sampled" by keeping the k SMALLEST priorities — the
+    * distributed-native formulation of reservoir sampling (priority /
+    * consistent sampling): order-independent, mergeable (bounded heaps
+    * compose), reproducible across runs AND across engines, and
+    * re-runnable incrementally (a new row displaces the current max
+    * priority iff its hash is smaller — no resampling of history).
+    *
+    * xxhash64 keyed by the seed gives the well-mixed default. The
+    * demo queries use this form; for cross-engine ORACLE comparisons
+    * use [[knuthPriority]] (expressible in any SQL dialect).
+    */
+  def hashPriority(key: Column, seed: Long): Column =
+    xxhash64(lit(seed), key)
+
+  /** Knuth multiplicative-hash priority — engine-portable (plain
+    * integer arithmetic, no engine-specific hash), so a DuckDB/
+    * Postgres oracle can reproduce the exact sample. Requires a
+    * non-negative integral key < 2^31 (the multiply must not overflow
+    * a 64-bit signed int under ANSI mode); prefer [[hashPriority]]
+    * when portability is not needed.
+    */
+  def knuthPriority(key: Column, seed: Long): Column =
+    pmod(key.cast("long") * lit(2654435761L) + lit(seed),
+      lit(4294967296L))
+
+  /** Deterministic k-sample per group: bounded-heap bottom-k by
+    * priority inside a partial aggregate ([[graft.functions
+    * .BoundedTopN]]) — only k rows per group per TASK reach the
+    * shuffle, so a group with a billion rows costs the same shuffle
+    * bytes as a group with k. Ties cannot occur (priority, key) is
+    * total when keys are unique; duplicate keys tiebreak by key.
+    *
+    * Returns the input columns of `payload` plus nothing else; the
+    * priority is stripped after selection.
+    */
+  def sampleKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      priority: Column,
+      payload: Seq[(String, Column)],
+      k: Int): DataFrame = {
+    val e = struct(
+      (priority.as("__prio") +: payload.map { case (n, c) => c.as(n) }): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.AggFunctions.bounded_topn(e, k).as("__sample"))
+      .select((groupCols.map(col) :+ explode(col("__sample")).as("__r")): _*)
+      .select((groupCols.map(col) ++
+        payload.map { case (n, _) => col(s"__r.$n") }): _*)
   }
 }

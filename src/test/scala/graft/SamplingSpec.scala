@@ -25,6 +25,43 @@ class SamplingSpec extends SparkSpec {
     assert(again === sampled.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("sampleKPerGroup: exactly k per group, equals sort-based bottom-k, order-independent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val prio = Sampling.knuthPriority(col("doc_id"), 42L)
+    val sampled = Sampling.sampleKPerGroup(
+      docs, Seq("lang"), prio, Seq("doc_id" -> col("doc_id")), k = 5)
+    val counts = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 5L), counts)
+
+    // oracle: window-sort bottom-k by the same priority
+    val expected = docs
+      .withColumn("__p", prio)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("__p"), col("doc_id"))))
+      .filter(col("__rk") <= 5)
+      .select("lang", "doc_id")
+    assert(sampled.select("lang", "doc_id").except(expected).count() === 0)
+    assert(expected.except(sampled.select("lang", "doc_id")).count() === 0)
+
+    // order-independence: a repartitioned, differently-ordered input
+    // yields the identical sample (priority sampling is a function of
+    // the DATA, not the partitioning)
+    val shuffled = Sampling.sampleKPerGroup(
+      docs.repartition(7, col("doc_id")).sortWithinPartitions(desc("text")),
+      Seq("lang"), prio, Seq("doc_id" -> col("doc_id")), k = 5)
+    assert(shuffled.select("lang", "doc_id").except(expected).count() === 0)
+    assert(expected.except(shuffled.select("lang", "doc_id")).count() === 0)
+  }
+
+  test("knuthPriority is injective on distinct keys (odd multiplier mod 2^32)") {
+    val n = (1L to 10000L).toDF("id")
+    val distinctPrios = n.select(Sampling.knuthPriority(col("id"), 7L).as("p"))
+      .distinct().count()
+    assert(distinctPrios === 10000L)
+  }
+
   test("weightedMix unions weighted samples of each source") {
     val a = (1L to 100L).toDF("id").withColumn("src", lit("a"))
     val b = (101L to 200L).toDF("id").withColumn("src", lit("b"))
