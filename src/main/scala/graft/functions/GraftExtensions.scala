@@ -39,7 +39,8 @@ object GraftExtensions {
     "minhash_band_hashes" -> 2, "char_ngram_set" -> 2,
     "array_match_frac" -> 2, "normalize_unicode" -> 2,
     "bounded_topn" -> 2, "freq_items" -> 2, "split_frames" -> 3,
-    "kll_sketch_agg" -> 2, "kll_merge_agg" -> 2, "kll_quantiles" -> 2)
+    "kll_sketch_agg" -> 2, "kll_merge_agg" -> 2, "kll_quantiles" -> 2,
+    "bloom_agg" -> 3, "might_contain" -> 2)
 
   private[functions] def guarded(
       name: String,
@@ -132,6 +133,17 @@ object GraftExtensions {
     "kll_quantiles" ->
       ("kll_quantiles(sketch, ranks) - quantile values at the given ranks",
         (exprs: Seq[Expression]) => KllQuantiles(exprs(0), exprs(1))),
+    "bloom_agg" ->
+      ("bloom_agg(key, numBits, numHashes) - mergeable bloom-filter blob over integral keys (aggregate)",
+        (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
+          case (Literal(m: Int, _), Literal(k: Int, _)) =>
+            BloomFilterAgg(exprs(0), m, k)
+          case other => throw new IllegalArgumentException(
+            s"bloom_agg: numBits and numHashes must be integer literals, got $other")
+        }),
+    "might_contain" ->
+      ("might_contain(bloom, key) - false means key definitely absent from the bloom's build set",
+        (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))),
     "split_frames" ->
       ("split_frames(payload, frameBytes, everyNth) - sampled (frame_idx, frame) rows (generator)",
         (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {

@@ -185,6 +185,42 @@ object Relational {
     withOrders.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_active"))
   }
 
+  /** Bloom-filter join pruning (the explicit runtime-filter shape):
+    * aggregate the selective dim side's join keys into one broadcast
+    * bloom blob, drop fact rows that cannot match BEFORE the join, then
+    * let the exact semi-join remove the bloom's false positives. No
+    * false negatives ⇒ result identical to the plain semi-join (the
+    * oracle); the bloom only changes how many fact rows reach the join.
+    * At 100 TB this is the difference between shuffling the full fact
+    * table and shuffling the ~matching slice.
+    */
+  def bf1BloomPrune(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000)
+      .select(col("o_orderkey"))
+    // 2^17 bits = 16 KiB blob: >10 bits/key up to ~13k build keys
+    // (fpp <1%); production sizes m from the dim-side count estimate.
+    // The blob is materialized on the driver and injected as a LITERAL
+    // (one small job over the already-filtered dim side): a broadcast
+    // cross-join would leave the probe as a join child that Catalyst's
+    // reorder can (and does) hoist ABOVE the exact semi-join, running
+    // the bloom after the join it exists to protect. As a literal the
+    // probe is a plain scan-adjacent codegen filter — nothing can
+    // reorder it, and the fact scan never emits non-candidate rows.
+    val blob = urgent
+      .agg(bloom_agg(col("o_orderkey"), 1 << 17, 7).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pruned = Tables.lineitem(s, d)
+      .filter(might_contain(lit(blob), col("l_orderkey")))
+    pruned
+      .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
   def jAnti(s: SparkSession, d: String): DataFrame = {
     val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
     Tables.customer(s, d)
@@ -741,6 +777,7 @@ object Relational {
     "j4_dim_lookup" -> (j4DimLookup _),
     "j5_broadcast_lookup" -> (j5BroadcastLookup _),
     "j6_semi" -> (jSemi _),
+    "bf1_bloom_prune" -> (bf1BloomPrune _),
     "j7_anti" -> (jAnti _),
     "p1_predicates" -> (pPredicates _),
     "p6_regex" -> (p6Regex _),
@@ -871,6 +908,18 @@ object Relational {
       """SELECT c_mktsegment, count(*) AS n_active FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          GROUP BY c_mktsegment""",
+    // the bloom prefilter admits false positives only; the exact
+    // semi-join that follows removes them, so the composition equals
+    // the plain EXISTS — hash-checkable despite the sketch inside
+    "bf1_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_orderkey = l_orderkey
+                         AND o_orderpriority = '1-URGENT'
+                         AND o_totalprice > 150000)
+         GROUP BY l_returnflag""",
     "j7_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders
