@@ -100,35 +100,94 @@ object ConnectedComponents {
     rewired.union(self).distinct()
   }
 
-  /** Convergence probe: the (distinct, src>dst) edge set is a finished
-    * star forest iff, per node n with parents(n) = #edges where n is
-    * src and children(n) = #edges where n is dst, BOTH hold:
+  /** Convergence probe + edge count, fused into ONE aggregation job
+    * per round (node-keyed, map-side combined). The edge set is a
+    * finished min-rooted star forest iff, per node n with
+    * parents(n) = #edges where n is src and children(n) = #edges where
+    * n is dst, ALL hold:
     *  (a) parents(n) <= 1 — a node attached to two roots means its
     *      component is still split mid-merge (e.g. edges
     *      {5-10, 5-20, 1-10, 2-20} after one round hang node 5 under
     *      roots 1 AND 2: chain-free but NOT converged);
     *  (b) not (parents(n) >= 1 and children(n) >= 1) — no parent is
-    *      itself a child.
+    *      itself a child;
+    *  (c) src > dst on every edge — roots must be their component's
+    *      MINIMUM for the (node, component=min id) contract; the probe
+    *      now also runs BEFORE round 1, where an input like {(1,2)}
+    *      is star-shaped but rooted at the max.
     * Star forest + the rounds' connectivity preservation ⇒ the forest
-    * is the true component partition. ONE aggregation job per round
-    * (node-keyed, map-side combined), and it detects convergence the
-    * round stars form (a consecutive-round fingerprint compare needs
-    * an extra confirming round).
+    * is the true component partition, detected the round stars form
+    * (a consecutive-round fingerprint compare needs an extra
+    * confirming round). The same job returns |E| (sum of parent
+    * markers) to drive the driver-finish cutover, costing no extra
+    * action.
     */
-  private def isStarForest(e: DataFrame): Boolean =
-    e.select(col("src").as("n"), lit(1L).as("p"), lit(0L).as("c"))
-      .union(e.select(col("dst").as("n"), lit(0L).as("p"), lit(1L).as("c")))
+  private def probe(e: DataFrame): (Boolean, Long) = {
+    val row = e.select(col("src").as("n"), lit(1L).as("p"), lit(0L).as("c"),
+        (col("src") <= col("dst")).cast("long").as("v"))
+      .union(e.select(col("dst").as("n"), lit(0L).as("p"), lit(1L).as("c"),
+        lit(0L).as("v")))
       .groupBy(col("n"))
-      .agg(sum(col("p")).as("parents"), sum(col("c")).as("children"))
-      .filter(col("parents") > 1 ||
-        (col("parents") >= 1 && col("children") >= 1))
-      .isEmpty
+      .agg(sum(col("p")).as("parents"), sum(col("c")).as("children"),
+        sum(col("v")).as("bad_orient"))
+      .agg(
+        (count(when(col("parents") > 1 ||
+          (col("parents") >= 1 && col("children") >= 1), 1)) +
+          coalesce(sum(col("bad_orient")), lit(0L))).as("violations"),
+        coalesce(sum(col("parents")), lit(0L)).as("edges"))
+      .head()
+    (row.getLong(0) == 0L, row.getLong(1))
+  }
+
+  /** Small-graph finish: one collect + union-find instead of O(log n)
+    * rounds of cluster jobs. Star contraction shrinks the working edge
+    * set toward one edge per non-root node; the moment it fits on the
+    * driver, each remaining round's fixed cost (two shuffles + a
+    * checkpoint + a probe job) dwarfs a linear-time local pass. Union
+    * attaches the larger root under the smaller, so the final root of
+    * every tree is the component MINIMUM — identical labeling to the
+    * distributed path (GraphSpec asserts row-for-row equality).
+    * Memory: ~48 B/entry transient on the driver — ~100 MB at the
+    * 2M-edge default threshold.
+    */
+  private def driverFinish(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = new java.util.HashSet[Long]()
+    pairs.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+    nodes.forEach(n => out += ((n, find(n))))
+    spark.createDataset(out.toSeq).toDF("node", "component")
+  }
 
   /** Connected components of the undirected graph given by `edges`.
+    *
+    * Hybrid execution: distributed star-contraction rounds run only
+    * while the (shrinking) edge set exceeds `driverFinishEdges`; below
+    * that, a single collect + union-find finishes the job. At 100 TB
+    * the first rounds are genuinely distributed; the tail — where each
+    * round is all fixed overhead — is not worth a cluster job.
     *
     * @param edges  any DataFrame with two integral node-id columns
     * @param nodes  optional single-column DataFrame of ALL node ids —
     *               ids with no edges become singleton components
+    * @param driverFinishEdges  collect-and-finish threshold; 0 forces
+    *               the fully distributed path (used by tests)
     * @return (node BIGINT, component BIGINT) — component is the minimum
     *         node id in the node's component
     */
@@ -137,7 +196,8 @@ object ConnectedComponents {
       srcCol: String,
       dstCol: String,
       nodes: Option[DataFrame] = None,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      driverFinishEdges: Long = 2000000L): DataFrame = {
     // materialize the cleaned input ONCE: each round references the
     // edge set several times (symmetrization + both join sides), so an
     // unmaterialized upstream plan would be re-evaluated 4x in round 1
@@ -148,29 +208,37 @@ object ConnectedComponents {
         col("src") =!= col("dst"))
       .distinct())
 
-    var converged = false
+    var (converged, cnt) = probe(e)
     var it = 0
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    while (!converged && it < maxIter) {
+    while (!converged && cnt > driverFinishEdges && it < maxIter) {
       val t0 = System.nanoTime()
       val next = truncate(smallStar(largeStar(e)))
       release(e) // next is materialized; the prior round's blocks are dead
       e = next
       val t1 = System.nanoTime()
-      converged = isStarForest(e)
+      val (c2, n2) = probe(e)
+      converged = c2; cnt = n2
       it += 1
       if (debug) System.err.println(
-        f"[cc] round $it: star=${(t1 - t0) / 1e9}%.2fs probe=${(System.nanoTime() - t1) / 1e9}%.2fs converged=$converged")
+        f"[cc] round $it: star=${(t1 - t0) / 1e9}%.2fs probe=${(System.nanoTime() - t1) / 1e9}%.2fs converged=$converged edges=$cnt")
     }
-    if (!converged)
+    if (!converged && cnt > driverFinishEdges)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
 
-    // Converged state is a star forest: every edge is (member, root).
-    val members = e.select(col("src").as("node"), col("dst").as("component"))
-    val roots = e.select(col("dst")).distinct()
-      .select(col("dst").as("node"), col("dst").as("component"))
-    val connected = members.union(roots)
+    val connected = if (converged) {
+      // Converged state is a star forest: every edge is (member, root).
+      val members = e.select(col("src").as("node"), col("dst").as("component"))
+      val roots = e.select(col("dst")).distinct()
+        .select(col("dst").as("node"), col("dst").as("component"))
+      members.union(roots)
+    } else {
+      if (debug) System.err.println(s"[cc] driver finish at $cnt edges")
+      val fin = driverFinish(e) // eager collect; e's blocks are dead after
+      release(e)
+      fin
+    }
     nodes match {
       case None => connected
       case Some(ns) =>

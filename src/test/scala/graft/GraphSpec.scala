@@ -39,8 +39,16 @@ class GraphSpec extends SparkSpec {
       nodes: Option[Seq[Long]] = None): Map[Long, Long] = {
     val e = edges.toDF("src", "dst")
     val n = nodes.map(_.toDF("node"))
+    // run BOTH execution paths: the hybrid default (which driver-
+    // finishes these small graphs) and the forced fully-distributed
+    // star contraction; they must agree row for row
     val rows = ConnectedComponents.run(e, "src", "dst", n)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val distributed = ConnectedComponents
+      .run(e, "src", "dst", n, driverFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.sorted.toSeq === distributed.sorted.toSeq,
+      "hybrid and distributed paths disagree")
     val m = rows.toMap
     // one component per node — duplicate membership rows (the symptom
     // of a premature-convergence bug) must fail loudly, not be
