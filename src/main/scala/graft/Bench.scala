@@ -58,7 +58,7 @@ object Bench {
       "g1_components", "hh1_heavy_hitters", "dd1_exact", "dd2_minhash_pairs",
       "dd5_embedding_neardup", "dd6_cluster_keep", "ann1_bruteforce",
       "ann3_ivf", "t1_tokens", "t9_tfidf", "u1_upsert", "pipe1_corpus_clean",
-      "x1_sql_cosine", "sk2_salted_join")
+      "x1_sql_cosine", "sk2_salted_join", "bf1_bloom_prune", "smp3_weighted_k")
     val byName = results.toMap
     def r3(v: Double): String = f"$v%.3f"
     val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + r3(v)))

@@ -242,6 +242,24 @@ object Extensions {
       k = 5)
   }
 
+  /** Weight-proportional sample (5 docs per language, weight =
+    * n_chars): Efraimidis–Spirakis priorities over the portable hash
+    * uniform, bottom-k inside the partial aggregate. Long documents
+    * are proportionally likelier — the "sample by length/quality"
+    * data-recipe op — and DuckDB reproduces the exact draw.
+    */
+  def smp3WeightedK(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
+    val prio = graft.sampling.Sampling.weightedPriority(
+      col("doc_id"), col("n_chars"), 7L)
+    graft.sampling.Sampling.sampleKPerGroup(
+      docs,
+      groupCols = Seq("lang"),
+      priority = prio,
+      payload = Seq("w_prio" -> prio, "doc_id" -> col("doc_id")),
+      k = 5)
+  }
+
   // ---- end-to-end corpus cleaning pipeline (composition demo) ------
 
   /** The canonical training-data prep chain: quality gate -> exact
@@ -461,6 +479,7 @@ object Extensions {
     "dd6_cluster_keep" -> (dd6ClusterKeep _),
     "smp1_stratified" -> (smp1Stratified _),
     "smp2_sample_k" -> (smp2SampleK _),
+    "smp3_weighted_k" -> (smp3WeightedK _),
     "e2_sliding" -> (e2Sliding _),
     "e3_session" -> (e3Session _),
     "e4_interval_join" -> (e4IntervalJoin _))
@@ -469,6 +488,19 @@ object Extensions {
     // priority sampling is engine-portable by construction: the Knuth
     // multiplicative hash is plain integer arithmetic, so DuckDB
     // reproduces the EXACT sample (not just its size)
+    "smp3_weighted_k" ->
+      """WITH pri AS (
+           SELECT lang, doc_id,
+                  round(-ln((((CAST(doc_id AS BIGINT) * 2654435761 + 7)
+                              % 4294967296) + 1) / 4294967296.0)
+                        / n_chars, 6) AS w_prio
+           FROM documents WHERE n_chars > 0),
+         ranked AS (
+           SELECT lang, w_prio, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY w_prio, doc_id) AS rk
+           FROM pri)
+         SELECT lang, w_prio, doc_id FROM ranked WHERE rk <= 5""",
     "smp2_sample_k" ->
       """WITH pri AS (
            SELECT lang, doc_id,

@@ -64,6 +64,30 @@ object Sampling {
     pmod(key.cast("long") * lit(2654435761L) + lit(seed),
       lit(4294967296L))
 
+  /** Weighted-sampling priority (Efraimidis–Spirakis A-ES, log form):
+    * keeping the k SMALLEST -ln(u)/w draws a without-replacement
+    * sample where inclusion probability is proportional to `weight` —
+    * the standard "sample by doc length / quality score" corpus
+    * operation. u derives from [[knuthPriority]] mapped into (0, 1],
+    * so the draw is deterministic AND engine-portable (ln is the only
+    * non-integer step; both engines compute it to <=1 ulp). The result
+    * is quantized to 6 decimals so a cross-engine comparison ranks
+    * identically — ulp-level ln differences cannot flip an order
+    * unless two quantized priorities tie, and ties break by key
+    * downstream.
+    *
+    * Weights must be strictly positive; rows with null/non-positive
+    * weight get NULL priority. Callers must filter those rows OUT
+    * before [[sampleKPerGroup]] — a null FIELD inside the selection
+    * struct sorts first in Spark's struct ordering, which would
+    * select exactly the rows that should never be drawn.
+    */
+  def weightedPriority(key: Column, weight: Column, seed: Long): Column = {
+    val u = (knuthPriority(key, seed) + lit(1L)).cast("double") /
+      lit(4294967296.0) // (0, 1]
+    round(-log(u) / when(weight > 0, weight.cast("double")), 6)
+  }
+
   /** Deterministic k-sample per group: bounded-heap bottom-k by
     * priority inside a partial aggregate ([[graft.functions
     * .BoundedTopN]]) — only k rows per group per TASK reach the

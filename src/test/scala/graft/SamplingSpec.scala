@@ -55,6 +55,28 @@ class SamplingSpec extends SparkSpec {
     assert(expected.except(shuffled.select("lang", "doc_id")).count() === 0)
   }
 
+  test("weightedPriority: weight-proportional draw, window-sort equivalence") {
+    val df = ((1L to 100L).map(i => (i, 1L)) ++
+        (101L to 200L).map(i => (i, 10L)))
+      .toDF("id", "w").withColumn("g", lit("all"))
+    val prio = Sampling.weightedPriority(col("id"), col("w"), 3L)
+    val sampled = Sampling.sampleKPerGroup(
+      df, Seq("g"), prio, Seq("id" -> col("id")), k = 40)
+    val ids = sampled.select("id").as[Long].collect().toSet
+    assert(ids.size === 40)
+    // weight-10 ids should dominate a 40-of-200 draw (E ≈ 36); the
+    // draw is seeded-deterministic so this bound cannot flake
+    val heavy = ids.count(_ > 100L)
+    assert(heavy > 25, s"heavy=$heavy")
+    val expected = df.withColumn("__p", prio)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("__p"), col("id"))))
+      .filter(col("__rk") <= 40)
+      .select("id").as[Long].collect().toSet
+    assert(ids === expected)
+  }
+
   test("knuthPriority is injective on distinct keys (odd multiplier mod 2^32)") {
     val n = (1L to 10000L).toDF("id")
     val distinctPrios = n.select(Sampling.knuthPriority(col("id"), 7L).as("p"))
