@@ -40,15 +40,18 @@ object GraftExtensions {
     "array_match_frac" -> 2, "normalize_unicode" -> 2,
     "bounded_topn" -> 2, "freq_items" -> 2, "split_frames" -> 3,
     "kll_sketch_agg" -> 2, "kll_merge_agg" -> 2, "kll_quantiles" -> 2,
-    "bloom_agg" -> 3, "might_contain" -> 2)
+    "bloom_agg" -> 3, "might_contain" -> 2,
+    "zorder_key" -> -1, // -1 = variadic; the expression checks 2..8
+    "zorder_i64" -> 2)
 
   private[functions] def guarded(
       name: String,
       b: Seq[Expression] => Expression): Seq[Expression] => Expression =
     exprs => {
       val expected = arities(name)
-      if (exprs.length != expected) throw new IllegalArgumentException(
-        s"$name expects $expected arguments, got ${exprs.length}")
+      if (expected >= 0 && exprs.length != expected)
+        throw new IllegalArgumentException(
+          s"$name expects $expected arguments, got ${exprs.length}")
       b(exprs)
     }
 
@@ -144,6 +147,12 @@ object GraftExtensions {
     "might_contain" ->
       ("might_contain(bloom, key) - false means key definitely absent from the bloom's build set",
         (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))),
+    "zorder_key" ->
+      ("zorder_key(c1, c2, ...) - binary Morton layout key over 2..8 int columns",
+        (exprs: Seq[Expression]) => ZOrderKey(exprs)),
+    "zorder_i64" ->
+      ("zorder_i64(x, y) - two-column Morton layout key as an order-equivalent BIGINT",
+        (exprs: Seq[Expression]) => ZOrderKey64(exprs(0), exprs(1))),
     "split_frames" ->
       ("split_frames(payload, frameBytes, everyNth) - sampled (frame_idx, frame) rows (generator)",
         (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {

@@ -260,6 +260,45 @@ object Extensions {
       k = 5)
   }
 
+  /** Z-order layout keys as data: the Morton key each document row
+    * would sort by under a (doc_id%256, n_chars%256) two-dimensional
+    * layout. The write-path pruning effect is proven in ZOrderSpec;
+    * this query pins the KEY ITSELF cross-engine — DuckDB reproduces
+    * the bit interleave with generated HUGEINT arithmetic (see
+    * [[z1Oracle]]), so layouts written by different engines would
+    * cluster identically.
+    */
+  def z1ZorderKey(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      graft.functions.ZOrderFunctions.zorder_i64(
+        pmod(col("doc_id"), lit(256)).cast("int"),
+        pmod(col("n_chars"), lit(256)).cast("int")).as("zkey"))
+
+  /** DuckDB cannot call our native expression, but the Morton
+    * interleave is pure integer arithmetic: bit i of x lands at
+    * 2i+1, bit i of y at 2i (after per-input sign-bit flips = +2^31
+    * for non-negative inputs), and the final top-bit flip is a
+    * subtraction of 2^63 in HUGEINT space. Generate the 64 terms.
+    */
+  private[queries] def z1Oracle: String = {
+    def terms(src: String, off: Int): Seq[String] =
+      (0 to 31).map { i =>
+        val pow = BigInt(2).pow(2 * i + off)
+        s"(($src // ${1L << i}) % 2) * CAST('$pow' AS HUGEINT)"
+      }
+    val all = (terms("xa", 1) ++ terms("ya", 0)).mkString(" + ")
+    s"""WITH b AS (
+          SELECT doc_id,
+                 CAST((doc_id % 256) + 2147483648 AS HUGEINT) AS xa,
+                 CAST((n_chars % 256) + 2147483648 AS HUGEINT) AS ya
+          FROM documents)
+        SELECT doc_id,
+               CAST(($all) - CAST('9223372036854775808' AS HUGEINT)
+                 AS BIGINT) AS zkey
+        FROM b"""
+  }
+
   // ---- end-to-end corpus cleaning pipeline (composition demo) ------
 
   /** The canonical training-data prep chain: quality gate -> exact
@@ -480,6 +519,7 @@ object Extensions {
     "smp1_stratified" -> (smp1Stratified _),
     "smp2_sample_k" -> (smp2SampleK _),
     "smp3_weighted_k" -> (smp3WeightedK _),
+    "z1_zorder_key" -> (z1ZorderKey _),
     "e2_sliding" -> (e2Sliding _),
     "e3_session" -> (e3Session _),
     "e4_interval_join" -> (e4IntervalJoin _))
@@ -488,6 +528,7 @@ object Extensions {
     // priority sampling is engine-portable by construction: the Knuth
     // multiplicative hash is plain integer arithmetic, so DuckDB
     // reproduces the EXACT sample (not just its size)
+    "z1_zorder_key" -> z1Oracle,
     "smp3_weighted_k" ->
       """WITH pri AS (
            SELECT lang, doc_id,
