@@ -228,6 +228,38 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
 
+  /** Incremental aggregation maintenance: the orders table arrives as
+    * two "daily load" delta batches (split on o_orderdate); each folds
+    * into a per-priority state of mergeable partials with one pass
+    * over the delta only. The folded state must equal the direct
+    * aggregate over all history — the oracle — while never rescanning
+    * batch 1 when batch 2 lands.
+    */
+  def u3IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.IncrementalAgg
+    val orders = Tables.orders(s, d)
+    val keys = Seq("o_orderpriority")
+    val partial = Seq(
+      count(lit(1)).as("n"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).as("total_dec"),
+      min(col("o_orderdate")).as("first_date"),
+      max(col("o_orderdate")).as("last_date"))
+    val merge = Seq(
+      sum(col("n")).as("n"),
+      sum(col("total_dec")).as("total_dec"),
+      min(col("first_date")).as("first_date"),
+      max(col("last_date")).as("last_date"))
+    val cutoff = "1998-01-01"
+    val s0 = IncrementalAgg.emptyState(orders, keys, partial)
+    val s1 = IncrementalAgg.fold(
+      s0, orders.filter(col("o_orderdate") < cutoff), keys, partial, merge)
+    val s2 = IncrementalAgg.fold(
+      s1, orders.filter(col("o_orderdate") >= cutoff), keys, partial, merge)
+    s2.select(col("o_orderpriority"), col("n"),
+      col("total_dec").cast("double").as("total"),
+      col("first_date"), col("last_date"))
+  }
+
   // ---- P1-P8: projection / rename / predicate battery
   //      (wow_original…sql:8-19,41; wow_2020…sql:14) ----
   def pPredicates(s: SparkSession, d: String): DataFrame =
@@ -807,6 +839,7 @@ object Relational {
     "o4_topk_agg" -> (o4TopkAgg _),
     "u1_upsert" -> (u1Upsert _),
     "u2_scd2" -> (u2Scd2 _),
+    "u3_incremental_agg" -> (u3IncrementalAgg _),
     "f7_strings" -> (f7Strings _),
     "p11_pivot" -> (p11Pivot _),
     "j8_range_join" -> (j8RangeJoin _),
@@ -1079,6 +1112,14 @@ object Relational {
                 TIMESTAMP '2020-06-01 00:00:00' AS valid_from,
                 CAST(NULL AS TIMESTAMP) AS valid_to
          FROM delta""",
+    // folding delta batches into mergeable per-key state must equal
+    // the direct aggregate over all history
+    "u3_incremental_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                min(o_orderdate) AS first_date,
+                max(o_orderdate) AS last_date
+         FROM orders GROUP BY o_orderpriority""",
     "o3_topk_per_group" ->
       """SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
          FROM (
