@@ -410,6 +410,32 @@ object Relational {
         .select(lit("__ALL__").as("l_returnflag"), col("n_orders_est")))
   }
 
+  /** Theta-sketch set algebra ([[graft.functions.ThetaFunctions]]):
+    * distinct customers ordering at BOTH priority extremes, and
+    * urgent-only — intersection/difference over KB-sized sketch blobs
+    * instead of an exact distinct-join. HLL cannot do this (its union
+    * is register-max only). Below 2^lgK distinct values theta sketches
+    * are in exact mode, so at gate scale the estimates are exact and
+    * the DuckDB oracle checks them as plain distinct-set SQL; at
+    * estimation scale the same query degrades to ~1/sqrt(2^lgK) RSE
+    * per operand (ThetaSpec asserts both regimes).
+    */
+  def th1ThetaSetAlgebra(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ThetaFunctions._
+    val orders = Tables.orders(s, d)
+    def side(p: String, as: String) =
+      orders.filter(col("o_orderpriority") === p)
+        .agg(theta_sketch_agg(col("o_custkey"), 14).as(as))
+    side("1-URGENT", "sk_u").crossJoin(side("5-LOW", "sk_l"))
+      .select(
+        round(theta_estimate(col("sk_u"))).cast("long").as("n_urgent"),
+        round(theta_estimate(col("sk_l"))).cast("long").as("n_low"),
+        round(theta_estimate(theta_intersect(col("sk_u"), col("sk_l"))))
+          .cast("long").as("n_both"),
+        round(theta_estimate(theta_a_not_b(col("sk_u"), col("sk_l"))))
+          .cast("long").as("n_urgent_only"))
+  }
+
   /** Mergeable KLL quantile-sketch rollup
     * ([[graft.functions.KllExpressions]]) — the quantile counterpart
     * of [[a19HllRollup]]: one KLL sketch per group, then the global
@@ -826,6 +852,7 @@ object Relational {
     "a13_distinct_counts" -> (a13DistinctCounts _),
     "a14_approx_distinct" -> (a14ApproxDistinct _),
     "a19_hll_rollup" -> (a19HllRollup _),
+    "th1_theta_set_algebra" -> (th1ThetaSetAlgebra _),
     "kll1_quantile_rollup" -> (kll1QuantileRollup _),
     "a15_percentiles" -> (a15Percentiles _),
     "sk1_salted_agg" -> (sk1SaltedAgg _),
@@ -1112,6 +1139,18 @@ object Relational {
                 TIMESTAMP '2020-06-01 00:00:00' AS valid_from,
                 CAST(NULL AS TIMESTAMP) AS valid_to
          FROM delta""",
+    // exact-mode theta sketches (distinct < 2^14 per operand at gate
+    // scales) make the set-algebra estimates exactly the distinct-set
+    // counts, so plain SQL checks them
+    "th1_theta_set_algebra" ->
+      """WITH u AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+            l AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderpriority = '5-LOW')
+         SELECT (SELECT count(*) FROM u) AS n_urgent,
+                (SELECT count(*) FROM l) AS n_low,
+                (SELECT count(*) FROM u WHERE o_custkey IN (SELECT o_custkey FROM l)) AS n_both,
+                (SELECT count(*) FROM u WHERE o_custkey NOT IN (SELECT o_custkey FROM l)) AS n_urgent_only""",
     // folding delta batches into mergeable per-key state must equal
     // the direct aggregate over all history
     "u3_incremental_agg" ->
