@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // GC diagnostics for bench-variance attribution (opt-in):
+  // GRAFT_GC_LOG=/tmp/gc.log adds unified GC logging to the forked JVM
+  sys.env.get("GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p:time,uptime").toSeq

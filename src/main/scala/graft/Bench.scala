@@ -32,13 +32,16 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // JVM uptime stamps let a GRAFT_GC_LOG run correlate per-query
+      // spikes with GC pauses (the log's [uptime] field matches)
+      val up0 = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1e3
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2f s  ($n rows)")
+      System.err.println(f"[bench] $name%-28s $sec%8.2f s  ($n rows)  @$up0%.1fs")
       name -> sec
     }
     // ONE compact JSON line. The driver records only the LAST ~2000

@@ -134,9 +134,79 @@ final class Warehouse(val root: Path) {
   def rowcounts(spark: SparkSession): Map[String, Long] =
     manifest.keys.map(n => n -> table(spark, n).count()).toMap
 
+  // -- per-table properties (metadata that survives republish) --------
+
+  private val propertiesDir = root.resolve("properties")
+  private def propsPath(name: String) = propertiesDir.resolve(s"$name.json")
+
+  /** Table metadata: comments, grants, arbitrary key=value. Stored
+    * against the table NAME — not the data generation — so a republish
+    * can never lose it BY CONSTRUCTION. This is the architectural fix
+    * for the reference's save-and-reapply workaround
+    * (`load_dataset.py:172-200`, `lib/db_perms.py:29-57`): Postgres
+    * attaches ACLs to the table OBJECT, which the swap drops, so the
+    * loader must snapshot grants before and replay them after; here
+    * the metadata binding simply outlives every generation.
+    */
+  def tableProperties(name: String): Map[String, String] =
+    if (Files.exists(propsPath(name)))
+      JsonCodec.parseObject(new String(
+        Files.readAllBytes(propsPath(name)), StandardCharsets.UTF_8)).toMap
+    else Map.empty
+
+  /** Merge `props` into the table's properties (same-key overwrite),
+    * atomically (tmp + ATOMIC_MOVE, like the manifest flip).
+    */
+  def setTableProperties(name: String, props: Map[String, String]): Unit =
+    writeProps(name, tableProperties(name) ++ props)
+
+  /** Remove the given property keys. */
+  def unsetTableProperties(name: String, keys: Seq[String]): Unit =
+    writeProps(name, tableProperties(name) -- keys)
+
+  private def writeProps(name: String, all: Map[String, String]): Unit = {
+    Files.createDirectories(propertiesDir)
+    val sorted = collection.mutable.LinkedHashMap.empty[String, String]
+    all.toSeq.sortBy(_._1).foreach { case (k, v) => sorted.update(k, v) }
+    val tmp = propertiesDir.resolve(s"$name.json.tmp")
+    Files.write(tmp,
+      JsonCodec.renderObject(sorted).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, propsPath(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** GRANT-style sugar over the property store (`grant:` keyspace,
+    * like the StateStore's `etag:`/`last_modified:` convention):
+    * `grant("bldgs", "wowuser", Seq("SELECT"))` persists across any
+    * number of republishes — the reference invariant its db_perms
+    * machinery exists to enforce.
+    */
+  def grant(name: String, grantee: String, privileges: Seq[String]): Unit =
+    setTableProperties(name,
+      Map(s"grant:$grantee" -> privileges.map(_.toUpperCase).sorted.distinct
+        .mkString(",")))
+
+  def revoke(name: String, grantee: String): Unit =
+    unsetTableProperties(name, Seq(s"grant:$grantee"))
+
+  /** grantee -> privileges for a table. */
+  def grants(name: String): Map[String, Seq[String]] =
+    tableProperties(name).collect {
+      case (k, v) if k.startsWith("grant:") =>
+        k.stripPrefix("grant:") -> v.split(",").toSeq
+    }
+
   /** Stage every DataFrame to a fresh generation dir, then atomically
     * flip the manifest. `layouts` optionally controls the at-rest data
     * layout per table.
+    *
+    * Metadata carry: per-table properties/grants ([[tableProperties]])
+    * are keyed by table name and deliberately NOT touched here — a
+    * publish swaps the data binding only, so comments and grants
+    * survive every republish (WarehouseSpec: "properties survive an
+    * atomic republish"). The reference needs explicit save+reapply
+    * around its swap (`load_dataset.py:172-200`); this design removes
+    * the failure mode instead of handling it.
     */
   def publishAtomically(
       staged: Map[String, DataFrame],

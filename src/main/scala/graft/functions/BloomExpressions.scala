@@ -59,10 +59,21 @@ object BloomUtil {
 
   /** Probe a serialized filter (4-byte k header + bitset). Called from
     * both interpreted eval and generated code.
+    *
+    * The blob is arbitrary binary input (a column value), so the header
+    * is validated, not trusted: a blob too short to hold header+bitset
+    * is rejected, and numHashes is clamped to [1,16] — a zero/corrupt
+    * header would otherwise silently disable pruning (k=0 ⇒ always
+    * true) or spin ~2^31 probe iterations per row.
     */
   def mightContain(blob: Array[Byte], key: Long): Boolean = {
-    val numHashes = ((blob(0) & 0xff) << 24) | ((blob(1) & 0xff) << 16) |
+    require(blob.length >= 5,
+      s"bloom probe: blob too short (${blob.length} B; need 4 B header + bitset)")
+    val rawK = ((blob(0) & 0xff) << 24) | ((blob(1) & 0xff) << 16) |
       ((blob(2) & 0xff) << 8) | (blob(3) & 0xff)
+    require(rawK >= 1 && rawK <= 16,
+      s"bloom probe: corrupt header numHashes=$rawK (expected 1..16)")
+    val numHashes = rawK
     val numBits = (blob.length - 4).toLong * 8L
     val h1 = mix64(key)
     val h2 = mix64(h1 ^ 0x9e3779b97f4a7c15L) | 1L

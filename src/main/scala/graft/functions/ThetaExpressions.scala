@@ -63,7 +63,12 @@ case class ThetaSketchAgg(
       case s: Short => buf.update(s.toLong)
       case i: Int => buf.update(i.toLong)
       case l: Long => buf.update(l)
-      case s: UTF8String => buf.update(s.toString)
+      // update with the raw bytes, NOT update(String): DataSketches'
+      // update(String) is a documented no-op for "" which would silently
+      // exclude empty strings from the distinct count, diverging from
+      // exact COUNT(DISTINCT) (and from the integral path, where every
+      // non-null value counts). update(byte[]) hashes "" like any value.
+      case s: UTF8String => buf.update(s.getBytes)
     }
     buf
   }

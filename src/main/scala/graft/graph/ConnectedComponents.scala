@@ -48,24 +48,24 @@ object ConnectedComponents {
     * its RDD once the next round has materialized.
     */
   private def release(df: DataFrame): Unit = {
-    silenceExpectedUnpersistWarn
-    df.queryExecution.analyzed.foreach {
+    // RDD.unpersist on a locally-checkpointed RDD logs a WARN that the
+    // lineage cannot be recomputed — correct in general, but here it is
+    // the POINT (the superseded round is dead; nothing references it),
+    // and one warning per round is pure noise in long jobs. Silence the
+    // logger only for the duration of the unpersist call, then restore
+    // its prior (effective) level — library code must not permanently
+    // reconfigure an application-wide logger.
+    val logName = "org.apache.spark.rdd.MapPartitionsRDD"
+    val prior = org.apache.logging.log4j.LogManager.getLogger(logName).getLevel
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      logName, org.apache.logging.log4j.Level.ERROR)
+    try df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
-    }
+    } finally org.apache.logging.log4j.core.config.Configurator.setLevel(
+      logName, prior)
   }
-
-  /** RDD.unpersist on a locally-checkpointed RDD logs a WARN that the
-    * lineage cannot be recomputed — correct in general, but here it is
-    * the POINT (the superseded round is dead; nothing references it),
-    * and one warning per round is pure noise in long jobs. Silence
-    * that one logger (it logs nothing else at WARN).
-    */
-  private lazy val silenceExpectedUnpersistWarn: Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
 
   /** Large-star: every node u attaches its LARGER neighbors to
     * m(u) = min(u ∪ neighbors(u)). Keeps connectivity, strictly reduces
@@ -187,7 +187,14 @@ object ConnectedComponents {
     * @param nodes  optional single-column DataFrame of ALL node ids —
     *               ids with no edges become singleton components
     * @param driverFinishEdges  collect-and-finish threshold; 0 forces
-    *               the fully distributed path (used by tests)
+    *               the fully distributed path (used by tests).
+    *               Driver footprint is NOT just the raw pair bytes: the
+    *               collected Array[(Long,Long)] plus the boxed HashMap
+    *               parent pointers, the HashSet of up to 2·edges node
+    *               ids, and the output buffer come to roughly
+    *               150–250 B/edge — ~75–125 MB at the 500k default.
+    *               Raise it only with a correspondingly larger
+    *               spark.driver.memory (budget ~250 B/edge).
     * @return (node BIGINT, component BIGINT) — component is the minimum
     *         node id in the node's component
     */
@@ -197,7 +204,7 @@ object ConnectedComponents {
       dstCol: String,
       nodes: Option[DataFrame] = None,
       maxIter: Int = 30,
-      driverFinishEdges: Long = 2000000L): DataFrame = {
+      driverFinishEdges: Long = 500000L): DataFrame = {
     // materialize the cleaned input ONCE: each round references the
     // edge set several times (symmetrization + both join sides), so an
     // unmaterialized upstream plan would be re-evaluated 4x in round 1

@@ -185,9 +185,10 @@ object Ops {
       */
     def distinctOn(keys: Seq[Column], tiebreak: Seq[Column]): DataFrame = {
       val w = Window.partitionBy(keys: _*).orderBy(tiebreak: _*)
-      df.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn")
+      val rn = freshCol("__rn", df.columns)
+      df.withColumn(rn, row_number().over(w))
+        .filter(col(rn) === 1)
+        .drop(rn)
     }
 
     /** Top-1-per-group via ordered `first()` — the reference's custom
@@ -210,9 +211,10 @@ object Ops {
         payload: Seq[(String, Column)]): DataFrame = {
       val pay = struct(payload.map { case (n, c) => c.as(n) }: _*)
       val ord = struct(orderKeys: _*)
+      val top = freshCol("__top", df.columns ++ payload.map(_._1))
       df.groupBy(groupKeys: _*)
-        .agg(max_by(pay, ord).as("__top"))
-        .select(groupKeys.map(identity) :+ col("__top.*"): _*)
+        .agg(max_by(pay, ord).as(top))
+        .select(groupKeys.map(identity) :+ col(s"$top.*"): _*)
     }
 
     /** min_by twin of [[firstOrderedBy]] (keeps the row with the smallest
@@ -224,9 +226,10 @@ object Ops {
         payload: Seq[(String, Column)]): DataFrame = {
       val pay = struct(payload.map { case (n, c) => c.as(n) }: _*)
       val ord = struct(orderKeys: _*)
+      val top = freshCol("__top", df.columns ++ payload.map(_._1))
       df.groupBy(groupKeys: _*)
-        .agg(min_by(pay, ord).as("__top"))
-        .select(groupKeys.map(identity) :+ col("__top.*"): _*)
+        .agg(min_by(pay, ord).as(top))
+        .select(groupKeys.map(identity) :+ col(s"$top.*"): _*)
     }
   }
 }

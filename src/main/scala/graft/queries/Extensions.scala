@@ -213,13 +213,17 @@ object Extensions {
 
   // ---- seeded stratified sampling (data-recipe surface) ------------
 
-  /** Per-language sampling quotas (seeded, reproducible). Rows-only
-    * check — the sampler hash is engine-specific; quota adherence and
-    * determinism are asserted in SamplingSpec.
+  /** Per-language sampling quotas (seeded, reproducible). Uses the
+    * engine-portable hash-Bernoulli form ([[graft.sampling.Sampling
+    * .stratifiedSampleByHash]]) so DuckDB reproduces the EXACT kept
+    * set — the same portability trick that makes smp2/smp3 oracle-
+    * exact, extended from fixed-k to fixed-fraction sampling. (The
+    * `df.stat.sampleBy` variant remains in the API; its engine-
+    * specific hash is covered by SamplingSpec instead.)
     */
   def smp1Stratified(s: SparkSession, d: String): DataFrame =
-    graft.sampling.Sampling.stratifiedSample(
-      Tables.documents(s, d), "lang",
+    graft.sampling.Sampling.stratifiedSampleByHash(
+      Tables.documents(s, d), "lang", col("doc_id"),
       Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0, "es" -> 0.25, "zh" -> 0.25))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"))
@@ -399,16 +403,23 @@ object Extensions {
       nodes = Some(c.select(col("c_custkey"))))
   }
 
-  /** Near-dup clusters + canonical-survivor selection: MinHash pairs
+  /** Near-dup clusters + canonical-survivor selection: near-dup pairs
     * as edges, connected components as duplicate clusters, keep the
     * min doc id per cluster. Output is the per-cluster membership
-    * summary for non-singleton clusters (rows-only check — the pair
-    * set is hash-engine-specific; cluster semantics are verified
-    * against a driver-side union-find in GraphSpec).
+    * summary for non-singleton clusters.
+    *
+    * The edge set is the EXACT prefix-filtered Jaccard join
+    * ([[Dedup.exactJaccardPairs]]) — engine-independent, so DuckDB
+    * reproduces the identical pairs by brute force and the identical
+    * components by recursive CTE: the full cluster semantics are
+    * oracle-checked, not just row counts. (The MinHash-pair variant of
+    * the same pipeline remains available via [[Dedup.minhashPairs]] +
+    * [[Dedup.nearDupClusters]]; its hash-specific pair set is covered
+    * by DedupSpec/GraphSpec instead.)
     */
   def dd6ClusterKeep(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+    val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.7)
     // component IS the canonical survivor id (min doc id of the
     // cluster, by ConnectedComponents' contract) — surface it as such
     Dedup.nearDupClusters(docs, "doc_id", pairs)
@@ -416,6 +427,17 @@ object Extensions {
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1)
   }
+
+  /** Exact similarity self-join (prefix filtering, AllPairs/PPJoin
+    * family): ALL pairs with trigram-set Jaccard >= 0.7 — guaranteed
+    * recall from the prefix-filter bound, verified pair-exactly
+    * against DuckDB's brute-force Jaccard over the same grams.
+    */
+  def dd7ExactJaccard(s: SparkSession, d: String): DataFrame =
+    // jaccard rides through unrounded: both engines divide the same
+    // exact ints, so the IEEE doubles are bit-identical
+    Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.7)
 
   // ---- SQL surface: injected native functions (SURVEY §2.11) --------
 
@@ -516,6 +538,7 @@ object Extensions {
     "pipe1_corpus_clean" -> (pipe1CorpusClean _),
     "g1_components" -> (g1Components _),
     "dd6_cluster_keep" -> (dd6ClusterKeep _),
+    "dd7_exact_jaccard" -> (dd7ExactJaccard _),
     "smp1_stratified" -> (smp1Stratified _),
     "smp2_sample_k" -> (smp2SampleK _),
     "smp3_weighted_k" -> (smp3WeightedK _),
@@ -525,10 +548,70 @@ object Extensions {
     "e4_interval_join" -> (e4IntervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    // brute-force exact trigram Jaccard — ground truth the prefix-
+    // filter join must reproduce pair-for-pair (recall guarantee)
+    "dd7_exact_jaccard" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+         g AS (SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN length(s) >= 3
+                      THEN list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, CAST(i AS INT), 3))
+                      ELSE [s] END) AS gram
+               FROM t),
+         gs AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) AS jaccard
+         FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                 JOIN gs sb ON sb.doc_id = ix.id_b
+         WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.7""",
+    // same pairs -> connected components via recursive CTE -> cluster
+    // membership summary: checks the FULL transitive-closure semantics
+    "dd6_cluster_keep" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+         g AS (SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN length(s) >= 3
+                      THEN list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, CAST(i AS INT), 3))
+                      ELSE [s] END) AS gram
+               FROM t),
+         gs AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b
+                   FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                           JOIN gs sb ON sb.doc_id = ix.id_b
+                   WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.7),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+                   SELECT src, dst FROM edges
+                   UNION
+                   SELECT r.src, e.dst FROM reach r
+                   JOIN edges e ON r.dst = e.src WHERE r.src <> e.dst),
+         comp AS (SELECT src AS node, least(src, min(dst)) AS component
+                  FROM reach GROUP BY src)
+         SELECT CAST(component AS BIGINT) AS keep_id,
+                count(*) AS n_members
+         FROM comp GROUP BY component HAVING count(*) > 1""",
     // priority sampling is engine-portable by construction: the Knuth
     // multiplicative hash is plain integer arithmetic, so DuckDB
     // reproduces the EXACT sample (not just its size)
     "z1_zorder_key" -> z1Oracle,
+    // hash-Bernoulli stratified sample: keep iff Knuth hash < f * 2^32
+    "smp1_stratified" ->
+      """SELECT lang, count(*) AS n_sampled
+         FROM documents
+         WHERE (CAST(doc_id AS BIGINT) * 2654435761 + 42) % 4294967296 <
+           CASE lang WHEN 'en' THEN 2147483648
+                     WHEN 'de' THEN 4294967296
+                     WHEN 'fr' THEN 4294967296
+                     WHEN 'es' THEN 1073741824
+                     WHEN 'zh' THEN 1073741824 END
+         GROUP BY lang""",
     "smp3_weighted_k" ->
       """WITH pri AS (
            SELECT lang, doc_id,

@@ -419,13 +419,19 @@ object Relational {
     * the DuckDB oracle checks them as plain distinct-set SQL; at
     * estimation scale the same query degrades to ~1/sqrt(2^lgK) RSE
     * per operand (ThetaSpec asserts both regimes).
+    *
+    * ORACLE VALIDITY BOUND: the exact-SQL oracle holds only while each
+    * side's distinct o_custkey count stays below 2^lgK. lgK=16 here
+    * gives 65,536 — ~40x the sf0.01 gate (~1.5k distinct custkeys per
+    * priority) and still 4x sf0.1. If the gate SF ever exceeds ~1,
+    * demote this query to rows-only rather than raising lgK further.
     */
   def th1ThetaSetAlgebra(s: SparkSession, d: String): DataFrame = {
     import graft.functions.ThetaFunctions._
     val orders = Tables.orders(s, d)
     def side(p: String, as: String) =
       orders.filter(col("o_orderpriority") === p)
-        .agg(theta_sketch_agg(col("o_custkey"), 14).as(as))
+        .agg(theta_sketch_agg(col("o_custkey"), 16).as(as))
     side("1-URGENT", "sk_u").crossJoin(side("5-LOW", "sk_l"))
       .select(
         round(theta_estimate(col("sk_u"))).cast("long").as("n_urgent"),
@@ -1139,9 +1145,10 @@ object Relational {
                 TIMESTAMP '2020-06-01 00:00:00' AS valid_from,
                 CAST(NULL AS TIMESTAMP) AS valid_to
          FROM delta""",
-    // exact-mode theta sketches (distinct < 2^14 per operand at gate
-    // scales) make the set-algebra estimates exactly the distinct-set
-    // counts, so plain SQL checks them
+    // exact-mode theta sketches (distinct < 2^16 per operand at gate
+    // scales — see th1ThetaSetAlgebra's oracle-validity bound) make the
+    // set-algebra estimates exactly the distinct-set counts, so plain
+    // SQL checks them
     "th1_theta_set_algebra" ->
       """WITH u AS (SELECT DISTINCT o_custkey FROM orders
                     WHERE o_orderpriority = '1-URGENT'),

@@ -23,6 +23,33 @@ object Sampling {
       seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Engine-portable stratified Bernoulli sample: keep a row iff its
+    * [[knuthPriority]] (a uniform 32-bit hash of `key`) falls below
+    * `fraction * 2^32` for its stratum. Same semantics as
+    * [[stratifiedSample]] — per-stratum inclusion probability =
+    * fraction, unlisted strata dropped, pure map over the scan (no
+    * shuffle) — but the draw is plain integer arithmetic, so a DuckDB/
+    * Postgres oracle reproduces the EXACT row set, and the sample is
+    * stable across engines, partitionings, and Spark versions.
+    * Requires a non-negative integral key < 2^31 (see knuthPriority).
+    */
+  def stratifiedSampleByHash(
+      df: DataFrame,
+      stratumCol: String,
+      key: Column,
+      fractions: Map[String, Double],
+      seed: Long = 42L): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1.0),
+      s"fractions must be in [0,1]: $fractions")
+    // threshold in hash space; 1.0 => 2^32 => every priority qualifies
+    val thresh = fractions.foldLeft(lit(null).cast("long")) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum,
+          lit(math.floor(f * 4294967296.0).toLong)).otherwise(acc)
+    }
+    df.filter(knuthPriority(key, seed) < thresh)
+  }
+
   /** Weighted mix of sources: sample each source at its weight (<= 1.0)
     * and union — e.g. 100% wiki + 30% web + 5% forums.
     */

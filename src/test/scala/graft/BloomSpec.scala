@@ -73,6 +73,22 @@ class BloomSpec extends SparkSpec {
     assert((1L to 50L).toSet.subsetOf(kept))
   }
 
+  test("probe rejects corrupt blobs instead of disabling pruning or spinning") {
+    // too short to hold header + bitset
+    intercept[IllegalArgumentException] {
+      BloomUtil.mightContain(Array[Byte](0, 0, 0), 42L)
+    }
+    // all-zero header (numHashes=0) would make every probe return true
+    intercept[IllegalArgumentException] {
+      BloomUtil.mightContain(new Array[Byte](16), 42L)
+    }
+    // absurd header (2^24) would probe ~16M positions per row
+    val big = new Array[Byte](16); big(0) = 1
+    intercept[IllegalArgumentException] {
+      BloomUtil.mightContain(big, 42L)
+    }
+  }
+
   test("bloom prune + exact semi-join == plain semi-join (bf1 identity)") {
     val d = "/root/testdata/sf0.001"
     val got = graft.queries.Relational.bf1BloomPrune(spark, d)

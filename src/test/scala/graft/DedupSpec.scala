@@ -66,6 +66,39 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 1.0 / 3.0) < 1e-9)
   }
 
+  test("exactJaccardPairs == brute-force pairs on real documents (recall guarantee)") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val t = 0.7
+    val got = Dedup.exactJaccardPairs(real, "doc_id", "text", threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side brute force over the same trigram sets
+    def grams(s: String): Set[String] = {
+      val x = s.trim.toLowerCase
+      if (x.length < 3) Set(x)
+      else (0 to x.length - 3).map(i => x.substring(i, i + 3)).toSet
+    }
+    val all = real.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1)))
+    val want = (for {
+      (a, ga) <- all; (b, gb) <- all if a < b
+      inter = (ga & gb).size
+      if inter > 0 &&
+        inter.toDouble / (ga.size + gb.size - inter) >= t
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("exactJaccardPairs finds pairs MinHash banding can miss near the threshold") {
+    // the guarantee that distinguishes it from the two-phase form:
+    // output == ALL pairs with J >= t, independent of any hash draw
+    val out = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) === 1.0) // exact dup
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) >= 0.6)  // near-dup
+    assert(!out.keySet.exists { case (a, b) => b == 4L || b == 5L || a == 4L })
+  }
+
   test("embedding near-dup finds the planted near-duplicate vector") {
     val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
     val near = base.zipWithIndex.map { case (v, i) =>

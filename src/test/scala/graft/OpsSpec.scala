@@ -205,4 +205,24 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.contains("__ALL__") && rows("__ALL__") === merged)
   }
+
+  test("distinctOn survives a user column literally named __rn") {
+    val d = Seq(("a", 1, "keep"), ("a", 2, "best"), ("b", 9, "solo"))
+      .toDF("k", "v", "__rn")
+    val out = d.distinctOn(Seq(col("k")), Seq(col("v").desc))
+    assert(out.columns.toSeq === Seq("k", "v", "__rn"))
+    val rows = out.orderBy("k").collect()
+    assert(rows.map(_.getString(2)).toSeq === Seq("best", "solo"))
+  }
+
+  test("firstOrderedBy survives a user/payload column named __top") {
+    val d = Seq(("a", 1, "lo"), ("a", 2, "hi"), ("b", 3, "x"))
+      .toDF("k", "v", "__top")
+    val out = d.firstOrderedBy(
+      Seq(col("k")), Seq(col("v")),
+      Seq("v" -> col("v"), "__top" -> col("__top")))
+    assert(out.columns.toSeq === Seq("k", "v", "__top"))
+    val rows = out.orderBy("k").collect()
+    assert(rows.map(_.getString(2)).toSeq === Seq("hi", "x"))
+  }
 }

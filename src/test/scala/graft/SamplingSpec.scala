@@ -25,6 +25,32 @@ class SamplingSpec extends SparkSpec {
     assert(again === sampled.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("stratifiedSampleByHash: quota adherence, determinism, portable-arith equivalence") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val totals = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.1)
+    val sampled = Sampling.stratifiedSampleByHash(
+      docs, "lang", col("doc_id"), fractions)
+    val counts = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === fractions.keySet)
+    assert(counts("de") === totals("de")) // fraction 1.0 keeps all
+    val enRatio = counts("en").toDouble / totals("en")
+    assert(enRatio > 0.4 && enRatio < 0.6, s"en ratio $enRatio")
+    // the kept set is exactly the rows whose portable hash clears the
+    // per-stratum threshold — the arithmetic any SQL engine reproduces
+    val manual = docs.filter(
+      pmod(col("doc_id").cast("long") * lit(2654435761L) + lit(42L),
+        lit(4294967296L)) <
+        when(col("lang") === "en", (0.5 * 4294967296.0).toLong)
+          .when(col("lang") === "de", 4294967296L)
+          .when(col("lang") === "zh", (0.1 * 4294967296.0).toLong))
+      .select("doc_id")
+    assert(sampled.select("doc_id").except(manual).count() === 0)
+    assert(manual.except(sampled.select("doc_id")).count() === 0)
+  }
+
   test("sampleKPerGroup: exactly k per group, equals sort-based bottom-k, order-independent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val prio = Sampling.knuthPriority(col("doc_id"), 42L)

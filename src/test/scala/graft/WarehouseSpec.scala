@@ -133,4 +133,32 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.snapshots.isEmpty)
     assert(wh.table(spark, "t").as[Int].head() === 3)
   }
+
+  test("properties and grants survive an atomic republish (reference " +
+      "save_and_reapply_permissions invariant)") {
+    val wh = freshWh()
+    wh.publishAtomically(Map("bldgs" -> Seq(1).toDF("x")), generation = 1L)
+    wh.setTableProperties("bldgs",
+      Map("comment" -> "who owns what", "owner" -> "graft"))
+    wh.grant("bldgs", "wowuser", Seq("select"))
+    wh.grant("bldgs", "loader", Seq("INSERT", "SELECT"))
+    // republish twice, then vacuum — the metadata binding must outlive
+    // every data generation
+    wh.publishAtomically(Map("bldgs" -> Seq(2).toDF("x")), generation = 2L)
+    wh.upsertInto(spark, "bldgs", Seq(3).toDF("x"), Seq("x"))
+    wh.vacuum()
+    assert(wh.tableProperties("bldgs")("comment") === "who owns what")
+    assert(wh.tableProperties("bldgs")("owner") === "graft")
+    assert(wh.grants("bldgs") === Map(
+      "wowuser" -> Seq("SELECT"), "loader" -> Seq("INSERT", "SELECT")))
+    // revoke + unset are persisted too
+    wh.revoke("bldgs", "loader")
+    wh.unsetTableProperties("bldgs", Seq("owner"))
+    assert(wh.grants("bldgs") === Map("wowuser" -> Seq("SELECT")))
+    assert(!wh.tableProperties("bldgs").contains("owner"))
+    // a different Warehouse instance over the same root sees the same
+    // metadata (it is on-disk state, not instance state)
+    val reopened = new Warehouse(wh.root)
+    assert(reopened.grants("bldgs") === Map("wowuser" -> Seq("SELECT")))
+  }
 }
