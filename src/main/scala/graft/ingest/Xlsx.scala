@@ -135,8 +135,17 @@ object Xlsx {
     * as strings and cast per the declared schema (same
     * no-inference-in-production rule as CsvSource).
     */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val rows = readRows(path)
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    rowsToDataFrame(spark, readRows(path), schema, path)
+
+  /** Shared header-match + declared-schema cast for both Excel formats
+    * ([[Xlsx.read]], [[Xls.read]]).
+    */
+  private[ingest] def rowsToDataFrame(
+      spark: SparkSession,
+      rows: Seq[Seq[Option[String]]],
+      schema: StructType,
+      path: String): DataFrame = {
     require(rows.nonEmpty, s"empty worksheet: $path")
     val header = rows.head.map(_.getOrElse(""))
     val idx = schema.fields.map(f => header.indexOf(f.name))

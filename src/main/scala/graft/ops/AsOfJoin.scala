@@ -29,11 +29,13 @@ import org.apache.spark.sql.types.StructType
   * blow-up).
   *
   * Scale: cost is shuffle(left+right) + sort, identical to a
-  * sort-merge join. Skewed keys concentrate in one partition (the
-  * stateful carry needs each key's full timeline, and AQE's skew
-  * splitting does not apply to this custom exchange) — mitigate by
-  * pre-aggregating the right side per (key, ts) and pre-filtering
-  * left to the keys of interest. `nearest` additionally buffers
+  * sort-merge join. In the plain variants skewed keys concentrate in
+  * one partition (the stateful carry needs each key's full timeline,
+  * and AQE's skew splitting does not apply to this custom exchange) —
+  * for hot keys use [[asofJoinBackwardChunked]]/
+  * [[asofJoinForwardChunked]], which range-chunk each key's timeline
+  * with boundary carry so one key spreads over numBuckets tasks.
+  * `nearest` additionally buffers
   * the left rows between two consecutive right rows of one key (it
   * must see the next-future right before deciding) — bounded by the
   * left:right arrival ratio, not the partition size.
@@ -85,6 +87,19 @@ object AsOfJoin {
     val (sorted, outSchema, nLeft, nPayload) =
       normalize(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
         descendingTs = forward)
+    mergeScan(sorted, outSchema, nLeft, nPayload)
+  }
+
+  /** The linear carry scan over a (key, ts, side)-sorted layout.
+    * Row positions: 0 = scan key (any type; rows of one key must be
+    * contiguous), 1 = ts, 2 = side (0 right / 1 left), then nLeft left
+    * columns and nPayload payload columns.
+    */
+  private def mergeScan(
+      sorted: DataFrame,
+      outSchema: StructType,
+      nLeft: Int,
+      nPayload: Int): DataFrame = {
     val rowEncoder = org.apache.spark.sql.Encoders.row(outSchema)
 
     val joined = sorted.mapPartitions { it =>
@@ -119,6 +134,130 @@ object AsOfJoin {
       }
     }(rowEncoder)
     joined.toDF()
+  }
+
+  // ---- skew-proof range-chunked variants -----------------------------
+
+  /** Backward as-of join that spreads a HOT KEY over many tasks — the
+    * answer to the plain scan's skew ceiling (one key = one partition,
+    * and AQE cannot split a custom exchange).
+    *
+    * Each key's timeline is cut into `numBuckets` equal time ranges
+    * and the merge scan partitions by (key, bucket). Correct carry
+    * across the cut: for every (key, bucket) the WINNING right row
+    * (the one the carry would hold at bucket end — max (ts, tiebreak))
+    * is injected into each LATER bucket that has left rows, where it
+    * sorts before the bucket's native rows and seeds the scan state.
+    * Injecting only winners is sufficient: a non-winner from an
+    * earlier bucket is dominated by its bucket's winner for every left
+    * row of any later bucket.
+    *
+    * Cost: one extra pass for the (min, max) ts bounds, a partial-agg
+    * per-bucket winner reduction, and <= occupiedBuckets^2 injected
+    * rows per key — O(numBuckets^2) tiny rows against a hot key's
+    * millions. Output is row-identical to [[asofJoinBackward]]
+    * (AsOfJoinSpec asserts it on 90%-one-key data).
+    */
+  def asofJoinBackwardChunked(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTiebreak: Seq[String] = Nil,
+      numBuckets: Int = 64): DataFrame =
+    chunkedScan(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
+      forward = false, numBuckets)
+
+  /** Forward mirror of [[asofJoinBackwardChunked]]: winners are the
+    * MIN (ts, tiebreak) rights, injected into earlier buckets.
+    */
+  def asofJoinForwardChunked(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTiebreak: Seq[String] = Nil,
+      numBuckets: Int = 64): DataFrame =
+    chunkedScan(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
+      forward = true, numBuckets)
+
+  private def chunkedScan(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTiebreak: Seq[String],
+      forward: Boolean,
+      numBuckets: Int): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val (lNorm, rNorm, outSchema, nLeft, nPayload, _) =
+      normCols(left, right, keyCol, leftTsCol, rightTsCol)
+
+    // numeric timeline for range bucketing (seconds for temporal types)
+    def tsD = lNorm.schema("__ts").dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        col("__ts").cast("timestamp").cast("double")
+      case _ => col("__ts").cast("double")
+    }
+    val mm = lNorm.select(tsD.as("t")).unionAll(rNorm.select(tsD.as("t")))
+      .agg(min(col("t")), max(col("t"))).head()
+    if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1))
+      // empty input or a single instant: nothing to chunk
+      return asofScan(left, right, keyCol, leftTsCol, rightTsCol,
+        rightTiebreak, forward)
+    val lo = mm.getDouble(0)
+    val width = (mm.getDouble(1) - lo) / numBuckets
+    val bucket = coalesce(
+      least(lit(numBuckets - 1), greatest(lit(0),
+        floor((tsD - lit(lo)) / lit(width)).cast("int"))),
+      lit(0)) // null ts: bucket 0 (never matches; scan nulls it anyway)
+
+    val lB = lNorm.withColumn("__b", bucket)
+    val rB = rNorm.withColumn("__b", bucket)
+
+    // per-(key, bucket) winner — partial aggregation, skew-safe
+    val ordStruct = struct(
+      (col("__ts") +: rightTiebreak.map(c => col(s"__p_$c"))): _*)
+    val rowStruct = struct(rB.columns.map(col): _*)
+    val winners = rB.filter(col("__k").isNotNull && col("__ts").isNotNull)
+      .groupBy(col("__k"), col("__b"))
+      .agg((if (forward) min_by(rowStruct, ordStruct)
+            else max_by(rowStruct, ordStruct)).as("__w"))
+      .select(col("__w.*"))
+
+    // inject winners into every other occupied bucket on the carry side
+    val occupied = lB.filter(col("__k").isNotNull && col("__ts").isNotNull)
+      .select(col("__k"), col("__b").as("__tgt_b")).distinct()
+    val carried = winners.join(occupied, Seq("__k"))
+      .filter(if (forward) col("__tgt_b") < col("__b")
+              else col("__tgt_b") > col("__b"))
+      .drop("__b").withColumnRenamed("__tgt_b", "__b")
+      .select(lB.columns.map(col): _*)
+
+    // composite scan key (key, bucket); whole-struct NULL for null keys
+    // so the scan's null semantics apply unchanged
+    val kb = when(col("__k").isNotNull, struct(col("__k"), col("__b")))
+    val dataCols = lB.columns.filterNot(c => c == "__k" || c == "__b")
+      .map(col).toSeq
+    def framed(df: DataFrame) = df.select((kb.as("__k") +: dataCols): _*)
+
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
+    val tieCols = rightTiebreak.map { c =>
+      if (forward) col(s"__p_$c").desc else col(s"__p_$c").asc
+    }
+    // explicit partition count: AQE would otherwise coalesce the
+    // (key, bucket) shuffle back together, undoing exactly the spread
+    // this operator exists to create
+    val nPart = lB.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val sorted = framed(lB).unionByName(framed(rB)).unionByName(framed(carried))
+      .repartition(nPart, col("__k"))
+      .sortWithinPartitions(
+        (col("__k") +: tsOrder +: col("__side") +: tieCols): _*)
+    mergeScan(sorted, outSchema, nLeft, nPayload)
   }
 
   /** Nearest-in-time as-of: per left row, the closer of the backward
@@ -223,14 +362,15 @@ object AsOfJoin {
     * scan sees each key's timeline in order (rights before lefts at
     * equal ts, in both sweep directions).
     */
-  private def normalize(
+  /** Normalized side layouts: key, ts, side(0=right,1=left), left...,
+    * payload... — the common column frame for every scan variant.
+    */
+  private def normCols(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       leftTsCol: String,
-      rightTsCol: String,
-      rightTiebreak: Seq[String],
-      descendingTs: Boolean) = {
+      rightTsCol: String) = {
     val leftCols = left.columns.toSeq
     val payloadCols = right.columns.toSeq
       .filterNot(c => c == keyCol || c == rightTsCol)
@@ -244,7 +384,22 @@ object AsOfJoin {
       col(keyCol).as("__k") +: col(rightTsCol).as("__ts") +: lit(0).as("__side") +:
         (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           payloadCols.map(c => col(c).as(s"__p_$c"))): _*)
+    val outSchema = StructType(
+      left.schema.fields ++
+        payloadCols.map(c => right.schema(c).copy(nullable = true)))
+    (lNorm, rNorm, outSchema, leftCols.length, payloadCols.length, payloadCols)
+  }
 
+  private def normalize(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTiebreak: Seq[String],
+      descendingTs: Boolean) = {
+    val (lNorm, rNorm, outSchema, nLeft, nPayload, _) =
+      normCols(left, right, keyCol, leftTsCol, rightTsCol)
     val tsOrder = if (descendingTs) col("__ts").desc else col("__ts").asc
     // carry semantics: the LAST right processed at equal (key, ts)
     // wins. Backward promises the last in tiebreak order, forward the
@@ -258,11 +413,7 @@ object AsOfJoin {
       .repartition(col("__k"))
       .sortWithinPartitions(
         (col("__k") +: tsOrder +: col("__side") +: tieCols): _*)
-
-    val outSchema = StructType(
-      left.schema.fields ++
-        payloadCols.map(c => right.schema(c).copy(nullable = true)))
-    (sorted, outSchema, leftCols.length, payloadCols.length)
+    (sorted, outSchema, nLeft, nPayload)
   }
 
   /** Event-time as micros for distance arithmetic (nearest). */

@@ -355,6 +355,17 @@ object Extensions {
     graft.ops.AsOfJoin.asofJoinBackward(left, right, "user_id", "ts", "ts")
   }
 
+  /** The skew-proof range-chunked backward as-of — identical semantics
+    * to [[asof1Backward]] (same DuckDB oracle), executed with the
+    * (key, time-bucket) partitioning that spreads a hot key over many
+    * tasks ([[graft.ops.AsOfJoin.asofJoinBackwardChunked]]).
+    */
+  def asof4BackwardChunked(s: SparkSession, d: String): DataFrame = {
+    val (left, right) = asofSides(s, d)
+    graft.ops.AsOfJoin.asofJoinBackwardChunked(
+      left, right, "user_id", "ts", "ts")
+  }
+
   /** Earliest signup value at-or-after each event (forward as-of).
     * Oracle: DuckDB `ASOF LEFT JOIN ... ON l.ts <= r.ts`.
     */
@@ -535,6 +546,7 @@ object Extensions {
     "asof1_backward" -> (asof1Backward _),
     "asof2_forward" -> (asof2Forward _),
     "asof3_nearest" -> (asof3Nearest _),
+    "asof4_backward_chunked" -> (asof4BackwardChunked _),
     "pipe1_corpus_clean" -> (pipe1CorpusClean _),
     "g1_components" -> (g1Components _),
     "dd6_cluster_keep" -> (dd6ClusterKeep _),
@@ -546,6 +558,18 @@ object Extensions {
     "e2_sliding" -> (e2Sliding _),
     "e3_session" -> (e3Session _),
     "e4_interval_join" -> (e4IntervalJoin _))
+
+  private val asofBackwardOracle: String =
+    """WITH r AS (
+         SELECT user_id, ts, signup_value FROM (
+           SELECT user_id, ts, value AS signup_value,
+                  row_number() OVER (PARTITION BY user_id, ts
+                    ORDER BY value DESC) AS rn
+           FROM events WHERE event_type = 'signup')
+         WHERE rn = 1)
+       SELECT l.event_id, l.ts, l.user_id, l.event_type, r.signup_value
+       FROM events l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
   val oracles: Map[String, String] = Map(
     // brute-force exact trigram Jaccard — ground truth the prefix-
@@ -762,17 +786,9 @@ object Extensions {
          SELECT media_id, CAST(idx AS INT) AS frame_idx,
                 CAST(LEAST(1024, L - idx * 1024) AS INT) AS frame_bytes
          FROM f WHERE idx % 2 = 0""",
-    "asof1_backward" ->
-      """WITH r AS (
-           SELECT user_id, ts, signup_value FROM (
-             SELECT user_id, ts, value AS signup_value,
-                    row_number() OVER (PARTITION BY user_id, ts
-                      ORDER BY value DESC) AS rn
-             FROM events WHERE event_type = 'signup')
-           WHERE rn = 1)
-         SELECT l.event_id, l.ts, l.user_id, l.event_type, r.signup_value
-         FROM events l ASOF LEFT JOIN r
-           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "asof1_backward" -> asofBackwardOracle,
+    // identical semantics, skew-proof execution — same oracle
+    "asof4_backward_chunked" -> asofBackwardOracle,
     "asof2_forward" ->
       """WITH r AS (
            SELECT user_id, ts, signup_value FROM (

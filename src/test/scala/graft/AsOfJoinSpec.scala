@@ -195,4 +195,55 @@ class AsOfJoinSpec extends SparkSpec {
         s"id=$id u=$u lts=$lts near=${near(id)} back=${back.get(id)} fwd=${fwd.get(id)}")
     }
   }
+
+  test("chunked variants match the plain scan row-for-row on 90%-one-key skew, " +
+      "and the hot key spreads over multiple tasks") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    // 90% of rows on key "H", timelines interleaved; distinct left ids
+    def key(i: Int) = if (i % 10 == 0) s"c${i % 3}" else "H"
+    val lefts = (0 until 3000).map(i =>
+      (i.toLong, key(i), new Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L)))
+      .toDF("id", "k", "lts")
+    val rights = (0 until 600).map(i =>
+      (key(i), new Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L),
+        s"v$i")).toDF("k", "rts", "payload")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "payload").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+
+    val plainB = AsOfJoin.asofJoinBackward(lefts, rights, "k", "lts", "rts")
+    val chunkB = AsOfJoin.asofJoinBackwardChunked(
+      lefts, rights, "k", "lts", "rts", numBuckets = 8)
+    assert(canon(chunkB) === canon(plainB))
+    assert(canon(plainB).count(_._2.nonEmpty) > 2000) // matches actually happen
+
+    val plainF = AsOfJoin.asofJoinForward(lefts, rights, "k", "lts", "rts")
+    val chunkF = AsOfJoin.asofJoinForwardChunked(
+      lefts, rights, "k", "lts", "rts", numBuckets = 8)
+    assert(canon(chunkF) === canon(plainF))
+
+    // the skew claim itself: with range bucketing, hot-key left rows
+    // execute in >1 scan task (the plain variant pins them to exactly 1)
+    def hotTasks(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("k") === "H")
+      .select(spark_partition_id().as("p")).distinct().count()
+    assert(hotTasks(chunkB) > 1, "chunked: hot key should span multiple tasks")
+    assert(hotTasks(plainB) === 1)
+  }
+
+  test("chunked carry crosses empty buckets (right in bucket 0 only)") {
+    val lefts = (1 to 100).map(i =>
+      (i.toLong, "H", new Timestamp(1700000000000L + i * 10000000L)))
+      .toDF("id", "k", "lts")
+    // single right at the very start: every later bucket relies on carry
+    val rights = Seq(("H", new Timestamp(1700000000000L), "first"))
+      .toDF("k", "rts", "payload")
+    val out = AsOfJoin.asofJoinBackwardChunked(
+      lefts, rights, "k", "lts", "rts", numBuckets = 8)
+    assert(out.count() === 100)
+    assert(out.filter(org.apache.spark.sql.functions.col("payload") === "first")
+      .count() === 100)
+  }
 }

@@ -71,6 +71,55 @@ class IngestSpec extends SparkSpec {
     assert(Xlsx.colIndex("AA3") === 26)
   }
 
+  // ---- binary .xls (BIFF8) — fixtures from tools/make_xls_fixture.py
+
+  test("Xls (BIFF8, mini-stream CFB): SST, inline, NUMBER/RK/MULRK, bool") {
+    val rows = graft.ingest.Xls.readRows("src/test/resources/sample_biff8.xls")
+    assert(rows.head.map(_.getOrElse("")) === Seq("bbl", "address", "units"))
+    assert(rows(1) === Seq(Some("3012340001"), Some("423 Fake St"), Some("42")))
+    assert(rows(2) === Seq(Some("3012340002"), Some("9 Inline Ave"), Some("12.5")))
+    // RK float + UTF-16 shared string (char outside Latin-1)
+    assert(rows(3) === Seq(Some("3012340003"), Some("unitΔwide"), Some("6.25")))
+    assert(rows(4) === Seq(Some("7"), Some("8"), Some("9"))) // MULRK
+    assert(rows(5) === Seq(None, None, Some("TRUE"))) // BOOLERR
+  }
+
+  test("Xls: declared schema load casts like the Xlsx path (S4)") {
+    val schema = StructType(Seq(
+      StructField("bbl", StringType),
+      StructField("units", DoubleType)))
+    val df = new graft.ingest.XlsSource(
+      "dof", "src/test/resources/sample_biff8.xls", schema).read(spark)
+    assert(df.schema === schema)
+    val byBbl = df.filter(org.apache.spark.sql.functions.col("bbl")
+      .startsWith("30123")).orderBy("bbl").collect()
+    assert(byBbl.length === 3)
+    assert(byBbl(0).getString(0) === "3012340001")
+    assert(byBbl(0).getDouble(1) === 42.0)
+    assert(byBbl(1).getDouble(1) === 12.5)
+  }
+
+  test("Xls (regular-FAT CFB): SST spanning CONTINUE with mid-string split") {
+    val rows = graft.ingest.Xls.readRows(
+      "src/test/resources/sample_biff8_large.xls")
+    assert(rows.length === 182)
+    assert(rows.head.map(_.getOrElse("")) === Seq("id", "name"))
+    assert(rows(1) === Seq(Some("1"), Some("row name 0000")))
+    assert(rows(180) === Seq(Some("180"), Some("row name 0179")))
+    assert(rows(181) === Seq(Some("999"),
+      Some("SPLIT-" + "x" * 40 + "-END")))
+  }
+
+  test("Xls RK decoding: int, x100, truncated-double forms") {
+    import graft.ingest.Xls
+    assert(Xls.decodeRk((42 << 2) | 2) === 42.0)
+    assert(Xls.decodeRk((1250 << 2) | 3) === 12.5)
+    val bits = java.lang.Double.doubleToLongBits(6.25)
+    assert(Xls.decodeRk(((bits >>> 32) & 0xFFFFFFFCL).toInt) === 6.25)
+    assert(Xls.renderNumber(3012340001.0) === "3012340001")
+    assert(Xls.renderNumber(12.5) === "12.5")
+  }
+
   test("Fetcher stages source files locally (S2)") {
     val src = Files.createTempDirectory("graft-src").resolve("data.csv")
     Files.writeString(src, "a,b\n1,2\n")
