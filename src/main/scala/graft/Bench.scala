@@ -59,7 +59,8 @@ object Bench {
       "j8_range_join", "asof1_backward", "w1_running", "o3_topk_per_group",
       "d1_distinct_on", "e1_tumbling", "e3_session", "e4_interval_join",
       "g1_components", "hh1_heavy_hitters", "dd1_exact", "dd2_minhash_pairs",
-      "dd5_embedding_neardup", "dd6_cluster_keep", "ann1_bruteforce",
+      "dd5_embedding_neardup", "dd6_cluster_keep", "dd7_exact_jaccard",
+      "asof4_backward_chunked", "ann1_bruteforce",
       "ann3_ivf", "t1_tokens", "t9_tfidf", "u1_upsert", "pipe1_corpus_clean",
       "x1_sql_cosine", "sk2_salted_join", "bf1_bloom_prune", "smp3_weighted_k")
     val byName = results.toMap

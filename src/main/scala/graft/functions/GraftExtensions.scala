@@ -37,7 +37,8 @@ object GraftExtensions {
     "cosine_sim" -> 2, "array_dot" -> 2, "minhash_sig" -> 2,
     "simhash64" -> 1, "minhash_tokens_sig" -> 3,
     "minhash_band_hashes" -> 2, "char_ngram_set" -> 2,
-    "array_match_frac" -> 2, "normalize_unicode" -> 2,
+    "array_match_frac" -> 2, "sorted_intersect_count" -> 2,
+    "normalize_unicode" -> 2,
     "bounded_topn" -> 2, "freq_items" -> 2, "split_frames" -> 3,
     "kll_sketch_agg" -> 2, "kll_merge_agg" -> 2, "kll_quantiles" -> 2,
     "bloom_agg" -> 3, "might_contain" -> 2,
@@ -99,6 +100,9 @@ object GraftExtensions {
     "array_match_frac" ->
       ("array_match_frac(a, b) - fraction of equal positions in two bigint arrays",
         (exprs: Seq[Expression]) => LongArrayMatchFrac(exprs(0), exprs(1))),
+    "sorted_intersect_count" ->
+      ("sorted_intersect_count(a, b) - common elements of two SORTED bigint arrays (merge scan)",
+        (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))),
     "normalize_unicode" ->
       ("normalize_unicode(s, form) - Unicode normalization (NFC|NFD|NFKC|NFKD)",
         (exprs: Seq[Expression]) => exprs(1) match {

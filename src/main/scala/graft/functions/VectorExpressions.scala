@@ -175,6 +175,69 @@ case class LongArrayMatchFrac(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements between two SORTED array&lt;long&gt; columns —
+  * one codegen'd merge scan per row, no per-element hashing or set
+  * allocation. The exact-similarity verify kernel: with sorted
+  * per-document gram-hash arrays, set intersection degrades to a
+  * two-pointer walk (`array_intersect` would rebuild a hash set per
+  * row, which dominated wall-clock ~20:1 on dense candidate sets).
+  * Inputs MUST be sorted ascending (e.g. via `sort_array`); duplicates
+  * are counted like sorted-multiset intersection.
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> inputs, got ${l.sql} / ${r.sql}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val vx = x.getLong(i); val vy = y.getLong(j)
+      if (vx < vy) i += 1
+      else if (vx > vy) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val vx = ctx.freshName("vx")
+      val vy = ctx.freshName("vy")
+      s"""
+         |int $nx = $a.numElements(), $ny = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $vx = $a.getLong($i);
+         |  long $vy = $b.getLong($j);
+         |  if ($vx < $vy) $i++;
+         |  else if ($vx > $vy) $j++;
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level facade. */
 object VectorFunctions {
   def array_dot(a: Column, b: Column): Column =
@@ -187,5 +250,9 @@ object VectorFunctions {
 
   def array_match_frac(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayMatchFrac(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -430,7 +430,7 @@ object Extensions {
     */
   def dd6ClusterKeep(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+    val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
     // component IS the canonical survivor id (min doc id of the
     // cluster, by ConnectedComponents' contract) — surface it as such
     Dedup.nearDupClusters(docs, "doc_id", pairs)
@@ -440,7 +440,7 @@ object Extensions {
   }
 
   /** Exact similarity self-join (prefix filtering, AllPairs/PPJoin
-    * family): ALL pairs with trigram-set Jaccard >= 0.7 — guaranteed
+    * family): ALL pairs with trigram-set Jaccard >= 0.8 — guaranteed
     * recall from the prefix-filter bound, verified pair-exactly
     * against DuckDB's brute-force Jaccard over the same grams.
     */
@@ -448,7 +448,7 @@ object Extensions {
     // jaccard rides through unrounded: both engines divide the same
     // exact ints, so the IEEE doubles are bit-identical
     Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      threshold = 0.7)
+      threshold = 0.8)
 
   // ---- SQL surface: injected native functions (SURVEY §2.11) --------
 
@@ -590,7 +590,7 @@ object Extensions {
                 CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) AS jaccard
          FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
                  JOIN gs sb ON sb.doc_id = ix.id_b
-         WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.7""",
+         WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8""",
     // same pairs -> connected components via recursive CTE -> cluster
     // membership summary: checks the FULL transitive-closure semantics
     "dd6_cluster_keep" ->
@@ -608,7 +608,7 @@ object Extensions {
          pairs AS (SELECT id_a, id_b
                    FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
                            JOIN gs sb ON sb.doc_id = ix.id_b
-                   WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.7),
+                   WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
          edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                    UNION SELECT id_b, id_a FROM pairs),
          reach(src, dst) AS (
