@@ -122,6 +122,21 @@ class PlanSpec extends SparkSpec {
     assert(!exchangeLines.contains("sig"), exchangeLines)
   }
 
+  test("exact-Jaccard prefix join: no cartesian/nested-loop; df lookup " +
+      "broadcasts; verify stays on the codegen merge-scan kernel") {
+    val pairs = graft.dedup.Dedup.exactJaccardPairs(
+      Tables.documents(spark, sf), "doc_id", "text", threshold = 0.8)
+    val plan = executedPlan(pairs)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the exploded gram stream joins the (bounded-vocabulary) df table
+    // by broadcast — the big side must not shuffle for the lookup
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // exact verify runs the sorted-hash merge scan, not array_intersect
+    assert(plan.contains("sorted_intersect_count"), plan)
+    assert(!plan.contains("array_intersect"), plan)
+  }
+
   test("bounded_topn top-k: partial object aggregate, no window sort; == window result") {
     val plan = executedPlan(Relational.o4TopkAgg(spark, sf))
     assert(plan.contains("ObjectHashAggregate"), plan)
