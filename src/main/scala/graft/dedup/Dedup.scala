@@ -297,15 +297,16 @@ object Dedup {
       candidateThreshold: Double = 0.2): DataFrame = {
     val cands = minhashPairs(df, idCol, textCol,
       threshold = candidateThreshold)
-    // each doc's distinct-shingle SET from the fused native expression
-    // (one loop; the interpreted charShingles + array_distinct HOF
-    // build dominated this operator's wall-clock); the pair join then
-    // only moves (id, set) and the jaccard is array math on attributes
+    // each doc's distinct-shingle set as a SORTED 64-BIT HASH array
+    // (fused native build, one loop) so the exact verify is the
+    // two-pointer merge scan — same kernel as [[exactJaccardPairs]];
+    // the string-array intersect re-hashed ~|set| strings per pair
     val sets = df.select(col(idCol),
-      graft.functions.HashFunctions.char_ngram_set(
-        lower(trim(col(textCol))), n).as("__sh"))
+      sort_array(transform(graft.functions.HashFunctions.char_ngram_set(
+        lower(trim(col(textCol))), n), g0 => xxhash64(g0))).as("__sh"))
     val setJaccard = {
-      val inter = size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double")
+      val inter = graft.functions.VectorFunctions
+        .sorted_intersect_count(col("__sh_a"), col("__sh_b")).cast("double")
       inter / (size(col("__sh_a")) + size(col("__sh_b")) - inter)
     }
     cands

@@ -125,6 +125,26 @@ class DedupSpec extends SparkSpec {
       s"recall too low: $exact vs $approx")
   }
 
+  test("sorted_intersect_count == array_intersect size on sorted distinct arrays") {
+    import graft.functions.VectorFunctions.sorted_intersect_count
+    val pairs = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)), // partial overlap
+      (Seq(1L, 2L), Seq(3L, 4L)),                  // disjoint
+      (Seq.empty[Long], Seq(1L)),                  // empty side
+      (Seq(7L, 8L, 9L), Seq(7L, 8L, 9L))           // identical
+    ).toDF("a", "b")
+    val rows = pairs.select(
+        sorted_intersect_count(col("a"), col("b")).as("merge"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1), r))
+    // interpreted eval agrees with codegen (filter path forces eval on
+    // the same expression through a different execution route)
+    val viaFilter = pairs
+      .filter(sorted_intersect_count(col("a"), col("b")) === 2).count()
+    assert(viaFilter === 1)
+  }
+
   test("native codegen expressions match the HOF forms bit-for-bit") {
     val staged = docs
       .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
