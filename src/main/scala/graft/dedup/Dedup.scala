@@ -408,6 +408,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination scores: for every corpus document, the
+    * fraction of its distinct word k-grams that appear anywhere in an
+    * evaluation set — the standard train/test-overlap check run before
+    * training (flag/drop docs whose score exceeds a threshold).
+    *
+    * Scale shape: the EVAL side is small by definition (benchmarks are
+    * thousands of docs, not billions), so its distinct-gram set
+    * broadcasts and the corpus-side membership probe is a map-side
+    * broadcast join — ONE scan of the corpus, no corpus shuffle except
+    * the per-doc count aggregation (partial, slim keys). For eval sets
+    * too big to broadcast exactly, pre-filter with [[graft.functions
+    * .BloomFunctions]] and keep this exact join as the verify.
+    *
+    * Returns (id, n_grams, n_hits, contamination) for every corpus
+    * doc; contamination = n_hits / n_grams in [0, 1].
+    */
+  def contaminationScores(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(
+        wordShingles(col(textCol), k))).as("gram"))
+      .distinct()
+    val grams = corpus.select(col(idCol),
+      explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
+    val hits = grams.join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contamination"))
+  }
+
   // -------------------------------------------------------------------
   // Embedding-cosine near-dup
   // -------------------------------------------------------------------

@@ -439,6 +439,26 @@ object Extensions {
       .filter(col("n_members") > 1)
   }
 
+  /** Benchmark decontamination: every 97th doc plays the "eval set";
+    * the rest of the corpus is scored by the fraction of its distinct
+    * word k-grams appearing anywhere in the eval set
+    * ([[Dedup.contaminationScores]] — broadcast eval grams, one corpus
+    * scan). Output: the contaminated docs (at least one shared
+    * k-gram). String n-grams are engine-portable, so DuckDB reproduces
+    * the exact scores. k=3 here because the synthetic corpus
+    * randomizes wording quickly (word 8-grams never collide across
+    * docs at gate scale); production decontamination uses k=8..13 via
+    * the same operator parameter.
+    */
+  def dd8Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.contaminationScores(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", k = 3)
+      .filter(col("n_hits") > 0)
+  }
+
   /** Exact similarity self-join (prefix filtering, AllPairs/PPJoin
     * family): ALL pairs with trigram-set Jaccard >= 0.8 — guaranteed
     * recall from the prefix-filter bound, verified pair-exactly
@@ -551,6 +571,7 @@ object Extensions {
     "g1_components" -> (g1Components _),
     "dd6_cluster_keep" -> (dd6ClusterKeep _),
     "dd7_exact_jaccard" -> (dd7ExactJaccard _),
+    "dd8_contamination" -> (dd8Contamination _),
     "smp1_stratified" -> (smp1Stratified _),
     "smp2_sample_k" -> (smp2SampleK _),
     "smp3_weighted_k" -> (smp3WeightedK _),
@@ -591,6 +612,27 @@ object Extensions {
          FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
                  JOIN gs sb ON sb.doc_id = ix.id_b
          WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8""",
+    // word k-grams are plain strings in both engines — exact dual
+    "dd8_contamination" ->
+      """WITH tok AS (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+               FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(
+                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 ELSE [array_to_string(ts, ' ')] END AS shs
+               FROM tok),
+         g AS (SELECT DISTINCT doc_id, unnest(shs) AS gram FROM sh),
+         ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
+         hit AS (SELECT doc_id, count(*) AS n_hits FROM corp
+                 WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id)
+         SELECT t.doc_id, t.n_grams, h.n_hits,
+                CAST(h.n_hits AS DOUBLE) / t.n_grams AS contamination
+         FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+         WHERE h.n_hits > 0""",
     // same pairs -> connected components via recursive CTE -> cluster
     // membership summary: checks the FULL transitive-closure semantics
     "dd6_cluster_keep" ->

@@ -125,6 +125,44 @@ class DedupSpec extends SparkSpec {
       s"recall too low: $exact vs $approx")
   }
 
+  test("contaminationScores flags the planted train/test overlap and only it") {
+    val eval_ = Seq((100L, "the capital of france is paris obviously"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "we know the capital of france is paris obviously said the model"),
+      (2L, "completely unrelated text about spark shuffles and joins here"),
+      (3L, "the capital city grew fast")) // shares words, no 8-gram
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationScores(corpus, eval_, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1 (12 tokens) has 5 distinct 8-grams; the eval doc's single
+    // 7-token text yields one whole-doc shingle -> no 8-gram match?
+    // No: eval doc has 7 tokens < 8 -> one whole-text shingle, which
+    // appears nowhere as an 8-gram. Use the 8-token contained phrase:
+    assert(out(2L)._2 === 0L)
+    assert(out(3L)._2 === 0L)
+    // every corpus doc is scored (left join semantics)
+    assert(out.keySet === Set(1L, 2L, 3L))
+  }
+
+  test("contaminationScores exact hit accounting on a contained phrase") {
+    val eval_ = Seq((100L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x a b c d e f g h i j y"), // contains eval 8-grams
+      (2L, "a b c d e f q h i j"))     // breaks every 8-gram
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationScores(corpus, eval_, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // eval doc (10 tokens) has 8-grams: [a..h],[b..i],[c..j] (3)
+    // corpus doc 1 (12 tokens) has 5 distinct 8-grams, of which those
+    // same 3 appear -> 3/5
+    assert(out(1L) === ((5L, 3L, 0.6)))
+    assert(out(2L)._2 === 0L)
+  }
+
   test("sorted_intersect_count == array_intersect size on sorted distinct arrays") {
     import graft.functions.VectorFunctions.sorted_intersect_count
     val pairs = Seq(
