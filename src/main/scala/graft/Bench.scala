@@ -32,6 +32,12 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // NOTE: no System.gc() between queries — it was tried and made
+      // things WORSE: a full GC clears the soft-referenced codegen
+      // cache, so every subsequent query re-compiles its generated
+      // code (t9_tfidf 1.2s -> 6.4s). Sequencing noise (a heavy
+      // predecessor's GC debt landing on the next query) is instead
+      // bounded in BASELINE.md's variance notes.
       // JVM uptime stamps let a GRAFT_GC_LOG run correlate per-query
       // spikes with GC pauses (the log's [uptime] field matches)
       val up0 = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1e3
