@@ -1,0 +1,79 @@
+package graft.export
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: lay documents end-to-end in a
+  * deterministic order and cut the concatenated stream into fixed
+  * token-budget sequences — the standard pretraining "pack with
+  * splitting" step (a doc crossing a budget boundary continues into
+  * the next sequence). Each doc's placement is
+  * `seq_id = start div budget`, `seq_offset = start mod budget`, where
+  * `start` is the exact global prefix sum of lengths in id order.
+  *
+  * Scale shape — a distributed prefix sum, NOT a global window (a
+  * single-partition window is the naive formulation and serializes
+  * 100 TB through one task):
+  *  1. range-partition (id, len) pairs by id — the heavy document
+  *     payload never moves; placement is joined back by id;
+  *  2. per-partition length totals: one slim row per partition,
+  *     collected to the driver (thousands of rows at most) and
+  *     cumulative-summed into per-partition base offsets;
+  *  3. base offsets broadcast back; each partition computes exact
+  *     global starts with a partition-local running sum.
+  *
+  * The result is partitioning-independent (the prefix sum is a
+  * function of the id order alone), so any cluster size/layout
+  * produces identical placements — asserted in ExportSpec.
+  */
+object Packing {
+
+  /** @param df     any DataFrame with a unique integral id column and
+    *               a non-negative integral length column
+    * @param budget tokens (or chars) per packed sequence
+    * @return (id, len, start, seq_id, seq_offset) — `start` kept for
+    *         transparency/debugging; `len` echoes the input length
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val slim = df
+      .select(col(idCol).cast("long").as("id"),
+        col(lenCol).cast("long").as("len"))
+      .repartitionByRange(col("id"))
+      .withColumn("__pid", spark_partition_id())
+
+    // phase 1+2: per-partition totals -> driver cumsum -> base offsets
+    // (rows here = partition count, not data size)
+    val totals = slim.groupBy(col("__pid"))
+      .agg(sum(col("len")).as("__t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    var acc = 0L
+    val bases = totals.map { case (pid, t) =>
+      val base = (pid, acc); acc += t; base
+    }
+    val baseDf = broadcast(
+      spark.createDataFrame(bases.toSeq).toDF("__pid", "__base"))
+
+    // phase 3: partition-local running sum + base = exact global start.
+    // The window keys on the CARRIED __pid values, so correctness does
+    // not depend on the window shuffle preserving physical partitions.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    slim.join(baseDf, Seq("__pid"))
+      .withColumn("__start",
+        coalesce(sum(col("len")).over(w), lit(0L)) + col("__base"))
+      .select(col("id").as(idCol),
+        col("len"),
+        col("__start").as("start"),
+        expr(s"__start DIV ${budget}L").as("seq_id"),
+        pmod(col("__start"), lit(budget)).as("seq_offset"))
+  }
+}

@@ -439,6 +439,17 @@ object Extensions {
       .filter(col("n_members") > 1)
   }
 
+  /** Training-sequence packing over n_chars with a 4096 budget —
+    * [[graft.export.Packing.packSequences]]'s distributed prefix sum.
+    * Pure integer arithmetic over the id order, so DuckDB reproduces
+    * every placement exactly with a single global window (fine at
+    * oracle scale; the operator exists precisely because that global
+    * window doesn't scale).
+    */
+  def pk1SequencePack(s: SparkSession, d: String): DataFrame =
+    graft.export.Packing.packSequences(
+      Tables.documents(s, d), "doc_id", "n_chars", budget = 4096L)
+
   /** Benchmark decontamination: every 97th doc plays the "eval set";
     * the rest of the corpus is scored by the fraction of its distinct
     * word k-grams appearing anywhere in the eval set
@@ -572,6 +583,7 @@ object Extensions {
     "dd6_cluster_keep" -> (dd6ClusterKeep _),
     "dd7_exact_jaccard" -> (dd7ExactJaccard _),
     "dd8_contamination" -> (dd8Contamination _),
+    "pk1_sequence_pack" -> (pk1SequencePack _),
     "smp1_stratified" -> (smp1Stratified _),
     "smp2_sample_k" -> (smp2SampleK _),
     "smp3_weighted_k" -> (smp3WeightedK _),
@@ -612,6 +624,19 @@ object Extensions {
          FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
                  JOIN gs sb ON sb.doc_id = ix.id_b
          WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8""",
+    // exact integer prefix-sum placement; SUM(BIGINT) in DuckDB is
+    // HUGEINT, so every derived column casts back to BIGINT
+    "pk1_sequence_pack" ->
+      """WITH pre AS (
+           SELECT doc_id, n_chars,
+                  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS start
+           FROM documents)
+         SELECT doc_id, n_chars AS len, start,
+                start // 4096 AS seq_id,
+                start % 4096 AS seq_offset
+         FROM pre""",
     // word k-grams are plain strings in both engines — exact dual
     "dd8_contamination" ->
       """WITH tok AS (SELECT doc_id,

@@ -38,6 +38,38 @@ class ExportSpec extends SparkSpec {
       contentHash(back))
   }
 
+  test("packSequences: exact prefix-sum placement, budget-boundary splits, " +
+      "partitioning-independence") {
+    import org.apache.spark.sql.functions._
+    import graft.export.Packing
+    val docs = (1L to 500L).map(i => (i, 10L + (i * 7) % 90))
+      .toDF("doc_id", "n_chars")
+    val budget = 256L
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "start", "seq_id", "seq_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val packed = canon(Packing.packSequences(docs, "doc_id", "n_chars", budget))
+    // reference: driver-side exact prefix sum in id order
+    var acc = 0L
+    val want = (1L to 500L).map { i =>
+      val len = 10L + (i * 7) % 90
+      val row = (i, acc, acc / budget, acc % budget)
+      acc += len
+      row
+    }
+    assert(packed === want)
+    // a doc straddling a boundary continues into the next sequence:
+    // offsets may exceed budget - len (split semantics, no padding)
+    assert(want.exists { case (i, _, _, off) =>
+      off + (10L + (i * 7) % 90) > budget })
+    // identical placements from a shuffled, differently-partitioned input
+    val shuffled = Packing.packSequences(
+      docs.repartition(13, col("n_chars")).sortWithinPartitions(desc("doc_id")),
+      "doc_id", "n_chars", budget)
+    assert(canon(shuffled) === want)
+  }
+
   test("weightedInterleave: prefix ratios approximate the weights; deterministic") {
     val a = (1 to 900).map(i => (s"a$i", "web")).toDF("id", "src")
     val b = (1 to 300).map(i => (s"b$i", "code")).toDF("id", "src")
