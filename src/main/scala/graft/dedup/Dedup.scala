@@ -343,7 +343,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      saltBuckets: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sets = df.select(col(idCol).as("id"),
       graft.functions.HashFunctions.char_ngram_set(
@@ -375,11 +376,19 @@ object Dedup {
     // On a template-dense corpus these prune the quadratic family
     // blow-up by ~3x before the distinct.
     val tOver1t = threshold / (1.0 + threshold)
-    val cands = prefix
-      .select(col("id").as("id_a"), col("gram"),
-        col("__sz").as("__sza"), col("__r").as("__ra"))
-      .join(prefix.select(col("id").as("id_b"), col("gram"),
-        col("__sz").as("__szb"), col("__r").as("__rb")), Seq("gram"))
+    // SALTED self-join: a hot gram (one shared by n_g docs) generates
+    // n_g^2 candidate rows, all in the single task owning that gram's
+    // hash bucket — the same custom-exchange skew ceiling the chunked
+    // as-of join fixes. Salting the probe side spreads each gram's
+    // quadratic output across `saltBuckets` tasks (the build side is
+    // replicated saltBuckets times — slim 30 B rows, bounded cost).
+    // Size it toward spark.sql.shuffle.partitions on a real cluster.
+    val cands = graft.ops.Ops.saltedJoin(
+      prefix.select(col("id").as("id_a"), col("gram"),
+        col("__sz").as("__sza"), col("__r").as("__ra")),
+      prefix.select(col("id").as("id_b"), col("gram"),
+        col("__sz").as("__szb"), col("__r").as("__rb")),
+      Seq("gram"), saltBuckets)
       .filter(col("id_a") < col("id_b"))
       .filter(col("__szb") >= ceil(lit(threshold) * col("__sza")) &&
         col("__sza") >= ceil(lit(threshold) * col("__szb")))
