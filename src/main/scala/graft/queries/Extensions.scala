@@ -624,6 +624,22 @@ object Extensions {
          FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
                  JOIN gs sb ON sb.doc_id = ix.id_b
          WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8""",
+    // portable polynomial rolling hash (mod 2^31-1): list_prepend(0,..)
+    // makes DuckDB's first-element-seeded list_reduce match the
+    // fold-with-init-0 form; empty tokens reduce to 0 on both engines
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                 t -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(1, length(t) + 1),
+                            i -> CAST(unicode(substr(t, CAST(i AS INT), 1))
+                                      AS BIGINT))),
+                        (a, c) -> (a * 31 + c) % 2147483647))),
+             (acc, h) -> (acc * 131 + h) % 2147483647) AS fp
+         FROM documents""",
     // exact integer prefix-sum placement; SUM(BIGINT) in DuckDB is
     // HUGEINT, so every derived column casts back to BIGINT
     "pk1_sequence_pack" ->

@@ -104,16 +104,28 @@ object TextFunctions {
     lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines)
   }
 
-  /** 64-bit rolling-hash document fingerprint over whitespace tokens:
-    * fp = fold(tokens, acc -> xxhash64(acc, token)) — an order-sensitive
-    * hash chain (unlike a bag-of-words hash), built purely from
-    * codegen'd higher-order functions. (A polynomial acc*31+h rolling
-    * hash would wrap Long arithmetic, which ANSI mode rejects; the
-    * xxhash64 chain has the same properties without overflow.)
+  /** Order-sensitive document fingerprint over whitespace tokens —
+    * an ENGINE-PORTABLE polynomial rolling hash (same cross-engine
+    * trick as [[graft.sampling.Sampling.knuthPriority]]):
+    *
+    *   tokHash(t) = fold(codepoints(t), 0, (a, c) -> (a*31 + c) mod M)
+    *   fp         = fold(tokens, 0, (acc, h) -> (acc*131 + h) mod M)
+    *
+    * with M = 2^31 - 1, so DuckDB/Postgres reproduce the exact value
+    * with plain integer SQL (every intermediate stays below 2^38 —
+    * ANSI-safe, no Long wrap; the previous xxhash64 chain was
+    * engine-specific and uncheckable cross-engine). Order-sensitive
+    * like a hash CHAIN, unlike a bag-of-words hash: permuted tokens
+    * fingerprint differently.
     */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = {
+    val M = 2147483647L // 2^31 - 1
+    def tokHash(tok: Column): Column =
+      aggregate(split(tok, ""), lit(0L),
+        (a, ch) => (a * 31L + ascii(ch)) % M)
     aggregate(
       split(trim(text), "\\s+"),
       lit(0L),
-      (acc, tok) => xxhash64(acc, tok))
+      (acc, tok) => (acc * 131L + tokHash(tok)) % M)
+  }
 }

@@ -50,6 +50,23 @@ class TextSpec extends SparkSpec {
     assert(hashes(0) !== hashes(2))
   }
 
+  test("fingerprint: portable rolling hash — hand-computed, order-sensitive") {
+    import graft.text.TextFunctions
+    val df = Seq("ab c", "c ab", "ab c", "").toDF("text")
+    val fps = df.select(TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0)).toSeq
+    // reference arithmetic any engine reproduces
+    val M = 2147483647L
+    def tok(t: String) = t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % M)
+    def fp(s: String) = s.trim.split("\\s+").toSeq
+      .foldLeft(0L)((acc, t) => (acc * 131 + tok(t)) % M)
+    assert(fps(0) === fp("ab c"))
+    assert(fps(1) === fp("c ab"))
+    assert(fps(0) !== fps(1)) // order-sensitive: permuted tokens differ
+    assert(fps(0) === fps(2)) // deterministic
+    assert(fps(3) === 0L)     // empty text -> zero fingerprint
+  }
+
   test("langId picks the marker-dominant language, und when none") {
     val df = Seq(
       "the cat and the dog is in that house it",
