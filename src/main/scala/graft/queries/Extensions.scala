@@ -106,6 +106,37 @@ object Extensions {
       .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("tfidf"))
   }
 
+  /** Corpus-trained unigram log-probability quality score — the
+    * classic "perplexity-ish" filter: score each doc by the mean
+    * negative log-probability of its tokens under the corpus's own
+    * unigram distribution (low = typical text, high = gibberish /
+    * vocabulary outliers). Two passes: token frequencies (vocabulary
+    * is ~bounded, broadcasts into the scoring join), then per-doc
+    * mean. Cross-engine exactness: per-token logs are rounded to 6
+    * decimals BEFORE summing (ln agrees to <=1 ulp; the t9/smp3
+    * precedent) and summed as DECIMAL so the distributed combine
+    * order cannot change the result (the Ops.dsum rule).
+    */
+  def t10UnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val nTotal = broadcast(toks.agg(count(lit(1)).as("n_total")))
+    toks.join(broadcast(freq), "token")
+      .crossJoin(nTotal)
+      .withColumn("__lp",
+        round(-log(col("cnt").cast("double") / col("n_total")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        // cast the EXACT decimal sum to double, THEN divide: decimal
+        // division scale/rounding rules differ across engines, but
+        // identical decimal -> identical double -> identical quotient
+        (sum(col("__lp")).cast("double") / count(lit(1)))
+          .as("mean_neg_logp"))
+  }
+
   // ---- dedup --------------------------------------------------------
 
   def dd1Exact(s: SparkSession, d: String): DataFrame =
@@ -584,6 +615,7 @@ object Extensions {
     "dd7_exact_jaccard" -> (dd7ExactJaccard _),
     "dd8_contamination" -> (dd8Contamination _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
+    "t10_unigram_logprob" -> (t10UnigramLogprob _),
     "smp1_stratified" -> (smp1Stratified _),
     "smp2_sample_k" -> (smp2SampleK _),
     "smp3_weighted_k" -> (smp3WeightedK _),
@@ -624,6 +656,22 @@ object Extensions {
          FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
                  JOIN gs sb ON sb.doc_id = ix.id_b
          WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8""",
+    // per-token -ln(p) rounded to 6 decimals then DECIMAL-summed: the
+    // combine-order-proof exact-sum rule (Ops.dsum); final mean is a
+    // double division of identical operands on both engines
+    "t10_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+              FROM documents),
+         freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+         tot AS (SELECT count(*) AS n_total FROM toks),
+         lp AS (SELECT doc_id,
+                  CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total), 6)
+                       AS DECIMAL(18,6)) AS lp
+                FROM toks JOIN freq USING (token) CROSS JOIN tot)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(SUM(lp) AS DOUBLE) / count(*) AS mean_neg_logp
+         FROM lp GROUP BY doc_id""",
     // portable polynomial rolling hash (mod 2^31-1): list_prepend(0,..)
     // makes DuckDB's first-element-seeded list_reduce match the
     // fold-with-init-0 form; empty tokens reduce to 0 on both engines
