@@ -110,6 +110,30 @@ class IngestSpec extends SparkSpec {
       Some("SPLIT-" + "x" * 40 + "-END")))
   }
 
+  test("Xls rejects corrupt input with clear errors, not loops or garbage") {
+    import graft.ingest.Xls
+    // not an OLE2 file at all
+    val notOle = Files.createTempDirectory("graft-xls").resolve("x.xls")
+    Files.write(notOle, "this,is,actually,csv\n1,2,3,4\n".getBytes)
+    val e1 = intercept[IllegalArgumentException](Xls.readRows(notOle.toString))
+    assert(e1.getMessage.contains("signature"))
+    // valid CFB container, no Workbook stream (zip of something else)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(
+      "src/test/resources/sample_biff8.xls"))
+    // corrupt the directory-entry name so the Workbook stream vanishes
+    val mangled = bytes.clone()
+    val idx = {
+      val name = "Workbook".flatMap(c => Seq(c.toByte, 0.toByte)).toArray
+      (0 until mangled.length - name.length).find(i =>
+        name.indices.forall(j => mangled(i + j) == name(j))).get
+    }
+    mangled(idx) = 'X'.toByte
+    val p2 = Files.createTempDirectory("graft-xls").resolve("m.xls")
+    Files.write(p2, mangled)
+    val e2 = intercept[IllegalArgumentException](Xls.readRows(p2.toString))
+    assert(e2.getMessage.contains("Workbook"))
+  }
+
   test("Xls RK decoding: int, x100, truncated-double forms") {
     import graft.ingest.Xls
     assert(Xls.decodeRk((42 << 2) | 2) === 42.0)

@@ -52,6 +52,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exactJaccardPairs == brute force on random short docs (edge shapes)") {
+    val docGen: Gen[List[String]] =
+      Gen.listOfN(30, for {
+        n <- Gen.choose(0, 12)
+        toks <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "x"))
+      } yield toks.mkString(" "))
+    def grams(s: String): Set[String] = {
+      val x = s.trim.toLowerCase
+      if (x.length < 3) Set(x)
+      else (0 to x.length - 3).map(i => x.substring(i, i + 3)).toSet
+    }
+    (1 to 8).foreach { seed =>
+      val texts = docGen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.Dedup
+        .exactJaccardPairs(df, "doc_id", "text", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val g = texts.zipWithIndex.map { case (t, i) => i.toLong -> grams(t) }
+      val want = (for {
+        (a, ga) <- g; (b, gb) <- g if a < b
+        inter = (ga & gb).size
+        if inter > 0 && inter.toDouble / (ga.size + gb.size - inter) >= 0.5
+      } yield (a, b)).toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("upsert == map-override semantics for any base/delta") {
     samples(15).foreach { rows =>
       val (baseRows, deltaRows) = rows.splitAt(rows.length / 2)
