@@ -192,10 +192,38 @@ object AsOfJoin {
       rightTiebreak: Seq[String],
       forward: Boolean,
       numBuckets: Int): DataFrame = {
-    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val (lNorm, rNorm, outSchema, nLeft, nPayload, _) =
       normCols(left, right, keyCol, leftTsCol, rightTsCol)
+    chunkedSorted(lNorm, rNorm, rightTiebreak, numBuckets,
+      carryBackward = !forward, carryForward = forward,
+      descendingTs = forward) match {
+      case Some(sorted) => mergeScan(sorted, outSchema, nLeft, nPayload)
+      case None => asofScan(left, right, keyCol, leftTsCol, rightTsCol,
+        rightTiebreak, forward)
+    }
+  }
 
+  /** The (key, time-bucket) framing shared by every chunked variant:
+    * bucket both sides by equal time ranges, inject per-(key, bucket)
+    * winning right rows into occupied buckets on the requested carry
+    * side(s), and return the (key,bucket)-partitioned sorted layout
+    * for a scan — or None when the timeline is degenerate (empty or a
+    * single instant) and chunking has nothing to split.
+    *
+    * carryBackward injects each bucket's MAX (ts, tiebreak) right into
+    * later occupied buckets (seeds "latest right so far"); carryForward
+    * injects each bucket's MIN into earlier ones (provides the "next
+    * future right"). The nearest scan needs both.
+    */
+  private def chunkedSorted(
+      lNorm: DataFrame,
+      rNorm: DataFrame,
+      rightTiebreak: Seq[String],
+      numBuckets: Int,
+      carryBackward: Boolean,
+      carryForward: Boolean,
+      descendingTs: Boolean): Option[DataFrame] = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     // numeric timeline for range bucketing (seconds for temporal types)
     def tsD = lNorm.schema("__ts").dataType match {
       case org.apache.spark.sql.types.DateType =>
@@ -204,10 +232,7 @@ object AsOfJoin {
     }
     val mm = lNorm.select(tsD.as("t")).unionAll(rNorm.select(tsD.as("t")))
       .agg(min(col("t")), max(col("t"))).head()
-    if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1))
-      // empty input or a single instant: nothing to chunk
-      return asofScan(left, right, keyCol, leftTsCol, rightTsCol,
-        rightTiebreak, forward)
+    if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1)) return None
     val lo = mm.getDouble(0)
     val width = (mm.getDouble(1) - lo) / numBuckets
     val bucket = coalesce(
@@ -218,24 +243,28 @@ object AsOfJoin {
     val lB = lNorm.withColumn("__b", bucket)
     val rB = rNorm.withColumn("__b", bucket)
 
-    // per-(key, bucket) winner — partial aggregation, skew-safe
+    // per-(key, bucket) winners — partial aggregation, skew-safe
     val ordStruct = struct(
       (col("__ts") +: rightTiebreak.map(c => col(s"__p_$c"))): _*)
     val rowStruct = struct(rB.columns.map(col): _*)
-    val winners = rB.filter(col("__k").isNotNull && col("__ts").isNotNull)
-      .groupBy(col("__k"), col("__b"))
-      .agg((if (forward) min_by(rowStruct, ordStruct)
-            else max_by(rowStruct, ordStruct)).as("__w"))
-      .select(col("__w.*"))
-
-    // inject winners into every other occupied bucket on the carry side
+    val validRights = rB.filter(col("__k").isNotNull && col("__ts").isNotNull)
     val occupied = lB.filter(col("__k").isNotNull && col("__ts").isNotNull)
       .select(col("__k"), col("__b").as("__tgt_b")).distinct()
-    val carried = winners.join(occupied, Seq("__k"))
-      .filter(if (forward) col("__tgt_b") < col("__b")
-              else col("__tgt_b") > col("__b"))
-      .drop("__b").withColumnRenamed("__tgt_b", "__b")
-      .select(lB.columns.map(col): _*)
+    def carriedRows(takeMin: Boolean): DataFrame = {
+      val winners = validRights
+        .groupBy(col("__k"), col("__b"))
+        .agg((if (takeMin) min_by(rowStruct, ordStruct)
+              else max_by(rowStruct, ordStruct)).as("__w"))
+        .select(col("__w.*"))
+      winners.join(occupied, Seq("__k"))
+        .filter(if (takeMin) col("__tgt_b") < col("__b")
+                else col("__tgt_b") > col("__b"))
+        .drop("__b").withColumnRenamed("__tgt_b", "__b")
+        .select(lB.columns.map(col): _*)
+    }
+    val carried =
+      (if (carryBackward) Seq(carriedRows(takeMin = false)) else Nil) ++
+        (if (carryForward) Seq(carriedRows(takeMin = true)) else Nil)
 
     // composite scan key (key, bucket); whole-struct NULL for null keys
     // so the scan's null semantics apply unchanged
@@ -244,20 +273,20 @@ object AsOfJoin {
       .map(col).toSeq
     def framed(df: DataFrame) = df.select((kb.as("__k") +: dataCols): _*)
 
-    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
+    val tsOrder = if (descendingTs) col("__ts").desc else col("__ts").asc
     val tieCols = rightTiebreak.map { c =>
-      if (forward) col(s"__p_$c").desc else col(s"__p_$c").asc
+      if (descendingTs) col(s"__p_$c").desc else col(s"__p_$c").asc
     }
     // explicit partition count: AQE would otherwise coalesce the
     // (key, bucket) shuffle back together, undoing exactly the spread
     // this operator exists to create
     val nPart = lB.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val sorted = framed(lB).unionByName(framed(rB)).unionByName(framed(carried))
+    Some(carried.foldLeft(framed(lB).unionByName(framed(rB)))(
+        (acc, c) => acc.unionByName(framed(c)))
       .repartition(nPart, col("__k"))
       .sortWithinPartitions(
-        (col("__k") +: tsOrder +: col("__side") +: tieCols): _*)
-    mergeScan(sorted, outSchema, nLeft, nPayload)
+        (col("__k") +: tsOrder +: col("__side") +: tieCols): _*))
   }
 
   /** Nearest-in-time as-of: per left row, the closer of the backward
@@ -275,6 +304,45 @@ object AsOfJoin {
     val (sorted, outSchema, nLeft, nPayload) =
       normalize(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
         descendingTs = false)
+    nearestScan(sorted, outSchema, nLeft, nPayload)
+  }
+
+  /** Skew-proof nearest as-of: the (key, time-bucket) spread of
+    * [[asofJoinBackwardChunked]] with boundary carry in BOTH
+    * directions — each bucket receives the latest earlier right (seeds
+    * the backward state) AND every later bucket's earliest right (so
+    * lefts with no native future right in their bucket still flush
+    * against the true next-future right; the ascending scan meets the
+    * nearest injected one first). Row-identical to [[asofJoinNearest]]
+    * (AsOfJoinSpec asserts it on 90%-one-key data).
+    */
+  def asofJoinNearestChunked(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTiebreak: Seq[String] = Nil,
+      numBuckets: Int = 64): DataFrame = {
+    val (lNorm, rNorm, outSchema, nLeft, nPayload, _) =
+      normCols(left, right, keyCol, leftTsCol, rightTsCol)
+    chunkedSorted(lNorm, rNorm, rightTiebreak, numBuckets,
+      carryBackward = true, carryForward = true,
+      descendingTs = false) match {
+      case Some(sorted) => nearestScan(sorted, outSchema, nLeft, nPayload)
+      case None => asofJoinNearest(left, right, keyCol, leftTsCol,
+        rightTsCol, rightTiebreak)
+    }
+  }
+
+  /** The buffering nearest merge scan over an ASCENDING (key, ts,
+    * side)-sorted layout (same row positions as [[mergeScan]]).
+    */
+  private def nearestScan(
+      sorted: DataFrame,
+      outSchema: StructType,
+      nLeft: Int,
+      nPayload: Int): DataFrame = {
     val rowEncoder = org.apache.spark.sql.Encoders.row(outSchema)
 
     val joined = sorted.mapPartitions { it =>

@@ -397,6 +397,17 @@ object Extensions {
       left, right, "user_id", "ts", "ts")
   }
 
+  /** Skew-proof nearest as-of — identical semantics to [[asof3Nearest]]
+    * (same composed DuckDB oracle), executed with (key, time-bucket)
+    * spread and BOTH-direction boundary carry
+    * ([[graft.ops.AsOfJoin.asofJoinNearestChunked]]).
+    */
+  def asof5NearestChunked(s: SparkSession, d: String): DataFrame = {
+    val (left, right) = asofSides(s, d)
+    graft.ops.AsOfJoin.asofJoinNearestChunked(
+      left, right, "user_id", "ts", "ts")
+  }
+
   /** Earliest signup value at-or-after each event (forward as-of).
     * Oracle: DuckDB `ASOF LEFT JOIN ... ON l.ts <= r.ts`.
     */
@@ -609,6 +620,7 @@ object Extensions {
     "asof2_forward" -> (asof2Forward _),
     "asof3_nearest" -> (asof3Nearest _),
     "asof4_backward_chunked" -> (asof4BackwardChunked _),
+    "asof5_nearest_chunked" -> (asof5NearestChunked _),
     "pipe1_corpus_clean" -> (pipe1CorpusClean _),
     "g1_components" -> (g1Components _),
     "dd6_cluster_keep" -> (dd6ClusterKeep _),
@@ -623,6 +635,27 @@ object Extensions {
     "e2_sliding" -> (e2Sliding _),
     "e3_session" -> (e3Session _),
     "e4_interval_join" -> (e4IntervalJoin _))
+
+  private val asofNearestOracle: String =
+    """WITH r AS (
+         SELECT user_id, ts, signup_value FROM (
+           SELECT user_id, ts, value AS signup_value,
+                  row_number() OVER (PARTITION BY user_id, ts
+                    ORDER BY value DESC) AS rn
+           FROM events WHERE event_type = 'signup')
+         WHERE rn = 1),
+       b AS (SELECT l.event_id, r.signup_value AS bv, r.ts AS bts
+             FROM events l ASOF LEFT JOIN r
+               ON l.user_id = r.user_id AND l.ts >= r.ts),
+       f AS (SELECT l.event_id, r.signup_value AS fv, r.ts AS fts
+             FROM events l ASOF LEFT JOIN r
+               ON l.user_id = r.user_id AND l.ts <= r.ts)
+       SELECT e.event_id, e.ts, e.user_id, e.event_type,
+              CASE WHEN bts IS NULL THEN fv
+                   WHEN fts IS NULL THEN bv
+                   WHEN e.ts - bts <= fts - e.ts THEN bv
+                   ELSE fv END AS signup_value
+       FROM events e JOIN b USING (event_id) JOIN f USING (event_id)"""
 
   private val asofBackwardOracle: String =
     """WITH r AS (
@@ -931,26 +964,9 @@ object Extensions {
          SELECT l.event_id, l.ts, l.user_id, l.event_type, r.signup_value
          FROM events l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.ts <= r.ts""",
-    "asof3_nearest" ->
-      """WITH r AS (
-           SELECT user_id, ts, signup_value FROM (
-             SELECT user_id, ts, value AS signup_value,
-                    row_number() OVER (PARTITION BY user_id, ts
-                      ORDER BY value DESC) AS rn
-             FROM events WHERE event_type = 'signup')
-           WHERE rn = 1),
-         b AS (SELECT l.event_id, r.signup_value AS bv, r.ts AS bts
-               FROM events l ASOF LEFT JOIN r
-                 ON l.user_id = r.user_id AND l.ts >= r.ts),
-         f AS (SELECT l.event_id, r.signup_value AS fv, r.ts AS fts
-               FROM events l ASOF LEFT JOIN r
-                 ON l.user_id = r.user_id AND l.ts <= r.ts)
-         SELECT e.event_id, e.ts, e.user_id, e.event_type,
-                CASE WHEN bts IS NULL THEN fv
-                     WHEN fts IS NULL THEN bv
-                     WHEN e.ts - bts <= fts - e.ts THEN bv
-                     ELSE fv END AS signup_value
-         FROM events e JOIN b USING (event_id) JOIN f USING (event_id)""",
+    "asof3_nearest" -> asofNearestOracle,
+    // identical semantics, skew-proof execution — same oracle
+    "asof5_nearest_chunked" -> asofNearestOracle,
     "x2_sql_textops" ->
       """SELECT doc_id,
                 nfc_normalize(text) = text AS already_nfc,

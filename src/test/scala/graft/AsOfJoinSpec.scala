@@ -233,6 +233,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(hotTasks(plainB) === 1)
   }
 
+  test("chunked nearest matches plain nearest row-for-row on skewed data") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    def key(i: Int) = if (i % 10 == 0) s"c${i % 3}" else "H"
+    val lefts = (0 until 2000).map(i =>
+      (i.toLong, key(i), new Timestamp(1700000000000L + rnd.nextInt(800000) * 1000L)))
+      .toDF("id", "k", "lts")
+    val rights = (0 until 400).map(i =>
+      (key(i), new Timestamp(1700000000000L + rnd.nextInt(800000) * 1000L),
+        s"v$i")).toDF("k", "rts", "payload")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "payload").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    val plain = AsOfJoin.asofJoinNearest(lefts, rights, "k", "lts", "rts")
+    val chunk = AsOfJoin.asofJoinNearestChunked(
+      lefts, rights, "k", "lts", "rts", numBuckets = 8)
+    assert(canon(chunk) === canon(plain))
+    // forward-only coverage: a left in the LAST bucket with its only
+    // match far in the past, and a left in the FIRST bucket whose only
+    // match is far in the future
+    val l2 = Seq((1L, "Z", new Timestamp(1700000000000L)),
+      (2L, "Z", new Timestamp(1700000790000000L / 1000L)))
+      .toDF("id", "k", "lts")
+    val r2 = Seq(("Z", new Timestamp(1700000400000000L / 1000L), "mid"))
+      .toDF("k", "rts", "payload")
+    val got = canon(AsOfJoin.asofJoinNearestChunked(
+      l2, r2, "k", "lts", "rts", numBuckets = 8))
+    assert(got === Seq((1L, Some("mid")), (2L, Some("mid"))))
+  }
+
   test("chunked carry crosses empty buckets (right in bucket 0 only)") {
     val lefts = (1 to 100).map(i =>
       (i.toLong, "H", new Timestamp(1700000000000L + i * 10000000L)))
