@@ -137,6 +137,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("array_intersect"), plan)
   }
 
+  test("sequence packing: prefix sum windows per PARTITION-ID, never globally") {
+    val plan = executedPlan(graft.export.Packing.packSequences(
+      Tables.documents(spark, sf), "doc_id", "n_chars", budget = 4096L))
+    // the distributed prefix sum must key its window on __pid — a
+    // global (empty-partition) window would serialize 100 TB into one
+    // task, exactly what this operator exists to avoid
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+    assert(!plan.contains("windowspecdefinition(id"), plan)
+    // base offsets ride a broadcast (driver-computed tiny table)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("unigram logprob: vocabulary joins broadcast; corpus side never shuffles for the lookup") {
+    val plan = executedPlan(
+      graft.queries.Extensions.t10UnigramLogprob(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("bounded_topn top-k: partial object aggregate, no window sort; == window result") {
     val plan = executedPlan(Relational.o4TopkAgg(spark, sf))
     assert(plan.contains("ObjectHashAggregate"), plan)
