@@ -137,7 +137,15 @@ final class Warehouse(val root: Path) {
   // -- per-table properties (metadata that survives republish) --------
 
   private val propertiesDir = root.resolve("properties")
-  private def propsPath(name: String) = propertiesDir.resolve(s"$name.json")
+  private def propsPath(name: String) = {
+    // the name is interpolated into a filesystem path — reject
+    // separators/traversal so the metadata API can't read or write
+    // outside the properties dir
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"invalid table name '$name': only [A-Za-z0-9_-] allowed")
+    propertiesDir.resolve(s"$name.json")
+  }
 
   /** Table metadata: comments, grants, arbitrary key=value. Stored
     * against the table NAME — not the data generation — so a republish

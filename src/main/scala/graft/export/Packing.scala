@@ -41,11 +41,26 @@ object Packing {
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = df.sparkSession
+    // The (id, len, __pid) assignment is referenced by TWO jobs (the
+    // totals collect below and the final placement query), and
+    // spark_partition_id() after repartitionByRange is NOT stable
+    // across executions: RangePartitioner re-samples per execution
+    // (reservoir seeded by the rdd id) and AQE may coalesce
+    // differently, so range boundaries can shift between jobs and a
+    // row near a boundary would join a base offset computed from the
+    // OTHER job's partitioning. Freeze the assignment by materializing
+    // it exactly once — an eager localCheckpoint pins the physical
+    // partitions (and truncates lineage), so both jobs read the same
+    // blocks. Executor-local storage is the price of a stable
+    // assignment; at cluster scale substitute a reliable checkpoint or
+    // an intermediate parquet stage — the contract is "materialize the
+    // assignment once", not the storage tier.
     val slim = df
       .select(col(idCol).cast("long").as("id"),
         col(lenCol).cast("long").as("len"))
       .repartitionByRange(col("id"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
 
     // phase 1+2: per-partition totals -> driver cumsum -> base offsets
     // (rows here = partition count, not data size)

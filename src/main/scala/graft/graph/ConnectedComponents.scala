@@ -35,6 +35,9 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Monitor for the scoped logger-level suppression in [[release]]. */
+  private val loggerGate = new Object
+
   /** Per-round lineage truncation. Eager so each round's work is done
     * (and measured) inside its own round, not re-run by later rounds.
     */
@@ -55,16 +58,22 @@ object ConnectedComponents {
     // logger only for the duration of the unpersist call, then restore
     // its prior (effective) level — library code must not permanently
     // reconfigure an application-wide logger.
+    // serialized on a single monitor: two concurrent callers racing the
+    // save/restore could otherwise read each other's temporary ERROR
+    // level as the "prior" level and restore it permanently, silencing
+    // the logger's WARNs for the whole application
     val logName = "org.apache.spark.rdd.MapPartitionsRDD"
-    val prior = org.apache.logging.log4j.LogManager.getLogger(logName).getLevel
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      logName, org.apache.logging.log4j.Level.ERROR)
-    try df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    } finally org.apache.logging.log4j.core.config.Configurator.setLevel(
-      logName, prior)
+    ConnectedComponents.loggerGate.synchronized {
+      val prior = org.apache.logging.log4j.LogManager.getLogger(logName).getLevel
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        logName, org.apache.logging.log4j.Level.ERROR)
+      try df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      } finally org.apache.logging.log4j.core.config.Configurator.setLevel(
+        logName, prior)
+    }
   }
 
   /** Large-star: every node u attaches its LARGER neighbors to

@@ -188,6 +188,12 @@ object Xls {
       def next(): Record = {
         val t = (stream(off) & 0xff) | ((stream(off + 1) & 0xff) << 8)
         val len = (stream(off + 2) & 0xff) | ((stream(off + 3) & 0xff) << 8)
+        // copyOfRange zero-pads past the end of the array, which would
+        // let a truncated stream parse with fabricated zero bytes
+        // (e.g. numeric cells decoded from padding) — fail instead
+        require(off + 4 + len <= stream.length,
+          s"truncated BIFF record: type=0x${t.toHexString} declares " +
+            s"$len bytes at offset $off but stream ends at ${stream.length}")
         val d = java.util.Arrays.copyOfRange(stream, off + 4, off + 4 + len)
         off += 4 + len
         Record(t, d)

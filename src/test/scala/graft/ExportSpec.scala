@@ -70,6 +70,34 @@ class ExportSpec extends SparkSpec {
     assert(canon(shuffled) === want)
   }
 
+  test("packSequences: stable under sampled range boundaries (60k rows, " +
+      "many partitions)") {
+    // At this size RangePartitioner's per-partition reservoir actually
+    // samples (it can't see every row), which is the regime where an
+    // UN-materialized assignment could re-sample different boundaries
+    // between the totals job and the placement job. The eager
+    // localCheckpoint in packSequences freezes one assignment; this
+    // asserts the result is still the exact prefix sum in id order.
+    import graft.export.Packing
+    val n = 60000L
+    def len(i: Long): Long = 1L + (i * 31) % 97
+    val docs = spark.range(1, n + 1).toDF("doc_id")
+      .withColumn("n_chars", lit(1L) + pmod(col("doc_id") * 31, lit(97L)))
+      .repartition(64, pmod(col("doc_id"), lit(7)))  // scrambled input
+    val budget = 2048L
+    val got = Packing.packSequences(docs, "doc_id", "n_chars", budget)
+      .select("doc_id", "start", "seq_id", "seq_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    var acc = 0L
+    val want = (1L to n).map { i =>
+      val row = (i, acc, acc / budget, acc % budget)
+      acc += len(i)
+      row
+    }
+    assert(got === want)
+  }
+
   test("weightedInterleave: prefix ratios approximate the weights; deterministic") {
     val a = (1 to 900).map(i => (s"a$i", "web")).toDF("id", "src")
     val b = (1 to 300).map(i => (s"b$i", "code")).toDF("id", "src")

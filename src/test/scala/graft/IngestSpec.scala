@@ -134,6 +134,25 @@ class IngestSpec extends SparkSpec {
     assert(e2.getMessage.contains("Workbook"))
   }
 
+  test("Xls: record length overrunning the stream fails, not zero-pads") {
+    import graft.ingest.Xls
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(
+      "src/test/resources/sample_biff8.xls"))
+    // patch the BOF record header (type 0x0809, len 0x0010) to declare
+    // a length far past the end of the Workbook stream — before the
+    // bound check this parsed with fabricated zero bytes
+    val mangled = bytes.clone()
+    val bof = Array[Byte](0x09, 0x08, 0x10, 0x00)
+    val idx = (0 until mangled.length - 4).find(i =>
+      bof.indices.forall(j => mangled(i + j) == bof(j))).get
+    mangled(idx + 2) = 0xFF.toByte
+    mangled(idx + 3) = 0xFF.toByte
+    val p = Files.createTempDirectory("graft-xls").resolve("t.xls")
+    Files.write(p, mangled)
+    val e = intercept[IllegalArgumentException](Xls.readRows(p.toString))
+    assert(e.getMessage.contains("truncated BIFF record"))
+  }
+
   test("Xls RK decoding: int, x100, truncated-double forms") {
     import graft.ingest.Xls
     assert(Xls.decodeRk((42 << 2) | 2) === 42.0)

@@ -161,4 +161,18 @@ class WarehouseSpec extends SparkSpec {
     val reopened = new Warehouse(wh.root)
     assert(reopened.grants("bldgs") === Map("wowuser" -> Seq("SELECT")))
   }
+
+  test("property store rejects table names that would escape the " +
+      "properties dir") {
+    val wh = new Warehouse(
+      java.nio.file.Files.createTempDirectory("graft-wh-names"))
+    for (bad <- Seq("../evil", "a/b", "", "a\\b", "x.json")) {
+      val e = intercept[IllegalArgumentException](
+        wh.setTableProperties(bad, Map("k" -> "v")))
+      assert(e.getMessage.contains("invalid table name"), s"name=$bad")
+    }
+    // plain names still work
+    wh.setTableProperties("ok_name-1", Map("k" -> "v"))
+    assert(wh.tableProperties("ok_name-1") === Map("k" -> "v"))
+  }
 }
