@@ -337,17 +337,22 @@ object Extensions {
   // ---- end-to-end corpus cleaning pipeline (composition demo) ------
 
   /** The canonical training-data prep chain: quality gate -> exact
-    * dedup -> near-dup removal -> per-doc stats. Rows-only check (the
-    * minhash stage is hash-engine-specific); each stage has its own
-    * oracle/test elsewhere.
+    * dedup -> near-dup removal -> per-doc stats. Every phase is
+    * engine-portable (the near-dup phase is the EXACT prefix-filtered
+    * Jaccard join, [[Dedup.exactJaccardPairs]] — guaranteed-recall
+    * exact semantics, not a hash-specific LSH approximation), so the
+    * WHOLE composition has a DuckDB dual and is oracle-checked
+    * end-to-end, not just rows-counted. (The MinHash variant of the
+    * same chain remains available via [[Dedup.minhashPairs]]; its
+    * hash-specific pair set is covered by DedupSpec recall gates.)
     */
   def pipe1CorpusClean(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val quality = docs.filter(TextFunctions.qualityScore(col("text")) > 0.3)
     // stage materialization: the downstream near-dup pass references
-    // this frame several times (band explode + per-side signature
-    // fetches + the final anti-join); caching it turns 4 recomputes of
-    // the filter+semi-join subtree into 1 — exactly what a production
+    // this frame several times (gram explode + per-side set fetches +
+    // the final anti-join); caching it turns the recomputes of the
+    // filter+semi-join subtree into 1 — exactly what a production
     // pipeline does between stages (write to parquet at 100 TB).
     // The cache entry outlives the query (no unpersist hook on a lazy
     // DataFrame), but CacheManager keys on the canonicalized plan so
@@ -356,7 +361,7 @@ object Extensions {
     val exactKept = quality.join(
         Dedup.exactKeepIds(quality, "doc_id", "text"), Seq("doc_id"), "left_semi")
       .persist()
-    val nearPairs = Dedup.minhashPairs(exactKept, "doc_id", "text",
+    val nearPairs = Dedup.exactJaccardPairs(exactKept, "doc_id", "text",
       threshold = 0.9)
     Dedup.keepAfterPairs(exactKept, "doc_id", nearPairs)
       .select(col("doc_id"), col("lang"),
@@ -785,6 +790,60 @@ object Extensions {
          SELECT CAST(component AS BIGINT) AS keep_id,
                 count(*) AS n_members
          FROM comp GROUP BY component HAVING count(*) > 1""",
+    // the full cleaning composition, phase by phase: the t2-shaped
+    // quality score gate (identical double arithmetic on both
+    // engines), exact dedup as GROUP BY text (== the sha2 groupBy
+    // modulo collisions), brute-force trigram Jaccard >= 0.9 as the
+    // near-dup edge set (dd7's oracle shape over the kept subset),
+    // greedy smaller-id-survives removal, then the t1/t3 stat duals
+    "pipe1_corpus_clean" ->
+      """WITH q AS (
+           SELECT doc_id, lang, text FROM documents
+           WHERE (least(length(text) / 200.0, 1.0) * 0.4
+                  + (1.0 - least(CAST(length(text)
+                        - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                        AS DOUBLE) / length(text) * 4, 1.0)) * 0.3
+                  + least(CAST(len(regexp_extract_all(lower(text),
+                        '\b(the|a|an|of|and|in|to|is|for|on)\b')) AS DOUBLE)
+                      / len(regexp_split_to_array(trim(text), '\s+')) * 5,
+                      1.0) * 0.3) > 0.3),
+         ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+         kept AS (SELECT q.* FROM q JOIN ek USING (doc_id)),
+         t AS (SELECT doc_id, lower(trim(text)) AS s FROM kept),
+         g AS (SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN length(s) >= 3
+                      THEN list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, CAST(i AS INT), 3))
+                      ELSE [s] END) AS gram
+               FROM t),
+         gs AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         removed AS (SELECT DISTINCT id_b
+                     FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                             JOIN gs sb ON sb.doc_id = ix.id_b
+                     WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.9),
+         fin AS (SELECT * FROM kept
+                 WHERE doc_id NOT IN (SELECT id_b FROM removed)),
+         hits AS (
+           SELECT doc_id, lang, text,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it)\b')) AS h_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS h_de,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pas|que)\b')) AS h_fr,
+             len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|por|que|para)\b')) AS h_es,
+             len(regexp_extract_all(lower(text), '\b(de5|shi4|bu4|wo3|zai4|le5|you3|he2)\b')) AS h_zh
+           FROM fin)
+         SELECT doc_id, lang,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+                  AS n_tokens,
+                CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0 THEN 'und'
+                     WHEN h_zh >= greatest(h_en, h_de, h_es, h_fr) THEN 'zh'
+                     WHEN h_fr >= greatest(h_en, h_de, h_es) THEN 'fr'
+                     WHEN h_es >= greatest(h_en, h_de) THEN 'es'
+                     WHEN h_en >= h_de THEN 'en'
+                     ELSE 'de' END AS predicted_lang
+         FROM hits""",
     // priority sampling is engine-portable by construction: the Knuth
     // multiplicative hash is plain integer arithmetic, so DuckDB
     // reproduces the EXACT sample (not just its size)

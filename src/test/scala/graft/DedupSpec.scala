@@ -99,6 +99,48 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => b == 4L || b == 5L || a == 4L })
   }
 
+  test("recall gates: LSH families measured against the exact ground " +
+      "truth at sf0.01") {
+    // exactJaccardPairs is an exact generator, so the approximate
+    // families get MEASURED recall numbers, not just "can find planted
+    // dups" spot checks. Bar: >= 0.9 at the thresholds the dd-queries
+    // ship with (VERDICT r5 item 4).
+    val real = Tables.documents(spark, "/root/testdata/sf0.01")
+
+    // dd2 shape: MinHash banding (word shingles, est-J >= 0.2) vs the
+    // true char-trigram J >= 0.8 pair set (dd7 semantics). Different
+    // similarity spaces, so this measures the pipeline-level question:
+    // does the cheap LSH screen recover the pairs the exact join
+    // certifies?
+    val truth08 = Dedup.exactJaccardPairs(real, "doc_id", "text",
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth08.nonEmpty, "fixture should contain near-dup pairs")
+    val minhash = Dedup.minhashPairs(real, "doc_id", "text",
+        threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhRecall = (truth08 & minhash).size.toDouble / truth08.size
+    assert(mhRecall >= 0.9,
+      s"MinHash recall $mhRecall vs exact J>=0.8 truth (n=${truth08.size})")
+
+    // dd4 shape: two-phase n-gram (LSH candidates -> exact verify) in
+    // the SAME gram space and threshold as the truth — isolates
+    // candidate-generation recall (the verify phase is exact, so
+    // precision must be 1.0 / subset). Measured at J >= 0.8, the
+    // genuinely-near-dup band: at looser thresholds (e.g. 0.5) the
+    // template-dense corpus has ~48k trigram-similar pairs that share
+    // almost no word shingles, so recall there measures the
+    // trigram/word-shingle space mismatch, not the banding.
+    val twoPhase = Dedup.ngramJaccardPairs(real, "doc_id", "text",
+        threshold = 0.8, candidateThreshold = 0.15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twoPhase.subsetOf(truth08),
+      s"two-phase emitted non-true pairs: ${twoPhase -- truth08}")
+    val tpRecall = (truth08 & twoPhase).size.toDouble / truth08.size
+    assert(tpRecall >= 0.9,
+      s"two-phase recall $tpRecall vs exact J>=0.8 truth (n=${truth08.size})")
+  }
+
   test("embedding near-dup finds the planted near-duplicate vector") {
     val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
     val near = base.zipWithIndex.map { case (v, i) =>
