@@ -137,6 +137,10 @@ final class Warehouse(val root: Path) {
   // -- per-table properties (metadata that survives republish) --------
 
   private val propertiesDir = root.resolve("properties")
+  // reserved property-entry names (not tables): schema-level grants
+  // and the user registry live in the same atomic property store
+  private val SchemaEntry = "__schema"
+  private val UsersEntry = "__users"
   private def propsPath(name: String) = {
     // the name is interpolated into a filesystem path — reject
     // separators/traversal so the metadata API can't read or write
@@ -197,12 +201,47 @@ final class Warehouse(val root: Path) {
   def revoke(name: String, grantee: String): Unit =
     unsetTableProperties(name, Seq(s"grant:$grantee"))
 
-  /** grantee -> privileges for a table. */
+  /** grantee -> privileges for a table. Schema-level grants
+    * ([[grantSchemaRead]]) apply to every table — including tables
+    * published AFTER the grant (the reference's ALTER DEFAULT
+    * PRIVILEGES semantics, `dbtool.py:123-136`) — with table-level
+    * entries taking precedence on a same-grantee collision.
+    */
   def grants(name: String): Map[String, Seq[String]] =
-    tableProperties(name).collect {
+    (tableProperties(SchemaEntry) ++ tableProperties(name)).collect {
       case (k, v) if k.startsWith("grant:") =>
         k.stripPrefix("grant:") -> v.split(",").toSeq
     }
+
+  /** Schema-wide read grant — `dbtool.py:123-136` grant_schema_read:
+    * SELECT on ALL current tables AND (via the schema-level property
+    * entry, our ALTER DEFAULT PRIVILEGES analogue) on any table
+    * published later. One property write; [[grants]] folds it in at
+    * read time, so republishes can't lose it either.
+    */
+  def grantSchemaRead(grantee: String): Unit =
+    setTableProperties(SchemaEntry, Map(s"grant:$grantee" -> "SELECT"))
+
+  /** User registry over the property store — `dbtool.py:149-162`
+    * create_user. Stores a sha-256 of the password (never the
+    * password itself); returns false if the user already exists.
+    */
+  def createUser(user: String, password: String): Boolean = {
+    val key = s"user:$user"
+    if (tableProperties(UsersEntry).contains(key)) false
+    else {
+      setTableProperties(UsersEntry, Map(key ->
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(password.getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString))
+      true
+    }
+  }
+
+  def users: Seq[String] =
+    tableProperties(UsersEntry).keys.toSeq.collect {
+      case k if k.startsWith("user:") => k.stripPrefix("user:")
+    }.sorted
 
   /** Stage every DataFrame to a fresh generation dir, then atomically
     * flip the manifest. `layouts` optionally controls the at-rest data

@@ -1,8 +1,9 @@
 package graft.datasets
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-import graft.ingest.ParquetSource
+import graft.ingest.{OptionalSource, ParquetSource}
 import graft.queries.Flagship
 
 /** The dataset registry — the engine's analogue of the nycdb dataset
@@ -19,7 +20,44 @@ object Registry {
   private def src(sfDir: String, table: String) =
     ParquetSource(table, s"$sfDir/$table.parquet")
 
+  /** Credential gate for the protected dataset — the reference reads
+    * AWS creds from the environment and builds EMPTY tables when they
+    * are absent (`ocautil.py:56-58`, `ocaevictions` empty-table
+    * fallback). Env var in production; the system property is the
+    * in-JVM test hook (env is immutable per-process).
+    */
+  private[datasets] def ocaCredsPresent(): Boolean =
+    sys.env.contains("GRAFT_OCA_KEY") ||
+      sys.props.get("graft.oca.creds").contains("true")
+
+  private[graft] val ocaSchema = StructType(Seq(
+    StructField("indexnumberid", StringType),
+    StructField("bbl", StringType),
+    StructField("unitsres", IntegerType)))
+
   def datasets(sfDir: String): Seq[DatasetSpec] = Seq(
+    // the protected dataset (`ocautil.py:49-90`): its source sits
+    // behind credentials; without them the run still PUBLISHES —
+    // empty tables with the declared schema — so every downstream
+    // consumer keeps working (reference semantics, RunnerSpec
+    // "protected dataset end-to-end")
+    DatasetSpec(
+      name = "oca_address",
+      urls = Nil,
+      sources = Seq(OptionalSource("oca_addresses",
+        src(sfDir, "oca_addresses"), ocaSchema,
+        available = () => ocaCredsPresent() &&
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$sfDir/oca_addresses.parquet")))),
+      // the derived rollup (`oca_evictions_bldgs` shape) must survive
+      // an empty base — aggregation over zero rows publishes an empty
+      // table with the right schema, not a crash
+      derived = Map("oca_evictions_bldgs" -> ((_, base) =>
+        base("oca_addresses")
+          .groupBy(col("bbl"))
+          .agg(count(lit(1)).as("n_filings"),
+            sum(col("unitsres")).as("units")))),
+      schedule = Scheduling.OddDays),
     DatasetSpec(
       name = "star_dims",
       urls = Nil,

@@ -119,6 +119,48 @@ class RunnerSpec extends SparkSpec {
     assert(df.schema === schema)
   }
 
+  test("protected dataset end-to-end: absent creds publish EMPTY tables; " +
+      "present creds load fully (ocautil shape)") {
+    // ocautil.py:49-90 + tests/test_ocautil.py:20-45 — the registry's
+    // oca_address dataset run through JobRunner both ways
+    import graft.datasets.Registry
+    val dataDir = Files.createTempDirectory("graft-oca-data").toString
+    val wh = new Warehouse(Files.createTempDirectory("graft-oca-wh"))
+    val store = new MemoryStateStore
+    val outbox = new RecordingNotifier
+    val runner = new JobRunner(spark, wh, store, mkHttp(() => 200),
+      outbox, fixedClock)
+    val ds = Registry.byName(dataDir, "oca_address").get
+
+    // creds absent: publish still happens, tables are EMPTY with the
+    // DECLARED schema (downstream consumers keep working)
+    System.clearProperty("graft.oca.creds")
+    runner.run(ds)
+    val empty = wh.table(spark, "oca_addresses")
+    assert(empty.count() === 0)
+    assert(empty.schema === Registry.ocaSchema)
+    assert(wh.table(spark, "oca_evictions_bldgs").count() === 0)
+    assert(wh.table(spark, "oca_evictions_bldgs").columns.toSeq ===
+      Seq("bbl", "n_filings", "units"))
+
+    // creds present + data staged: the same spec loads fully
+    import spark.implicits._
+    Seq(("idx1", "1000010001", 12), ("idx2", "1000010001", 12),
+        ("idx3", "3000050009", 3))
+      .toDF("indexnumberid", "bbl", "unitsres")
+      .write.parquet(s"$dataDir/oca_addresses.parquet")
+    System.setProperty("graft.oca.creds", "true")
+    try {
+      runner.run(ds)
+      assert(wh.table(spark, "oca_addresses").count() === 3)
+      val bldgs = wh.table(spark, "oca_evictions_bldgs")
+        .orderBy("bbl").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(bldgs.toSeq === Seq(("1000010001", 2L, 24L),
+        ("3000050009", 1L, 3L)))
+    } finally System.clearProperty("graft.oca.creds")
+  }
+
   test("CsvSource loads with DECLARED schema (no inference)") {
     val dir = Files.createTempDirectory("graft-csv")
     Files.writeString(dir.resolve("d.csv"), "bbl,units\n1000010001,12\n1000010002,3\n")
@@ -144,6 +186,52 @@ class RunnerSpec extends SparkSpec {
     assert(tool.listLastmod() === Seq("etag:http://a" -> "e1"))
     assert(tool.resetLastmod() === 1)
     assert(store.keysWithPrefix("etag:").isEmpty)
+  }
+
+  test("DbTool: user:create + user:grant_schema_read cover current AND " +
+      "future tables; sql passthrough sees published tables") {
+    // dbtool.py:90-92 (shell), 123-136 (grant_schema_read), 149-162
+    // (create_user) — the last dbtool commands without a CLI analogue
+    val wh = new Warehouse(Files.createTempDirectory("graft-dbtool-user"))
+    val store = new MemoryStateStore
+    val runner = new JobRunner(spark, wh, store, mkHttp(() => 200),
+      new RecordingNotifier, fixedClock)
+    runner.run(regionDataset)
+    val lines = collection.mutable.ArrayBuffer.empty[String]
+    val tool = new DbTool(spark, wh, store, lines += _)
+
+    val password = tool.createUser("wowuser")
+    assert(password.length === 16 && password.forall(_.isLetterOrDigit))
+    assert(lines.head === "Creating user 'wowuser' and granting them " +
+      "access to the db.")
+    assert(lines(1) === s"Their password is '$password'. " +
+      "Please keep this safe!")
+    assert(lines(2) === "Granting user 'wowuser' read-only access to " +
+      "schema 'public'.")
+    assert(wh.users === Seq("wowuser"))
+    // the password itself is never persisted — only its digest
+    assert(!wh.tableProperties("__users").values.exists(_.contains(password)))
+    intercept[IllegalArgumentException](tool.createUser("wowuser"))
+
+    // read access to every CURRENT table...
+    assert(wh.grants("region")("wowuser") === Seq("SELECT"))
+    assert(wh.grants("region_counts")("wowuser") === Seq("SELECT"))
+    // ...and to tables published AFTER the grant (the reference's
+    // ALTER DEFAULT PRIVILEGES semantics)
+    runner.run(regionDataset.copy(name = "later_ds", urls = Nil,
+      sources = Nil, derived = Map("later_table" -> ((s, _) =>
+        Tables.region(s, sf).select(col("r_name"))))))
+    assert(wh.grants("later_table")("wowuser") === Seq("SELECT"))
+    // table-level entries still take precedence over the schema grant
+    wh.grant("region", "wowuser", Seq("SELECT", "INSERT"))
+    assert(wh.grants("region")("wowuser") === Seq("INSERT", "SELECT"))
+
+    // sql passthrough: one-shot statement over the published tables
+    lines.clear()
+    val res = tool.sql(
+      "SELECT count(*) AS n FROM region JOIN region_counts USING (r_name)")
+    assert(res === Seq("n", "5"))
+    assert(lines === Seq("n", "5"))
   }
 
   test("dataset-published UDFs are replayed at publish time") {
