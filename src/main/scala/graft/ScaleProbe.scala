@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe for the two heavy exact-similarity queries (dd7
+  * pair-join, dd6 pair-join + connected components): times them at
+  * sf0.01, sf0.1, and a FIXED-DENSITY 10x replica of sf0.1 ("sf1
+  * engine datapoint"), then fits the growth exponent on the log-log
+  * series. Results feed BASELINE.md's scaling addendum.
+  *
+  * Why a replica instead of driver-generated sf1 data: none exists in
+  * this environment, and naive replication (same text) would multiply
+  * the corpus's template density — every original near-dup pair
+  * becomes copies^2 pairs — measuring the corpus's intrinsic
+  * quadratic pair growth, not the engine. Each copy instead passes
+  * through a DISTINCT character bijection (translate over ten
+  * frequent letters, rotated per copy): a bijection maps each copy's
+  * trigram sets 1:1, so intra-copy Jaccard structure — and therefore
+  * per-capita true-pair density — is EXACTLY sf0.1's, while
+  * cross-copy trigrams almost all contain a mutated letter and
+  * overlap collapses far below threshold. The measured growth
+  * therefore isolates the join/shuffle machinery — the thing that
+  * must scale linearly for the 100 TB claim; the corpus-density term
+  * is intrinsic to exact all-pairs semantics and scales with template
+  * density regardless of engine. (A word-suffix mutation was tried
+  * first and REJECTED: appending chars keeps a long word's interior
+  * trigrams, cross-copy J stayed >= 0.8, and the replica degenerated
+  * into 34M mostly-cross-copy pairs — that run survives in
+  * BASELINE.md as a separate stress datapoint.)
+  */
+object ScaleProbe {
+
+  private def timeSec[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val r = f
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = sys.env.getOrElse("SPARK_GRAFT_DATA_ROOT", "/root/testdata")
+    val replicaDir = sys.env.getOrElse("SPARK_GRAFT_REPLICA_DIR",
+      "/tmp/graft_sf1_replica_fd")
+
+    // build (or reuse) the 10x fixed-density replica as real parquet
+    // so the timed runs scan files, same as the benched scales
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(replicaDir))) {
+      val sf01 = Tables.documents(spark, s"$root/sf0.1")
+      val alphabet = "aeiounrstl" // 10 frequent letters; 10 rotations
+      val copies = (0 until 10).map { k =>
+        val mapped = alphabet.drop(k) + alphabet.take(k)
+        sf01.select(
+          (col("doc_id") * 10 + lit(k)).as("doc_id"),
+          col("lang"),
+          translate(col("text"), alphabet, mapped).as("text"),
+          col("n_chars"))
+      }
+      copies.reduce(_.unionAll(_))
+        .repartition(32)
+        .write.mode("overwrite").parquet(replicaDir)
+    }
+
+    def dd7(df: DataFrame): Long =
+      graft.dedup.Dedup
+        .exactJaccardPairs(df, "doc_id", "text", threshold = 0.8)
+        .count()
+    def dd6(df: DataFrame): Long = {
+      val pairs = graft.dedup.Dedup
+        .exactJaccardPairs(df, "doc_id", "text", threshold = 0.8)
+      graft.dedup.Dedup.nearDupClusters(df, "doc_id", pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+    }
+
+    val scales: Seq[(String, DataFrame)] = Seq(
+      "sf0.01" -> Tables.documents(spark, s"$root/sf0.01"),
+      "sf0.1" -> Tables.documents(spark, s"$root/sf0.1"),
+      "sf1rep" -> spark.read.parquet(replicaDir))
+
+    // warm the kernels once (same rationale as Bench's warmup)
+    dd7(Tables.documents(spark, s"$root/sf0.01"))
+
+    val rows = scales.map { case (name, df) =>
+      val n = df.count()
+      val (t7, p7) = timeSec(dd7(df))
+      val (t6, c6) = timeSec(dd6(df))
+      System.err.println(
+        f"[probe] $name%-7s n=$n%6d dd7=$t7%7.2fs ($p7 pairs) " +
+          f"dd6=$t6%7.2fs ($c6 clusters)")
+      (name, n, t7, p7, t6, c6)
+    }
+
+    // growth exponent: slope of log(t) vs log(n) over the series
+    def slope(pts: Seq[(Double, Double)]): Double = {
+      val n = pts.size
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    val e7 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._3))))
+    val e6 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._5))))
+
+    val qs = rows.map { case (name, n, t7, p7, t6, c6) =>
+      s""""$name":{"n":$n,"dd7_sec":${f"$t7%.2f"},"dd7_pairs":$p7,""" +
+        s""""dd6_sec":${f"$t6%.2f"},"dd6_clusters":$c6}"""
+    }.mkString("{", ",", "}")
+    spark.stop()
+    println(s"""{"metric":"scale_probe","scales":$qs,""" +
+      s""""dd7_exponent":${f"$e7%.3f"},"dd6_exponent":${f"$e6%.3f"}}""")
+  }
+}
