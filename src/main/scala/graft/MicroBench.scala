@@ -63,8 +63,9 @@ object MicroBench {
       time("pipe1: exact dedup semi-join")(kept.count())
       val keptP = kept.persist()
       time("pipe1: persist materialize")(keptP.count())
-      val nearPairs = Dedup.minhashPairs(keptP, "doc_id", "text", threshold = 0.9)
-      time("pipe1: minhashPairs(cached)")(nearPairs.count())
+      val nearPairs = Dedup.exactJaccardPairs(keptP, "doc_id", "text",
+        threshold = 0.9)
+      time("pipe1: exactJaccardPairs(cached)")(nearPairs.count())
       val fin = Dedup.keepAfterPairs(keptP, "doc_id", nearPairs)
         .select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"),

@@ -155,10 +155,15 @@ object Extensions {
       threshold = 0.5, candidateThreshold = 0.15)
 
   // synthetic embeddings are near-orthogonal (max pairwise cos ~0.51),
-  // so the "near-dup" threshold is 0.4 here; production default is 0.95
+  // so the "near-dup" threshold is 0.4 here; production default is
+  // 0.95. tables=24 is set by DedupSpec's measured recall gate:
+  // nearly every true pair here sits AT the 0.4 boundary (the corpus
+  // tops out at cos ~0.51), where per-table collision is only
+  // (1 - acos(0.4)/pi)^4 ~ 0.16 — 8 tables measured 0.81 recall, 16
+  // measured 0.88, 24 puts the expected boundary recall at ~0.98.
   def dd5EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id",
-      "embedding", threshold = 0.4, bits = 4, tables = 8)
+      "embedding", threshold = 0.4, bits = 4, tables = 24)
 
   // ---- similarity search -------------------------------------------
 
