@@ -427,8 +427,8 @@ object Dedup {
     * broadcasts and the corpus-side membership probe is a map-side
     * broadcast join — ONE scan of the corpus, no corpus shuffle except
     * the per-doc count aggregation (partial, slim keys). For eval sets
-    * too big to broadcast exactly, pre-filter with [[graft.functions
-    * .BloomFunctions]] and keep this exact join as the verify.
+    * too big to broadcast exactly, use [[contaminationScoresBloom]] —
+    * same result, bloom-pruned shuffle join instead of broadcast.
     *
     * Returns (id, n_grams, n_hits, contamination) for every corpus
     * doc; contamination = n_hits / n_grams in [0, 1].
@@ -446,6 +446,50 @@ object Dedup {
     val grams = corpus.select(col(idCol),
       explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
     val hits = grams.join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contamination"))
+  }
+
+  /** [[contaminationScores]] for eval sets too big to broadcast as an
+    * exact string set: the corpus gram stream is pre-filtered by a
+    * bloom of the eval grams (a fixed-size blob regardless of eval
+    * cardinality, injected as a LITERAL so the probe stays a
+    * scan-adjacent codegen filter — the bf1 pattern), and only
+    * bloom-surviving grams (~true hits + fpp) reach the exact
+    * SHUFFLE semi-join that removes false positives. No false
+    * negatives, so the result is row-identical to
+    * [[contaminationScores]] (asserted in DedupSpec); the bloom only
+    * tunes how many corpus grams shuffle.
+    */
+  def contaminationScoresBloom(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bloomBits: Int = 1 << 20,
+      bloomHashes: Int = 7): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(
+        wordShingles(col(textCol), k))).as("gram"))
+      .distinct()
+    // one small job over the (distinct) eval grams builds the blob;
+    // bounded by bloomBits/8 bytes on the driver
+    val blob = evalGrams
+      .agg(bloom_agg(xxhash64(col("gram")), bloomBits, bloomHashes))
+      .head().getAs[Array[Byte]](0)
+    val grams = corpus.select(col(idCol),
+      explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
+    val hits = grams
+      .filter(might_contain(lit(blob), xxhash64(col("gram"))))
+      .join(evalGrams, Seq("gram"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
     grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
       .join(hits, Seq(idCol), "left")

@@ -522,6 +522,23 @@ object Extensions {
       .filter(col("n_hits") > 0)
   }
 
+  /** [[dd8Contamination]] through the bloom-pruned scale path
+    * ([[Dedup.contaminationScoresBloom]]): for eval sets too big to
+    * broadcast as an exact gram set, a fixed-size bloom of the eval
+    * grams pre-filters the corpus gram stream scan-side and an exact
+    * shuffle semi-join removes the bloom's false positives. No false
+    * negatives, so the result is row-identical to dd8 and shares its
+    * DuckDB dual verbatim.
+    */
+  def dd9ContaminationBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.contaminationScoresBloom(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", k = 3)
+      .filter(col("n_hits") > 0)
+  }
+
   /** Exact similarity self-join (prefix filtering, AllPairs/PPJoin
     * family): ALL pairs with trigram-set Jaccard >= 0.8 — guaranteed
     * recall from the prefix-filter bound, verified pair-exactly
@@ -636,6 +653,7 @@ object Extensions {
     "dd6_cluster_keep" -> (dd6ClusterKeep _),
     "dd7_exact_jaccard" -> (dd7ExactJaccard _),
     "dd8_contamination" -> (dd8Contamination _),
+    "dd9_contamination_bloom" -> (dd9ContaminationBloom _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "t10_unigram_logprob" -> (t10UnigramLogprob _),
     "smp1_stratified" -> (smp1Stratified _),
@@ -678,6 +696,27 @@ object Extensions {
        SELECT l.event_id, l.ts, l.user_id, l.event_type, r.signup_value
        FROM events l ASOF LEFT JOIN r
          ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+  private val contaminationOracle: String =
+    """WITH tok AS (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+               FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(
+                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 ELSE [array_to_string(ts, ' ')] END AS shs
+               FROM tok),
+         g AS (SELECT DISTINCT doc_id, unnest(shs) AS gram FROM sh),
+         ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
+         hit AS (SELECT doc_id, count(*) AS n_hits FROM corp
+                 WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id)
+         SELECT t.doc_id, t.n_grams, h.n_hits,
+                CAST(h.n_hits AS DOUBLE) / t.n_grams AS contamination
+         FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+         WHERE h.n_hits > 0"""
 
   val oracles: Map[String, String] = Map(
     // brute-force exact trigram Jaccard — ground truth the prefix-
@@ -745,26 +784,10 @@ object Extensions {
                 start % 4096 AS seq_offset
          FROM pre""",
     // word k-grams are plain strings in both engines — exact dual
-    "dd8_contamination" ->
-      """WITH tok AS (SELECT doc_id,
-                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
-               FROM documents),
-         sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3
-                 THEN list_transform(range(1, len(ts) - 1),
-                        i -> array_to_string(
-                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
-                 ELSE [array_to_string(ts, ' ')] END AS shs
-               FROM tok),
-         g AS (SELECT DISTINCT doc_id, unnest(shs) AS gram FROM sh),
-         ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-         corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
-         tot AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
-         hit AS (SELECT doc_id, count(*) AS n_hits FROM corp
-                 WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id)
-         SELECT t.doc_id, t.n_grams, h.n_hits,
-                CAST(h.n_hits AS DOUBLE) / t.n_grams AS contamination
-         FROM tot t JOIN hit h ON t.doc_id = h.doc_id
-         WHERE h.n_hits > 0""",
+    "dd8_contamination" -> contaminationOracle,
+    // dd9 is row-identical to dd8 by construction (no-false-negative
+    // bloom + exact semi-join verify), so it shares the same dual
+    "dd9_contamination_bloom" -> contaminationOracle,
     // same pairs -> connected components via recursive CTE -> cluster
     // membership summary: checks the FULL transitive-closure semantics
     "dd6_cluster_keep" ->

@@ -228,6 +228,31 @@ class DedupSpec extends SparkSpec {
       s"recall too low: $exact vs $approx")
   }
 
+  test("contaminationScoresBloom is row-identical to the broadcast-exact " +
+      "form (dd8 split at sf0.01)") {
+    // the bloom pre-filter has no false negatives and the exact
+    // semi-join removes its false positives, so the scale path must
+    // reproduce the broadcast path bit-for-bit
+    val real = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = real.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val eval_ = real.filter(pmod(col("doc_id"), lit(97)) === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val exact = canon(Dedup.contaminationScores(
+      corpus, eval_, "doc_id", "text", k = 3))
+    val bloomed = canon(Dedup.contaminationScoresBloom(
+      corpus, eval_, "doc_id", "text", k = 3))
+    assert(bloomed === exact)
+    assert(exact.exists(_._3 > 0), "fixture should contain contamination")
+    // a deliberately tiny bloom (high fpp) must STILL be exact — only
+    // the pruning power changes
+    val tiny = canon(Dedup.contaminationScoresBloom(
+      corpus, eval_, "doc_id", "text", k = 3, bloomBits = 64))
+    assert(tiny === exact)
+  }
+
   test("contaminationScores flags the planted train/test overlap and only it") {
     val eval_ = Seq((100L, "the capital of france is paris obviously"))
       .toDF("doc_id", "text")
