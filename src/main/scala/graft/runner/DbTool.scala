@@ -3,12 +3,13 @@ package graft.runner
 import org.apache.spark.sql.SparkSession
 
 import graft.catalog.Warehouse
-import graft.state.StateStore
+import graft.datasets.DatasetSpec
+import graft.state.{StateStore, UrlModTracker}
 
-/** Introspection / administration CLI — `dbtool.py:1-183`:
-  * `rowcounts`, `lastmod:list`, `lastmod:reset` (grants/shell are
-  * Postgres-specific; catalog ACLs don't exist in OSS Spark, recorded as
-  * reduced-fidelity in SURVEY §2.11).
+/** Introspection / administration CLI — `dbtool.py:1-183`: `rowcounts`,
+  * `lastmod:list`, `lastmod:reset`, `user:grant_schema_read`,
+  * `user:create`, `shell`, each dataset-scoped where the reference is,
+  * plus [[DbTool.usage]]-shaped dispatch via [[dispatch]].
   */
 final class DbTool(
     spark: SparkSession,
@@ -66,10 +67,12 @@ final class DbTool(
 
   /** `dbtool.py:123-136` user:grant_schema_read — read access to every
     * published table, current AND future (the warehouse's schema-level
-    * grant is the ALTER DEFAULT PRIVILEGES analogue).
+    * grant is the ALTER DEFAULT PRIVILEGES analogue). The warehouse is
+    * single-schema, so only `public` resolves.
     */
-  def grantSchemaRead(user: String): Unit = {
-    out(s"Granting user '$user' read-only access to schema 'public'.")
+  def grantSchemaRead(user: String, schema: String = "public"): Unit = {
+    require(schema == "public", s"unknown schema '$schema' (only 'public')")
+    out(s"Granting user '$user' read-only access to schema '$schema'.")
     warehouse.grantSchemaRead(user)
   }
 
@@ -86,6 +89,102 @@ final class DbTool(
     out(s"Their password is '$password'. Please keep this safe!")
     grantSchemaRead(user)
     password
+  }
+
+  /** Dataset-scoped `show_rowcounts` (`dbtool.py:76-87`): counts only
+    * the tables each named dataset publishes, with the reference's
+    * per-dataset framing and comma-grouped counts.
+    */
+  def rowcountsFor(datasets: Seq[DatasetSpec]): Map[String, Long] = {
+    val all = warehouse.rowcounts(spark)
+    datasets.flatMap { ds =>
+      out(s"For ${ds.name}'s public schema:")
+      out("")
+      val rows = ds.tableNames.flatMap(t => all.get(t).map(t -> _))
+      rows.foreach { case (t, n) =>
+        out("  %s has %,d rows.".formatLocal(java.util.Locale.US, t, n))
+      }
+      out("")
+      rows
+    }.toMap
+  }
+
+  /** Dataset-scoped `list_lastmod` (`dbtool.py:95-109`): per dataset,
+    * per URL, the stored Last-Modified validator (or its absence).
+    */
+  def listLastmodFor(datasets: Seq[DatasetSpec]): Seq[(String, Option[String])] =
+    datasets.flatMap { ds =>
+      out(s"For the dataset ${ds.name}:")
+      ds.urls.map { url =>
+        val lm = store.get(UrlModTracker.lastModifiedKey(url))
+        lm match {
+          case Some(when) =>
+            out(s"  The URL $url was last modified on $when.")
+          case None =>
+            out(s"  The URL $url has no metadata about its last " +
+              "modification date.")
+        }
+        url -> lm
+      }
+    }
+
+  /** Dataset-scoped `reset_lastmod` (`dbtool.py:111-120`): forget BOTH
+    * validators (etag + last_modified) for every URL of every named
+    * dataset so the next run force-reloads.
+    */
+  def resetLastmodFor(datasets: Seq[DatasetSpec]): Int =
+    datasets.map { ds =>
+      out(s"For the dataset ${ds.name}:")
+      ds.urls.foreach { url =>
+        out(s"Clearing last modification metadata for ${ds.name}'s URL $url.")
+        store.delete(UrlModTracker.etagKey(url))
+        store.delete(UrlModTracker.lastModifiedKey(url))
+      }
+      ds.urls.size
+    }.sum
+
+  /** `dbtool.py:165-183` main — docopt-shaped dispatch over
+    * [[DbTool.usage]]. Dataset arguments are validated against the
+    * registry with `all` expansion (`validate_and_get_dataset_names`,
+    * `dbtool.py:43-57`); an unknown name prints the candidates and
+    * returns exit code 1 like the reference's `sys.exit(1)`.
+    */
+  def dispatch(argv: Seq[String], registry: Seq[DatasetSpec]): Int = {
+    def resolve(names: Seq[String]): Option[Seq[DatasetSpec]] = {
+      val known = registry.map(d => d.name -> d).toMap
+      val bad = names.filter(n => n != "all" && !known.contains(n))
+      bad.headOption match {
+        case Some(b) =>
+          out(s"ERROR: $b is not a valid dataset. Please choose from:")
+          registry.foreach(d => out(d.name))
+          out("all")
+          None
+        case None => Some(names.flatMap {
+          case "all" => registry
+          case n     => Seq(known(n))
+        })
+      }
+    }
+    argv.toList match {
+      case "rowcounts" :: names if names.nonEmpty =>
+        resolve(names).map { ds => rowcountsFor(ds); 0 }.getOrElse(1)
+      case "lastmod:list" :: names if names.nonEmpty =>
+        resolve(names).map { ds => listLastmodFor(ds); 0 }.getOrElse(1)
+      case "lastmod:reset" :: names if names.nonEmpty =>
+        resolve(names).map { ds => resetLastmodFor(ds); 0 }.getOrElse(1)
+      case "user:grant_schema_read" :: user :: schema :: Nil =>
+        grantSchemaRead(user, schema); 0
+      case "user:create" :: user :: Nil =>
+        createUser(user); 0
+      case "shell" :: query :: Nil =>
+        sql(query); 0
+      case "snapshots" :: Nil =>
+        listSnapshots(); 0
+      case "vacuum" :: rest if rest.size <= 1 =>
+        vacuum(rest.headOption.map(_.toInt).getOrElse(0)); 0
+      case _ =>
+        out(DbTool.usage); 1
+    }
   }
 
   /** `dbtool.py:90-92` shell — the non-interactive analogue: run one
@@ -109,6 +208,21 @@ final class DbTool(
 }
 
 object DbTool {
+  /** The CLI surface — `dbtool.py:1-17` docstring, verbatim shape
+    * (`shell` takes the statement as an argument because the engine's
+    * shell is non-interactive).
+    */
+  val usage: String =
+    """Usage:
+      |  dbtool shell <sql>
+      |  dbtool rowcounts <dataset>...
+      |  dbtool lastmod:list <dataset>...
+      |  dbtool lastmod:reset <dataset>...
+      |  dbtool user:grant_schema_read <user> <schema>
+      |  dbtool user:create <user>
+      |  dbtool snapshots
+      |  dbtool vacuum [<retain>]""".stripMargin
+
   /** `dbtool.py:139-146` generate_random_password: alphanumeric,
     * crypto-strength source.
     */

@@ -234,6 +234,76 @@ class RunnerSpec extends SparkSpec {
     assert(lines === Seq("n", "5"))
   }
 
+  test("DbTool.dispatch: docopt surface with dataset validation, 'all' " +
+      "expansion, and reference-shaped output") {
+    // dbtool.py:165-183 main + :43-57 validate_and_get_dataset_names
+    val wh = new Warehouse(Files.createTempDirectory("graft-dbtool-cli"))
+    val store = new MemoryStateStore
+    val runner = new JobRunner(spark, wh, store, mkHttp(() => 200),
+      new RecordingNotifier, fixedClock)
+    runner.run(regionDataset)
+    val otherDs = regionDataset.copy(name = "other_ds", urls = Nil,
+      sources = Nil, derived = Map("other_table" -> ((s, _) =>
+        Tables.region(s, sf).select(col("r_name")))))
+    runner.run(otherDs)
+    val registry = Seq(regionDataset, otherDs)
+    val lines = collection.mutable.ArrayBuffer.empty[String]
+    val tool = new DbTool(spark, wh, store, lines += _)
+
+    // unknown dataset -> candidates + 'all', exit 1, nothing executed
+    assert(tool.dispatch(Seq("rowcounts", "nope"), registry) === 1)
+    assert(lines.toSeq === Seq(
+      "ERROR: nope is not a valid dataset. Please choose from:",
+      "region_ds", "other_ds", "all"))
+
+    // 'all' expands to the full registry; per-dataset framing with
+    // comma-grouped counts (dbtool.py:71-72,83-87)
+    lines.clear()
+    assert(tool.dispatch(Seq("rowcounts", "all"), registry) === 0)
+    assert(lines.contains("For region_ds's public schema:"))
+    assert(lines.contains("For other_ds's public schema:"))
+    assert(lines.contains("  region has 5 rows."))
+    assert(lines.contains("  other_table has 5 rows."))
+
+    // lastmod:list — stored validator vs none (dbtool.py:95-109)
+    val url = regionDataset.urls.head
+    store.set(UrlModTracker.lastModifiedKey(url), "Sat, 01 Jun 2024 12:00:00 GMT")
+    lines.clear()
+    assert(tool.dispatch(Seq("lastmod:list", "region_ds", "other_ds"),
+      registry) === 0)
+    assert(lines.toSeq === Seq(
+      "For the dataset region_ds:",
+      s"  The URL $url was last modified on Sat, 01 Jun 2024 12:00:00 GMT.",
+      "For the dataset other_ds:"))
+
+    // lastmod:reset clears BOTH validators for the dataset's urls
+    lines.clear()
+    assert(tool.dispatch(Seq("lastmod:reset", "region_ds"), registry) === 0)
+    assert(lines.toSeq === Seq(
+      "For the dataset region_ds:",
+      s"Clearing last modification metadata for region_ds's URL $url."))
+    assert(store.get(UrlModTracker.etagKey(url)).isEmpty)
+    assert(store.get(UrlModTracker.lastModifiedKey(url)).isEmpty)
+
+    // user:* and shell route through the same code the direct API uses
+    lines.clear()
+    assert(tool.dispatch(Seq("user:create", "cliuser"), registry) === 0)
+    assert(wh.users.contains("cliuser"))
+    assert(tool.dispatch(
+      Seq("user:grant_schema_read", "cliuser", "public"), registry) === 0)
+    intercept[IllegalArgumentException](tool.dispatch(
+      Seq("user:grant_schema_read", "cliuser", "private"), registry))
+    lines.clear()
+    assert(tool.dispatch(
+      Seq("shell", "SELECT count(*) AS n FROM region"), registry) === 0)
+    assert(lines.toSeq === Seq("n", "5"))
+
+    // malformed argv -> usage + exit 1 (docopt behavior)
+    lines.clear()
+    assert(tool.dispatch(Seq("rowcounts"), registry) === 1)
+    assert(lines.head.startsWith("Usage:"))
+  }
+
   test("dataset-published UDFs are replayed at publish time") {
     // load_dataset.py:372-376 function replay semantics
     val wh = new Warehouse(Files.createTempDirectory("graft-udf"))
