@@ -149,6 +149,41 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bloom-pruned contamination: the bloom probe filters the corpus " +
+      "gram stream BEFORE any shuffle (scan-adjacent, literal blob)") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE turns materialized stages into leaves — flatten through the
+    // stage boundaries so structural asserts see the whole tree
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = graft.queries.Extensions.dd9ContaminationBloom(spark, sf)
+    df.collect()
+    val all = flatten(df.queryExecution.executedPlan)
+    val probes = all.collect {
+      case f: FilterExec
+          if f.condition.toString.toLowerCase.contains("might_contain") => f
+    }
+    // the probe exists in the physical plan as a codegen-able Filter...
+    assert(probes.nonEmpty, all.map(_.nodeName).mkString(", "))
+    probes.foreach { f =>
+      // ...and nothing below it shuffles: the blob is a literal, so
+      // the filter runs map-side on the exploded gram stream and only
+      // bloom survivors (true hits + fpp) reach the exact semi-join's
+      // exchange. At 100 TB that is the difference between shuffling
+      // every corpus gram and shuffling ~the contamination.
+      val shuffles = flatten(f).filter(
+        p => p.nodeName.toLowerCase.contains("shuffle"))
+      assert(shuffles.isEmpty, f.toString)
+    }
+  }
+
   test("unigram logprob: vocabulary joins broadcast; corpus side never shuffles for the lookup") {
     val plan = executedPlan(
       graft.queries.Extensions.t10UnigramLogprob(spark, sf))
