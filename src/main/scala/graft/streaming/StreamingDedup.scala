@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.dedup.Dedup
+import graft.functions.HashFunctions
+
+/** Streaming near-duplicate detection — the continuous-ingestion face
+  * of the batch MinHash+LSH dedup family ([[graft.dedup.Dedup
+  * .minhashPairs]]): as documents arrive, emit every verified
+  * near-dup pair (new doc × previously seen doc) the batch operator
+  * would find, with bounded state.
+  *
+  * Design (one stateful operator, scale-first):
+  *  - signatures are computed columnar with the same fused
+  *    [[graft.functions.HashFunctions.minhash_tokens_sig]] expression
+  *    the batch path uses, so stream and batch agree bit-for-bit;
+  *  - the stream is keyed by (band, band_hash) — the SAME slim key
+  *    the batch band join shuffles on — and each bucket's state holds
+  *    the signatures of its (few) members;
+  *  - state is evicted by EVENT-TIME timeout once the watermark
+  *    passes a bucket's last arrival + `delayMs` (the
+  *    dropDuplicatesWithinWatermark retention contract: a dup is
+  *    detected iff it arrives within the watermark window of its
+  *    twin), and each bucket keeps at most `maxPerBucket` newest
+  *    signatures so a pathological template bucket cannot grow state
+  *    unboundedly (the cap trades recall ONLY inside buckets hotter
+  *    than the cap — the same hot-template regime the batch path
+  *    handles by salting).
+  *
+  * Output multiplicity: a pair colliding in m bands is emitted once
+  * per band bucket (buckets cannot see each other's emissions without
+  * a second stateful operator, which Spark disallows after
+  * flatMapGroupsWithState). Every copy carries the identical
+  * est_jaccard, so a downstream `.distinct()` / upsert sink collapses
+  * them; the pair stream is tiny relative to the input.
+  */
+object StreamingDedup {
+
+  final case class BandedDoc(ts: Timestamp, id: Long, band: Int,
+      band_hash: Long, sig: Array[Long])
+  final case class BucketEntry(id: Long, sig: Array[Long], tsMs: Long)
+  final case class BucketState(entries: List[BucketEntry])
+  final case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** Verified near-dup pairs over a STREAMING docs frame with columns
+    * (`ts` timestamp, idCol long, textCol string). Batch dual:
+    * [[graft.dedup.Dedup.minhashPairs]] with the same parameters
+    * (equivalence asserted in StreamingSpec).
+    */
+  def streamingMinhashPairs(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      delayMs: Long = 2 * 3600 * 1000L,
+      maxPerBucket: Int = 128): Dataset[NearDupPair] = {
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+
+    val banded = docs
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("ts"), col(idCol).cast("long").as("id"),
+        HashFunctions.minhash_tokens_sig(
+          Dedup.tokens(col(textCol)), shingleSize, numHashes).as("sig"))
+      .select(col("ts"), col("id"),
+        posexplode(HashFunctions.minhash_band_hashes(col("sig"), bands)),
+        col("sig"))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+      .as[BandedDoc]
+
+    banded
+      .groupByKey(d => (d.band, d.band_hash))
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), it: Iterator[BandedDoc],
+            state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic arrival order inside the micro-batch
+            val arrivals = it.toArray.sortBy(d => (d.ts.getTime, d.id))
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = collection.mutable.ArrayBuffer.empty[NearDupPair]
+            arrivals.foreach { d =>
+              if (!entries.exists(_.id == d.id)) {
+                entries.foreach { e =>
+                  // same arithmetic as the columnar match-fraction
+                  // kernel, so est_jaccard is bit-identical to batch
+                  var same = 0
+                  var i = 0
+                  while (i < numHashes) {
+                    if (e.sig(i) == d.sig(i)) same += 1
+                    i += 1
+                  }
+                  val est = same.toDouble / numHashes
+                  if (est >= threshold)
+                    out += NearDupPair(math.min(d.id, e.id),
+                      math.max(d.id, e.id), est)
+                }
+                // head-insert + take keeps the NEWEST maxPerBucket
+                entries = BucketEntry(d.id, d.sig, d.ts.getTime) :: entries
+                if (entries.sizeIs > maxPerBucket)
+                  entries = entries.take(maxPerBucket)
+              }
+            }
+            val maxTs = arrivals.iterator.map(_.ts.getTime).max
+            state.update(BucketState(entries))
+            // timeout must sit strictly past the current watermark
+            state.setTimeoutTimestamp(
+              math.max(maxTs + delayMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+}

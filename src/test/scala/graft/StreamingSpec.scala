@@ -145,6 +145,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup pairs over MemoryStream equal the " +
+      "batch dual on real documents (multi-batch arrival)") {
+    implicit val sqlCtx = spark.sqlContext
+    // real corpus (has planted near-dups at threshold 0.5), synthetic
+    // in-watermark arrival times, split across three micro-batches
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val arrivals = docs.zipWithIndex.map { case ((id, text), i) =>
+      (ts(i % 7), id, text)
+    }
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingDedup.streamingMinhashPairs(
+      spark, mem.toDS().toDF("ts", "doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out")
+      .start()
+    try {
+      val third = arrivals.length / 3
+      mem.addData(arrivals.take(third).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.slice(third, 2 * third).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2 * third).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-band multiplicity collapses under distinct (identical est)
+    val streamed = spark.table("neardup_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.dedup.Dedup.minhashPairs(
+      Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture should contain near-dups")
+  }
+
+  test("streaming minhash dedup: bucket state is EVICTED once the " +
+      "watermark passes (twin arriving later is not paired)") {
+    implicit val sqlCtx = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    // tiny retention: 1 minute
+    val q = graft.streaming.StreamingDedup.streamingMinhashPairs(
+      spark, mem.toDS().toDF("ts", "doc_id", "text"), "doc_id", "text",
+      delayMs = 60000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_evict")
+      .start()
+    try {
+      mem.addData((ts(0), 1L, text))
+      q.processAllAvailable()
+      // advance the watermark far past ts(0)+1m so doc 1's buckets
+      // time out and are removed...
+      mem.addData((ts(500), 99L, "completely unrelated filler words here"))
+      q.processAllAvailable()
+      mem.addData((ts(501), 99L, "completely unrelated filler words here"))
+      q.processAllAvailable()
+      // ...then an exact twin of doc 1 arrives: no state, no pair
+      mem.addData((ts(502), 2L, text))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_evict").collect()
+      assert(!pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+        pairs.mkString(", "))
+      // in-retention control: a third twin right after doc 2 IS paired
+      mem.addData((ts(502), 3L, text))
+      q.processAllAvailable()
+      val now = spark.table("neardup_evict").collect()
+      assert(now.exists(r => r.getLong(0) == 2L && r.getLong(1) == 3L &&
+        r.getDouble(2) == 1.0), now.mkString(", "))
+    } finally q.stop()
+  }
+
   test("warehouse sink publishes micro-batch snapshots atomically, exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
