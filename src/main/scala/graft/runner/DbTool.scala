@@ -165,23 +165,30 @@ final class DbTool(
         })
       }
     }
+    // a CLI reports command failures as exit codes, not stack traces
+    def run(body: => Unit): Int =
+      try { body; 0 }
+      catch {
+        case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+          out(s"ERROR: ${e.getMessage}"); 1
+      }
     argv.toList match {
       case "rowcounts" :: names if names.nonEmpty =>
-        resolve(names).map { ds => rowcountsFor(ds); 0 }.getOrElse(1)
+        resolve(names).map(ds => run(rowcountsFor(ds))).getOrElse(1)
       case "lastmod:list" :: names if names.nonEmpty =>
-        resolve(names).map { ds => listLastmodFor(ds); 0 }.getOrElse(1)
+        resolve(names).map(ds => run(listLastmodFor(ds))).getOrElse(1)
       case "lastmod:reset" :: names if names.nonEmpty =>
-        resolve(names).map { ds => resetLastmodFor(ds); 0 }.getOrElse(1)
+        resolve(names).map(ds => run(resetLastmodFor(ds))).getOrElse(1)
       case "user:grant_schema_read" :: user :: schema :: Nil =>
-        grantSchemaRead(user, schema); 0
+        run(grantSchemaRead(user, schema))
       case "user:create" :: user :: Nil =>
-        createUser(user); 0
+        run(createUser(user))
       case "shell" :: query :: Nil =>
-        sql(query); 0
+        run(sql(query))
       case "snapshots" :: Nil =>
-        listSnapshots(); 0
+        run(listSnapshots())
       case "vacuum" :: rest if rest.size <= 1 =>
-        vacuum(rest.headOption.map(_.toInt).getOrElse(0)); 0
+        run(vacuum(rest.headOption.map(_.toInt).getOrElse(0)))
       case _ =>
         out(DbTool.usage); 1
     }

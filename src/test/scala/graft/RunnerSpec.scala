@@ -291,8 +291,13 @@ class RunnerSpec extends SparkSpec {
     assert(wh.users.contains("cliuser"))
     assert(tool.dispatch(
       Seq("user:grant_schema_read", "cliuser", "public"), registry) === 0)
-    intercept[IllegalArgumentException](tool.dispatch(
-      Seq("user:grant_schema_read", "cliuser", "private"), registry))
+    // command failures surface as exit code 1 + ERROR line, not throws
+    lines.clear()
+    assert(tool.dispatch(
+      Seq("user:grant_schema_read", "cliuser", "private"), registry) === 1)
+    assert(lines.exists(_.startsWith("ERROR:")), lines.mkString("; "))
+    assert(tool.dispatch(Seq("user:create", "cliuser"), registry) === 1)
+    assert(tool.dispatch(Seq("vacuum", "notanum"), registry) === 1)
     lines.clear()
     assert(tool.dispatch(
       Seq("shell", "SELECT count(*) AS n FROM region"), registry) === 0)
