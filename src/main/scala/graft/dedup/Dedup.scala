@@ -443,16 +443,23 @@ object Dedup {
       .select(explode(array_distinct(
         wordShingles(col(textCol), k))).as("gram"))
       .distinct()
-    val grams = corpus.select(col(idCol),
-      explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
-    val hits = grams.join(broadcast(evalGrams), Seq("gram"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
-    grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq(idCol), "left")
+    // ONE corpus pass: the hit flag is attached map-side by a broadcast
+    // LEFT OUTER probe (evalGrams is distinct, so cardinality is
+    // preserved) and both counts fold into a single partial-aggregated
+    // groupBy — vs the two-branch form, this halves the corpus
+    // scans/explodes and drops the final n_grams⋈n_hits join entirely.
+    val flagged = corpus
+      .select(col(idCol),
+        explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1))),
+        Seq("gram"), "left_outer")
+    flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_hits"))
       .select(col(idCol),
         col("n_grams"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_grams"))
+        col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams"))
           .as("contamination"))
   }
 

@@ -149,6 +149,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("broadcast contamination (dd8) reads the corpus ONCE: hit flag " +
+      "attached map-side, both counts in a single aggregation") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = graft.queries.Extensions.dd8Contamination(spark, sf)
+    df.collect()
+    val all = flatten(df.queryExecution.executedPlan)
+    // exactly two parquet scans: one corpus-side, one eval-side — the
+    // two-branch form cost a THIRD (second corpus scan + explode) plus
+    // an n_grams⋈n_hits join, i.e. double-read of 100 TB
+    val scans = all.collect { case s: FileSourceScanExec => s }
+    assert(scans.size === 2, all.map(_.nodeName).mkString(", "))
+    // the eval-gram probe broadcasts; the corpus never shuffles for it
+    assert(all.exists(_.nodeName.contains("BroadcastHashJoin")),
+      all.map(_.nodeName).mkString(", "))
+    assert(!all.exists(_.nodeName.contains("SortMergeJoin")),
+      all.map(_.nodeName).mkString(", "))
+  }
+
   test("bloom-pruned contamination: the bloom probe filters the corpus " +
       "gram stream BEFORE any shuffle (scan-adjacent, literal blob)") {
     import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
