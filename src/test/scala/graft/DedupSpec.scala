@@ -253,6 +253,22 @@ class DedupSpec extends SparkSpec {
     assert(tiny === exact)
   }
 
+  test("contamination invariants: corpus-vs-itself scores 1.0 everywhere; " +
+      "disjoint-vocabulary eval scores 0 everywhere") {
+    val docs = Tables.documents(spark, sf)
+    val self = Dedup.contaminationScores(docs, docs, "doc_id", "text", k = 3)
+      .collect()
+    assert(self.nonEmpty)
+    assert(self.forall(_.getDouble(3) == 1.0),
+      self.filter(_.getDouble(3) != 1.0).take(3).mkString(", "))
+    val disjoint = Seq((999999L, "zyzzyx qwfp vxk jjq wqz brr"))
+      .toDF("doc_id", "text")
+    val none = Dedup.contaminationScores(docs, disjoint, "doc_id", "text",
+      k = 3).collect()
+    assert(none.length === self.length) // every corpus doc still scored
+    assert(none.forall(r => r.getLong(2) === 0L && r.getDouble(3) === 0.0))
+  }
+
   test("contaminationScores flags the planted train/test overlap and only it") {
     val eval_ = Seq((100L, "the capital of france is paris obviously"))
       .toDF("doc_id", "text")
