@@ -82,6 +82,42 @@ object ScaleProbe {
         .filter(col("n") > 1).count()
     }
 
+    /** Decontamination at scale: times the broadcast (dd8) and
+      * bloom-pruned (dd9) paths on the same pmod-97 split, and counts
+      * the gram stream / bloom survivors / exact hits — the survivor
+      * ratio IS dd9's shuffle-volume claim (only survivors reach the
+      * exact semi-join's exchange).
+      */
+    def contam(df: DataFrame): String = {
+      import graft.functions.BloomFunctions._
+      val corpus = df.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val eval_ = df.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val (t8, _) = timeSec(graft.dedup.Dedup.contaminationScores(
+        corpus, eval_, "doc_id", "text", k = 3).count())
+      val (t9, _) = timeSec(graft.dedup.Dedup.contaminationScoresBloom(
+        corpus, eval_, "doc_id", "text", k = 3).count())
+      val evalGrams = eval_.select(explode(array_distinct(
+        graft.dedup.Dedup.wordShingles(col("text"), 3))).as("gram")).distinct()
+      val blob = evalGrams
+        .agg(bloom_agg(xxhash64(col("gram")), 1 << 20, 7)).head()
+        .getAs[Array[Byte]](0)
+      val grams = corpus.select(col("doc_id"), explode(array_distinct(
+        graft.dedup.Dedup.wordShingles(col("text"), 3))).as("gram"))
+      val acc = grams.agg(
+        count(lit(1)).as("total"),
+        count(when(might_contain(lit(blob), xxhash64(col("gram"))), 1))
+          .as("survivors")).head()
+      val hits = grams.join(evalGrams, Seq("gram"), "left_semi").count()
+      val (total, surv) = (acc.getLong(0), acc.getLong(1))
+      System.err.println(
+        f"[probe]   contam dd8=$t8%6.2fs dd9=$t9%6.2fs grams=$total%9d " +
+          f"bloom_survivors=$surv%8d exact_hits=$hits%8d " +
+          f"(shuffle ratio ${surv.toDouble / total}%.4f vs hit rate " +
+          f"${hits.toDouble / total}%.4f)")
+      s""""dd8_sec":${f"$t8%.2f"},"dd9_sec":${f"$t9%.2f"},""" +
+        s""""grams":$total,"bloom_survivors":$surv,"exact_hits":$hits"""
+    }
+
     val scales: Seq[(String, DataFrame)] = Seq(
       "sf0.01" -> Tables.documents(spark, s"$root/sf0.01"),
       "sf0.1" -> Tables.documents(spark, s"$root/sf0.1"),
@@ -97,7 +133,8 @@ object ScaleProbe {
       System.err.println(
         f"[probe] $name%-7s n=$n%6d dd7=$t7%7.2fs ($p7 pairs) " +
           f"dd6=$t6%7.2fs ($c6 clusters)")
-      (name, n, t7, p7, t6, c6)
+      val cj = contam(df)
+      (name, n, t7, p7, t6, c6, cj)
     }
 
     // growth exponent: slope of log(t) vs log(n) over the series
@@ -111,9 +148,9 @@ object ScaleProbe {
     val e7 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._3))))
     val e6 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._5))))
 
-    val qs = rows.map { case (name, n, t7, p7, t6, c6) =>
+    val qs = rows.map { case (name, n, t7, p7, t6, c6, cj) =>
       s""""$name":{"n":$n,"dd7_sec":${f"$t7%.2f"},"dd7_pairs":$p7,""" +
-        s""""dd6_sec":${f"$t6%.2f"},"dd6_clusters":$c6}"""
+        s""""dd6_sec":${f"$t6%.2f"},"dd6_clusters":$c6,$cj}"""
     }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"scale_probe","scales":$qs,""" +
