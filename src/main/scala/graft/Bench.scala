@@ -25,14 +25,20 @@ object Bench {
     // smallest SF so stage-0 JIT/codegen cost doesn't land on the first
     // query of each family (joins, minhash/LSH, vector math, as-of).
     // Warmup dirs are SIBLINGS of the bench dir (…/sfX -> …/sf0.001),
-    // overridable via SPARK_GRAFT_WARMUP_DIR — a hardcoded path made
+    // overridable via SPARK_GRAFT_WARMUP_ROOT — a hardcoded path made
     // warmup silently no-op off this machine, landing dd7's ~2x
     // first-execution JIT penalty in the measured run. Failures are
     // LOGGED, never swallowed silently.
-    val dataRoot = new java.io.File(sfDir).getParentFile
-    def sibling(sf: String): String =
-      sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
-        if (dataRoot != null) new java.io.File(dataRoot, sf).getPath else sfDir)
+    // absolute-ize first: a bare relative sfDir ("sf0.1") has a null
+    // parent, and falling back to sfDir itself would run ALL warmups
+    // at full bench scale before timing starts. The override env var
+    // is a warmup data ROOT (containing sf0.001/sf0.01), not a single
+    // dir — a single dir would collapse the two deliberately different
+    // warmup scales onto one dataset.
+    val dataRoot = sys.env.get("SPARK_GRAFT_WARMUP_ROOT")
+      .map(new java.io.File(_))
+      .getOrElse(new java.io.File(sfDir).getAbsoluteFile.getParentFile)
+    def sibling(sf: String): String = new java.io.File(dataRoot, sf).getPath
     def warm(queries: Seq[String], dir: String): Unit =
       queries.foreach { q =>
         try SparkEntry.queries(q)(spark, dir).count()

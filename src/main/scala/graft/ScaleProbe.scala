@@ -54,7 +54,10 @@ object ScaleProbe {
 
     // build (or reuse) the 10x fixed-density replica as real parquet
     // so the timed runs scan files, same as the benched scales
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(replicaDir))) {
+    // _SUCCESS (not bare dir-exists): a crashed prior write must not
+    // leave a truncated corpus that gets silently timed as "sf1"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(replicaDir, "_SUCCESS"))) {
       val sf01 = Tables.documents(spark, s"$root/sf0.1")
       val alphabet = "aeiounrstl" // 10 frequent letters; 10 rotations
       val copies = (0 until 10).map { k =>
@@ -62,7 +65,11 @@ object ScaleProbe {
         sf01.select(
           (col("doc_id") * 10 + lit(k)).as("doc_id"),
           col("lang"),
-          translate(col("text"), alphabet, mapped).as("text"),
+          // lowercase BEFORE the bijection: the similarity space is
+          // lower(trim(text)) trigrams, so mapping raw text would let
+          // uppercase letters bypass the translate and break the 1:1
+          // trigram-set preservation on mixed-case docs
+          translate(lower(trim(col("text"))), alphabet, mapped).as("text"),
           col("n_chars"))
       }
       copies.reduce(_.unionAll(_))

@@ -198,20 +198,29 @@ final class Warehouse(val root: Path) {
       Map(s"grant:$grantee" -> privileges.map(_.toUpperCase).sorted.distinct
         .mkString(",")))
 
+  /** Revoking from a grantee who holds a schema-level grant writes an
+    * explicit EMPTY table-level entry (which takes precedence) instead
+    * of unsetting — otherwise [[grants]] would fall through to the
+    * schema entry and the revoke would be silently ineffective.
+    */
   def revoke(name: String, grantee: String): Unit =
-    unsetTableProperties(name, Seq(s"grant:$grantee"))
+    if (tableProperties(SchemaEntry).contains(s"grant:$grantee"))
+      setTableProperties(name, Map(s"grant:$grantee" -> ""))
+    else
+      unsetTableProperties(name, Seq(s"grant:$grantee"))
 
   /** grantee -> privileges for a table. Schema-level grants
     * ([[grantSchemaRead]]) apply to every table — including tables
     * published AFTER the grant (the reference's ALTER DEFAULT
     * PRIVILEGES semantics, `dbtool.py:123-136`) — with table-level
-    * entries taking precedence on a same-grantee collision.
+    * entries taking precedence on a same-grantee collision; an empty
+    * table-level entry (a [[revoke]] mask) removes the grantee.
     */
   def grants(name: String): Map[String, Seq[String]] =
     (tableProperties(SchemaEntry) ++ tableProperties(name)).collect {
       case (k, v) if k.startsWith("grant:") =>
-        k.stripPrefix("grant:") -> v.split(",").toSeq
-    }
+        k.stripPrefix("grant:") -> v.split(",").filter(_.nonEmpty).toSeq
+    }.filter(_._2.nonEmpty)
 
   /** Schema-wide read grant — `dbtool.py:123-136` grant_schema_read:
     * SELECT on ALL current tables AND (via the schema-level property
@@ -221,6 +230,13 @@ final class Warehouse(val root: Path) {
     */
   def grantSchemaRead(grantee: String): Unit =
     setTableProperties(SchemaEntry, Map(s"grant:$grantee" -> "SELECT"))
+
+  /** Undo [[grantSchemaRead]]: future [[grants]] reads no longer fold
+    * the grantee in for any table (table-level entries, including
+    * revoke masks, are untouched — masks become inert no-ops).
+    */
+  def revokeSchemaRead(grantee: String): Unit =
+    unsetTableProperties(SchemaEntry, Seq(s"grant:$grantee"))
 
   /** User registry over the property store — `dbtool.py:149-162`
     * create_user. Stores a sha-256 of the password (never the

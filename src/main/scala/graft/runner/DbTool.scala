@@ -96,11 +96,15 @@ final class DbTool(
     * per-dataset framing and comma-grouped counts.
     */
   def rowcountsFor(datasets: Seq[DatasetSpec]): Map[String, Long] = {
-    val all = warehouse.rowcounts(spark)
+    // count only the requested datasets' tables — a warehouse-wide
+    // rowcounts() here would scan EVERY published table to answer a
+    // one-dataset question
+    val published = warehouse.manifest.keySet
     datasets.flatMap { ds =>
       out(s"For ${ds.name}'s public schema:")
       out("")
-      val rows = ds.tableNames.flatMap(t => all.get(t).map(t -> _))
+      val rows = ds.tableNames.filter(published)
+        .map(t => t -> warehouse.table(spark, t).count())
       rows.foreach { case (t, n) =>
         out("  %s has %,d rows.".formatLocal(java.util.Locale.US, t, n))
       }
@@ -162,14 +166,15 @@ final class DbTool(
         case None => Some(names.flatMap {
           case "all" => registry
           case n     => Seq(known(n))
-        })
+        }.distinct) // `all region_ds` must not run region_ds twice
       }
     }
-    // a CLI reports command failures as exit codes, not stack traces
+    // a CLI reports command failures as exit codes, not stack traces —
+    // including analysis/IO errors from the SQL shell and table reads
     def run(body: => Unit): Int =
       try { body; 0 }
       catch {
-        case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+        case scala.util.control.NonFatal(e) =>
           out(s"ERROR: ${e.getMessage}"); 1
       }
     argv.toList match {
@@ -205,10 +210,15 @@ final class DbTool(
     }
     val df = spark.sql(query)
     val header = df.columns.mkString("\t")
-    val rows = df.limit(maxRows).collect()
+    // fetch one row past the limit so truncation is visible, not silent
+    val fetched = df.limit(maxRows + 1).collect()
+    val rows = fetched.take(maxRows)
       .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)
         .mkString("\t"))
-    val lines = header +: rows.toSeq
+    val lines = (header +: rows.toSeq) ++
+      (if (fetched.length > maxRows)
+         Seq(s"... (output truncated at $maxRows rows)")
+       else Nil)
     lines.foreach(out)
     lines
   }

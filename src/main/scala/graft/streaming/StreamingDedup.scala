@@ -43,7 +43,7 @@ object StreamingDedup {
 
   final case class BandedDoc(ts: Timestamp, id: Long, band: Int,
       band_hash: Long, sig: Array[Long])
-  final case class BucketEntry(id: Long, sig: Array[Long], tsMs: Long)
+  final case class BucketEntry(id: Long, sig: Array[Long])
   final case class BucketState(entries: List[BucketEntry])
   final case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double)
 
@@ -109,7 +109,7 @@ object StreamingDedup {
                       math.max(d.id, e.id), est)
                 }
                 // head-insert + take keeps the NEWEST maxPerBucket
-                entries = BucketEntry(d.id, d.sig, d.ts.getTime) :: entries
+                entries = BucketEntry(d.id, d.sig) :: entries
                 if (entries.sizeIs > maxPerBucket)
                   entries = entries.take(maxPerBucket)
               }

@@ -27,6 +27,20 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** All plan nodes, descending THROUGH AQE stage boundaries
+    * (materialized stages are leaves to TreeNode.collect).
+    */
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case q: QueryStageExec => Seq(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case other => other.children
+    }
+    p +: kids.flatMap(flattenPlan)
+  }
+
   test("predicates push down into the parquet scan; columns pruned") {
     val plan = formatted(Relational.pPredicates(spark, sf))
     assert(plan.contains("PushedFilters:"), plan)
@@ -151,19 +165,10 @@ class PlanSpec extends SparkSpec {
 
   test("broadcast contamination (dd8) reads the corpus ONCE: hit flag " +
       "attached map-side, both counts in a single aggregation") {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case q: QueryStageExec => Seq(q.plan)
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case other => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
+    import org.apache.spark.sql.execution.FileSourceScanExec
     val df = graft.queries.Extensions.dd8Contamination(spark, sf)
     df.collect()
-    val all = flatten(df.queryExecution.executedPlan)
+    val all = flattenPlan(df.queryExecution.executedPlan)
     // exactly two parquet scans: one corpus-side, one eval-side — the
     // two-branch form cost a THIRD (second corpus scan + explode) plus
     // an n_grams⋈n_hits join, i.e. double-read of 100 TB
@@ -178,21 +183,10 @@ class PlanSpec extends SparkSpec {
 
   test("bloom-pruned contamination: the bloom probe filters the corpus " +
       "gram stream BEFORE any shuffle (scan-adjacent, literal blob)") {
-    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    // AQE turns materialized stages into leaves — flatten through the
-    // stage boundaries so structural asserts see the whole tree
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case q: QueryStageExec => Seq(q.plan)
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case other => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
+    import org.apache.spark.sql.execution.FilterExec
     val df = graft.queries.Extensions.dd9ContaminationBloom(spark, sf)
     df.collect()
-    val all = flatten(df.queryExecution.executedPlan)
+    val all = flattenPlan(df.queryExecution.executedPlan)
     val probes = all.collect {
       case f: FilterExec
           if f.condition.toString.toLowerCase.contains("might_contain") => f
@@ -205,7 +199,7 @@ class PlanSpec extends SparkSpec {
       // bloom survivors (true hits + fpp) reach the exact semi-join's
       // exchange. At 100 TB that is the difference between shuffling
       // every corpus gram and shuffling ~the contamination.
-      val shuffles = flatten(f).filter(
+      val shuffles = flattenPlan(f).filter(
         p => p.nodeName.toLowerCase.contains("shuffle"))
       assert(shuffles.isEmpty, f.toString)
     }

@@ -232,6 +232,14 @@ class RunnerSpec extends SparkSpec {
       "SELECT count(*) AS n FROM region JOIN region_counts USING (r_name)")
     assert(res === Seq("n", "5"))
     assert(lines === Seq("n", "5"))
+
+    // truncation is marked, never silent: 5 rows at maxRows=3
+    val cut = tool.sql("SELECT r_name FROM region", maxRows = 3)
+    assert(cut.length === 5) // header + 3 rows + marker
+    assert(cut.last === "... (output truncated at 3 rows)")
+    // exactly-at-limit output carries no marker
+    assert(!tool.sql("SELECT r_name FROM region", maxRows = 5)
+      .last.startsWith("..."))
   }
 
   test("DbTool.dispatch: docopt surface with dataset validation, 'all' " +
@@ -298,6 +306,17 @@ class RunnerSpec extends SparkSpec {
     assert(lines.exists(_.startsWith("ERROR:")), lines.mkString("; "))
     assert(tool.dispatch(Seq("user:create", "cliuser"), registry) === 1)
     assert(tool.dispatch(Seq("vacuum", "notanum"), registry) === 1)
+    // analysis errors from the SQL shell are exit codes too
+    lines.clear()
+    assert(tool.dispatch(
+      Seq("shell", "SELECT * FROM no_such_table"), registry) === 1)
+    assert(lines.exists(_.startsWith("ERROR:")), lines.mkString("; "))
+
+    // `all` combined with a named dataset must not run it twice
+    lines.clear()
+    assert(tool.dispatch(
+      Seq("lastmod:reset", "all", "region_ds"), registry) === 0)
+    assert(lines.count(_ == "For the dataset region_ds:") === 1, lines)
     lines.clear()
     assert(tool.dispatch(
       Seq("shell", "SELECT count(*) AS n FROM region"), registry) === 0)

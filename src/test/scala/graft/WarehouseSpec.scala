@@ -162,6 +162,32 @@ class WarehouseSpec extends SparkSpec {
     assert(reopened.grants("bldgs") === Map("wowuser" -> Seq("SELECT")))
   }
 
+  test("table-level revoke masks a schema-wide grant; revokeSchemaRead " +
+      "undoes grant_schema_read everywhere") {
+    val wh = freshWh()
+    wh.publishAtomically(Map(
+      "open_t" -> Seq(1).toDF("x"), "secret_t" -> Seq(2).toDF("x")),
+      generation = 1L)
+    wh.grantSchemaRead("reader")
+    assert(wh.grants("open_t")("reader") === Seq("SELECT"))
+    assert(wh.grants("secret_t")("reader") === Seq("SELECT"))
+    // revoking ONE table must actually remove access there (the naive
+    // unset would fall through to the schema entry) and leave the rest
+    wh.revoke("secret_t", "reader")
+    assert(!wh.grants("secret_t").contains("reader"), wh.grants("secret_t"))
+    assert(wh.grants("open_t")("reader") === Seq("SELECT"))
+    // the mask persists across reopen like every other property
+    assert(!new Warehouse(wh.root).grants("secret_t").contains("reader"))
+    // re-granting at table level overrides the mask again
+    wh.grant("secret_t", "reader", Seq("SELECT"))
+    assert(wh.grants("secret_t")("reader") === Seq("SELECT"))
+    // schema-level revoke removes the fold-in for every other table
+    wh.revokeSchemaRead("reader")
+    assert(!wh.grants("open_t").contains("reader"))
+    // ...but an explicit table-level grant is independent and survives
+    assert(wh.grants("secret_t")("reader") === Seq("SELECT"))
+  }
+
   test("property store rejects table names that would escape the " +
       "properties dir") {
     val wh = new Warehouse(
