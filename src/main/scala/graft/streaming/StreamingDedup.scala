@@ -47,6 +47,46 @@ object StreamingDedup {
   final case class BucketState(entries: List[BucketEntry])
   final case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double)
 
+  /** Streaming decontamination gate — the continuous face of
+    * [[graft.dedup.Dedup.contaminationScores]]: documents arriving on
+    * a stream are scored against a STATIC eval set. The eval grams
+    * ride a stream-static broadcast LEFT OUTER join (stateless,
+    * map-side — the stream never shuffles for the lookup, same shape
+    * as the batch one-pass plan) and the per-doc counts are a
+    * watermarked event-time aggregation, so each doc's final score is
+    * emitted exactly once (append mode) when the watermark passes its
+    * arrival time. Batch dual equivalence asserted in StreamingSpec.
+    *
+    * Output: (id, n_grams, n_hits, contamination) per doc.
+    */
+  def streamingContaminationScores(
+      spark: SparkSession,
+      corpusStream: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      delayMs: Long = 2 * 3600 * 1000L): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(
+        Dedup.wordShingles(col(textCol), k))).as("gram"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    corpusStream
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("ts"), col(idCol).cast("long").as("id"),
+        explode(array_distinct(
+          Dedup.wordShingles(col(textCol), k))).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_outer")
+      .groupBy(window(col("ts"), "1 second"), col("id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+      .select(col("id"),
+        col("n_grams"),
+        col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams"))
+          .as("contamination"))
+  }
+
   /** Verified near-dup pairs over a STREAMING docs frame with columns
     * (`ts` timestamp, idCol long, textCol string). Batch dual:
     * [[graft.dedup.Dedup.minhashPairs]] with the same parameters

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.EventStreams
@@ -179,6 +179,49 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed === batch)
     assert(batch.nonEmpty, "fixture should contain near-dups")
+  }
+
+  test("streaming contamination gate over MemoryStream equals the batch " +
+      "dual; scores emit once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val real = Tables.documents(spark, sf)
+    val evalDocs = real.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val corpus = real.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingDedup.streamingContaminationScores(
+      spark, mem.toDS().toDF("ts", "doc_id", "text"), evalDocs,
+      "doc_id", "text", k = 3, delayMs = 60000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_out")
+      .start()
+    try {
+      val (a, b) = corpus.splitAt(corpus.length / 2)
+      mem.addData(a.map { case (id, t) => (ts(0), id, t) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b.map { case (id, t) => (ts(1), id, t) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // nothing final yet: the watermark has not passed arrival + delay
+      assert(spark.table("contam_out").isEmpty)
+      // a far-future arrival advances the watermark and flushes all
+      mem.addData((ts(1000), -1L, "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("contam_out")
+      .filter(col("id") >= 0) // the flush doc itself is still pending
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = graft.dedup.Dedup.contaminationScores(
+      real.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      real.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed === batch)
+    assert(batch.exists(_._3 > 0), "fixture should contain contamination")
   }
 
   test("streaming minhash dedup: bucket state is EVICTED once the " +
