@@ -260,6 +260,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash pairs == batch pairs on random corpora " +
+      "(property: random texts, random batch splits)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small vocabulary forces near-dups; includes degenerate texts
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "alpha beta",
+      "", " ")
+    val corpusGen: Gen[List[String]] = Gen.listOfN(14, for {
+      n <- Gen.choose(0, 6)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" "))
+    (1 to 6).foreach { i =>
+      val texts = corpusGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val splitAt = 1 + (i * 5) % (docs.length - 1)
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      val q = graft.streaming.StreamingDedup.streamingMinhashPairs(
+        spark, mem.toDS().toDF("ts", "doc_id", "text"), "doc_id", "text")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"neardup_prop_$i")
+        .start()
+      try {
+        val (a, b) = docs.splitAt(splitAt)
+        mem.addData(a.map { case (id, t) => (ts(0), id, t) }: _*)
+        q.processAllAvailable()
+        mem.addData(b.map { case (id, t) => (ts(1), id, t) }: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(s"neardup_prop_$i")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val batch = graft.dedup.Dedup.minhashPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(streamed === batch, s"seed $i split $splitAt: " +
+        s"stream-only ${streamed -- batch}, batch-only ${batch -- streamed}")
+    }
+  }
+
   test("warehouse sink publishes micro-batch snapshots atomically, exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
