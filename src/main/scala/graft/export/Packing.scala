@@ -91,4 +91,46 @@ object Packing {
         expr(s"__start DIV ${budget}L").as("seq_id"),
         pmod(col("__start"), lit(budget)).as("seq_offset"))
   }
+
+  /** The dual of [[packSequences]]: documents LONGER than the context
+    * budget are split into overlapping token windows (the standard
+    * long-document chunking step before packing/training; overlap
+    * preserves cross-boundary context).
+    *
+    * Chunk i covers tokens `[i*step, i*step + maxTokens)` with
+    * `step = maxTokens - overlap`; a doc with n <= maxTokens tokens is
+    * one chunk. Everything is columnar (`sequence` -> `transform` ->
+    * `posexplode` over the token array) — per-row work, no shuffle at
+    * all, and the short-doc fast path emits without building the
+    * window list. Output: (id, chunk_id, n_chunks, chunk_text,
+    * n_chunk_tokens).
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
+    val step = maxTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    // 1 + ceil((n - maxTokens) / step); floor of the positive double
+    // ratio == integer ceil-div here
+    val nChunks = when(n <= maxTokens, lit(1L))
+      .otherwise(lit(1L) + floor((n - maxTokens + lit(step - 1)) / lit(step)))
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("n_chunks"))
+      .select(col(idCol), col("n_chunks"),
+        posexplode(transform(
+          sequence(lit(0L), col("n_chunks") - 1),
+          i => concat_ws(" ",
+            slice(col("__toks"), (i * step + 1).cast("int"),
+              lit(maxTokens))))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_id"),
+        col("n_chunks"),
+        col("col").as("chunk_text"),
+        size(split(col("col"), "\\s+")).cast("long").as("n_chunk_tokens"))
+  }
 }

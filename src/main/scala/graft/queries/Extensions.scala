@@ -502,6 +502,16 @@ object Extensions {
     graft.export.Packing.packSequences(
       Tables.documents(s, d), "doc_id", "n_chars", budget = 4096L)
 
+  /** Long-document chunking ([[graft.export.Packing.chunkDocuments]]):
+    * overlapping 16-token windows with stride 12 over every document —
+    * pure per-row columnar work (no shuffle), and word windows are
+    * plain strings in both engines, so the DuckDB dual is exact.
+    */
+  def pk2ChunkOverlap(s: SparkSession, d: String): DataFrame =
+    graft.export.Packing.chunkDocuments(
+      Tables.documents(s, d), "doc_id", "text",
+      maxTokens = 16, overlap = 4)
+
   /** Benchmark decontamination: every 97th doc plays the "eval set";
     * the rest of the corpus is scored by the fraction of its distinct
     * word k-grams appearing anywhere in the eval set
@@ -655,6 +665,7 @@ object Extensions {
     "dd8_contamination" -> (dd8Contamination _),
     "dd9_contamination_bloom" -> (dd9ContaminationBloom _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
+    "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
     "t10_unigram_logprob" -> (t10UnigramLogprob _),
     "smp1_stratified" -> (smp1Stratified _),
     "smp2_sample_k" -> (smp2SampleK _),
@@ -783,6 +794,29 @@ object Extensions {
                 start // 4096 AS seq_id,
                 start % 4096 AS seq_offset
          FROM pre""",
+    // overlapping word windows are plain strings in both engines;
+    // parallel unnest of two equal-length lists aligns element-wise
+    "pk2_chunk_overlap" ->
+      """WITH tok AS (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS ts
+               FROM documents),
+         meta AS (SELECT doc_id, ts,
+                 CAST(CASE WHEN len(ts) <= 16 THEN 1
+                      ELSE 1 + (len(ts) - 5) // 12 END AS BIGINT)
+                   AS n_chunks
+               FROM tok),
+         ch AS (SELECT doc_id, n_chunks,
+                 unnest(range(0, n_chunks)) AS chunk_id,
+                 unnest(list_transform(range(0, n_chunks),
+                   i -> array_to_string(
+                          ts[CAST(i * 12 + 1 AS INT):
+                             CAST(i * 12 + 16 AS INT)], ' ')))
+                   AS chunk_text
+               FROM meta)
+         SELECT doc_id, chunk_id, n_chunks, chunk_text,
+                len(regexp_split_to_array(chunk_text, '\s+'))
+                  AS n_chunk_tokens
+         FROM ch""",
     // word k-grams are plain strings in both engines — exact dual
     "dd8_contamination" -> contaminationOracle,
     // dd9 is row-identical to dd8 by construction (no-false-negative

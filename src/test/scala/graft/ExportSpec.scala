@@ -70,6 +70,40 @@ class ExportSpec extends SparkSpec {
     assert(canon(shuffled) === want)
   }
 
+  test("chunkDocuments: overlap-aware reconstruction, window bounds, " +
+      "and short-doc identity on the real corpus") {
+    import graft.export.Packing
+    val docs = Tables.documents(spark, sf)
+    val chunks = Packing.chunkDocuments(docs, "doc_id", "text",
+      maxTokens = 16, overlap = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+      .groupBy(_._1)
+    val original = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+      .toMap
+    assert(chunks.keySet === original.keySet)
+    chunks.foreach { case (id, cs) =>
+      val ordered = cs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (0L until ordered.length.toLong),
+        s"doc $id chunk ids not dense")
+      assert(ordered.forall(_._3 == ordered.length), s"doc $id n_chunks")
+      val toks = ordered.map(_._4.split("\\s+").toSeq)
+      // every window is at most maxTokens; all but the last exactly so
+      assert(toks.forall(_.length <= 16), s"doc $id oversized chunk")
+      assert(toks.dropRight(1).forall(_.length == 16),
+        s"doc $id short interior chunk")
+      // dropping the first `overlap` tokens of every later chunk
+      // reconstructs the doc exactly
+      val rebuilt = toks.head ++ toks.tail.flatMap(_.drop(4))
+      assert(rebuilt === original(id), s"doc $id reconstruction")
+      // short docs pass through as a single identical chunk
+      if (original(id).length <= 16)
+        assert(ordered.length == 1 && toks.head === original(id))
+    }
+  }
+
   test("packSequences: stable under sampled range boundaries (60k rows, " +
       "many partitions)") {
     // At this size RangePartitioner's per-partition reservoir actually
