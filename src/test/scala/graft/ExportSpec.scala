@@ -104,6 +104,29 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: budget-boundary edges (empty, 1, max, max+1, " +
+      "exact multiple)") {
+    import graft.export.Packing
+    def t(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, ""), (2L, "solo"), (3L, t(16)), (4L, t(17)), (5L, t(28)),
+      (6L, t(29))).toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(df, "doc_id", "text", 16, 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(out(1L) === Seq(""))       // empty text -> one empty chunk
+    assert(out(2L) === Seq("solo"))
+    assert(out(3L) === Seq(t(16)))    // exactly max -> single chunk
+    // 17 tokens -> full window + remainder starting at token 13
+    assert(out(4L) === Seq(t(16), (13 to 17).map(i => s"w$i").mkString(" ")))
+    // 28 = 16 + 12: second window is exactly full, no empty third
+    assert(out(5L) === Seq(
+      (1 to 16).map(i => s"w$i").mkString(" "),
+      (13 to 28).map(i => s"w$i").mkString(" ")))
+    assert(out(6L).length === 3)
+  }
+
   test("packSequences: stable under sampled range boundaries (60k rows, " +
       "many partitions)") {
     // At this size RangePartitioner's per-partition reservoir actually
