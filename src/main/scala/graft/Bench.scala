@@ -35,6 +35,10 @@ object Bench {
     // is a warmup data ROOT (containing sf0.001/sf0.01), not a single
     // dir — a single dir would collapse the two deliberately different
     // warmup scales onto one dataset.
+    if (sys.env.contains("SPARK_GRAFT_WARMUP_DIR"))
+      System.err.println("[bench] SPARK_GRAFT_WARMUP_DIR is obsolete and " +
+        "IGNORED — set SPARK_GRAFT_WARMUP_ROOT to the data root " +
+        "containing sf0.001/sf0.01")
     val dataRoot = sys.env.get("SPARK_GRAFT_WARMUP_ROOT")
       .map(new java.io.File(_))
       .getOrElse(new java.io.File(sfDir).getAbsoluteFile.getParentFile)

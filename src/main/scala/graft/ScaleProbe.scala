@@ -49,8 +49,12 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = sys.env.getOrElse("SPARK_GRAFT_DATA_ROOT", "/root/testdata")
+    // v2 suffix: the replica FORMAT changed (bijection now applied to
+    // the lowercased similarity space); a versioned default path means
+    // hosts with a v1 replica regenerate instead of silently reusing
+    // data built by the old code
     val replicaDir = sys.env.getOrElse("SPARK_GRAFT_REPLICA_DIR",
-      "/tmp/graft_sf1_replica_fd")
+      "/tmp/graft_sf1_replica_fd_v2")
 
     // build (or reuse) the 10x fixed-density replica as real parquet
     // so the timed runs scan files, same as the benched scales

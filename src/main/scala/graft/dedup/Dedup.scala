@@ -433,16 +433,22 @@ object Dedup {
     * Returns (id, n_grams, n_hits, contamination) for every corpus
     * doc; contamination = n_hits / n_grams in [0, 1].
     */
+  /** The distinct word-k-gram set of a document table — the shared
+    * eval-side build for every contamination path (batch, bloom,
+    * streaming).
+    */
+  private[graft] def distinctGrams(
+      docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(array_distinct(
+      wordShingles(col(textCol), k))).as("gram")).distinct()
+
   def contaminationScores(
       corpus: DataFrame,
       evalDocs: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 8): DataFrame = {
-    val evalGrams = evalDocs
-      .select(explode(array_distinct(
-        wordShingles(col(textCol), k))).as("gram"))
-      .distinct()
+    val evalGrams = distinctGrams(evalDocs, textCol, k)
     // ONE corpus pass: the hit flag is attached map-side by a broadcast
     // LEFT OUTER probe (evalGrams is distinct, so cardinality is
     // preserved) and both counts fold into a single partial-aggregated
@@ -483,10 +489,7 @@ object Dedup {
       bloomBits: Int = 1 << 20,
       bloomHashes: Int = 7): DataFrame = {
     import graft.functions.BloomFunctions._
-    val evalGrams = evalDocs
-      .select(explode(array_distinct(
-        wordShingles(col(textCol), k))).as("gram"))
-      .distinct()
+    val evalGrams = distinctGrams(evalDocs, textCol, k)
     // one small job over the (distinct) eval grams builds the blob;
     // bounded by bloomBits/8 bytes on the driver
     val blob = evalGrams

@@ -120,8 +120,9 @@ object Packing {
     // ratio == integer ceil-div here
     val nChunks = when(n <= maxTokens, lit(1L))
       .otherwise(lit(1L) + floor((n - maxTokens + lit(step - 1)) / lit(step)))
-    df.select(col(idCol), toks.as("__toks"), nChunks.as("n_chunks"))
-      .select(col(idCol), col("n_chunks"),
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"),
+        nChunks.as("n_chunks"))
+      .select(col(idCol), col("n_chunks"), col("__n"),
         posexplode(transform(
           sequence(lit(0L), col("n_chunks") - 1),
           i => concat_ws(" ",
@@ -131,6 +132,9 @@ object Packing {
         col("pos").cast("long").as("chunk_id"),
         col("n_chunks"),
         col("col").as("chunk_text"),
-        size(split(col("col"), "\\s+")).cast("long").as("n_chunk_tokens"))
+        // from the window bounds — no re-tokenization of chunk_text
+        least(lit(maxTokens.toLong),
+          (col("__n") - col("pos") * step).cast("long"))
+          .as("n_chunk_tokens"))
   }
 }

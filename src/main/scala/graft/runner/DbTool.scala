@@ -175,7 +175,10 @@ final class DbTool(
       try { body; 0 }
       catch {
         case scala.util.control.NonFatal(e) =>
-          out(s"ERROR: ${e.getMessage}"); 1
+          // class name kept so a message-less NPE is not just "null"
+          out(s"ERROR: ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("(no message)"))
+          1
       }
     argv.toList match {
       case "rowcounts" :: names if names.nonEmpty =>

@@ -60,27 +60,25 @@ object StreamingDedup {
     * Output: (id, n_grams, n_hits, contamination) per doc.
     */
   def streamingContaminationScores(
-      spark: SparkSession,
       corpusStream: DataFrame,
       evalDocs: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 8,
       delayMs: Long = 2 * 3600 * 1000L): DataFrame = {
-    val evalGrams = evalDocs
-      .select(explode(array_distinct(
-        Dedup.wordShingles(col(textCol), k))).as("gram"))
-      .distinct()
+    val evalGrams = Dedup.distinctGrams(evalDocs, textCol, k)
       .withColumn("__hit", lit(1))
     corpusStream
       .withWatermark("ts", s"$delayMs milliseconds")
-      .select(col("ts"), col(idCol).cast("long").as("id"),
+      // the id keeps its source type, same as the batch operator — a
+      // cast here would null out string/UUID ids and collapse groups
+      .select(col("ts"), col(idCol),
         explode(array_distinct(
           Dedup.wordShingles(col(textCol), k))).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left_outer")
-      .groupBy(window(col("ts"), "1 second"), col("id"))
+      .groupBy(window(col("ts"), "1 second"), col(idCol))
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
-      .select(col("id"),
+      .select(col(idCol),
         col("n_grams"),
         col("n_hits"),
         (col("n_hits").cast("double") / col("n_grams"))

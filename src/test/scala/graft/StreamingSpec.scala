@@ -191,7 +191,7 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     val mem = MemoryStream[(Timestamp, Long, String)]
     val q = graft.streaming.StreamingDedup.streamingContaminationScores(
-      spark, mem.toDS().toDF("ts", "doc_id", "text"), evalDocs,
+      mem.toDS().toDF("ts", "doc_id", "text"), evalDocs,
       "doc_id", "text", k = 3, delayMs = 60000L)
       .writeStream.outputMode("append")
       .format("memory").queryName("contam_out")
@@ -209,7 +209,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.table("contam_out")
-      .filter(col("id") >= 0) // the flush doc itself is still pending
+      .filter(col("doc_id") >= 0) // the flush doc itself is still pending
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
