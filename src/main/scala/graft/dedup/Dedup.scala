@@ -163,6 +163,58 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Two-table MinHash+LSH join — fuzzy decontamination: every
+    * (corpus doc, eval doc) pair whose estimated Jaccard reaches the
+    * threshold, the near-duplicate complement to the exact-gram
+    * overlap scoring of [[contaminationScores]] (paraphrased or
+    * lightly-edited benchmark leakage that shares few exact k-grams
+    * still collides in MinHash band space).
+    *
+    * Same scale shape as [[minhashPairs]] — signatures fused
+    * per-side, the band join moves only (id, band, band_hash), and
+    * signatures ride a by-id join into the distinct-pair scoring — so
+    * a 100 TB corpus side is banded once, never re-scanned per eval
+    * doc. Because signatures and band hashes are deterministic
+    * functions of the text, this equals the SELF-join of the two
+    * tables' union restricted to cross pairs (asserted in DedupSpec).
+    *
+    * Returns (id_l, id_r, est_jaccard) — id_l from `left`, id_r from
+    * `right`, no ordering constraint between them.
+    */
+  def minhashJoin(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def side(df: DataFrame, name: String) = {
+      val signed = df.select(col(idCol).as(name),
+        graft.functions.HashFunctions.minhash_tokens_sig(
+          tokens(col(textCol)), shingleSize, numHashes).as(s"sig_$name"))
+      val banded = signed.select(col(name),
+          posexplode(graft.functions.HashFunctions.minhash_band_hashes(
+            col(s"sig_$name"), bands)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash")
+      (signed, banded)
+    }
+    val (signedL, bandedL) = side(left, "id_l")
+    val (signedR, bandedR) = side(right, "id_r")
+    bandedL.join(bandedR, Seq("band", "band_hash"))
+      .select(col("id_l"), col("id_r"))
+      .distinct()
+      .join(signedL, Seq("id_l"))
+      .join(signedR, Seq("id_r"))
+      .select(col("id_l"), col("id_r"),
+        estJaccard(col("sig_id_l"), col("sig_id_r"), numHashes)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Greedy near-dup removal: drop any doc that has a smaller-id
     * near-duplicate (single anti-join over the pair set).
     *

@@ -549,6 +549,24 @@ object Extensions {
       .filter(col("n_hits") > 0)
   }
 
+  /** Fuzzy decontamination ([[Dedup.minhashJoin]]): eval docs (every
+    * 5th) matched against the corpus by MinHash+LSH
+    * near-duplicate similarity — catches paraphrased benchmark leakage
+    * that shares few exact k-grams. No DuckDB dual (minhash); DedupSpec
+    * proves equality with the union self-join restricted to cross
+    * pairs and that planted paraphrases are caught.
+    */
+  def dd10FuzzyContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // mod 5 (not dd8's 97): the synthetic corpus plants near-dup
+    // twins at id distances that never straddle a 1-in-97 slice, so a
+    // 97 split has zero cross pairs and the query would prove nothing
+    Dedup.minhashJoin(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text", threshold = 0.5)
+  }
+
   /** Exact similarity self-join (prefix filtering, AllPairs/PPJoin
     * family): ALL pairs with trigram-set Jaccard >= 0.8 — guaranteed
     * recall from the prefix-filter bound, verified pair-exactly
@@ -664,6 +682,7 @@ object Extensions {
     "dd7_exact_jaccard" -> (dd7ExactJaccard _),
     "dd8_contamination" -> (dd8Contamination _),
     "dd9_contamination_bloom" -> (dd9ContaminationBloom _),
+    "dd10_fuzzy_contamination" -> (dd10FuzzyContamination _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
     "t10_unigram_logprob" -> (t10UnigramLogprob _),

@@ -253,6 +253,45 @@ class DedupSpec extends SparkSpec {
     assert(tiny === exact)
   }
 
+  test("minhashJoin == union self-join restricted to cross pairs " +
+      "(exact dual on the dd10 split); planted paraphrase is caught") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val eval_ = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val joined = Dedup.minhashJoin(corpus, eval_, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // signatures are deterministic functions of the text, so the
+    // two-table join must equal the union's self-join filtered to
+    // (corpus, eval) pairs — self-join pairs are oriented id_a < id_b,
+    // so re-orient by split membership
+    val self = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, est) =>
+        (a % 5, b % 5) match {
+          case (0, x) if x != 0 => Some((b, a, est))
+          case (x, 0) if x != 0 => Some((a, b, est))
+          case _ => None
+        }
+      }.toSet
+    assert(joined === self)
+    assert(joined.nonEmpty, "split must actually cross near-dup pairs")
+    // a paraphrased eval doc (token-level edits, few shared trigrams
+    // with the original wording intact) still collides in band space
+    val planted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark partitioning and shuffles"))
+      .toDF("doc_id", "text")
+    val evalP = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.minhashJoin(planted, evalP, "doc_id", "text",
+      threshold = 0.5).collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 100L)), hits.mkString(", "))
+  }
+
   test("contamination invariants: corpus-vs-itself scores 1.0 everywhere; " +
       "disjoint-vocabulary eval scores 0 everywhere") {
     val docs = Tables.documents(spark, sf)
