@@ -374,6 +374,42 @@ object Extensions {
         TextFunctions.langId(col("text")).as("predicted_lang"))
   }
 
+  /** The full training-data preparation chain, end-to-end and
+    * oracle-exact through every stage: benchmark decontamination
+    * (drop corpus docs whose word-trigram contamination vs the eval
+    * slice exceeds 0.2) -> exact near-dup removal (char-trigram
+    * Jaccard >= 0.8, guaranteed recall) -> long-doc chunking (16-token
+    * windows, overlap 4) -> sequence packing (512-token budget over
+    * the chunk stream in (doc, chunk) order). Every stage is the
+    * engine-portable member of its family, so the WHOLE pipeline has
+    * a DuckDB dual — the judge-grade check that composition introduces
+    * no drift. Unit ids pack (doc_id, chunk_id) into one integer
+    * (chunk_id < 2^20 by the corpus length bound).
+    */
+  def pipe2TrainingPrep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val eval_ = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val scores = Dedup.contaminationScores(corpus, eval_, "doc_id", "text",
+      k = 3)
+    // stage materialization, same rationale as pipe1: the near-dup
+    // join references this frame several times
+    val clean = corpus.join(
+        scores.filter(col("contamination") > 0.2).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .persist()
+    val pairs = Dedup.exactJaccardPairs(clean, "doc_id", "text",
+      threshold = 0.8)
+    val kept = Dedup.keepAfterPairs(clean, "doc_id", pairs)
+    val chunks = graft.export.Packing.chunkDocuments(kept, "doc_id", "text",
+      maxTokens = 16, overlap = 4)
+    val units = chunks.select(
+      (col("doc_id") * lit(1048576L) + col("chunk_id")).as("cid"),
+      col("n_chunk_tokens"))
+    graft.export.Packing.packSequences(units, "cid", "n_chunk_tokens",
+      budget = 512L)
+  }
+
   // ---- as-of join (operator Spark lacks; graft.ops.AsOfJoin) --------
 
   /** Each event gets the user's latest signup `value` at-or-before the
@@ -677,6 +713,7 @@ object Extensions {
     "asof4_backward_chunked" -> (asof4BackwardChunked _),
     "asof5_nearest_chunked" -> (asof5NearestChunked _),
     "pipe1_corpus_clean" -> (pipe1CorpusClean _),
+    "pipe2_training_prep" -> (pipe2TrainingPrep _),
     "g1_components" -> (g1Components _),
     "dd6_cluster_keep" -> (dd6ClusterKeep _),
     "dd7_exact_jaccard" -> (dd7ExactJaccard _),
@@ -876,6 +913,79 @@ object Extensions {
     // engines), exact dedup as GROUP BY text (== the sha2 groupBy
     // modulo collisions), brute-force trigram Jaccard >= 0.9 as the
     // near-dup edge set (dd7's oracle shape over the kept subset),
+    // four-stage composition, each stage the oracle-exact family
+    // member: word-trigram contamination cut -> char-trigram exact
+    // near-dup removal -> 16/4 chunk windows -> 512-token packing
+    "pipe2_training_prep" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 97 <> 0),
+         tokc AS (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+               FROM corpus),
+         shc AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(
+                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 ELSE [array_to_string(ts, ' ')] END AS shs
+               FROM tokc),
+         gc AS (SELECT DISTINCT doc_id, unnest(shs) AS gram FROM shc),
+         toke AS (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+               FROM documents WHERE doc_id % 97 = 0),
+         she AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(
+                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 ELSE [array_to_string(ts, ' ')] END AS shs
+               FROM toke),
+         ev AS (SELECT DISTINCT unnest(shs) AS gram FROM she),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM gc GROUP BY doc_id),
+         hit AS (SELECT doc_id, count(*) AS n_hits FROM gc
+                 WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id),
+         dirty AS (SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
+                   WHERE CAST(h.n_hits AS DOUBLE) / t.n_grams > 0.2),
+         clean AS (SELECT * FROM corpus
+                   WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         t2 AS (SELECT doc_id, lower(trim(text)) AS s FROM clean),
+         g2 AS (SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN length(s) >= 3
+                      THEN list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, CAST(i AS INT), 3))
+                      ELSE [s] END) AS gram
+               FROM t2),
+         gs AS (SELECT doc_id, count(*) AS sz FROM g2 GROUP BY doc_id),
+         ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+                FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         removed AS (SELECT DISTINCT id_b
+                     FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                             JOIN gs sb ON sb.doc_id = ix.id_b
+                     WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
+         kept AS (SELECT * FROM clean
+                  WHERE doc_id NOT IN (SELECT id_b FROM removed)),
+         tok3 AS (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS ts
+               FROM kept),
+         meta AS (SELECT doc_id, len(ts) AS n,
+                 CAST(CASE WHEN len(ts) <= 16 THEN 1
+                      ELSE 1 + (len(ts) - 5) // 12 END AS BIGINT)
+                   AS n_chunks
+               FROM tok3),
+         ch AS (SELECT doc_id, n,
+                 unnest(range(0, n_chunks)) AS chunk_id
+               FROM meta),
+         units AS (SELECT doc_id * 1048576 + chunk_id AS cid,
+                 CAST(least(16, n - chunk_id * 12) AS BIGINT) AS len
+               FROM ch),
+         pre AS (SELECT cid, len,
+                 CAST(COALESCE(SUM(len) OVER (ORDER BY cid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS start
+               FROM units)
+         SELECT cid, len, start,
+                start // 512 AS seq_id,
+                start % 512 AS seq_offset
+         FROM pre""",
     // greedy smaller-id-survives removal, then the t1/t3 stat duals
     "pipe1_corpus_clean" ->
       """WITH q AS (
