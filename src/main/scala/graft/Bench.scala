@@ -1,14 +1,30 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   * A small warmup action first absorbs session/JIT/codegen startup so
   * query timings measure the queries, not JVM warmup; per-query
   * progress goes to stderr for diagnosability.
+  *
+  * Host-stall detection: shared-host CPU stalls (not code) produced
+  * 10-60x per-query blowups in two prior runs, reproduced and then
+  * refuted by isolated re-runs minutes later. The bench therefore
+  * self-documents host health: a fixed CPU-bound canary (a
+  * data-independent range->xxhash64->sum, constant work regardless of
+  * SF) is timed three times up front for a reference, then re-timed
+  * every [[canaryEvery]] queries. When a canary reading exceeds
+  * [[stallFactor]]x the reference, every query measured since the
+  * previous canary is flagged `stalled` and excluded from the
+  * `value_quiet` subtotal, so a noisy host yields an annotated run
+  * instead of a silently corrupted total.
   */
 object Bench {
+  private val canaryEvery = 8
+  private val stallFactor = 3.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,6 +78,22 @@ object Bench {
     // code paths run enough iterations to reach steady state.
     warm(Seq("dd7_exact_jaccard"), sibling("sf0.01"))
 
+    // the canary: fixed CPU-bound work, independent of SF and of any
+    // query's cached state (a fresh range each call — nothing to cache,
+    // nothing to spill). ~0.2-0.5 s quiet on 32 threads; a host stall
+    // inflates it by the same contention factor it inflates the queries.
+    val nCpus = cpus.toInt
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: 64M xxhash64 values sum past Long.MaxValue
+      // and ANSI mode (Spark 4 default) makes that a hard error
+      spark.range(0L, 64L * 1000 * 1000, 1L, nCpus)
+        .select(bit_xor(xxhash64(col("id")))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryRef = (1 to 3).map(_ => canaryOnce()).min
+    System.err.println(f"[bench] canary ref $canaryRef%.3f s")
+
     // Run order: alphabetical, EXCEPT the heavy exact-similarity pair
     // (dd7 then dd6) runs FIRST — measured right after its warmup, not
     // on top of the LSH family's shuffle/GC residue. BENCH_r05 showed
@@ -73,7 +105,26 @@ object Bench {
     val front = Seq("dd7_exact_jaccard", "dd6_cluster_keep")
     val ordered = front.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
       SparkEntry.queries.toSeq.sortBy(_._1).filterNot(kv => front.contains(kv._1))
-    val results = ordered.map { case (name, fn) =>
+
+    // segment = queries measured since the previous canary reading; a
+    // spiking canary taints its whole segment (conservative: the stall
+    // may have covered only part of it, but we cannot localize finer
+    // without per-query ground truth)
+    val canaryTimes = collection.mutable.ArrayBuffer.empty[Double]
+    val stalled = collection.mutable.LinkedHashSet.empty[String]
+    var segment = collection.mutable.ArrayBuffer.empty[String]
+    def checkCanary(): Unit = {
+      val c = canaryOnce()
+      canaryTimes += c
+      if (c > stallFactor * canaryRef) {
+        System.err.println(f"[bench] CANARY SPIKE $c%.3f s (ref " +
+          f"$canaryRef%.3f) — flagging ${segment.size} queries as stalled")
+        stalled ++= segment
+      }
+      segment = collection.mutable.ArrayBuffer.empty[String]
+    }
+
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       // NOTE: no System.gc() between queries — it was tried and made
       // things WORSE: a full GC clears the soft-referenced codegen
       // cache, so every subsequent query re-compiles its generated
@@ -90,16 +141,21 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $sec%8.2f s  ($n rows)  @$up0%.1fs")
+      segment += name
+      if ((i + 1) % canaryEvery == 0) checkCanary()
       name -> sec
     }
+    checkCanary() // close the final (possibly partial) segment
+
     // ONE compact JSON line. The driver records only the LAST ~2000
     // characters of the run log; a per-query map over the full query
-    // set (~94 entries) is ~3000 chars and gets truncated mid-line,
+    // set (111 entries) is ~3000 chars and gets truncated mid-line,
     // making the metric unparseable. So: value = total seconds across
     // ALL queries run (n = how many), and "queries" carries a curated
     // headline subset (one per operator family, 3-decimal seconds)
     // that keeps the whole line comfortably inside the capture window.
-    // Full per-query timings still go to stderr above.
+    // The FULL per-query map (with stall flags and the canary series)
+    // goes to the bench-out file below.
     val headline = Seq(
       "q0_flagship_bldgs", "a1_group_count", "a5_sum_pricing",
       "a6_first_ordered", "a7_array_agg", "a12_rollup", "a15_percentiles",
@@ -117,16 +173,42 @@ object Bench {
     val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + r3(v)))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val quiet = results.filterNot(kv => stalled.contains(kv._1)).map(_._2).sum
+    val canaryJson =
+      s"""{"ref":${r3(canaryRef)},"max":${r3(canaryTimes.max)},""" +
+        s""""spikes":${canaryTimes.count(_ > stallFactor * canaryRef)},""" +
+        s""""n":${canaryTimes.size}}"""
+    // the compact line caps the stalled list at 8 names (n_stalled has
+    // the true count; the bench-out file has the full list) so a
+    // badly stalled run cannot push the line past the driver's ~2000
+    // char log-tail capture window
+    val stalledJson =
+      stalled.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
+        s""""value_quiet":${r3(quiet)},"n_stalled":${stalled.size},""" +
+        s""""canary":$canaryJson,"stalled":$stalledJson,""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     // structured capture: the driver's log-tail parse missed the JSON
-    // when sbt noise followed it (BENCH_r05 parsed:null), so the
-    // summary ALSO lands in a file (SPARK_GRAFT_BENCH_OUT, default
-    // ./bench.json) and the stdout line is printed last, after
-    // spark.stop(), so no further output displaces it from the tail
+    // when sbt noise followed it (BENCH_r05 parsed:null), so a summary
+    // ALSO lands in a file (SPARK_GRAFT_BENCH_OUT, default ./bench.json)
+    // — the FULL record: every query's seconds + stalled flag, plus the
+    // whole canary series — and the stdout line is printed last, after
+    // spark.stop(), so no further output displaces it from the tail.
+    val fullQs = results.map { case (k, v) =>
+      "\"" + k + "\":{\"sec\":" + r3(v) +
+        ",\"stalled\":" + stalled.contains(k) + "}"
+    }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
+        s""""value_quiet":${r3(quiet)},"n_stalled":${stalled.size},""" +
+        s""""canary_ref":${r3(canaryRef)},""" +
+        s""""canary_times":${canaryTimes.map(r3).mkString("[", ",", "]")},""" +
+        s""""stalled":${stalled.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""queries":$fullQs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
