@@ -521,6 +521,49 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Auto-dispatching decontamination: [[contaminationScores]] when
+    * the eval side is safely broadcast-able, [[contaminationScoresBloom]]
+    * when it is not — same result either way (the bloom path is
+    * row-identical by construction; DedupSpec asserts it), so callers
+    * never have to know the eval set's size up front.
+    *
+    * The dispatch estimate is a single pre-distinct pass over the
+    * EVAL side only (sum of per-doc gram counts — a partial-aggregated
+    * global sum, no shuffle of gram strings, never touches the
+    * corpus): an upper bound on the distinct gram count, so the
+    * broadcast path is only ever chosen when the true distinct count
+    * also fits. Threshold rationale: a word-8-gram averages ~60 chars
+    * ≈ ~100 B on the heap with object overhead, so the default
+    * 2M-gram cap bounds the broadcast at ~200 MB — inside a healthy
+    * executor/driver budget, far past `autoBroadcastJoinThreshold`
+    * territory where a silent OOM would hide. Past the cap, the bloom
+    * blob is sized at ~10 bits/gram (fpp ≈ 1%) rounded up to a power
+    * of two, capped at 2^30 bits = 128 MB.
+    */
+  def contaminationScoresAuto(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      maxBroadcastGrams: Long = 2L * 1000 * 1000): DataFrame = {
+    val estGrams = evalDocs
+      .agg(sum(size(wordShingles(col(textCol), k))))
+      .head() match {
+        case r if r.isNullAt(0) => 0L // empty eval set
+        case r => r.getLong(0)
+      }
+    if (estGrams <= maxBroadcastGrams)
+      contaminationScores(corpus, evalDocs, idCol, textCol, k)
+    else {
+      val bloomBits = math.min(1L << 30,
+        java.lang.Long.highestOneBit(math.max(1L, estGrams * 10L) * 2 - 1)
+      ).toInt
+      contaminationScoresBloom(corpus, evalDocs, idCol, textCol, k,
+        bloomBits = math.max(bloomBits, 1 << 20))
+    }
+  }
+
   /** [[contaminationScores]] for eval sets too big to broadcast as an
     * exact string set: the corpus gram stream is pre-filtered by a
     * bloom of the eval grams (a fixed-size blob regardless of eval

@@ -585,6 +585,22 @@ object Extensions {
       .filter(col("n_hits") > 0)
   }
 
+  /** [[dd8Contamination]] through the auto-dispatcher
+    * ([[Dedup.contaminationScoresAuto]]): the gate-scale eval slice
+    * sits under the broadcast cap, so this exercises the
+    * estimate-then-choose plumbing on the broadcast branch (DedupSpec
+    * proves the over-cap branch flips to bloom and stays
+    * row-identical). Shares dd8's DuckDB dual verbatim.
+    */
+  def dd11ContaminationAuto(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.contaminationScoresAuto(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", k = 3)
+      .filter(col("n_hits") > 0)
+  }
+
   /** Fuzzy decontamination ([[Dedup.minhashJoin]]): eval docs (every
     * 5th) matched against the corpus by MinHash+LSH
     * near-duplicate similarity — catches paraphrased benchmark leakage
@@ -720,6 +736,7 @@ object Extensions {
     "dd8_contamination" -> (dd8Contamination _),
     "dd9_contamination_bloom" -> (dd9ContaminationBloom _),
     "dd10_fuzzy_contamination" -> (dd10FuzzyContamination _),
+    "dd11_contamination_auto" -> (dd11ContaminationAuto _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
     "t10_unigram_logprob" -> (t10UnigramLogprob _),
@@ -878,6 +895,9 @@ object Extensions {
     // dd9 is row-identical to dd8 by construction (no-false-negative
     // bloom + exact semi-join verify), so it shares the same dual
     "dd9_contamination_bloom" -> contaminationOracle,
+    // dd11 dispatches between the dd8 and dd9 plans, both of which
+    // share this dual
+    "dd11_contamination_auto" -> contaminationOracle,
     // same pairs -> connected components via recursive CTE -> cluster
     // membership summary: checks the FULL transitive-closure semantics
     "dd6_cluster_keep" ->

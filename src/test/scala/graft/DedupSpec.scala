@@ -253,6 +253,63 @@ class DedupSpec extends SparkSpec {
     assert(tiny === exact)
   }
 
+  test("minhashJoin measured recall vs exact two-table Jaccard truth " +
+      "at sf0.01 (dd10 gate, mirrors the dd2/dd4 gates)") {
+    // ground truth: the EXACT char-trigram J >= 0.8 pair set over the
+    // union (dd7 semantics — guaranteed recall), restricted to pairs
+    // that cross the corpus/eval split; the two-table MinHash screen
+    // at est-J >= 0.2 must recover >= 0.9 of them, the same
+    // pipeline-level question the dd2 gate answers for the self-join.
+    val real = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = real.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val eval_ = real.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val truth = Dedup.exactJaccardPairs(real, "doc_id", "text",
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // orient as (corpus id, eval id); drop same-side pairs
+      .flatMap { case (a, b) =>
+        (a % 5, b % 5) match {
+          case (0, x) if x != 0 => Some((b, a))
+          case (x, 0) if x != 0 => Some((a, b))
+          case _ => None
+        }
+      }.toSet
+    assert(truth.nonEmpty, "split must cross exact near-dup pairs")
+    val got = Dedup.minhashJoin(corpus, eval_, "doc_id", "text",
+        threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.9,
+      s"minhashJoin recall $recall vs exact cross-pair truth (n=${truth.size})")
+  }
+
+  test("contaminationScoresAuto dispatches broadcast vs bloom by eval " +
+      "size and stays row-identical on both paths") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.01")
+    val corpus = real.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val eval_ = real.filter(pmod(col("doc_id"), lit(97)) === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val exact = canon(Dedup.contaminationScores(
+      corpus, eval_, "doc_id", "text", k = 3))
+    // small eval under the default cap -> the broadcast-exact plan
+    // (no bloom probe in it)
+    val small = Dedup.contaminationScoresAuto(
+      corpus, eval_, "doc_id", "text", k = 3)
+    assert(!small.queryExecution.analyzed.toString.contains("might_contain"),
+      "small eval should take the broadcast path")
+    assert(canon(small) === exact)
+    // a "too big to broadcast" eval (cap forced to 1 gram) -> the
+    // bloom-pruned plan, still row-identical
+    val big = Dedup.contaminationScoresAuto(
+      corpus, eval_, "doc_id", "text", k = 3, maxBroadcastGrams = 1L)
+    assert(big.queryExecution.analyzed.toString.contains("might_contain"),
+      "over-cap eval should flip to the bloom path")
+    assert(canon(big) === exact)
+  }
+
   test("minhashJoin == union self-join restricted to cross pairs " +
       "(exact dual on the dd10 split); planted paraphrase is caught") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
