@@ -30,6 +30,26 @@ object Registry {
     sys.env.contains("GRAFT_OCA_KEY") ||
       sys.props.get("graft.oca.creds").contains("true")
 
+  /** Credential gate for the signature dataset — the reference pulls
+    * its raw tables from S3 with AWS creds read from the environment
+    * (`signatureutil.py:59-63`: aws_key/aws_secret/s3_bucket); same
+    * empty-table fallback contract as [[ocaCredsPresent]].
+    */
+  private[datasets] def signatureCredsPresent(): Boolean =
+    sys.env.contains("GRAFT_SIGNATURE_KEY") ||
+      sys.props.get("graft.signature.creds").contains("true")
+
+  private[graft] val signatureBldgSchema = StructType(Seq(
+    StructField("bbl", StringType),
+    StructField("collection", StringType),
+    StructField("unitsres", IntegerType),
+    StructField("loan_amount", LongType)))
+
+  private[graft] val signatureLoanSchema = StructType(Seq(
+    StructField("bbl", StringType),
+    StructField("period", StringType),
+    StructField("loan_status", StringType)))
+
   private[graft] val ocaSchema = StructType(Seq(
     StructField("indexnumberid", StringType),
     StructField("bbl", StringType),
@@ -58,6 +78,87 @@ object Registry {
           .agg(count(lit(1)).as("n_filings"),
             sum(col("unitsres")).as("units")))),
       schedule = Scheduling.OddDays),
+    // the signature portfolio dataset (`signatureutil.py:40-74` +
+    // `scheduling.py:45-49` CUSTOM_DATASET_NAMES): raw tables arrive
+    // from a credential-gated S3 drop (aws key/secret,
+    // signatureutil.py:59-63 — absent creds publish EMPTY declared-
+    // schema tables, the oca contract), and four derived tables are
+    // built from them (the reference's signature_pre_sql/post_sql
+    // scripts, SIGNATURE_TABLES signatureutil.py:42-49, re-expressed
+    // as DataFrame pipelines). Every derived build survives an empty
+    // base: aggregations over zero rows publish empty tables with the
+    // right schema.
+    DatasetSpec(
+      name = "signature",
+      urls = Nil,
+      sources = Seq(
+        OptionalSource("signature_unhp_buildings",
+          src(sfDir, "signature_unhp_buildings"), signatureBldgSchema,
+          available = () => signatureCredsPresent() &&
+            java.nio.file.Files.exists(java.nio.file.Paths.get(
+              s"$sfDir/signature_unhp_buildings.parquet"))),
+        OptionalSource("signature_unhp_loan_status",
+          src(sfDir, "signature_unhp_loan_status"), signatureLoanSchema,
+          available = () => signatureCredsPresent() &&
+            java.nio.file.Files.exists(java.nio.file.Paths.get(
+              s"$sfDir/signature_unhp_loan_status.parquet")))),
+      derived = Map(
+        // one row per building with its LATEST loan status
+        // (signature_buildings shape): ordered-first per key over the
+        // status history, left-joined so statusless buildings survive
+        "signature_buildings" -> ((_, base) => {
+          import graft.ops.Ops._
+          val latest = base("signature_unhp_loan_status")
+            .firstOrderedBy(
+              groupKeys = Seq(col("bbl")),
+              orderKeys = Seq(col("period"), col("loan_status")),
+              payload = Seq("loan_status" -> col("loan_status")))
+          base("signature_unhp_buildings")
+            .join(latest, Seq("bbl"), "left")
+        }),
+        // per-collection rollup (signature_collections shape)
+        "signature_collections" -> ((_, base) =>
+          base("signature_unhp_buildings")
+            .groupBy(col("collection"))
+            .agg(count(lit(1)).as("n_bldgs"),
+              sum(col("unitsres")).as("units"),
+              sum(col("loan_amount")).as("total_loan"))),
+        // time-series charts: per (bbl, period) and, through the
+        // buildings join, per (collection, period, status)
+        "signature_building_charts" -> ((_, base) =>
+          base("signature_unhp_loan_status")
+            .groupBy(col("bbl"), col("period"))
+            .agg(max(col("loan_status")).as("loan_status"))),
+        "signature_collection_charts" -> ((_, base) =>
+          base("signature_unhp_loan_status")
+            .join(base("signature_unhp_buildings").select("bbl", "collection"),
+              Seq("bbl"))
+            .groupBy(col("collection"), col("period"), col("loan_status"))
+            .agg(count(lit(1)).as("n_bldgs")))),
+      schedule = Scheduling.Daily7am),
+    // good cause eviction (`goodcauseutil.py:30-74`): no gated source
+    // of its own — the screener table is DERIVED from the already-
+    // loadable star tables (the reference builds wow.gce_screener
+    // from wow + dependency datasets via good_cause_sql scripts).
+    // Eligibility shape: a per-building screener row with the
+    // criteria columns a GCE screener needs (unit count threshold,
+    // portfolio size, recent-activity flag).
+    DatasetSpec(
+      name = "good_cause_eviction",
+      urls = Nil,
+      derived = Map("gce_screener" -> ((s, _) =>
+        Flagship.bldgs(s, sfDir).select(
+          col("c_custkey").as("bldg_id"),
+          col("c_name").as("name"),
+          col("c_mktsegment").as("segment"),
+          col("openviolations"),
+          col("totalviolations"),
+          (col("totalviolations") >= 10).as("above_unit_threshold"),
+          (col("recentcomplaints") > 0).as("recently_active"),
+          ((col("totalviolations") >= 10) && col("openviolations") > 0)
+            .as("gce_eligible")))),
+      sources = Nil,
+      schedule = Scheduling.Daily8am),
     DatasetSpec(
       name = "star_dims",
       urls = Nil,

@@ -161,6 +161,100 @@ class RunnerSpec extends SparkSpec {
     } finally System.clearProperty("graft.oca.creds")
   }
 
+  test("signature dataset end-to-end: absent creds publish EMPTY tables " +
+      "(all six); present creds build the full derived family") {
+    // signatureutil.py:40-74 + tests/test_signatureutil.py:20-73 —
+    // the S3-gated raw tables and the four derived builds, run
+    // through JobRunner both ways, rebuild idempotent
+    import graft.datasets.Registry
+    val dataDir = Files.createTempDirectory("graft-sig-data").toString
+    val wh = new Warehouse(Files.createTempDirectory("graft-sig-wh"))
+    val runner = new JobRunner(spark, wh, new MemoryStateStore,
+      mkHttp(() => 200), new RecordingNotifier, fixedClock)
+    val ds = Registry.byName(dataDir, "signature").get
+    assert(ds.tableNames.toSet === Set(
+      "signature_unhp_buildings", "signature_unhp_loan_status",
+      "signature_buildings", "signature_collections",
+      "signature_building_charts", "signature_collection_charts"))
+
+    // creds absent: every table publishes EMPTY with its schema
+    System.clearProperty("graft.signature.creds")
+    runner.run(ds)
+    assert(wh.table(spark, "signature_unhp_buildings").count() === 0)
+    assert(wh.table(spark, "signature_unhp_buildings").schema ===
+      Registry.signatureBldgSchema)
+    assert(wh.table(spark, "signature_buildings").count() === 0)
+    assert(wh.table(spark, "signature_collections").count() === 0)
+    assert(wh.table(spark, "signature_collection_charts").columns.toSeq ===
+      Seq("collection", "period", "loan_status", "n_bldgs"))
+
+    // creds present + staged data: full build, latest-status join and
+    // rollups verified
+    import spark.implicits._
+    Seq(("1000010001", "unhp_a", 12, 500000L),
+        ("1000010002", "unhp_a", 8, 250000L),
+        ("3000050009", "unhp_b", 3, 90000L))
+      .toDF("bbl", "collection", "unitsres", "loan_amount")
+      .write.parquet(s"$dataDir/signature_unhp_buildings.parquet")
+    Seq(("1000010001", "2024-01", "current"),
+        ("1000010001", "2024-02", "default"),
+        ("3000050009", "2024-02", "current"))
+      .toDF("bbl", "period", "loan_status")
+      .write.parquet(s"$dataDir/signature_unhp_loan_status.parquet")
+    System.setProperty("graft.signature.creds", "true")
+    try {
+      runner.run(ds)
+      val bldgs = wh.table(spark, "signature_buildings")
+        .orderBy("bbl").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(4)))
+      // latest status per bbl; statusless building survives with null
+      assert(bldgs.toSeq === Seq(
+        ("1000010001", "unhp_a", "default"),
+        ("1000010002", "unhp_a", null),
+        ("3000050009", "unhp_b", "current")))
+      val colls = wh.table(spark, "signature_collections")
+        .orderBy("collection").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(colls.toSeq === Seq(("unhp_a", 2L, 20L, 750000L),
+        ("unhp_b", 1L, 3L, 90000L)))
+      val charts = wh.table(spark, "signature_collection_charts")
+        .orderBy("collection", "period", "loan_status").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(charts.toSeq === Seq(
+        ("unhp_a", "2024-01", "current", 1L),
+        ("unhp_a", "2024-02", "default", 1L),
+        ("unhp_b", "2024-02", "current", 1L)))
+      // rebuild idempotent (test_signatureutil.py:70-73: running
+      // build again must not raise, tables stay populated)
+      runner.run(ds, force = true)
+      assert(wh.table(spark, "signature_buildings").count() === 3)
+    } finally System.clearProperty("graft.signature.creds")
+  }
+
+  test("good_cause_eviction dataset: screener derives from the star " +
+      "tables, populated, rebuild idempotent") {
+    // goodcauseutil.py:30-74 + tests/test_goodcauseutil.py:15-63 —
+    // gce_screener is a pure derived build (no gated source of its
+    // own) and rebuilding must not raise
+    import graft.datasets.Registry
+    val wh = new Warehouse(Files.createTempDirectory("graft-gce-wh"))
+    val runner = new JobRunner(spark, wh, new MemoryStateStore,
+      mkHttp(() => 200), new RecordingNotifier, fixedClock)
+    val ds = Registry.byName(sf, "good_cause_eviction").get
+    runner.run(ds)
+    val screener = wh.table(spark, "gce_screener")
+    assert(screener.columns.toSeq === Seq("bldg_id", "name", "segment",
+      "openviolations", "totalviolations", "above_unit_threshold",
+      "recently_active", "gce_eligible"))
+    assert(screener.count() > 0)
+    // the eligibility flag is consistent with its inputs
+    val bad = screener.filter(col("gce_eligible") =!=
+      (col("above_unit_threshold") && col("openviolations") > 0)).count()
+    assert(bad === 0)
+    runner.run(ds, force = true)
+    assert(wh.table(spark, "gce_screener").count() === screener.count())
+  }
+
   test("CsvSource loads with DECLARED schema (no inference)") {
     val dir = Files.createTempDirectory("graft-csv")
     Files.writeString(dir.resolve("d.csv"), "bbl,units\n1000010001,12\n1000010002,3\n")
