@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
 object Bench {
   private val canaryEvery = 8
   private val stallFactor = 3.0
+  // a spike must ALSO exceed the reference by this many absolute
+  // seconds: the quiet canary is ~0.07 s, and a reading right after a
+  // heavy query inherits ~0.1-0.3 s of scheduler/GC residue — 3x the
+  // tiny reference but nothing like a host stall. The stalls this
+  // detector exists for inflated queries 10-60x (BENCH_r04/r06), which
+  // puts the canary well past a second; requiring both conditions
+  // keeps residue noise out without blunting real-stall sensitivity.
+  private val stallMinAbsSec = 1.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,6 +100,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val canaryRef = (1 to 3).map(_ => canaryOnce()).min
+    def isSpike(c: Double): Boolean =
+      c > stallFactor * canaryRef && c > canaryRef + stallMinAbsSec
     System.err.println(f"[bench] canary ref $canaryRef%.3f s")
 
     // Run order: alphabetical, EXCEPT the heavy exact-similarity pair
@@ -116,7 +126,7 @@ object Bench {
     def checkCanary(): Unit = {
       val c = canaryOnce()
       canaryTimes += c
-      if (c > stallFactor * canaryRef) {
+      if (isSpike(c)) {
         System.err.println(f"[bench] CANARY SPIKE $c%.3f s (ref " +
           f"$canaryRef%.3f) — flagging ${segment.size} queries as stalled")
         stalled ++= segment
@@ -176,7 +186,7 @@ object Bench {
     val quiet = results.filterNot(kv => stalled.contains(kv._1)).map(_._2).sum
     val canaryJson =
       s"""{"ref":${r3(canaryRef)},"max":${r3(canaryTimes.max)},""" +
-        s""""spikes":${canaryTimes.count(_ > stallFactor * canaryRef)},""" +
+        s""""spikes":${canaryTimes.count(isSpike)},""" +
         s""""n":${canaryTimes.size}}"""
     // the compact line caps the stalled list at 8 names (n_stalled has
     // the true count; the bench-out file has the full list) so a
