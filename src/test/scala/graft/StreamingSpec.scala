@@ -181,6 +181,71 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture should contain near-dups")
   }
 
+  test("pair sink: exactly-once deduped pair table from a RESTARTED " +
+      "file-source stream (checkpoint recovery + replay idempotence)") {
+    // the collapsing sink streamingMinhashPairs prescribes: per-band
+    // duplicate emissions upsert into ONE warehouse pair table keyed
+    // (id_a, id_b); a stream stopped and restarted from its checkpoint
+    // must neither lose cross-restart pairs (bucket state recovery)
+    // nor double-publish (batch-id gate)
+    import graft.catalog.Warehouse
+    import graft.state.MemoryStateStore
+    import graft.streaming.{PairSink, StreamingDedup}
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-pairdocs")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pairckpt")
+    val wh = new Warehouse(java.nio.file.Files.createTempDirectory("graft-pairwh"))
+    val store = new MemoryStateStore
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val arrivals = docs.zipWithIndex.map { case ((id, text), i) =>
+      (ts(i % 7), id, text)
+    }
+    val half = arrivals.length / 2
+    val schema = arrivals.take(1).toSeq.toDF("ts", "doc_id", "text").schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(docsDir.toString)
+      val q = PairSink.start(
+        StreamingDedup.streamingMinhashPairs(spark, stream, "doc_id", "text"),
+        wh, store, "near_dup_pairs", Some(ckpt.toString))
+      try q.processAllAvailable() finally q.stop()
+    }
+    // first life of the stream: half the corpus
+    arrivals.take(half).toSeq.toDF("ts", "doc_id", "text")
+      .write.mode("append").parquet(docsDir.toString)
+    run()
+    // restart from the checkpoint, rest of the corpus arrives
+    arrivals.drop(half).toSeq.toDF("ts", "doc_id", "text")
+      .write.mode("append").parquet(docsDir.toString)
+    run()
+
+    val streamed = wh.table(spark, "near_dup_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // keyed (id_a, id_b): exactly one row per pair survives collapsing
+    assert(streamed.map(p => (p._1, p._2)).distinct.length === streamed.length)
+    val batch = graft.dedup.Dedup.minhashPairs(
+      Tables.documents(spark, sf), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.toSet === batch)
+    assert(batch.nonEmpty, "fixture should contain near-dups")
+
+    // crash-replay of an already-committed micro-batch: no new
+    // generation, table untouched
+    val genBefore = wh.manifest("near_dup_pairs")
+    PairSink.commitBatch(wh, store, "near_dup_pairs")(
+      wh.table(spark, "near_dup_pairs"), batchId = 0L)
+    assert(wh.manifest("near_dup_pairs") === genBefore)
+    // a NEW batch replaying already-present pairs publishes a new
+    // generation with the SAME rows (merge semantics idempotent)
+    PairSink.commitBatch(wh, store, "near_dup_pairs")(
+      wh.table(spark, "near_dup_pairs"), batchId = 9999L)
+    assert(wh.manifest("near_dup_pairs") !== genBefore)
+    assert(wh.table(spark, "near_dup_pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet === batch)
+  }
+
   test("streaming contamination gate over MemoryStream equals the batch " +
       "dual; scores emit once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
