@@ -351,21 +351,27 @@ object Extensions {
     * same chain remains available via [[Dedup.minhashPairs]]; its
     * hash-specific pair set is covered by DedupSpec recall gates.)
     */
-  def pipe1CorpusClean(s: SparkSession, d: String): DataFrame = {
+  def pipe1CorpusClean(s: SparkSession, d: String): DataFrame =
+    pipe1CorpusClean(s, d, Staging.Memory)
+
+  /** The staged form: `staging` picks how phase boundaries
+    * materialize — [[Staging.Memory]] (gate scale, the default above)
+    * or [[Staging.Parquet]] (the 100 TB path; same rows either way,
+    * asserted in ExportSpec).
+    */
+  def pipe1CorpusClean(
+      s: SparkSession, d: String, staging: Staging): DataFrame = {
     val docs = Tables.documents(s, d)
     val quality = docs.filter(TextFunctions.qualityScore(col("text")) > 0.3)
     // stage materialization: the downstream near-dup pass references
     // this frame several times (gram explode + per-side set fetches +
-    // the final anti-join); caching it turns the recomputes of the
-    // filter+semi-join subtree into 1 — exactly what a production
-    // pipeline does between stages (write to parquet at 100 TB).
-    // The cache entry outlives the query (no unpersist hook on a lazy
-    // DataFrame), but CacheManager keys on the canonicalized plan so
-    // repeated invocations reuse ONE bounded entry per input dir;
-    // long-lived sessions reclaim it via spark.catalog.clearCache().
-    val exactKept = quality.join(
-        Dedup.exactKeepIds(quality, "doc_id", "text"), Seq("doc_id"), "left_semi")
-      .persist()
+    // the final anti-join); staging it turns the recomputes of the
+    // filter+semi-join subtree into 1 — see [[Staging]] for the
+    // memory-vs-parquet scale tradeoff.
+    val exactKept = staging.stage(
+      quality.join(
+        Dedup.exactKeepIds(quality, "doc_id", "text"), Seq("doc_id"), "left_semi"),
+      "pipe1_exact_kept")
     val nearPairs = Dedup.exactJaccardPairs(exactKept, "doc_id", "text",
       threshold = 0.9)
     Dedup.keepAfterPairs(exactKept, "doc_id", nearPairs)
@@ -386,7 +392,12 @@ object Extensions {
     * no drift. Unit ids pack (doc_id, chunk_id) into one integer
     * (chunk_id < 2^20 by the corpus length bound).
     */
-  def pipe2TrainingPrep(s: SparkSession, d: String): DataFrame = {
+  def pipe2TrainingPrep(s: SparkSession, d: String): DataFrame =
+    pipe2TrainingPrep(s, d, Staging.Memory)
+
+  /** The staged form — see [[pipe1CorpusClean]]. */
+  def pipe2TrainingPrep(
+      s: SparkSession, d: String, staging: Staging): DataFrame = {
     val docs = Tables.documents(s, d)
     val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
     val eval_ = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
@@ -394,10 +405,11 @@ object Extensions {
       k = 3)
     // stage materialization, same rationale as pipe1: the near-dup
     // join references this frame several times
-    val clean = corpus.join(
+    val clean = staging.stage(
+      corpus.join(
         scores.filter(col("contamination") > 0.2).select("doc_id"),
-        Seq("doc_id"), "left_anti")
-      .persist()
+        Seq("doc_id"), "left_anti"),
+      "pipe2_clean")
     val pairs = Dedup.exactJaccardPairs(clean, "doc_id", "text",
       threshold = 0.8)
     val kept = Dedup.keepAfterPairs(clean, "doc_id", pairs)
@@ -728,8 +740,8 @@ object Extensions {
     "asof3_nearest" -> (asof3Nearest _),
     "asof4_backward_chunked" -> (asof4BackwardChunked _),
     "asof5_nearest_chunked" -> (asof5NearestChunked _),
-    "pipe1_corpus_clean" -> (pipe1CorpusClean _),
-    "pipe2_training_prep" -> (pipe2TrainingPrep _),
+    "pipe1_corpus_clean" -> ((s, d) => pipe1CorpusClean(s, d)),
+    "pipe2_training_prep" -> ((s, d) => pipe2TrainingPrep(s, d)),
     "g1_components" -> (g1Components _),
     "dd6_cluster_keep" -> (dd6ClusterKeep _),
     "dd7_exact_jaccard" -> (dd7ExactJaccard _),

@@ -11,6 +11,26 @@ import graft.ingest.JsonlSource
 class ExportSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pipelines with parquet staging produce the same rows as the " +
+      "in-memory default (the 100 TB stage-materialization path)") {
+    import graft.queries.{Extensions, Staging}
+    val stageDir = Files.createTempDirectory("graft-staging").toString
+    def canonPipe2(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val mem2 = canonPipe2(Extensions.pipe2TrainingPrep(spark, sf))
+    val par2 = canonPipe2(Extensions.pipe2TrainingPrep(spark, sf,
+      Staging.Parquet(stageDir)))
+    assert(par2 === mem2)
+    assert(mem2.nonEmpty)
+    // the staged artifact actually landed (lineage is cut at the file)
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$stageDir/pipe2_clean.parquet")))
+    val mem1 = canonPipe2(Extensions.pipe1CorpusClean(spark, sf))
+    val par1 = canonPipe2(Extensions.pipe1CorpusClean(spark, sf,
+      Staging.Parquet(stageDir)))
+    assert(par1 === mem1)
+  }
+
   test("JSONL shard export round-trips through the declared-schema source") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("text"))
