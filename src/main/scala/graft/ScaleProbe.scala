@@ -129,6 +129,18 @@ object ScaleProbe {
         s""""grams":$total,"bloom_survivors":$surv,"exact_hits":$hits"""
     }
 
+    /** The composed production artifact end-to-end: pipe2
+      * (decontaminate -> exact near-dup -> chunk -> pack) through the
+      * PARQUET staging path — the 100 TB configuration, so the probe
+      * times what production would run, including the stage write.
+      */
+    def pipe2(df: DataFrame, name: String): Long = {
+      val stageDir = java.nio.file.Files
+        .createTempDirectory(s"graft-probe-$name").toString
+      graft.queries.Extensions.pipe2TrainingPrepOn(
+        spark, df, graft.queries.Staging.Parquet(stageDir)).count()
+    }
+
     val scales: Seq[(String, DataFrame)] = Seq(
       "sf0.01" -> Tables.documents(spark, s"$root/sf0.01"),
       "sf0.1" -> Tables.documents(spark, s"$root/sf0.1"),
@@ -145,7 +157,10 @@ object ScaleProbe {
         f"[probe] $name%-7s n=$n%6d dd7=$t7%7.2fs ($p7 pairs) " +
           f"dd6=$t6%7.2fs ($c6 clusters)")
       val cj = contam(df)
-      (name, n, t7, p7, t6, c6, cj)
+      val (tp2, np2) = timeSec(pipe2(df, name))
+      System.err.println(
+        f"[probe]   pipe2 composed (parquet-staged) $tp2%7.2fs ($np2 rows)")
+      (name, n, t7, p7, t6, c6, cj, tp2, np2)
     }
 
     // growth exponent: slope of log(t) vs log(n) over the series
@@ -158,13 +173,16 @@ object ScaleProbe {
     }
     val e7 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._3))))
     val e6 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._5))))
+    val ep2 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._8))))
 
-    val qs = rows.map { case (name, n, t7, p7, t6, c6, cj) =>
+    val qs = rows.map { case (name, n, t7, p7, t6, c6, cj, tp2, np2) =>
       s""""$name":{"n":$n,"dd7_sec":${f"$t7%.2f"},"dd7_pairs":$p7,""" +
-        s""""dd6_sec":${f"$t6%.2f"},"dd6_clusters":$c6,$cj}"""
+        s""""dd6_sec":${f"$t6%.2f"},"dd6_clusters":$c6,$cj,""" +
+        s""""pipe2_sec":${f"$tp2%.2f"},"pipe2_rows":$np2}"""
     }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"scale_probe","scales":$qs,""" +
-      s""""dd7_exponent":${f"$e7%.3f"},"dd6_exponent":${f"$e6%.3f"}}""")
+      s""""dd7_exponent":${f"$e7%.3f"},"dd6_exponent":${f"$e6%.3f"},""" +
+      s""""pipe2_exponent":${f"$ep2%.3f"}}""")
   }
 }

@@ -397,8 +397,14 @@ object Extensions {
 
   /** The staged form — see [[pipe1CorpusClean]]. */
   def pipe2TrainingPrep(
-      s: SparkSession, d: String, staging: Staging): DataFrame = {
-    val docs = Tables.documents(s, d)
+      s: SparkSession, d: String, staging: Staging): DataFrame =
+    pipe2TrainingPrepOn(s, Tables.documents(s, d), staging)
+
+  /** The frame-parameterized core (ScaleProbe feeds the sf1 replica
+    * through here; the dir overloads above are the query surface).
+    */
+  private[graft] def pipe2TrainingPrepOn(
+      s: SparkSession, docs: DataFrame, staging: Staging): DataFrame = {
     val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
     val eval_ = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
     val scores = Dedup.contaminationScores(corpus, eval_, "doc_id", "text",
