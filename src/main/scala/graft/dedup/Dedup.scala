@@ -606,6 +606,50 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Exact shared-span detection (substring-level duplication)
+  // -------------------------------------------------------------------
+
+  /** Every document pair sharing at least one exact k-token span, with
+    * the count of distinct shared spans — the substring-level
+    * duplication signal (docs that are NOT near-duplicates overall can
+    * still share long verbatim passages: quoted boilerplate, license
+    * headers, copied paragraphs), the gram-level form of
+    * suffix-array substring dedup for training corpora.
+    *
+    * Scale shape: spans never ride a shuffle — each doc's distinct
+    * k-token spans are digested to sha2 map-side and only (digest, id)
+    * moves (the dd1 exact-dedup recipe, applied per span instead of
+    * per doc). Span buckets are capped at `maxDocsPerSpan` docs: a
+    * span shared by more documents than the cap is boilerplate (a
+    * template/license fragment), which would blow the pair explode
+    * quadratically while telling you nothing pairwise — that regime
+    * belongs to frequency analysis (t8) / template mining, and the cap
+    * makes the worst-case pair fan-out a documented constant
+    * (cap^2/2 per bucket).
+    *
+    * Returns (id_a, id_b, n_shared_spans), id_a < id_b.
+    */
+  def sharedSpanPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      maxDocsPerSpan: Int = 64): DataFrame = {
+    val spans = df.select(col(idCol).as("id"),
+        explode(array_distinct(wordShingles(col(textCol), k))).as("span"))
+      .select(col("id"), sha2(col("span"), 256).as("h"))
+    val buckets = spans.groupBy(col("h"))
+      .agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDocsPerSpan))
+    buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
+  // -------------------------------------------------------------------
   // Embedding-cosine near-dup
   // -------------------------------------------------------------------
 

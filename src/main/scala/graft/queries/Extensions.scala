@@ -117,6 +117,26 @@ object Extensions {
     * precedent) and summed as DECIMAL so the distributed combine
     * order cannot change the result (the Ops.dsum rule).
     */
+  /** Data-recipe mix report: document and token counts per
+    * (language, length bucket, punctuation-quality bucket) — the
+    * accounting table a training-data recipe is written against
+    * ("how many tokens of clean English in the 64-96-token band?").
+    * Buckets are pure integer arithmetic (width-32 token bands,
+    * floor(punct_ratio*10)) — no log2 at bucket boundaries — so the
+    * dual is exact. One scan, partial-aggregated rollup; the output
+    * cardinality (langs x buckets) is tiny at any corpus scale.
+    */
+  def t11MixReport(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("lang"),
+      TextFunctions.tokenCount(col("text")).as("nt"),
+      TextFunctions.punctRatio(col("text")).as("pr"))
+    t.groupBy(col("lang"),
+        (expr("nt div 32") * 32).cast("int").as("len_bucket"),
+        floor(col("pr") * 10).cast("int").as("punct_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("long").as("total_tokens"))
+  }
+
   def t10UnigramLogprob(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val toks = docs.select(col("doc_id"),
@@ -299,6 +319,17 @@ object Extensions {
       payload = Seq("w_prio" -> prio, "doc_id" -> col("doc_id")),
       k = 5)
   }
+
+  /** Deterministic global training order ([[graft.sampling.Sampling
+    * .trainingOrder]]): every doc's exact 0-based position in the
+    * seeded permutation, computed by distributed prefix-count (no
+    * single-partition window). The priority is the portable Knuth
+    * hash, so DuckDB reproduces the identical permutation via
+    * row_number — pinning both the order AND the rank arithmetic.
+    */
+  def shuf1TrainingOrder(s: SparkSession, d: String): DataFrame =
+    graft.sampling.Sampling.trainingOrder(
+      Tables.documents(s, d), "doc_id", seed = 42L)
 
   /** Z-order layout keys as data: the Morton key each document row
     * would sort by under a (doc_id%256, n_chars%256) two-dimensional
@@ -619,6 +650,15 @@ object Extensions {
       .filter(col("n_hits") > 0)
   }
 
+  /** Exact shared-span detection ([[Dedup.sharedSpanPairs]]): doc
+    * pairs sharing verbatim 8-token spans, with the distinct-span
+    * count — substring-level duplication that whole-doc similarity
+    * misses. Word spans are plain strings in both engines, so the
+    * dual is exact.
+    */
+  def dd12SpanDup(s: SparkSession, d: String): DataFrame =
+    Dedup.sharedSpanPairs(Tables.documents(s, d), "doc_id", "text", k = 8)
+
   /** Fuzzy decontamination ([[Dedup.minhashJoin]]): eval docs (every
     * 5th) matched against the corpus by MinHash+LSH
     * near-duplicate similarity — catches paraphrased benchmark leakage
@@ -755,12 +795,15 @@ object Extensions {
     "dd9_contamination_bloom" -> (dd9ContaminationBloom _),
     "dd10_fuzzy_contamination" -> (dd10FuzzyContamination _),
     "dd11_contamination_auto" -> (dd11ContaminationAuto _),
+    "dd12_span_dup" -> (dd12SpanDup _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
     "t10_unigram_logprob" -> (t10UnigramLogprob _),
+    "t11_mix_report" -> (t11MixReport _),
     "smp1_stratified" -> (smp1Stratified _),
     "smp2_sample_k" -> (smp2SampleK _),
     "smp3_weighted_k" -> (smp3WeightedK _),
+    "shuf1_training_order" -> (shuf1TrainingOrder _),
     "z1_zorder_key" -> (z1ZorderKey _),
     "e2_sliding" -> (e2Sliding _),
     "e3_session" -> (e3Session _),
@@ -916,6 +959,29 @@ object Extensions {
     // dd11 dispatches between the dd8 and dd9 plans, both of which
     // share this dual
     "dd11_contamination_auto" -> contaminationOracle,
+    // the span bucket cap (64) and pair counting are plain relational
+    // logic over word-8-gram strings — exact dual (the digest shuffle
+    // is an implementation detail; DuckDB joins on the span itself)
+    "dd12_span_dup" ->
+      """WITH tok AS (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+                 FROM documents),
+           sh AS (SELECT doc_id, CASE WHEN len(ts) >= 8
+                   THEN list_transform(range(1, len(ts) - 6),
+                          i -> array_to_string(
+                                 ts[CAST(i AS INT):CAST(i + 7 AS INT)], ' '))
+                   ELSE [array_to_string(ts, ' ')] END AS shs
+                 FROM tok),
+           g AS (SELECT DISTINCT doc_id, unnest(shs) AS span FROM sh),
+           b AS (SELECT span FROM g GROUP BY span
+                 HAVING count(*) BETWEEN 2 AND 64),
+           p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+                 FROM g a JOIN g c USING (span)
+                      JOIN b USING (span)
+                 WHERE a.doc_id < c.doc_id)
+           SELECT id_a, id_b,
+                  CAST(count(*) AS BIGINT) AS n_shared_spans
+           FROM p GROUP BY id_a, id_b""",
     // same pairs -> connected components via recursive CTE -> cluster
     // membership summary: checks the FULL transitive-closure semantics
     "dd6_cluster_keep" ->
@@ -1101,6 +1167,12 @@ object Extensions {
                     ORDER BY w_prio, doc_id) AS rk
            FROM pri)
          SELECT lang, w_prio, doc_id FROM ranked WHERE rk <= 5""",
+    "shuf1_training_order" ->
+      """SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY
+                  ((CAST(doc_id AS BIGINT) + 42) * 2654435761) % 4294967296,
+                  doc_id) - 1 AS BIGINT) AS train_order
+         FROM documents""",
     "smp2_sample_k" ->
       """WITH pri AS (
            SELECT lang, doc_id,
@@ -1123,6 +1195,18 @@ object Extensions {
                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpeish
          FROM documents""",
+    "t11_mix_report" ->
+      """WITH t AS (SELECT lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS nt,
+             CAST(length(text) - length(regexp_replace(text,
+               '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS pr
+           FROM documents)
+         SELECT lang,
+                CAST((nt // 32) * 32 AS INT) AS len_bucket,
+                CAST(FLOOR(pr * 10) AS INT) AS punct_bucket,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS total_tokens
+         FROM t GROUP BY lang, (nt // 32) * 32, FLOOR(pr * 10)""",
     "t2_quality" ->
       """SELECT doc_id,
                 CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,

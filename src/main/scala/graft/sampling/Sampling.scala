@@ -139,4 +139,60 @@ object Sampling {
       .select((groupCols.map(col) ++
         payload.map { case (n, _) => col(s"__r.$n") }): _*)
   }
+
+  // ---- deterministic global training order ------------------------
+
+  /** Seeded deterministic global shuffle with a MATERIALIZED rank —
+    * the "shuffle the corpus before training" step: every row gets
+    * its exact 0-based position in the seeded permutation, stable
+    * across runs, engines, and input partitioning (the order is a
+    * pure function of (seed, key), [[knuthPriority]], so a rerun or a
+    * different engine reproduces byte-identical training order — the
+    * reproducibility contract data recipes need).
+    *
+    * Scale shape: NO single-partition global window. Rank is the
+    * distributed prefix-count (the [[graft.export.Packing
+    * .packSequences]] recipe with len == 1): range-partition by
+    * (priority, key) — Spark samples range boundaries, so partitions
+    * stay balanced — then per-partition counts -> driver cumsum over
+    * #partitions rows -> broadcast base offsets + partition-local
+    * window. The assignment is frozen by one eager localCheckpoint
+    * for the same two-jobs-one-partitioning reason documented there.
+    *
+    * Same key constraint as [[knuthPriority]]: non-negative integral
+    * key < 2^31.
+    */
+  def trainingOrder(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    val slim = df
+      .select(col(idCol).cast("long").as("id"))
+      // seed enters BEFORE the multiply: (id*A + seed) shifts every
+      // priority by the same constant, which is order-PRESERVING
+      // except at the mod wrap — the "new seed" would replay the old
+      // permutation (caught by SamplingSpec). (id + seed)*A genuinely
+      // re-permutes per seed and stays engine-portable.
+      .withColumn("__pri", knuthPriority(col("id") + lit(seed), 0L))
+      .repartitionByRange(col("__pri"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = slim.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    var acc = 0L
+    val bases = totals.map { case (pid, t) =>
+      val base = (pid, acc); acc += t; base
+    }
+    val baseDf = broadcast(
+      spark.createDataFrame(bases.toSeq).toDF("__pid", "__base"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__pri"), col("id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    slim.join(baseDf, Seq("__pid"))
+      .withColumn("__rank",
+        coalesce(count(lit(1)).over(w), lit(0L)) + col("__base"))
+      .select(col("id").as(idCol), col("__rank").as("train_order"))
+  }
 }

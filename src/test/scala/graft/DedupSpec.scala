@@ -283,6 +283,41 @@ class DedupSpec extends SparkSpec {
       s"minhashJoin recall $recall vs exact cross-pair truth (n=${truth.size})")
   }
 
+  test("sharedSpanPairs == brute-force shared k-span pairs at sf0.01; " +
+      "hot boilerplate spans are capped out") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.01")
+    val got = Dedup.sharedSpanPairs(real, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force in the same span space (driver-side)
+    val spanSets = real.select(col("doc_id"), col("text")).collect().map { r =>
+      val toks = r.getString(1).toLowerCase.trim.split("\\s+").toSeq
+      val spans =
+        if (toks.length >= 8) toks.sliding(8).map(_.mkString(" ")).toSet
+        else Set(toks.mkString(" "))
+      (r.getLong(0), spans)
+    }
+    val spanDocs = spanSets
+      .flatMap { case (id, ss) => ss.iterator.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+      .filter { case (_, ids) => ids.size >= 2 && ids.size <= 64 }
+    val want = spanDocs.values.flatMap { ids =>
+      val sorted = ids.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+      .toSet
+    assert(got === want)
+    assert(got.nonEmpty, "fixture should contain shared spans (exact dups)")
+
+    // cap: a span planted across MORE docs than the cap emits no pairs
+    import spark.implicits._
+    val boiler = "a b c d e f g h" // one 8-token span, shared by all
+    val hot = (1L to 70L).map(i => (i, boiler)).toDF("doc_id", "text")
+    assert(Dedup.sharedSpanPairs(hot, "doc_id", "text", k = 8).count() === 0)
+    assert(Dedup.sharedSpanPairs(hot.limit(10), "doc_id", "text", k = 8)
+      .count() === 10L * 9 / 2)
+  }
+
   test("contaminationScoresAuto dispatches broadcast vs bloom by eval " +
       "size and stays row-identical on both paths") {
     val real = Tables.documents(spark, "/root/testdata/sf0.01")

@@ -110,6 +110,29 @@ class SamplingSpec extends SparkSpec {
     assert(distinctPrios === 10000L)
   }
 
+  test("trainingOrder: exact seeded permutation, stable under input " +
+      "partitioning, distributed rank == driver-side sort") {
+    val docs = Tables.documents(spark, sf)
+    val got = Sampling.trainingOrder(docs, "doc_id", seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a permutation: ranks are exactly 0..n-1, one per doc
+    assert(got.map(_._2).sorted.toSeq === (0L until got.length).toSeq)
+    // equals the driver-side sort by (knuth priority, id)
+    val want = got.map(_._1).sorted
+      .sortBy(id => (((id + 42L) * 2654435761L) % 4294967296L, id))
+      .zipWithIndex.map { case (id, i) => (id, i.toLong) }.toSet
+    assert(got.toSet === want)
+    // input partitioning must not change the permutation
+    val reparted = Sampling.trainingOrder(
+      docs.repartition(17, col("lang")), "doc_id", seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reparted === want)
+    // a different seed is a different permutation
+    val other = Sampling.trainingOrder(docs, "doc_id", seed = 43L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(other !== want)
+  }
+
   test("weightedMix unions weighted samples of each source") {
     val a = (1L to 100L).toDF("id").withColumn("src", lit("a"))
     val b = (101L to 200L).toDF("id").withColumn("src", lit("b"))
