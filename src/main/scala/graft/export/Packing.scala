@@ -92,6 +92,76 @@ object Packing {
         pmod(col("__start"), lit(budget)).as("seq_offset"))
   }
 
+  /** Length-bucketed packing — the padding-efficiency variant of
+    * [[packSequences]]: units are first banded by length
+    * (`bucket = len div bucketWidth`) and packed independently WITHIN
+    * each band, so every pack holds similar-length units and the
+    * per-batch padding waste (batch pad = max len in batch) is bounded
+    * by the band width instead of the corpus length spread — the
+    * standard bucketed-batching trade: slightly more partially-filled
+    * tail packs, far less padding.
+    *
+    * Scale shape: the same distributed prefix-sum recipe as
+    * [[packSequences]], with the per-partition totals and base
+    * offsets keyed by (partition, bucket) — NOT a per-bucket window
+    * (a hot band would serialize into one partition). Range
+    * partitioning on (bucket, id) keeps partitions balanced across
+    * bands; the driver cumsum is over #partitions x #bands-touched
+    * rows, both small.
+    *
+    * Output: (id, len, bucket, start, seq_id, seq_offset) with
+    * `start` the prefix sum within the unit's band in id order and
+    * (bucket, seq_id) the pack key.
+    */
+  def packSequencesBucketed(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      budget: Long,
+      bucketWidth: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val spark = df.sparkSession
+    // same eager-materialization rationale as packSequences: two jobs
+    // must see ONE partition assignment
+    val slim = df
+      .select(col(idCol).cast("long").as("id"),
+        col(lenCol).cast("long").as("len"))
+      .withColumn("bucket", expr(s"len div ${bucketWidth}L"))
+      .repartitionByRange(col("bucket"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+
+    val totals = slim.groupBy(col("__pid"), col("bucket"))
+      .agg(sum(col("len")).as("__t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // driver cumsum per band across partitions in pid order
+    val bases = totals
+      .groupBy(_._2).iterator.flatMap { case (bucket, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, t) =>
+          val base = (pid, bucket, acc); acc += t; base
+        }
+      }.toSeq
+    val baseDf = broadcast(
+      spark.createDataFrame(bases).toDF("__pid", "bucket", "__base"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"), col("bucket")).orderBy(col("id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    slim.join(baseDf, Seq("__pid", "bucket"))
+      .withColumn("__start",
+        coalesce(sum(col("len")).over(w), lit(0L)) + col("__base"))
+      .select(col("id").as(idCol),
+        col("len"),
+        col("bucket"),
+        col("__start").as("start"),
+        expr(s"__start DIV ${budget}L").as("seq_id"),
+        pmod(col("__start"), lit(budget)).as("seq_offset"))
+  }
+
   /** The dual of [[packSequences]]: documents LONGER than the context
     * budget are split into overlapping token windows (the standard
     * long-document chunking step before packing/training; overlap

@@ -587,6 +587,17 @@ object Extensions {
     graft.export.Packing.packSequences(
       Tables.documents(s, d), "doc_id", "n_chars", budget = 4096L)
 
+  /** Length-bucketed packing ([[graft.export.Packing
+    * .packSequencesBucketed]]): units banded into width-256 length
+    * buckets, packed independently per band — bounded per-batch
+    * padding. Same integer arithmetic as pk1 with a PARTITION BY
+    * bucket, so the dual is exact.
+    */
+  def pk3BucketPack(s: SparkSession, d: String): DataFrame =
+    graft.export.Packing.packSequencesBucketed(
+      Tables.documents(s, d), "doc_id", "n_chars",
+      budget = 4096L, bucketWidth = 256L)
+
   /** Long-document chunking ([[graft.export.Packing.chunkDocuments]]):
     * overlapping 16-token windows with stride 12 over every document —
     * pure per-row columnar work (no shuffle), and word windows are
@@ -798,6 +809,7 @@ object Extensions {
     "dd12_span_dup" -> (dd12SpanDup _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
+    "pk3_bucket_pack" -> (pk3BucketPack _),
     "t10_unigram_logprob" -> (t10UnigramLogprob _),
     "t11_mix_report" -> (t11MixReport _),
     "smp1_stratified" -> (smp1Stratified _),
@@ -927,6 +939,17 @@ object Extensions {
          SELECT doc_id, n_chars AS len, start,
                 start // 4096 AS seq_id,
                 start % 4096 AS seq_offset
+         FROM pre""",
+    "pk3_bucket_pack" ->
+      """WITH pre AS (
+           SELECT doc_id, n_chars, n_chars // 256 AS bucket,
+                  CAST(COALESCE(SUM(n_chars) OVER (
+                    PARTITION BY n_chars // 256 ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS start
+           FROM documents)
+         SELECT doc_id, n_chars AS len, CAST(bucket AS BIGINT) AS bucket,
+                start, start // 4096 AS seq_id, start % 4096 AS seq_offset
          FROM pre""",
     // overlapping word windows are plain strings in both engines;
     // parallel unnest of two equal-length lists aligns element-wise

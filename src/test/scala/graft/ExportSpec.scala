@@ -11,6 +11,41 @@ import graft.ingest.JsonlSource
 class ExportSpec extends SparkSpec {
   import spark.implicits._
 
+  test("packSequencesBucketed: per-band exact prefix placement, " +
+      "bounded pack length spread, partitioning-independent") {
+    import graft.export.Packing
+    val docs = Tables.documents(spark, sf)
+    val out = Packing.packSequencesBucketed(
+        docs, "doc_id", "n_chars", budget = 4096L, bucketWidth = 256L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // every unit is in its length band
+    assert(out.forall { case (_, len, b, _, _, _) => len / 256 == b })
+    // within a band, starts are the exact cumsum in id order
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).foreach { case (_, len, _, start, seqId, off) =>
+        assert(start === acc)
+        assert(seqId === start / 4096 && off === start % 4096)
+        acc += len
+      }
+    }
+    // padding bound: units sharing a pack differ by < bucketWidth
+    out.groupBy(r => (r._3, r._5)).foreach { case (_, rows) =>
+      val lens = rows.map(_._2)
+      assert(lens.max - lens.min < 256)
+    }
+    // input partitioning must not move any placement
+    val reparted = Packing.packSequencesBucketed(
+        docs.repartition(13, col("lang")), "doc_id", "n_chars",
+        budget = 4096L, bucketWidth = 256L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(reparted.toSet === out.toSet)
+  }
+
   test("pipelines with parquet staging produce the same rows as the " +
       "in-memory default (the 100 TB stage-materialization path)") {
     import graft.queries.{Extensions, Staging}
