@@ -215,6 +215,23 @@ object Extensions {
       "vec_id", "embedding", queryVec(s, d), k = 10,
       bits = 4, tables = 8)
 
+  /** Product-quantized ANN ([[Similarity.trainPqCodebooks]]/
+    * [[Similarity.pqEncode]]/[[Similarity.pqTopK]]): the
+    * memory-compression scale path — 8 codes replace the 64-dim
+    * vector (32x smaller query-time scan), asymmetric-distance
+    * scoring via a broadcast lookup table, exact cosine re-rank on
+    * the top-100 candidates only. No DuckDB dual (k-means codes);
+    * DedupSpec gates recall and proves rerank=corpus == exact.
+    */
+  def ann6Pq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+    val books = Similarity.trainPqCodebooks(
+      emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 32)
+    val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    Similarity.pqTopK(encoded, emb, books, "vec_id", "embedding",
+      queryVec(s, d), k = 10, rerank = 100)
+  }
+
   /** Radius (range) similarity search: ALL corpus vectors with cosine
     * >= threshold of the query — the dual of top-k (fixed quality bar,
     * unbounded result count). One scan, codegen'd cosine, the filter
@@ -787,6 +804,7 @@ object Extensions {
     "ann3_ivf" -> (ann3Ivf _),
     "ann4_batch" -> (ann4Batch _),
     "ann5_radius" -> (ann5RadiusSearch _),
+    "ann6_pq" -> (ann6Pq _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),

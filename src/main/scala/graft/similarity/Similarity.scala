@@ -289,6 +289,109 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- Product quantization (PQ): the memory-compression path ----
+
+  /** Train PQ codebooks: the vector is split into `m` subspaces of
+    * dim/m and each subspace gets its own `ksub`-centroid k-means
+    * codebook (driver-side sample, same rationale as
+    * [[buildIvfIndex]]). Returns `codebooks(j)(c)` = centroid c of
+    * subspace j.
+    */
+  def trainPqCodebooks(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 32,
+      seed: Long = 42L,
+      trainSample: Int = 20000): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val sample = emb.select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(trainSample)
+      .collect().map(_.getSeq[Double](1).toArray)
+    Array.tabulate(m) { j =>
+      kmeansPlusPlus(sample.map(v => v.slice(j * sub, (j + 1) * sub)),
+        ksub, seed + j, iters = 10)
+    }
+  }
+
+  /** Encode every vector as `m` codebook codes — the compressed
+    * representation that replaces the raw vector at rest. At 100 TB
+    * this is THE reason PQ exists: a 64-dim float32 embedding is
+    * 256 B; its 8 codes are 8 B — a 32x smaller scan for every
+    * query that doesn't need the exact vector. One pass, all
+    * codegen'd: per subspace an argmin over ksub of
+    * |c|^2 - 2<sub, c> (the [[buildIvfIndex]] least(struct) fold,
+    * once per subspace).
+    *
+    * Output: (id, codes array<int> of length m).
+    */
+  def pqEncode(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    val codeCols = codebooks.zipWithIndex.map { case (cents, j) =>
+      val sub = cents.head.length
+      val subVec = slice(vecD, j * sub + 1, sub)
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dot(subVec, typedLit(c.toSeq)))
+          .as("score"), lit(i).as("code"))
+      }
+      if (scored.length == 1) lit(0) else least(scored.toSeq: _*).getField("code")
+    }
+    emb.select(col(idCol), array(codeCols.toSeq: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes with exact re-rank: the
+    * query's inner product against every codebook centroid is
+    * tabulated ONCE on the driver (m*ksub doubles) and shipped as a
+    * literal, so scoring a corpus row is m array lookups + adds
+    * (O(m)) instead of O(dim) multiply-adds over a 32x larger scan.
+    * The approximate-IP top `rerank` candidates then join back to the
+    * raw vectors BY ID for exact cosine — only `rerank` full vectors
+    * are ever read at query time. `rerank` is the recall/cost knob
+    * (rerank = corpus size degenerates to exact search; DedupSpec
+    * asserts that equivalence and a measured recall gate at the
+    * shipped setting).
+    */
+  def pqTopK(
+      encoded: DataFrame,
+      emb: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String,
+      vecCol: String,
+      query: Seq[Float],
+      k: Int,
+      rerank: Int = 100): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val qd = query.map(_.toDouble).toArray
+    val lut = Array.tabulate(m * ksub) { idx =>
+      val j = idx / ksub; val c = idx % ksub
+      var s = 0.0; var i = 0
+      while (i < sub) { s += qd(j * sub + i) * codebooks(j)(c)(i); i += 1 }
+      s
+    }
+    val lutCol = typedLit(lut.toSeq)
+    val approx = encoded.select(col(idCol),
+      aggregate(
+        zip_with(typedLit((0 until m).toList), col("codes"),
+          (j, c) => element_at(lutCol, j * lit(ksub) + c + lit(1))),
+        lit(0.0), (acc, x) => acc + x).as("approx_ip"))
+      .orderBy(col("approx_ip").desc, col(idCol).asc)
+      .limit(rerank)
+    approx.join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), cosine(col(vecCol), typedLit(query)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Precompute per-table buckets for ALL rows — the "index build"
     * phase: at 100 TB this DataFrame is what you persist, partitioned
     * by (table, bucket), so query-time probes prune partitions instead

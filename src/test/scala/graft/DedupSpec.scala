@@ -541,6 +541,31 @@ class DedupSpec extends SparkSpec {
       s"ivf recall too low: $exact vs $approx")
   }
 
+  test("pq adc top-k: measured recall at the shipped setting; " +
+      "rerank=corpus degenerates to exact search") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .head().getSeq[Float](1)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val books = Similarity.trainPqCodebooks(
+      emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 32)
+    val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    // shipped setting (ann6): rerank=100 of ~500 — recall gate
+    val approx = Similarity.pqTopK(encoded, emb, books, "vec_id",
+        "embedding", q, k = 10, rerank = 100)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact.toSet intersect approx).size
+    assert(recall >= 8, s"pq recall too low: $exact vs $approx")
+    // rerank covering the whole corpus must reproduce exact search
+    // EXACTLY (candidate generation can no longer lose anything and
+    // the re-rank IS brute force) — same ranks, same ids
+    val full = Similarity.pqTopK(encoded, emb, books, "vec_id",
+        "embedding", q, k = 10, rerank = emb.count().toInt)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full === exact)
+  }
+
   test("batchTopK equals per-query bruteForceTopK ranks") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") > 5)
     val queries = Tables.embeddings(spark, sf)
