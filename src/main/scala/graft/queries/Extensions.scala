@@ -232,6 +232,28 @@ object Extensions {
       queryVec(s, d), k = 10, rerank = 100)
   }
 
+  /** Int8 scalar quantization of the embedding column: per-vector
+    * symmetric scale (max|x|/127) + integer codes — the storage
+    * compression that cuts an embedding store 4x before any ANN
+    * structure is built (and composes with PQ/IVF). All columnar
+    * higher-order functions, one scan, no shuffle. Rounding is
+    * floor(x/scale + 0.5) — floor is unambiguous cross-engine,
+    * where round()'s half-tie direction is not — so the dual is
+    * exact including the zero-vector guard.
+    */
+  def vq1QuantInt8(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        (array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+          .as("scale"), col("v"))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0, transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"),
+            x => floor(x / col("scale") + lit(0.5)).cast("int")))
+          .as("qvec"))
+  }
+
   /** Radius (range) similarity search: ALL corpus vectors with cosine
     * >= threshold of the query — the dual of top-k (fixed quality bar,
     * unbounded result count). One scan, codegen'd cosine, the filter
@@ -805,6 +827,7 @@ object Extensions {
     "ann4_batch" -> (ann4Batch _),
     "ann5_radius" -> (ann5RadiusSearch _),
     "ann6_pq" -> (ann6Pq _),
+    "vq1_quant_int8" -> (vq1QuantInt8 _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),
@@ -1398,6 +1421,19 @@ object Extensions {
          SELECT doc_id, CAST(idx AS INT) AS frame_idx,
                 CAST(LEAST(128, L - idx * 128) AS INT) AS frame_bytes
          FROM f WHERE idx % 3 = 0""",
+    // float32->double is exact, double ops are IEEE-identical, and
+    // floor(x/scale + 0.5) avoids round()'s engine-specific tie rule
+    "vq1_quant_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+         s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+               FROM v)
+         SELECT vec_id, scale,
+                CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                     ELSE list_transform(v,
+                       x -> CAST(FLOOR(x / scale + 0.5) AS INT)) END AS qvec
+         FROM s""",
     "x1_sql_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,

@@ -591,4 +591,26 @@ class DedupSpec extends SparkSpec {
     val c = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12) // parallel vectors
   }
+
+  test("int8 scalar quantization (vq1): codes bounded, reconstruction " +
+      "error within scale/2 per element, zero vector stays zero") {
+    val rows = graft.queries.Extensions.vq1QuantInt8(spark, sf)
+      .join(Tables.embeddings(spark, sf), "vec_id")
+      .select(col("vec_id"), col("scale"), col("qvec"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      val v = r.getSeq[Double](3)
+      assert(q.forall(c => c >= -127 && c <= 127),
+        s"code out of int8 range for vec ${r.getLong(0)}")
+      if (scale == 0.0) assert(q.forall(_ == 0))
+      else q.zip(v).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-12,
+          s"reconstruction error beyond scale/2 for vec ${r.getLong(0)}")
+      }
+    }
+  }
 }
