@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.Similarity
+import graft.similarity.{Quantize, Similarity}
 import graft.streaming.EventStreams
 import graft.text.TextFunctions
 
@@ -252,6 +252,139 @@ object Extensions {
           .otherwise(transform(col("v"),
             x => floor(x / col("scale") + lit(0.5)).cast("int")))
           .as("qvec"))
+  }
+
+  /** Sign-bit (1-bit) quantization: pack each 64-dim embedding's sign
+    * bits into two 32-bit words ([[Quantize.signPack]]) — 256 B -> 8 B,
+    * the Hamming-space index build. One projection, no shuffle; the
+    * dual reproduces the packing with unnest + bit_or.
+    */
+  def vq2SignPack(s: SparkSession, d: String): DataFrame =
+    Quantize.signPack(Tables.embeddings(s, d), "vec_id", "embedding")
+
+  /** Hamming top-k over the packed sign bits: two codegen'd popcounts
+    * per row over an 8-byte code instead of 64 multiply-adds over
+    * 256 B — the cheapest ANN tier ([[Quantize.hammingTopK]]). Plan:
+    * scan -> project -> TakeOrderedAndProject, no shuffle. The query
+    * code is derived on the driver from vec_id 0's float vector
+    * (identical packing rule), corpus excludes the query row.
+    */
+  def hm1HammingTopK(s: SparkSession, d: String): DataFrame = {
+    val q = queryVec(s, d)
+    val qWords = (0 until 2).map { j =>
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        if (q(j * 32 + i) > 0) acc | (1L << i) else acc
+      }
+    }
+    val packed = Quantize.signPack(
+      Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding")
+    Quantize.hammingTopK(packed, "vec_id", qWords, k = 10)
+  }
+
+  /** Shared build for the quantized k-means family: global-scale int8
+    * codes + the k lowest-id vectors' codes as deterministic initial
+    * centroids ([[Quantize.globalInt8]]).
+    */
+  private def quantizedWithInit(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Seq[(Int, Seq[Int])]) = {
+    val (q, _) = Quantize.globalInt8(Tables.embeddings(s, d),
+      "vec_id", "embedding")
+    val init = q.filter(col("vec_id") < k)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Int](1).toSeq)
+      .toSeq
+    (q, init)
+  }
+
+  /** Nearest-centroid assignment in the quantized integer domain
+    * ([[Quantize.assignQ]], k=8 centroids = the codes of vec_id 0..7):
+    * exact integer L2^2, centroids baked as plan literals — one corpus
+    * scan, zero shuffle, the IVF coarse-assignment shape made
+    * bit-reproducible. The dual replays the identical integer math via
+    * list_inner_product (all values far inside exact-double range).
+    */
+  def km1AssignQ(s: SparkSession, d: String): DataFrame = {
+    val (q, init) = quantizedWithInit(s, d, k = 8)
+    Quantize.assignQ(q, "vec_id", init)
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
+  /** Three Lloyd iterations of integer-domain k-means
+    * ([[Quantize.lloydQ]]): per iteration one corpus scan + a
+    * (cluster, pos) partial-sum aggregate; the k*dim updated centroids
+    * are collected and re-broadcast as literals, so the corpus itself
+    * never shuffles. floor(sum/count) keeps the update exact in both
+    * engines; the dual unrolls the same three iterations as chained
+    * CTEs. Deterministic end-to-end — retrying any partition yields
+    * the same clusters, which float k-means cannot promise.
+    */
+  def km2LloydQ(s: SparkSession, d: String): DataFrame = {
+    val (q, init) = quantizedWithInit(s, d, k = 8)
+    val (assigned, _) = Quantize.lloydQ(q, "vec_id", init, iters = 3)
+    assigned.select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
+  /** SemDeDup on quantized codes ([[Quantize.semDedupKeepQ]]): cluster
+    * with km1's assignment, then within each cluster drop any vector
+    * with a lower-id mate at cosine >= 0.4 (the corpus tops out at ~0.51, per dd5 — 0.4 is the operative near-dup bar here). The threshold test is
+    * all-integer (dot > 0 and den^2*dot^2 >= num^2*|a|^2*|b|^2), so
+    * keep/drop is exact; clustering bounds candidates to O(sum n_c^2)
+    * and the only shuffle is by cluster id — the semantic-dedup scale
+    * shape. The dual replays the integer test in HUGEINT.
+    */
+  def sem1SemdedupQ(s: SparkSession, d: String): DataFrame = {
+    val (q, init) = quantizedWithInit(s, d, k = 8)
+    Quantize.semDedupKeepQ(
+      Quantize.assignQ(q, "vec_id", init), "vec_id",
+      tauNum = 40L, tauDen = 100L)
+  }
+
+  /** Deterministic hash-based train/val/test split: bucket =
+    * md5(doc_id) first 16 bits mod 100, 80/10/10. The assignment is a
+    * pure projection (no shuffle, no RNG state) and — the property
+    * that matters on a 100 TB corpus — STABLE: any engine, any
+    * partitioning, any retry assigns every document to the same split,
+    * and adding documents never moves existing ones. md5 because both
+    * engines define it identically over utf8; conv/CAST parse the
+    * same 4 hex chars.
+    */
+  def spl1HashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("bigint") % 100
+    Tables.documents(s, d).select(
+      col("doc_id"), bucket.as("bucket"),
+      when(bucket < 80, lit("train"))
+        .when(bucket < 90, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  /** Bigram conditional language-model stats over whitespace tokens:
+    * pairs are built WITHIN each row (zip_with over two slices of the
+    * token array — no window, no per-token shuffle), then one
+    * groupBy(w1, w2) + a broadcast join to the w1 marginals.
+    * neg_logp = -ln(P(w2|w1)) rounded to 6 dp (the t10 decimal
+    * pattern, since ln's last ulp is engine-specific). min_count
+    * bounds the output like any n-gram LM cutoff.
+    */
+  def t12BigramCond(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("t"))
+    val pairs = toks
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val pairCnt = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val w1Cnt = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+    pairCnt.join(broadcast(w1Cnt), "w1")
+      .filter(col("n_pair") >= 3)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        round(-log(col("n_pair").cast("double") / col("n_w1")), 6)
+          .cast("decimal(18,6)").as("neg_logp"))
   }
 
   /** Radius (range) similarity search: ALL corpus vectors with cosine
@@ -828,6 +961,13 @@ object Extensions {
     "ann5_radius" -> (ann5RadiusSearch _),
     "ann6_pq" -> (ann6Pq _),
     "vq1_quant_int8" -> (vq1QuantInt8 _),
+    "vq2_sign_pack" -> (vq2SignPack _),
+    "hm1_hamming_topk" -> (hm1HammingTopK _),
+    "km1_assign_q" -> (km1AssignQ _),
+    "km2_lloyd_q" -> (km2LloydQ _),
+    "sem1_semdedup_q" -> (sem1SemdedupQ _),
+    "spl1_hash_split" -> (spl1HashSplit _),
+    "t12_bigram_cond" -> (t12BigramCond _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),
@@ -1434,6 +1574,194 @@ object Extensions {
                      ELSE list_transform(v,
                        x -> CAST(FLOOR(x / scale + 0.5) AS INT)) END AS qvec
          FROM s""",
+    "vq2_sign_pack" ->
+      """SELECT vec_id,
+           coalesce(bit_or(CASE WHEN i <= 32 AND x > 0
+                           THEN 1::BIGINT << (i - 1) END), 0) AS w0,
+           coalesce(bit_or(CASE WHEN i > 32 AND x > 0
+                           THEN 1::BIGINT << (i - 33) END), 0) AS w1
+         FROM (SELECT vec_id, unnest(embedding) AS x,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings)
+         GROUP BY vec_id""",
+    "hm1_hamming_topk" ->
+      """WITH p AS (
+           SELECT vec_id,
+             coalesce(bit_or(CASE WHEN i <= 32 AND x > 0
+                             THEN 1::BIGINT << (i - 1) END), 0) AS w0,
+             coalesce(bit_or(CASE WHEN i > 32 AND x > 0
+                             THEN 1::BIGINT << (i - 33) END), 0) AS w1
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM embeddings)
+           GROUP BY vec_id),
+         q AS (SELECT w0 AS q0, w1 AS q1 FROM p WHERE vec_id = 0)
+         SELECT vec_id,
+                CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1))
+                     AS INT) AS hamming
+         FROM p, q WHERE vec_id <> 0
+         ORDER BY hamming, vec_id LIMIT 10""",
+    // the quantized k-means family: global scale -> int8 codes ->
+    // exact integer L2^2 (na - 2*dot + nb == sum((a-b)^2) exactly;
+    // list_inner_product's double is exact at these magnitudes)
+    "km1_assign_q" ->
+      """WITH mx AS (SELECT max(list_max(list_transform(
+                  CAST(embedding AS DOUBLE[]), x -> abs(x)))) / 127.0
+                  AS scale FROM embeddings),
+         qv AS (SELECT vec_id,
+                  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                       ELSE list_transform(v,
+                         x -> CAST(FLOOR(x / scale + 0.5) AS INT)) END AS qvec
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings) CROSS JOIN mx),
+         c AS (SELECT vec_id AS cid, qvec AS cvec FROM qv WHERE vec_id < 8),
+         d AS (SELECT qv.vec_id, c.cid,
+                 CAST(list_inner_product(qv.qvec, qv.qvec)
+                    - 2 * list_inner_product(qv.qvec, c.cvec)
+                    + list_inner_product(c.cvec, c.cvec) AS BIGINT) AS dist2
+               FROM qv CROSS JOIN c)
+         SELECT vec_id, CAST(cid AS INT) AS cluster, dist2
+         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dist2, cid) AS rn FROM d)
+         WHERE rn = 1""",
+    // three Lloyd iterations unrolled as chained CTEs; centroid update
+    // = element-wise FLOOR(sum/count) (exact double at these sums),
+    // empty clusters keep the previous centroid via the LEFT JOIN
+    "km2_lloyd_q" ->
+      """WITH mx AS (SELECT max(list_max(list_transform(
+                  CAST(embedding AS DOUBLE[]), x -> abs(x)))) / 127.0
+                  AS scale FROM embeddings),
+         qv AS (SELECT vec_id,
+                  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                       ELSE list_transform(v,
+                         x -> CAST(FLOOR(x / scale + 0.5) AS INT)) END AS qvec
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings) CROSS JOIN mx),
+         c0 AS (SELECT vec_id AS cid, qvec AS cvec FROM qv WHERE vec_id < 8),
+         a1 AS (SELECT vec_id, qvec, cid AS cluster FROM (
+                  SELECT qv.vec_id, qv.qvec, c0.cid,
+                    row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+                      CAST(list_inner_product(qv.qvec, qv.qvec)
+                         - 2 * list_inner_product(qv.qvec, c0.cvec)
+                         + list_inner_product(c0.cvec, c0.cvec) AS BIGINT),
+                      c0.cid) AS rn
+                  FROM qv CROSS JOIN c0) WHERE rn = 1),
+         u1 AS (SELECT cluster, list(CAST(FLOOR(CAST(s AS DOUBLE) / n)
+                  AS INT) ORDER BY pos) AS cvec
+                FROM (SELECT cluster, i AS pos, sum(x) AS s, count(*) AS n
+                      FROM (SELECT cluster, unnest(qvec) AS x,
+                                   generate_subscripts(qvec, 1) AS i FROM a1)
+                      GROUP BY cluster, i)
+                GROUP BY cluster),
+         c1 AS (SELECT c0.cid, coalesce(u1.cvec, c0.cvec) AS cvec
+                FROM c0 LEFT JOIN u1 ON u1.cluster = c0.cid),
+         a2 AS (SELECT vec_id, qvec, cid AS cluster FROM (
+                  SELECT qv.vec_id, qv.qvec, c1.cid,
+                    row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+                      CAST(list_inner_product(qv.qvec, qv.qvec)
+                         - 2 * list_inner_product(qv.qvec, c1.cvec)
+                         + list_inner_product(c1.cvec, c1.cvec) AS BIGINT),
+                      c1.cid) AS rn
+                  FROM qv CROSS JOIN c1) WHERE rn = 1),
+         u2 AS (SELECT cluster, list(CAST(FLOOR(CAST(s AS DOUBLE) / n)
+                  AS INT) ORDER BY pos) AS cvec
+                FROM (SELECT cluster, i AS pos, sum(x) AS s, count(*) AS n
+                      FROM (SELECT cluster, unnest(qvec) AS x,
+                                   generate_subscripts(qvec, 1) AS i FROM a2)
+                      GROUP BY cluster, i)
+                GROUP BY cluster),
+         c2 AS (SELECT c1.cid, coalesce(u2.cvec, c1.cvec) AS cvec
+                FROM c1 LEFT JOIN u2 ON u2.cluster = c1.cid),
+         a3 AS (SELECT vec_id, qvec, cid AS cluster FROM (
+                  SELECT qv.vec_id, qv.qvec, c2.cid,
+                    row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+                      CAST(list_inner_product(qv.qvec, qv.qvec)
+                         - 2 * list_inner_product(qv.qvec, c2.cvec)
+                         + list_inner_product(c2.cvec, c2.cvec) AS BIGINT),
+                      c2.cid) AS rn
+                  FROM qv CROSS JOIN c2) WHERE rn = 1),
+         u3 AS (SELECT cluster, list(CAST(FLOOR(CAST(s AS DOUBLE) / n)
+                  AS INT) ORDER BY pos) AS cvec
+                FROM (SELECT cluster, i AS pos, sum(x) AS s, count(*) AS n
+                      FROM (SELECT cluster, unnest(qvec) AS x,
+                                   generate_subscripts(qvec, 1) AS i FROM a3)
+                      GROUP BY cluster, i)
+                GROUP BY cluster),
+         c3 AS (SELECT c2.cid, coalesce(u3.cvec, c2.cvec) AS cvec
+                FROM c2 LEFT JOIN u3 ON u3.cluster = c2.cid)
+         SELECT vec_id, CAST(cid AS INT) AS cluster, dist2 FROM (
+           SELECT qv.vec_id, c3.cid,
+             CAST(list_inner_product(qv.qvec, qv.qvec)
+                - 2 * list_inner_product(qv.qvec, c3.cvec)
+                + list_inner_product(c3.cvec, c3.cvec) AS BIGINT) AS dist2,
+             row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+               CAST(list_inner_product(qv.qvec, qv.qvec)
+                  - 2 * list_inner_product(qv.qvec, c3.cvec)
+                  + list_inner_product(c3.cvec, c3.cvec) AS BIGINT),
+               c3.cid) AS rn
+           FROM qv CROSS JOIN c3) WHERE rn = 1""",
+    // integer cosine-threshold test in HUGEINT (the Spark side stays in
+    // BIGINT: max 10^4 * dot^2 ~ 1.1e16 < 2^63)
+    "sem1_semdedup_q" ->
+      """WITH mx AS (SELECT max(list_max(list_transform(
+                  CAST(embedding AS DOUBLE[]), x -> abs(x)))) / 127.0
+                  AS scale FROM embeddings),
+         qv AS (SELECT vec_id,
+                  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                       ELSE list_transform(v,
+                         x -> CAST(FLOOR(x / scale + 0.5) AS INT)) END AS qvec
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings) CROSS JOIN mx),
+         c AS (SELECT vec_id AS cid, qvec AS cvec FROM qv WHERE vec_id < 8),
+         asg AS (SELECT vec_id, qvec, cid AS cluster FROM (
+                   SELECT qv.vec_id, qv.qvec, c.cid,
+                     row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+                       CAST(list_inner_product(qv.qvec, qv.qvec)
+                          - 2 * list_inner_product(qv.qvec, c.cvec)
+                          + list_inner_product(c.cvec, c.cvec) AS BIGINT),
+                       c.cid) AS rn
+                   FROM qv CROSS JOIN c) WHERE rn = 1),
+         w AS (SELECT vec_id, cluster, qvec,
+                 CAST(list_inner_product(qvec, qvec) AS HUGEINT) AS n2
+               FROM asg),
+         dom AS (SELECT DISTINCT b.vec_id
+                 FROM w a JOIN w b
+                   ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                 WHERE list_inner_product(a.qvec, b.qvec) > 0
+                   AND 10000::HUGEINT
+                       * CAST(list_inner_product(a.qvec, b.qvec) AS HUGEINT)
+                       * CAST(list_inner_product(a.qvec, b.qvec) AS HUGEINT)
+                     >= 1600::HUGEINT * a.n2 * b.n2)
+         SELECT w.vec_id, CAST(w.cluster AS INT) AS cluster
+         FROM w LEFT JOIN dom ON w.vec_id = dom.vec_id
+         WHERE dom.vec_id IS NULL""",
+    "spl1_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+                CAST(CAST(concat('0x', substring(
+                  md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 100
+                  AS BIGINT) AS bucket
+              FROM documents)
+         SELECT doc_id, bucket,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b""",
+    "t12_bigram_cond" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
+                generate_subscripts(
+                  regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS i
+              FROM documents),
+         p AS (SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id
+                 ORDER BY i) AS w2 FROM toks),
+         pp AS (SELECT w1, w2, count(*) AS n_pair FROM p
+                WHERE w2 IS NOT NULL GROUP BY w1, w2),
+         m AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1
+               FROM pp GROUP BY w1)
+         SELECT w1, w2, n_pair, n_w1,
+                CAST(round(-ln(CAST(n_pair AS DOUBLE) / n_w1), 6)
+                     AS DECIMAL(18,6)) AS neg_logp
+         FROM pp JOIN m USING (w1) WHERE n_pair >= 3""",
     "x1_sql_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,
