@@ -8,7 +8,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.{Quantize, Similarity}
 import graft.streaming.EventStreams
-import graft.text.TextFunctions
+import graft.text.{Bpe, TextFunctions}
 
 /** Driver-contract queries for the training-data-pipeline extensions
   * (dedup / similarity / multimodal / text analysis / event windows).
@@ -385,6 +385,33 @@ object Extensions {
       .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
         round(-log(col("n_pair").cast("double") / col("n_w1")), 6)
           .cast("decimal(18,6)").as("neg_logp"))
+  }
+
+  /** BPE tokenizer training ([[graft.text.Bpe]]): 5 merge steps
+    * learned on the corpus vocabulary. Output = the merge table
+    * (step, pair, corpus weight) — the artifact a tokenizer ships.
+    * The corpus reduces to the (word, freq) vocab once; every merge
+    * iteration is an aggregate over that small table + a 1-row
+    * collect, so training cost is independent of corpus size past
+    * the first shuffle. The dual unrolls the same 5 iterations as
+    * chained CTEs with an identical merge fold (list_reduce).
+    */
+  def bpe1TrainMerges(s: SparkSession, d: String): DataFrame = {
+    val (merges, v) = Bpe.train(Tables.documents(s, d), "text", nMerges = 5)
+    v.unpersist()
+    import s.implicits._
+    merges.toDF("step", "merge_a", "merge_b", "weight")
+  }
+
+  /** Apply the trained BPE vocabulary back to the corpus: per-document
+    * whitespace-token and BPE-symbol counts via a broadcast
+    * word -> n_syms join ([[graft.text.Bpe.applyCounts]]) — the
+    * "tokenize the corpus" pass, one scan + one per-doc aggregate.
+    */
+  def bpe2ApplyCounts(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (_, v) = Bpe.train(docs, "text", nMerges = 5)
+    Bpe.applyCounts(docs, "text", "doc_id", v)
   }
 
   /** Radius (range) similarity search: ALL corpus vectors with cosine
@@ -968,6 +995,8 @@ object Extensions {
     "sem1_semdedup_q" -> (sem1SemdedupQ _),
     "spl1_hash_split" -> (spl1HashSplit _),
     "t12_bigram_cond" -> (t12BigramCond _),
+    "bpe1_train_merges" -> (bpe1TrainMerges _),
+    "bpe2_apply_counts" -> (bpe2ApplyCounts _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),
@@ -1055,6 +1084,44 @@ object Extensions {
                 CAST(h.n_hits AS DOUBLE) / t.n_grams AS contamination
          FROM tot t JOIN hit h ON t.doc_id = h.doc_id
          WHERE h.n_hits > 0"""
+
+  /** DuckDB dual of [[graft.text.Bpe.train]]'s iteration, unrolled:
+    * v0 = the vocab, then per step k a pair-count (lead window), the
+    * 1-row argmax m_k, and v_{k+1} applying the merge with the same
+    * left-to-right non-overlapping fold (list_reduce with a string
+    * accumulator; the space separator is structural, see Bpe.scala).
+    */
+  private def bpeCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             array_to_string(regexp_extract_all(word, '.'), ' ') AS syms
+           FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                   '\s+')) AS word FROM documents)
+           WHERE word <> '' GROUP BY word)"""
+    for (k <- 0 until nMerges) {
+      sb ++= s""",
+        pc$k AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS w FROM (
+             SELECT freq, s AS a,
+                    lead(s) OVER (PARTITION BY word ORDER BY i) AS b
+             FROM (SELECT word, freq,
+                     unnest(string_split(syms, ' ')) AS s,
+                     generate_subscripts(string_split(syms, ' '), 1) AS i
+                   FROM v$k))
+           WHERE b IS NOT NULL GROUP BY a, b),
+        m$k AS (SELECT a, b, w FROM pc$k ORDER BY w DESC, a, b LIMIT 1),
+        v${k + 1} AS (SELECT word, freq,
+             list_reduce(string_split(v$k.syms, ' '), (acc, x) ->
+               CASE WHEN x = m.b AND (acc = m.a OR
+                         right(acc, length(m.a) + 1) = ' ' || m.a)
+                    THEN CASE WHEN acc = m.a THEN m.a || m.b
+                         ELSE left(acc, length(acc) - length(m.a) - 1)
+                              || ' ' || m.a || m.b END
+                    ELSE acc || ' ' || x END) AS syms
+           FROM v$k, m$k m)"""
+    }
+    sb.toString
+  }
 
   val oracles: Map[String, String] = Map(
     // brute-force exact trigram Jaccard — ground truth the prefix-
@@ -1574,6 +1641,24 @@ object Extensions {
                      ELSE list_transform(v,
                        x -> CAST(FLOOR(x / scale + 0.5) AS INT)) END AS qvec
          FROM s""",
+    "bpe1_train_merges" ->
+      s"""WITH ${bpeCtes(5)}
+         SELECT step, merge_a, merge_b, weight FROM (
+           ${(0 until 5).map(k =>
+             s"SELECT ${k + 1} AS step, a AS merge_a, b AS merge_b, " +
+               s"w AS weight FROM m$k").mkString(" UNION ALL ")})""",
+    "bpe2_apply_counts" ->
+      s"""WITH ${bpeCtes(5)}
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(n_syms) AS BIGINT) AS n_bpe
+         FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS word
+               FROM documents) t
+         JOIN (SELECT word,
+                 CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_syms
+               FROM v5) v USING (word)
+         WHERE word <> '' GROUP BY doc_id""",
     "vq2_sign_pack" ->
       """SELECT vec_id,
            coalesce(bit_or(CASE WHEN i <= 32 AND x > 0
