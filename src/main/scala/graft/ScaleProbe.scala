@@ -31,10 +31,47 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private def timeSec[A](f: => A): (Double, A) = {
+  private[graft] def timeSec[A](f: => A): (Double, A) = {
     val t0 = System.nanoTime()
     val r = f
     ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  /** Build (or reuse) the fixed-density 10x documents replica — see
+    * the class doc for why each copy passes through a distinct
+    * character bijection. Shared with [[QuantProbe]].
+    */
+  private[graft] def ensureDocReplica(
+      spark: SparkSession, root: String, replicaDir: String): Unit = {
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(replicaDir, "_SUCCESS"))) {
+      val sf01 = Tables.documents(spark, s"$root/sf0.1")
+      val alphabet = "aeiounrstl" // 10 frequent letters; 10 rotations
+      val copies = (0 until 10).map { k =>
+        val mapped = alphabet.drop(k) + alphabet.take(k)
+        sf01.select(
+          (col("doc_id") * 10 + lit(k)).as("doc_id"),
+          col("lang"),
+          // lowercase BEFORE the bijection: the similarity space is
+          // lower(trim(text)) trigrams, so mapping raw text would let
+          // uppercase letters bypass the translate and break the 1:1
+          // trigram-set preservation on mixed-case docs
+          translate(lower(trim(col("text"))), alphabet, mapped).as("text"),
+          col("n_chars"))
+      }
+      copies.reduce(_.unionAll(_))
+        .repartition(32)
+        .write.mode("overwrite").parquet(replicaDir)
+    }
+  }
+
+  /** Growth exponent: slope of log(t) vs log(n) over a series. */
+  private[graft] def slope(pts: Seq[(Double, Double)]): Double = {
+    val n = pts.size
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    (n * sxy - sx * sy) / (n * sxx - sx * sx)
   }
 
   def main(args: Array[String]): Unit = {
@@ -60,26 +97,7 @@ object ScaleProbe {
     // so the timed runs scan files, same as the benched scales
     // _SUCCESS (not bare dir-exists): a crashed prior write must not
     // leave a truncated corpus that gets silently timed as "sf1"
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(replicaDir, "_SUCCESS"))) {
-      val sf01 = Tables.documents(spark, s"$root/sf0.1")
-      val alphabet = "aeiounrstl" // 10 frequent letters; 10 rotations
-      val copies = (0 until 10).map { k =>
-        val mapped = alphabet.drop(k) + alphabet.take(k)
-        sf01.select(
-          (col("doc_id") * 10 + lit(k)).as("doc_id"),
-          col("lang"),
-          // lowercase BEFORE the bijection: the similarity space is
-          // lower(trim(text)) trigrams, so mapping raw text would let
-          // uppercase letters bypass the translate and break the 1:1
-          // trigram-set preservation on mixed-case docs
-          translate(lower(trim(col("text"))), alphabet, mapped).as("text"),
-          col("n_chars"))
-      }
-      copies.reduce(_.unionAll(_))
-        .repartition(32)
-        .write.mode("overwrite").parquet(replicaDir)
-    }
+    ensureDocReplica(spark, root, replicaDir)
 
     def dd7(df: DataFrame): Long =
       graft.dedup.Dedup
@@ -163,14 +181,6 @@ object ScaleProbe {
       (name, n, t7, p7, t6, c6, cj, tp2, np2)
     }
 
-    // growth exponent: slope of log(t) vs log(n) over the series
-    def slope(pts: Seq[(Double, Double)]): Double = {
-      val n = pts.size
-      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
-      val sxy = pts.map(p => p._1 * p._2).sum
-      val sxx = pts.map(p => p._1 * p._1).sum
-      (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    }
     val e7 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._3))))
     val e6 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._5))))
     val ep2 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._8))))

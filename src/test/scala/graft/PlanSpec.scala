@@ -232,6 +232,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_freq_items"), plan)
   }
 
+  test("quantized k-means assignment is a pure projection: no Exchange, " +
+      "no join — centroids live in the plan as literals") {
+    val plan = executedPlan(
+      graft.queries.Extensions.km1AssignQ(spark, sf))
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("BPE apply joins the vocab by broadcast; the corpus never " +
+      "shuffles before the per-doc aggregate") {
+    val docs = Tables.documents(spark, sf)
+    val (_, v) = graft.text.Bpe.train(docs, "text", nMerges = 2)
+    val df = graft.text.Bpe.applyCounts(docs, "text", "doc_id", v)
+    val plan = executedPlan(df)
+    v.unpersist()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("quantized SemDeDup joins on cluster id only — no cartesian, " +
+      "no nested loop over the corpus") {
+    val plan = executedPlan(
+      graft.queries.Extensions.sem1SemdedupQ(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("native vector expressions stay inside whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
