@@ -207,4 +207,56 @@ object Packing {
           (col("__n") - col("pos") * step).cast("long"))
           .as("n_chunk_tokens"))
   }
+
+  /** Content-defined chunking: chunk boundaries fall AFTER any token
+    * whose portable hash ([[graft.text.TextFunctions.wordHash]]) is
+    * 0 mod `divisor` — so boundaries depend only on local CONTENT,
+    * not position. That is the property fixed-width chunking
+    * ([[chunkDocuments]]) lacks and dedup needs: insert one word at
+    * the front of a document and every fixed-width chunk shifts
+    * (nothing dedups), while CDC boundaries downstream of the edit
+    * are unchanged and every unedited chunk still dedups exactly.
+    * Mean chunk length = `divisor` tokens.
+    *
+    * Same scale shape as [[chunkDocuments]]: boundary positions,
+    * starts, and per-chunk slices are all computed WITHIN the row
+    * (filter/transform/zip over the token array), one posexplode at
+    * the end — per-row work, no shuffle, and the portable hash keeps
+    * the whole operator engine-checkable.
+    * Output: (id, chunk_id, chunk_text, n_chunk_tokens).
+    */
+  def cdcChunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 16): DataFrame = {
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    // 1-based boundary positions: token i closes a chunk
+    val bpos = filter(sequence(lit(1), n), i =>
+      graft.text.TextFunctions.wordHash(element_at(toks, i))
+        % divisor === 0)
+    // chunk starts: position 1 plus (boundary+1) for each non-final
+    // boundary (a boundary on the last token closes the last chunk,
+    // it does not open an empty one)
+    val starts = concat(array(lit(1)),
+      transform(filter(bpos, p => p < n), p => p + 1))
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"),
+        starts.as("__starts"))
+      .select(col(idCol), col("__n"), col("__toks"),
+        posexplode(transform(
+          sequence(lit(1), size(col("__starts"))),
+          k => struct(
+            element_at(col("__starts"), k).as("s"),
+            (when(k < size(col("__starts")),
+              element_at(col("__starts"), k + 1) - 1)
+              .otherwise(col("__n"))).as("e")))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), col("col.s"),
+          col("col.e") - col("col.s") + 1)).as("chunk_text"),
+        (col("col.e") - col("col.s") + 1).cast("long")
+          .as("n_chunk_tokens"))
+  }
 }

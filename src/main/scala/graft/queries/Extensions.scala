@@ -387,6 +387,33 @@ object Extensions {
           .cast("decimal(18,6)").as("neg_logp"))
   }
 
+  /** Content-defined chunking ([[graft.export.Packing
+    * .cdcChunkDocuments]]): boundaries wherever a token's portable
+    * hash is 0 mod 16 — edit-stable chunks (the dedup-friendly
+    * chunker), all within-row, no shuffle. The dual recomputes the
+    * same hash (t4's polynomial) and derives chunk ids by exclusive
+    * prefix-count of boundary flags — same numbering, same slices.
+    */
+  def cdc1ContentChunks(s: SparkSession, d: String): DataFrame =
+    graft.export.Packing.cdcChunkDocuments(
+      Tables.documents(s, d), "doc_id", "text", divisor = 16)
+
+  /** Per-source document cap — the curation quota step ("at most N
+    * docs per source/domain", RefinedWeb-style): rank within source
+    * by (n_chars desc, doc_id) and keep the top 20. Same
+    * WindowGroupLimit pushdown shape as o3: each task keeps <= N rows
+    * per group before the exchange.
+    */
+  def cap1SourceCap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
   /** BPE tokenizer training ([[graft.text.Bpe]]): 5 merge steps
     * learned on the corpus vocabulary. Output = the merge table
     * (step, pair, corpus weight) — the artifact a tokenizer ships.
@@ -997,6 +1024,8 @@ object Extensions {
     "t12_bigram_cond" -> (t12BigramCond _),
     "bpe1_train_merges" -> (bpe1TrainMerges _),
     "bpe2_apply_counts" -> (bpe2ApplyCounts _),
+    "cdc1_content_chunks" -> (cdc1ContentChunks _),
+    "cap1_source_cap" -> (cap1SourceCap _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),
@@ -1641,6 +1670,38 @@ object Extensions {
                      ELSE list_transform(v,
                        x -> CAST(FLOOR(x / scale + 0.5) AS INT)) END AS qvec
          FROM s""",
+    // chunk ids via exclusive prefix-count of boundary flags == the
+    // Spark side's 0-based starts-array numbering
+    "cdc1_content_chunks" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+                generate_subscripts(
+                  regexp_split_to_array(trim(text), '\s+'), 1) AS i
+              FROM documents),
+         h AS (SELECT doc_id, w, i,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(w) + 1),
+                     j -> CAST(unicode(substr(w, CAST(j AS INT), 1))
+                               AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % 2147483647) AS th
+               FROM toks),
+         c AS (SELECT doc_id, w, i,
+                 COALESCE(SUM(CASE WHEN th % 16 = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS chunk_id
+               FROM h)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                string_agg(w, ' ' ORDER BY i) AS chunk_text,
+                CAST(count(*) AS BIGINT) AS n_chunk_tokens
+         FROM c GROUP BY doc_id, chunk_id""",
+    "cap1_source_cap" ->
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+           FROM documents)
+         WHERE rk <= 20""",
     "bpe1_train_merges" ->
       s"""WITH ${bpeCtes(5)}
          SELECT step, merge_a, merge_b, weight FROM (

@@ -119,13 +119,20 @@ object TextFunctions {
     * fingerprint differently.
     */
   def fingerprint(text: Column): Column = {
-    val M = 2147483647L // 2^31 - 1
-    def tokHash(tok: Column): Column =
-      aggregate(split(tok, ""), lit(0L),
-        (a, ch) => (a * 31L + ascii(ch)) % M)
     aggregate(
       split(trim(text), "\\s+"),
       lit(0L),
-      (acc, tok) => (acc * 131L + tokHash(tok)) % M)
+      (acc, tok) => (acc * 131L + wordHash(tok)) % PortableM)
   }
+
+  /** Modulus of the portable polynomial hashes (2^31 - 1). */
+  val PortableM: Long = 2147483647L
+
+  /** The engine-portable per-token polynomial hash used by
+    * [[fingerprint]] (and by content-defined chunking as the boundary
+    * signal): fold(codepoints, 0, (a, c) -> (a*31 + c) mod M).
+    */
+  def wordHash(tok: Column): Column =
+    aggregate(split(tok, ""), lit(0L),
+      (a, ch) => (a * 31L + ascii(ch)) % PortableM)
 }

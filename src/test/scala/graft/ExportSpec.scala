@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.export.CorpusExport
+import graft.export.{CorpusExport, Packing}
 import graft.ingest.JsonlSource
 
 class ExportSpec extends SparkSpec {
@@ -222,5 +222,51 @@ class ExportSpec extends SparkSpec {
       .limit(50).collect().map(_.getString(0)).toSeq
     val first = mixed.limit(50).collect().map(_.getString(0)).toSeq
     assert(again === first)
+  }
+
+  test("CDC chunking: chunks reassemble the doc; boundaries are " +
+      "content-defined (front edit leaves downstream chunks intact, " +
+      "unlike fixed-width)") {
+    val docs = Tables.documents(spark, sf)
+    val chunks = Packing.cdcChunkDocuments(docs, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // lossless: concatenating a doc's chunks in chunk_id order gives
+    // back the tokenized text
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").mkString(" "))
+      .toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      assert(cs.sortBy(_._2).map(_._3).mkString(" ") === texts(id))
+    }
+    // content-defined stability: prepend one word to every doc — the
+    // chunk MULTISET downstream of the first boundary is unchanged
+    // (compare all-but-first chunk texts); fixed-width chunking loses
+    // this on the same edit for any doc long enough to have >1 chunk
+    val edited = docs.select(col("doc_id"),
+      concat(lit("zzclausenovel "), col("text")).as("text"))
+    val editedChunks = Packing
+      .cdcChunkDocuments(edited, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val multi = chunks.groupBy(_._1).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "need multi-chunk docs for the property")
+    multi.foreach { case (id, cs) =>
+      val tailOrig = cs.sortBy(_._2).drop(1).map(_._3).toSeq
+      val tailEdit = editedChunks.filter(_._1 == id)
+        .sortBy(_._2).drop(1).map(_._3).toSeq
+      assert(tailEdit === tailOrig, s"doc $id downstream chunks moved")
+    }
+    val fixedOrig = Packing.chunkDocuments(docs, "doc_id", "text", 16, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val fixedEdit = Packing.chunkDocuments(edited, "doc_id", "text", 16, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // every CDC doc survived above; fixed-width must lose the
+    // property on MOST docs (repetitive text can coincidentally
+    // realign a few, so "all shift" would be too strong)
+    val fixedShifted = multi.keys.count { id =>
+      fixedEdit.filter(_._1 == id).sortBy(_._2).drop(1).map(_._3).toSeq !==
+        fixedOrig.filter(_._1 == id).sortBy(_._2).drop(1).map(_._3).toSeq
+    }
+    assert(fixedShifted * 2 > multi.size,
+      s"fixed-width shifted only $fixedShifted of ${multi.size}")
   }
 }
