@@ -177,7 +177,8 @@ object Bench {
       "asof4_backward_chunked", "ann1_bruteforce",
       "ann3_ivf", "t1_tokens", "t9_tfidf", "u1_upsert", "pipe1_corpus_clean",
       "pipe2_training_prep", "hm1_hamming_topk", "km2_lloyd_q",
-      "sem1_semdedup_q",
+      "sem1_semdedup_q", "bpe1_train_merges", "cdc1_content_chunks",
+      "pipe3_curation",
       "x1_sql_cosine", "sk2_salted_join", "bf1_bloom_prune", "smp3_weighted_k")
     val byName = results.toMap
     def r3(v: Double): String = f"$v%.3f"

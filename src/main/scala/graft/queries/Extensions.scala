@@ -414,6 +414,39 @@ object Extensions {
       .select(col("doc_id"), col("source"), col("rk"))
   }
 
+  /** Curation composition over the round's new operators — the third
+    * end-to-end pipeline (pipe1 cleans, pipe2 preps training data,
+    * pipe3 CURATES): deterministic train split (spl1's md5 bucket)
+    * -> per-source quota (cap1's rank limit, 20/source) -> content-
+    * defined chunking (cdc1) -> exact chunk-level dedup keeping the
+    * lowest (doc_id, chunk_id) per distinct chunk text — the
+    * CDC-then-dedup pairing is the point: edit-stable chunks make
+    * verbatim reuse across documents dedup at chunk granularity.
+    * Dedup is a groupBy(chunk_text) min(struct) — partial-aggregating,
+    * no window over the full chunk stream. The WHOLE composition has
+    * one composed DuckDB dual.
+    */
+  def pipe3Curation(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("bigint") % 100
+    val train = Tables.documents(s, d).filter(bucket < 80)
+    val capped = train
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") <= 20)
+      .drop("rk")
+    val chunks = graft.export.Packing.cdcChunkDocuments(
+      capped, "doc_id", "text", divisor = 16)
+    chunks
+      .groupBy(col("chunk_text"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"),
+        col("n_chunk_tokens"))).as("keep"))
+      .select(col("keep.doc_id"), col("keep.chunk_id"),
+        col("keep.n_chunk_tokens"))
+  }
+
   /** BPE tokenizer training ([[graft.text.Bpe]]): 5 merge steps
     * learned on the corpus vocabulary. Output = the merge table
     * (step, pair, corpus weight) — the artifact a tokenizer ships.
@@ -1026,6 +1059,7 @@ object Extensions {
     "bpe2_apply_counts" -> (bpe2ApplyCounts _),
     "cdc1_content_chunks" -> (cdc1ContentChunks _),
     "cap1_source_cap" -> (cap1SourceCap _),
+    "pipe3_curation" -> (pipe3Curation _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),
@@ -1695,6 +1729,47 @@ object Extensions {
                 string_agg(w, ' ' ORDER BY i) AS chunk_text,
                 CAST(count(*) AS BIGINT) AS n_chunk_tokens
          FROM c GROUP BY doc_id, chunk_id""",
+    // composed dual of the curation pipeline: split -> cap -> CDC ->
+    // chunk dedup (min (doc_id, chunk_id) per distinct chunk text)
+    "pipe3_curation" ->
+      """WITH b AS (SELECT *,
+                CAST(CAST(concat('0x', substring(
+                  md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT) % 100
+                  AS BIGINT) AS bucket
+              FROM documents),
+         cap AS (SELECT doc_id, text FROM (
+                   SELECT doc_id, text,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rk
+                   FROM b WHERE bucket < 80)
+                 WHERE rk <= 20),
+         toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+                generate_subscripts(
+                  regexp_split_to_array(trim(text), '\s+'), 1) AS i
+              FROM cap),
+         h AS (SELECT doc_id, w, i,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(w) + 1),
+                     j -> CAST(unicode(substr(w, CAST(j AS INT), 1))
+                               AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % 2147483647) AS th
+               FROM toks),
+         c AS (SELECT doc_id, w, i,
+                 COALESCE(SUM(CASE WHEN th % 16 = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS chunk_id
+               FROM h),
+         ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                  string_agg(w, ' ' ORDER BY i) AS chunk_text,
+                  CAST(count(*) AS BIGINT) AS n_chunk_tokens
+                FROM c GROUP BY doc_id, chunk_id)
+         SELECT doc_id, chunk_id, n_chunk_tokens FROM (
+           SELECT doc_id, chunk_id, n_chunk_tokens,
+             row_number() OVER (PARTITION BY chunk_text
+               ORDER BY doc_id, chunk_id) AS rn
+           FROM ch) WHERE rn = 1""",
     "cap1_source_cap" ->
       """SELECT doc_id, source, rk FROM (
            SELECT doc_id, source,
