@@ -282,6 +282,56 @@ object Extensions {
     Quantize.hammingTopK(packed, "vec_id", qWords, k = 10)
   }
 
+  /** Hamming RADIUS search over the packed sign bits: every corpus
+    * vector within Hamming distance <= 26 of the query (the ~5th
+    * percentile of the corpus's distance distribution — min 19,
+    * median 32 — so the bar selects a real near set) — the
+    * fixed-quality-bar dual of [[hm1HammingTopK]] (as ann5 is to
+    * ann1). One scan, two popcounts, the filter sits on the scan
+    * output; no ordering, no shuffle at all.
+    */
+  def hm2HammingRadius(s: SparkSession, d: String): DataFrame = {
+    val q = queryVec(s, d)
+    val qWords = (0 until 2).map { j =>
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        if (q(j * 32 + i) > 0) acc | (1L << i) else acc
+      }
+    }
+    val packed = Quantize.signPack(
+      Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding")
+    val ham = qWords.zipWithIndex.map { case (qw, j) =>
+      bit_count(col(s"w$j").bitwiseXOR(lit(qw)))
+    }.reduce(_ + _)
+    packed.select(col("vec_id"), ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= 26)
+  }
+
+  /** EXACT-proportion stratified split: within each stratum (lang),
+    * rank docs by the md5 bucket order (ties by doc_id) and cut at
+    * 80% / 90% of the stratum size — every stratum gets exactly
+    * floor-proportional train/val/test counts, where [[spl1HashSplit]]
+    * only delivers the proportions in expectation (a small stratum can
+    * land 70/20/10 by luck). The cost of exactness is one rank window
+    * per stratum — a shuffle by lang — vs spl1's pure projection;
+    * both are deterministic and engine-portable.
+    */
+  def spl2StratifiedSplit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("bigint") % 100
+    val w = Window.partitionBy(col("lang"))
+    val ranked = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("bucket"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+    ranked.select(col("doc_id"), col("lang"),
+      when(col("rk") * 10 <= col("n") * 8, lit("train"))
+        .when(col("rk") * 10 <= col("n") * 9, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
   /** Shared build for the quantized k-means family: global-scale int8
     * codes + the k lowest-id vectors' codes as deterministic initial
     * centroids ([[Quantize.globalInt8]]).
@@ -1054,6 +1104,8 @@ object Extensions {
     "km2_lloyd_q" -> (km2LloydQ _),
     "sem1_semdedup_q" -> (sem1SemdedupQ _),
     "spl1_hash_split" -> (spl1HashSplit _),
+    "spl2_stratified_split" -> (spl2StratifiedSplit _),
+    "hm2_hamming_radius" -> (hm2HammingRadius _),
     "t12_bigram_cond" -> (t12BigramCond _),
     "bpe1_train_merges" -> (bpe1TrainMerges _),
     "bpe2_apply_counts" -> (bpe2ApplyCounts _),
@@ -1956,6 +2008,36 @@ object Extensions {
          SELECT w.vec_id, CAST(w.cluster AS INT) AS cluster
          FROM w LEFT JOIN dom ON w.vec_id = dom.vec_id
          WHERE dom.vec_id IS NULL""",
+    "hm2_hamming_radius" ->
+      """WITH p AS (
+           SELECT vec_id,
+             coalesce(bit_or(CASE WHEN i <= 32 AND x > 0
+                             THEN 1::BIGINT << (i - 1) END), 0) AS w0,
+             coalesce(bit_or(CASE WHEN i > 32 AND x > 0
+                             THEN 1::BIGINT << (i - 33) END), 0) AS w1
+           FROM (SELECT vec_id, unnest(embedding) AS x,
+                        generate_subscripts(embedding, 1) AS i
+                 FROM embeddings)
+           GROUP BY vec_id),
+         q AS (SELECT w0 AS q0, w1 AS q1 FROM p WHERE vec_id = 0)
+         SELECT vec_id,
+                CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1))
+                     AS INT) AS hamming
+         FROM p, q WHERE vec_id <> 0
+           AND bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)) <= 26""",
+    "spl2_stratified_split" ->
+      """WITH r AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang ORDER BY
+                  CAST(CAST(concat('0x', substring(
+                    md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS UBIGINT)
+                    % 100 AS BIGINT), doc_id) AS rk,
+                count(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+         SELECT doc_id, lang,
+                CASE WHEN rk * 10 <= n * 8 THEN 'train'
+                     WHEN rk * 10 <= n * 9 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM r""",
     "spl1_hash_split" ->
       """WITH b AS (SELECT doc_id,
                 CAST(CAST(concat('0x', substring(

@@ -78,6 +78,36 @@ class BpeSpec extends SparkSpec {
     assert(got === Seq("a a a", "x ab ab", "b ab", "a", "xa b"))
   }
 
+  test("mergeFold property: equals the reference leftmost-non-overlap " +
+      "merge on random symbol sequences over a confusable alphabet") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // symbols deliberately prefix/suffix-confusable with the pair
+    val symGen = Gen.listOfN(12,
+      Gen.oneOf("a", "b", "ab", "ba", "xa", "bx", "aa", "bb"))
+    val rows = (1 to 40).flatMap(i =>
+      symGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    def refMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val pairs = Seq(("a", "b"), ("a", "a"), ("ab", "a"), ("b", "ba"))
+    pairs.foreach { case (a, b) =>
+      val df = spark.createDataFrame(
+        rows.map(sy => Tuple1(sy.mkString(" ")))).toDF("syms")
+      val got = df.select(Bpe.mergeFold(col("syms"), a, b))
+        .collect().map(_.getString(0)).toSeq
+      val want = rows.map(sy => refMerge(sy, a, b).mkString(" "))
+      assert(got === want, s"pair ($a,$b)")
+    }
+  }
+
   test("applyCounts: n_bpe between n_tokens and char count, and " +
       "totals match the reference vocab") {
     val docs = Tables.documents(spark, sf)

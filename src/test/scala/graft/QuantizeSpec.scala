@@ -162,6 +162,21 @@ class QuantizeSpec extends SparkSpec {
       graft.queries.Extensions.spl1HashSplit(spark, sf).collect().toSet)
   }
 
+  test("stratified split: EXACT floor-proportional counts per stratum " +
+      "(the guarantee spl1 only gives in expectation)") {
+    val got = graft.queries.Extensions.spl2StratifiedSplit(spark, sf)
+      .groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perLang = got.groupBy(_._1._1)
+      .map { case (l, m) => l -> m.values.sum }
+    perLang.foreach { case (lang, n) =>
+      val train = got.getOrElse((lang, "train"), 0L)
+      val valN = got.getOrElse((lang, "val"), 0L)
+      assert(train === n * 8 / 10, s"$lang train")
+      assert(train + valN === n * 9 / 10, s"$lang train+val")
+    }
+  }
+
   test("bigram conditional LM: n_pair <= n_w1 and a hand-counted " +
       "bigram matches") {
     val df = graft.queries.Extensions.t12BigramCond(spark, sf)
