@@ -464,6 +464,32 @@ object Extensions {
       .select(col("doc_id"), col("source"), col("rk"))
   }
 
+  /** N-gram novelty scoring: per document, the fraction of its
+    * DISTINCT word-trigrams that also occur in at least one OTHER
+    * document — the doc-level duplication-fraction signal ("how much
+    * of this doc is boilerplate the corpus already has"), the scoring
+    * dual of the pair-detection dd family. Shape: distinct (doc,gram)
+    * pairs -> gram doc-frequency -> rejoin by gram -> per-doc mean of
+    * (df > 1); two gram-keyed shuffles, no pairwise anything — at
+    * 100 TB this is the affordable whole-corpus duplication audit
+    * (the pair joins are reserved for the candidates dedup acts on).
+    * Fraction emitted as round(·,6) DECIMAL (t10 pattern).
+    */
+  def nov1NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(
+        Dedup.wordShingles(col("text"), 3))).as("gram"))
+    val df = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs")) // grams are distinct per doc
+    grams.join(df, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 6)
+          .cast("decimal(18,6)").as("shared_frac"))
+  }
+
   /** Curation composition over the round's new operators — the third
     * end-to-end pipeline (pipe1 cleans, pipe2 preps training data,
     * pipe3 CURATES): deterministic train split (spl1's md5 bucket)
@@ -1112,6 +1138,7 @@ object Extensions {
     "cdc1_content_chunks" -> (cdc1ContentChunks _),
     "cap1_source_cap" -> (cap1SourceCap _),
     "pipe3_curation" -> (pipe3Curation _),
+    "nov1_ngram_novelty" -> (nov1NgramNovelty _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),
@@ -1781,6 +1808,25 @@ object Extensions {
                 string_agg(w, ' ' ORDER BY i) AS chunk_text,
                 CAST(count(*) AS BIGINT) AS n_chunk_tokens
          FROM c GROUP BY doc_id, chunk_id""",
+    "nov1_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents),
+         g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(t[i:i+2], ' '))
+                 ELSE [array_to_string(t, ' ')] END) AS gram
+               FROM toks),
+         dg AS (SELECT DISTINCT doc_id, gram FROM g),
+         f AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+               FROM dg GROUP BY gram)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_shared,
+                CAST(round(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0
+                  END) AS DOUBLE) / count(*), 6)
+                  AS DECIMAL(18,6)) AS shared_frac
+         FROM dg JOIN f USING (gram) GROUP BY doc_id""",
     // composed dual of the curation pipeline: split -> cap -> CDC ->
     // chunk dedup (min (doc_id, chunk_id) per distinct chunk text)
     "pipe3_curation" ->

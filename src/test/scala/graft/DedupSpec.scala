@@ -592,6 +592,23 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12) // parallel vectors
   }
 
+  test("n-gram novelty (nov1): a planted verbatim copy scores " +
+      "shared_frac 1.0 on both copies; a unique doc scores 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // verbatim copy
+      (3L, "utterly unique words nowhere else repeated ever"))
+      .toDF("doc_id", "text")
+    val grams = docs.select(col("doc_id"), explode(array_distinct(
+      Dedup.wordShingles(col("text"), 3))).as("gram"))
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
+    val frac = grams.join(df, "gram").groupBy("doc_id")
+      .agg((sum(when(col("n_docs") > 1, 1L).otherwise(0L)) /
+        count(lit(1))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(frac(1L) === 1.0 && frac(2L) === 1.0 && frac(3L) === 0.0)
+  }
+
   test("int8 scalar quantization (vq1): codes bounded, reconstruction " +
       "error within scale/2 per element, zero vector stays zero") {
     val rows = graft.queries.Extensions.vq1QuantInt8(spark, sf)
