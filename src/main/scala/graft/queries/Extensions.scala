@@ -490,6 +490,38 @@ object Extensions {
           .cast("decimal(18,6)").as("shared_frac"))
   }
 
+  /** Relational inverted index over the corpus ([[graft.text.Search]]):
+    * posting rows (term, doc, tf, df), df from a window over the term
+    * partition of the tf aggregate — shuffled once, no self-join.
+    */
+  def iv1InvertedIndex(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.invertedIndex(Tables.documents(s, d))
+
+  /** BM25 top-20 for a fixed bag-of-terms query; per-term contributions
+    * rounded then summed as DECIMAL so combine order can't move the
+    * score ([[graft.text.Search.bm25TopK]]).
+    */
+  def t13Bm25(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.bm25TopK(Tables.documents(s, d),
+      Seq("hash", "join", "vector"), k = 20)
+
+  /** Edit-distance-1 spelling-variant pairs over the part-name
+    * vocabulary via SymSpell deletion-neighborhood blocking — O(V·len)
+    * candidates, not O(V²) comparisons
+    * ([[graft.text.Search.editDistanceOnePairs]]).
+    */
+  def ed1SpellingPairs(s: SparkSession, d: String): DataFrame =
+    graft.text.Search.spellingVariantPairs(
+      Tables.part(s, d).select(col("p_name").as("text")), "text",
+      minTermLen = 3, minFreq = 1L)
+
+  /** Daily gap-fill + forward-fill of the event stream per event type
+    * ([[graft.ops.TimeSeries.gapFillDaily]]).
+    */
+  def ts1GapFill(s: SparkSession, d: String): DataFrame =
+    graft.ops.TimeSeries.gapFillDaily(
+      Tables.events(s, d), "event_type", "ts", "value")
+
   /** Curation composition over the round's new operators — the third
     * end-to-end pipeline (pipe1 cleans, pipe2 preps training data,
     * pipe3 CURATES): deterministic train split (spl1's md5 bucket)
@@ -1139,6 +1171,10 @@ object Extensions {
     "cap1_source_cap" -> (cap1SourceCap _),
     "pipe3_curation" -> (pipe3Curation _),
     "nov1_ngram_novelty" -> (nov1NgramNovelty _),
+    "iv1_inverted_index" -> (iv1InvertedIndex _),
+    "t13_bm25" -> (t13Bm25 _),
+    "ed1_spelling_pairs" -> (ed1SpellingPairs _),
+    "ts1_gapfill" -> (ts1GapFill _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),
@@ -1827,6 +1863,84 @@ object Extensions {
                   END) AS DOUBLE) / count(*), 6)
                   AS DECIMAL(18,6)) AS shared_frac
          FROM dg JOIN f USING (gram) GROUP BY doc_id""",
+    "iv1_inverted_index" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT term, doc_id, count(*) AS tf FROM toks
+           WHERE term <> '' AND length(term) >= 3 GROUP BY 1, 2)
+         SELECT term, doc_id, tf, df FROM (
+           SELECT term, doc_id, tf,
+                  count(*) OVER (PARTITION BY term) AS df
+           FROM tf)
+         WHERE df >= 5""",
+    "t13_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tok2 AS (SELECT * FROM toks WHERE term <> ''),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         tf AS (SELECT term, doc_id, count(*) AS tf FROM tok2
+                WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+         dfreq AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+         scored AS (
+           SELECT f.doc_id,
+                  CAST(round(
+                    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+                    (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 +
+                      0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+                  , 6) AS DECIMAL(18,6)) AS contrib
+           FROM dfreq f JOIN dl USING (doc_id), stats),
+         agg AS (SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score,
+                        count(*) AS n_terms_hit FROM scored GROUP BY 1)
+         SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                  AS rank,
+                doc_id, score, n_terms_hit
+         FROM agg ORDER BY score DESC, doc_id LIMIT 20""",
+    // dual checks the SEMANTICS (length-banded exact levenshtein all-
+    // pairs over the tiny distinct vocab); the Spark side reaches the
+    // same set via SymSpell deletion-neighborhood candidates
+    "ed1_spelling_pairs" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(lower(trim(p_name)), '\s+'))
+                    AS term
+           FROM part),
+         v AS (SELECT term, count(*) AS n FROM toks
+               WHERE regexp_matches(term, '^[a-z]+$') AND length(term) >= 3
+               GROUP BY 1),
+         pairs AS (
+           SELECT a.term AS w1, b.term AS w2, a.n AS n1, b.n AS n2
+           FROM v a JOIN v b
+             ON a.term < b.term
+            AND abs(length(a.term) - length(b.term)) <= 1)
+         SELECT w1, w2, n1, n2 FROM pairs
+         WHERE levenshtein(w1, w2) <= 1""",
+    "ts1_gapfill" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS total
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+         grid AS (
+           SELECT et.event_type, CAST(g.d AS DATE) AS day
+           FROM (SELECT DISTINCT event_type FROM daily) et
+           CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+                         INTERVAL 1 DAY)) AS d FROM b) g),
+         j AS (
+           SELECT g.event_type, g.day, daily.total
+           FROM grid g LEFT JOIN daily
+             ON g.event_type = daily.event_type AND g.day = daily.day)
+         SELECT event_type, day,
+                CAST(last_value(total IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS filled_total,
+                total IS NOT NULL AS observed
+         FROM j""",
     // composed dual of the curation pipeline: split -> cap -> CDC ->
     // chunk dedup (min (doc_id, chunk_id) per distinct chunk text)
     "pipe3_curation" ->
