@@ -1,0 +1,73 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative PageRank over an edge list (reference's graph surface is
+  * portfolio clustering, `portfolio_graph.py` — this adds the other
+  * canonical whole-graph analytic, with dangling-mass redistribution).
+  *
+  * Execution shape (the part that matters at cluster scale):
+  *  - Each iteration is ONE shuffle: contributions aggregate by dst.
+  *    Dangling mass is a 1-row aggregate that enters the update as a
+  *    lazy broadcast scalar — no driver-side collect of rank state.
+  *  - Rank state is persisted per iteration: the update references the
+  *    previous iteration twice (contribution join + dangling sum), so
+  *    an unpersisted lineage would re-expand the whole prefix 2^k
+  *    times at plan time. MEMORY_AND_DISK persistence keeps each
+  *    iteration's plan O(1) over the previous materialization — the
+  *    standard Spark iterative-algorithm discipline (same as lloydQ /
+  *    BPE merge training here).
+  *  - Cross-engine exactness: per-edge contributions are rounded to 12
+  *    decimals and summed as DECIMAL(28,12) (combine-order-proof), and
+  *    each iteration's rank is re-rounded to 12 decimals, so the
+  *    8-iteration fixpoint is bit-identical in any engine that follows
+  *    the same discipline (the DuckDB dual unrolls the same CTEs).
+  */
+object PageRank {
+
+  /** Ranks for every node of `edges(src, dst)` after `iters` damped
+    * power iterations; dangling nodes (no out-edges) spread their mass
+    * uniformly. Returns (node, pr).
+    */
+  def run(edges: DataFrame, iters: Int = 8,
+          damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val base = nodes.join(outdeg, Seq("node"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = broadcast(base.agg(count(lit(1)).as("n")))
+    var pr = base.crossJoin(n)
+      .select(col("node"), col("outdeg"), col("n"),
+        (lit(1.0) / col("n")).as("pr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oneMinusD = math.rint((1.0 - damping) * 1e6) / 1e6 // literal, not 1-d float residue
+    for (_ <- 1 to iters) {
+      val contrib = pr.join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(round(col("pr") / col("outdeg"), 12)
+          .cast("decimal(28,12)")).cast("double").as("contrib"))
+      val dangling = broadcast(pr.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(round(col("pr"), 12).cast("decimal(28,12)"))
+          .cast("double"), lit(0.0)).as("dang")))
+      val next = base.crossJoin(n)
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(dangling)
+        .select(col("node"), col("outdeg"), col("n"),
+          round(lit(oneMinusD) / col("n") + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dang") / col("n")),
+            12).as("pr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize so the persisted plan truncates lineage
+      pr.unpersist(blocking = false)
+      pr = next
+    }
+    pr.select(col("node"), col("pr"))
+  }
+}

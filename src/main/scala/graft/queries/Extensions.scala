@@ -437,6 +437,102 @@ object Extensions {
           .cast("decimal(18,6)").as("neg_logp"))
   }
 
+  /** Doc-level bigram-LM quality score (the CCNet-style perplexity
+    * filter, one level up from t10's unigram): mean negative log of
+    * add-one-smoothed conditional bigram probabilities under the
+    * corpus's own LM. High score = improbable word sequences
+    * (gibberish, shuffled text) even when every unigram is common —
+    * the failure mode t10 cannot see. Per-bigram logs are rounded then
+    * DECIMAL-summed (combine-order-proof, the t10 rule). The LM join
+    * is on (w1,w2): bounded by observed-bigram vocabulary, broadcast
+    * here; at corpus scale it shuffles on the pair key while the doc
+    * stream is already pair-keyed from the same expression — AQE keeps
+    * it local.
+    */
+  def t14BigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("t"))
+    val pairs = toks
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val pairCnt = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val w1Cnt = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+    val vocab = broadcast(toks
+      .select(explode(col("t")).as("token"))
+      .agg(count_distinct(col("token")).as("v")))
+    pairs
+      .join(broadcast(pairCnt), Seq("w1", "w2"))
+      .join(broadcast(w1Cnt), Seq("w1"))
+      .crossJoin(vocab)
+      .withColumn("__lp",
+        round(-log((col("n_pair") + 1).cast("double") /
+          (col("n_w1") + col("v"))), 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__lp")).cast("double") / count(lit(1)))
+          .as("mean_neg_logp2"))
+  }
+
+  /** Token-budget curation: per source, keep documents in priority
+    * order (longest first, doc_id tiebreak) until the source's
+    * cumulative token count reaches the budget — "sample N tokens per
+    * source", the mixture-building step after t11 reports the mix.
+    * One window per source partition; no global sort, no collect. The
+    * budget cut is a running-sum filter, so adding sources scales
+    * linearly and each source prunes independently.
+    */
+  def mix2BudgetSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 4000)
+      .drop("n_chars")
+  }
+
+  /** Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    * deterministic +-1 sign matrix derived from a portable arithmetic
+    * hash ((i*73 + j*149) %% 13 < 6 — slight 6/13 bias, irrelevant for
+    * the plumbing and cross-engine identical; production would
+    * broadcast a seeded Gaussian matrix). Pure projection: no shuffle,
+    * no state — the 100 TB shape is "map over vectors". The fold is a
+    * sequential `aggregate` so the float-sum order is pinned and the
+    * DuckDB `list_reduce` dual reproduces the exact double.
+    */
+  def rp1RandomProjection(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        explode(sequence(lit(0L), lit(15L))).as("j"),
+        col("embedding"))
+      .select(col("vec_id"), col("j"),
+        round(aggregate(sequence(lit(0L), lit(63L)), lit(0.0),
+          (acc, i) => acc +
+            element_at(col("embedding"), (i + 1).cast("int")).cast("double") *
+              when((i * 73 + col("j") * 149) % 13 < 6, lit(1.0))
+                .otherwise(lit(-1.0))), 6).as("proj"))
+
+  /** PageRank over the customer -> supplier trade graph (8 damped
+    * iterations, dangling redistribution) — [[graft.graph.PageRank]].
+    * The dual unrolls the same iterations as CTEs with the same
+    * decimal-rounding discipline, so ranks match to the last bit.
+    */
+  def g2Pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    graft.graph.PageRank.run(edges, iters = 8, damping = 0.85)
+  }
+
   /** Content-defined chunking ([[graft.export.Packing
     * .cdcChunkDocuments]]): boundaries wherever a token's portable
     * hash is 0 mod 16 — edit-stable chunks (the dedup-friendly
@@ -1175,6 +1271,10 @@ object Extensions {
     "t13_bm25" -> (t13Bm25 _),
     "ed1_spelling_pairs" -> (ed1SpellingPairs _),
     "ts1_gapfill" -> (ts1GapFill _),
+    "t14_bigram_logprob" -> (t14BigramLogprob _),
+    "mix2_budget_sample" -> (mix2BudgetSample _),
+    "rp1_random_projection" -> (rp1RandomProjection _),
+    "g2_pagerank" -> (g2Pagerank _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "x1_sql_cosine" -> (x1SqlCosine _),
@@ -1299,6 +1399,46 @@ object Extensions {
            FROM v$k, m$k m)"""
     }
     sb.toString
+  }
+
+  /** Unrolled PageRank dual: the same `iters` damped iterations as
+    * [[graft.graph.PageRank.run]], one CTE pair (contribution agg +
+    * dangling sum) per iteration, with the identical round-to-12 /
+    * DECIMAL(28,12)-sum discipline — so the fixpoint matches Spark's
+    * to the last bit.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val header =
+      """WITH edges AS (
+           SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         nodes AS (SELECT DISTINCT node FROM (
+           SELECT src AS node FROM edges
+           UNION ALL SELECT dst FROM edges)),
+         odeg AS (SELECT src AS node, count(*) AS outdeg
+                  FROM edges GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         base AS (SELECT nodes.node, odeg.outdeg
+                  FROM nodes LEFT JOIN odeg USING (node)),
+         pr0 AS (SELECT node, outdeg, 1.0 / n AS pr FROM base, nn)"""
+    val its = (1 to iters).map { k =>
+      s""",
+         c$k AS (
+           SELECT e.dst AS node,
+                  CAST(sum(CAST(round(p.pr / p.outdeg, 12)
+                    AS DECIMAL(28,12))) AS DOUBLE) AS contrib
+           FROM pr${k - 1} p JOIN edges e ON p.node = e.src GROUP BY 1),
+         d$k AS (
+           SELECT coalesce(CAST(sum(CAST(round(pr, 12)
+                    AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS dang
+           FROM pr${k - 1} WHERE outdeg IS NULL),
+         pr$k AS (
+           SELECT b.node, b.outdeg,
+                  round(0.15 / n + 0.85 *
+                    (coalesce(c.contrib, 0.0) + d.dang / n), 12) AS pr
+           FROM base b LEFT JOIN c$k c ON b.node = c.node, d$k d, nn)"""
+    }.mkString
+    s"$header$its\n         SELECT node, pr FROM pr$iters"
   }
 
   val oracles: Map[String, String] = Map(
@@ -1863,6 +2003,46 @@ object Extensions {
                   END) AS DOUBLE) / count(*), 6)
                   AS DECIMAL(18,6)) AS shared_frac
          FROM dg JOIN f USING (gram) GROUP BY doc_id""",
+    "t14_bigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         pairs AS (
+           SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM toks, unnest(range(1, len(t))) AS u(i)),
+         pc AS (SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+         wc AS (SELECT w1, count(*) AS n_w1 FROM pairs GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS v
+               FROM (SELECT unnest(t) AS tok FROM toks)),
+         lp AS (
+           SELECT p.doc_id,
+                  CAST(round(-ln(CAST(n_pair + 1 AS DOUBLE) / (n_w1 + v)), 6)
+                       AS DECIMAL(18,6)) AS lp
+           FROM pairs p JOIN pc USING (w1, w2) JOIN wc USING (w1), v)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(lp) AS DOUBLE) / count(*) AS mean_neg_logp2
+         FROM lp GROUP BY 1""",
+    "mix2_budget_sample" ->
+      """SELECT doc_id, source, n_tokens, cum_tokens FROM (
+           SELECT doc_id, source,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+                    AS n_tokens,
+                  CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS INT)) OVER (PARTITION BY source
+                      ORDER BY n_chars DESC, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+           FROM documents)
+         WHERE cum_tokens <= 4000""",
+    "rp1_random_projection" ->
+      """SELECT vec_id, j,
+                round(list_reduce(list_transform(range(64), i ->
+                  CAST(embedding[i+1] AS DOUBLE) *
+                  CASE WHEN (i*73 + j*149) % 13 < 6
+                       THEN 1.0 ELSE -1.0 END),
+                  (a, b) -> a + b), 6) AS proj
+         FROM embeddings, (SELECT unnest(range(16)) AS j)""",
+    "g2_pagerank" -> pagerankOracle(8),
     "iv1_inverted_index" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -142,4 +142,27 @@ class GraphSpec extends SparkSpec {
     assert(got.except(expected).count() == 0 &&
       expected.except(got).count() == 0)
   }
+
+  test("PageRank: conservation, dangling redistribution, star-graph order") {
+    import graft.graph.PageRank
+    // star: a,b,c -> hub; hub dangling (no out-edges)
+    val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"))
+      .toDF("src", "dst")
+    val pr = PageRank.run(edges, iters = 8).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr.size === 4)
+    // total mass conserved (to rounding): sums to ~1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6, s"mass: ${pr.values.sum}")
+    // hub collects from all spokes: strictly the largest
+    assert(pr("hub") > pr("a") && pr("a") === pr("b") && pr("b") === pr("c"))
+  }
+
+  test("PageRank on sf0.001 trade graph: mass conserved, ranks positive") {
+    val got = graft.queries.Extensions.g2Pagerank(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(got.nonEmpty)
+    val mass = got.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-5, s"mass: $mass")
+    assert(got.forall(_._2 > 0))
+  }
 }
