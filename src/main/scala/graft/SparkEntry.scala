@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Flagship.queries ++
       graft.queries.Relational.queries ++
-      graft.queries.Extensions.queries
+      graft.queries.Extensions.queries ++
+      graft.queries.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -27,5 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Flagship.oracles ++
       graft.queries.Relational.oracles ++
-      graft.queries.Extensions.oracles
+      graft.queries.Extensions.oracles ++
+      graft.queries.Analytics.oracles
 }

@@ -28,17 +28,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
+  /** `events.ts` has shipped as both INT64 TIMESTAMP(NANOS) — which
+    * Spark's reader rejects ([PARQUET_TYPE_ILLEGAL]) — and plain
+    * TIMESTAMP(MICROS). Handle both: read nanos as long
     * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-    * microsecond timestamps — the same ns->us truncation DuckDB applies.
+    * microsecond timestamps (the same ns->us truncation DuckDB
+    * applies); cast native micro timestamps (TIMESTAMP_NTZ) to the
+    * session-zone TIMESTAMP the nanos path always produced — every
+    * entry point pins `spark.sql.session.timeZone=UTC`, so both
+    * layouts yield the same instants downstream.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -12,13 +12,16 @@ import org.apache.spark.storage.StorageLevel
   *  - Each iteration is ONE shuffle: contributions aggregate by dst.
   *    Dangling mass is a 1-row aggregate that enters the update as a
   *    lazy broadcast scalar — no driver-side collect of rank state.
-  *  - Rank state is persisted per iteration: the update references the
-  *    previous iteration twice (contribution join + dangling sum), so
-  *    an unpersisted lineage would re-expand the whole prefix 2^k
-  *    times at plan time. MEMORY_AND_DISK persistence keeps each
-  *    iteration's plan O(1) over the previous materialization — the
-  *    standard Spark iterative-algorithm discipline (same as lloydQ /
-  *    BPE merge training here).
+  *  - Rank state is localCheckpoint'ed (eager) per iteration: the
+  *    update references the previous iteration twice (contribution
+  *    join + dangling sum), so an untruncated lineage re-expands the
+  *    whole prefix 2^k times — and persistence alone is NOT enough:
+  *    a cached plan's STRING form still nests every prior iteration,
+  *    so after a few rounds merely emitting the SQL-listener plan
+  *    description OOMs the driver. localCheckpoint cuts both the
+  *    recomputation lineage and the plan tree to a flat scan of the
+  *    materialized blocks (same discipline as sequencePack's prefix
+  *    sums, export/Packing.scala).
   *  - Cross-engine exactness: per-edge contributions are rounded to 12
   *    decimals and summed as DECIMAL(28,12) (combine-order-proof), and
   *    each iteration's rank is re-rounded to 12 decimals, so the
@@ -63,8 +66,7 @@ object PageRank {
           round(lit(oneMinusD) / col("n") + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dang") / col("n")),
             12).as("pr"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize so the persisted plan truncates lineage
+        .localCheckpoint(true) // eager: truncates lineage AND plan tree
       pr.unpersist(blocking = false)
       pr = next
     }

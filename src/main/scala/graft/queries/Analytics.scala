@@ -1,0 +1,688 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.similarity.{Pca, Similarity}
+import graft.text.{Search, TextFunctions}
+
+/** Corpus-analytics / retrieval-fusion / drift-statistics queries —
+  * the round-8 additions on top of [[Extensions]]: per-document
+  * information measures, composite quality gating, word-association
+  * mining, OLS trend fitting, two-sample distribution drift, hybrid
+  * (lexical+dense) retrieval, hard-negative mining for contrastive
+  * training, and a distributed power-iteration PCA.
+  *
+  * Cross-engine float discipline follows the proven patterns:
+  * per-term `round(·, 6)` -> exact DECIMAL sum -> cast double (the
+  * t10/t13 pattern) wherever a float sum's combine order could move a
+  * digit, and exact-DECIMAL sums + identical rational formulas (the
+  * a18 pattern) for the regression/drift statistics.
+  */
+object Analytics {
+
+  // ---- ent1: per-document word entropy ------------------------------
+
+  /** Shannon entropy (nats) of each document's word distribution — the
+    * repetition/templating signal: low entropy = a few tokens dominate.
+    * Shape: token explode -> (doc, word) counts -> per-doc decimal sum
+    * of p·ln(1/p). Two partial-aggregating shuffles on (doc, word) and
+    * doc; nothing pairwise, so the 100 TB cost is the token stream's
+    * two aggregations.
+    */
+  def ent1WordEntropy(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n"))
+    tf.join(dl, "doc_id")
+      .withColumn("__h",
+        round((col("tf").cast("double") / col("n")) *
+          log(col("n").cast("double") / col("tf")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("__h")).cast("double").as("entropy_nats"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("n_distinct"), col("entropy_nats"))
+  }
+
+  // ---- reg1: per-group OLS trend ------------------------------------
+
+  /** Per-event-type OLS fit of value against time (hours since
+    * 2024-01-01T00Z) — the drift/trend detector over a metric stream.
+    * All sums are exact DECIMAL partial aggregates (x and x² are
+    * integers, value is 2-decimal); slope/intercept are then identical
+    * rational formulas of identical doubles on both engines (the a18
+    * discipline). One partial-aggregating shuffle of 5 groups.
+    */
+  def reg1GroupLinreg(s: SparkSession, d: String): DataFrame = {
+    // hours since 2024-01-01T00:00Z; 1704067200 s / 3600 = 473352
+    val x = floor(col("ts").cast("long") / 3600) - lit(473352L)
+    val y = col("value")
+    val sums = Tables.events(s, d)
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,0)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(18,2)")).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(27,0)")).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(27,2)")).cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    sums.select(col("event_type"), col("n"),
+      ((nd * col("sxy") - col("sx") * col("sy")) /
+        nullif(nd * col("sxx") - col("sx") * col("sx"), lit(0.0)))
+        .as("slope"),
+      ((col("sy") - ((nd * col("sxy") - col("sx") * col("sy")) /
+        nullif(nd * col("sxx") - col("sx") * col("sx"), lit(0.0)))
+        * col("sx")) / nd).as("intercept"))
+  }
+
+  // ---- ks1: two-sample distribution drift ---------------------------
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the value
+    * distributions of two event types — the data-drift gate between a
+    * reference and a candidate slice. The global ordered scan runs on
+    * the DISTINCT-VALUE aggregate (the compression step: tied values
+    * collapse before any ordering), so the window input is |distinct
+    * values|, not |rows|; for unbounded domains the engine's KLL
+    * sketch family (kll1) is the bounded-error path. ECDF fractions
+    * are rationals of exact counts -> identical doubles cross-engine.
+    */
+  def ks1Drift(s: SparkSession, d: String): DataFrame = {
+    val byVal = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("value"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = broadcast(byVal.agg(sum(col("ca")).as("n_a"),
+      sum(col("cb")).as("n_b")))
+    byVal
+      .withColumn("sa", sum(col("ca")).over(w))
+      .withColumn("sb", sum(col("cb")).over(w))
+      .crossJoin(tot)
+      .select(col("n_a"), col("n_b"),
+        abs(col("sa").cast("double") / col("n_a") -
+          col("sb").cast("double") / col("n_b")).as("dd"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("dd")).as("ks_stat"))
+  }
+
+  // ---- cooc1: PMI word association ----------------------------------
+
+  /** Pointwise mutual information of adjacent word pairs — the
+    * phrase-detection statistic (word2vec-style collocation mining).
+    * Marginals are positional (w1 as left, w2 as right); support
+    * floor n_pair >= 5. Grouped counts + two broadcast marginal
+    * joins; the corpus is touched once.
+    */
+  def cooc1Pmi(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(
+      split(lower(trim(col("text"))), "\\s+").as("t"))
+    val pairs = toks.select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val pairCnt = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val left = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+    val right = pairs.groupBy(col("w2")).agg(count(lit(1)).as("n_w2"))
+    val tot = broadcast(pairs.agg(count(lit(1)).as("n_total")))
+    pairCnt.filter(col("n_pair") >= 5)
+      .join(broadcast(left), "w1")
+      .join(broadcast(right), "w2")
+      .crossJoin(tot)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        round(log((col("n_total") * col("n_pair")).cast("double") /
+          (col("n_w1") * col("n_w2"))), 6).as("pmi"))
+  }
+
+  // ---- qf1: composite quality rules ---------------------------------
+
+  /** Gopher-style composite quality gate: the standard document
+    * filters (length band, mean-word-length band, stopword floor,
+    * line-repetition cap) as one row of per-rule flags plus the final
+    * keep verdict — the auditable form of corpus filtering (you keep
+    * the flags, not just the survivors). Every rule is a rational of
+    * exact counts compared to a literal threshold, so the verdicts are
+    * engine-exact. Single scan, no shuffle.
+    */
+  def qf1QualityRules(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nWords = TextFunctions.tokenCount(t)
+    val meanLen = TextFunctions.meanTokenLen(t)
+    val nStop = TextFunctions.stopwordCount(t)
+    val rep = TextFunctions.lineRepetitionRatio(t)
+    val fLen = nWords.geq(20) && nWords.leq(100000)
+    val fMean = meanLen.geq(3.0) && meanLen.leq(10.0)
+    val fStop = nStop.geq(2)
+    val fRep = rep < 0.3
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nWords.cast("int").as("n_words"),
+      fLen.cast("int").as("f_len"),
+      fMean.cast("int").as("f_meanlen"),
+      fStop.cast("int").as("f_stop"),
+      fRep.cast("int").as("f_rep"),
+      (fLen && fMean && fStop && fRep).cast("int").as("keep"))
+  }
+
+  // ---- rrf1: hybrid lexical+dense retrieval -------------------------
+
+  /** Reciprocal-rank fusion of BM25 (lexical) and embedding-cosine
+    * (dense) rankings — hybrid retrieval, the production shape of
+    * corpus search: rrf = Σ_systems 1/(60 + rank), docs ranked by
+    * either system fuse via full outer join on the doc id. Both
+    * per-system rankings are top-50 TakeOrdered reductions (k rows to
+    * the driver merge, no global sort); the fusion join touches at
+    * most 100 rows.
+    */
+  def rrf1RankFusion(s: SparkSession, d: String): DataFrame = {
+    val kSys = 50
+    val docs = Tables.documents(s, d).filter(col("doc_id") =!= 0)
+    val lex = Search.bm25TopK(docs, Seq("hash", "join", "vector"), k = kSys)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+    val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, kSys)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
+          .as("rrf"))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id")))
+          .cast("int"))
+      .select(col("rank"), col("doc_id"), col("lex_rank"), col("dense_rank"),
+        round(col("rrf"), 6).as("rrf6"))
+  }
+
+  // ---- hn1: hard-negative mining ------------------------------------
+
+  /** Hard negatives for contrastive training: for each query vector,
+    * the top-5 most-similar vectors with a DIFFERENT label — maximal
+    * cosine, wrong class. The query side (3 rows) broadcasts; the
+    * corpus is scanned once and reduced per query by rank. At fleet
+    * scale the per-query reduction is [[Similarity.batchTopK]]'s
+    * bounded-heap shape; the window here runs over 3 partitions.
+    */
+  def hn1HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = broadcast(emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    emb.crossJoin(q)
+      .filter(col("label") =!= col("qlabel") && col("vec_id") =!= col("query_id"))
+      .withColumn("sim", Similarity.cosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"),
+        round(col("sim"), 4).as("sim4"))
+  }
+
+  // ---- pca1: distributed power-iteration PCA ------------------------
+
+  /** 1-D projection of the embedding corpus onto its top principal
+    * component ([[graft.similarity.Pca]]): fixed 8-round power
+    * iteration, all-ones deterministic start. No SQL dual (eigenvector
+    * extraction is not expressible); AnalyticsSpec replays the same
+    * iteration locally and bounds the projection error, and checks the
+    * eigenvalue dominates every coordinate axis variance.
+    */
+  def pca1Power(s: SparkSession, d: String): DataFrame =
+    Pca.projectTop(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, iters = 8)
+      .select(col("vec_id"), round(col("proj"), 4).as("proj4"))
+
+  // ---- reg2: multivariate OLS, fully declarative --------------------
+
+  /** Two-feature (+intercept) OLS fit y = w0 + w1·x1 + w2·x2 solved
+    * ENTIRELY inside the plan: the normal-equations moments are one
+    * exact-DECIMAL aggregation (features/target are integers, so the
+    * sums are exact), and the 3x3 solve is Cramer's rule as column
+    * expressions over that single row — no driver-side linear algebra,
+    * no second pass until the residual RMSE re-scan (whose per-row
+    * squared error is rounded then DECIMAL-summed, combine-order-
+    * proof). Every arithmetic step is an identical rational of
+    * identical doubles cross-engine, so even the 12-term determinants
+    * match bit-for-bit. Fitting cost at 100 TB: one scan + a 1-row
+    * shuffle, then one scan for the fit diagnostics.
+    */
+  def reg2Multireg(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("x1"),
+      TextFunctions.stopwordCount(col("text")).cast("long").as("x2"),
+      col("n_chars").as("y"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(27,0)")).cast("double")
+    val m = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
+      dsum(col("y")).as("sy"),
+      dsum(col("x1") * col("x1")).as("s11"),
+      dsum(col("x1") * col("x2")).as("s12"),
+      dsum(col("x2") * col("x2")).as("s22"),
+      dsum(col("x1") * col("y")).as("s1y"),
+      dsum(col("x2") * col("y")).as("s2y"))
+    // A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], b = [sy,s1y,s2y];
+    // Cramer: w_i = det(A with column i replaced by b) / det(A)
+    def det3(a: Column, b: Column, c: Column,
+             d_ : Column, e: Column, f: Column,
+             g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d_ * i - f * g) + c * (d_ * h - e * g)
+    val w = m.select(
+      det3(col("n"), col("s1"), col("s2"),
+        col("s1"), col("s11"), col("s12"),
+        col("s2"), col("s12"), col("s22")).as("det"),
+      det3(col("sy"), col("s1"), col("s2"),
+        col("s1y"), col("s11"), col("s12"),
+        col("s2y"), col("s12"), col("s22")).as("d0"),
+      det3(col("n"), col("sy"), col("s2"),
+        col("s1"), col("s1y"), col("s12"),
+        col("s2"), col("s2y"), col("s22")).as("d1"),
+      det3(col("n"), col("s1"), col("sy"),
+        col("s1"), col("s11"), col("s1y"),
+        col("s2"), col("s12"), col("s2y")).as("d2"))
+      .select((col("d0") / col("det")).as("w0"),
+        (col("d1") / col("det")).as("w1"),
+        (col("d2") / col("det")).as("w2"))
+    val fit = docs.crossJoin(broadcast(w))
+      .withColumn("__e2", round(
+        (col("y") - col("w0") - col("w1") * col("x1") -
+          col("w2") * col("x2")) *
+        (col("y") - col("w0") - col("w1") * col("x1") -
+          col("w2") * col("x2")), 6).cast("decimal(27,6)"))
+      .groupBy(col("w0"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"), sum(col("__e2")).cast("double").as("sse"))
+    fit.select(round(col("w0"), 6).as("w0_6"), round(col("w1"), 6).as("w1_6"),
+      round(col("w2"), 6).as("w2_6"), col("n"),
+      round(sqrt(col("sse") / col("n")), 6).as("rmse6"))
+  }
+
+  // ---- ks2: per-slice drift monitor ---------------------------------
+
+  /** Production drift monitoring: each day's click-value distribution
+    * scored against the whole-period reference by binned-CDF
+    * sup-distance (bin = floor(value/10); exact integer counts ->
+    * rational CDFs). The reference CDF is a 50-row broadcast; daily
+    * CDFs cumulate inside per-day window partitions — fully parallel
+    * across days, no global ordering anywhere. The KLL/ks1 pair covers
+    * the exact-distribution variants; this is the bounded-state shape
+    * that runs per-slice at fleet scale.
+    */
+  def ks2DailyDrift(s: SparkSession, d: String): DataFrame = {
+    val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+      .select(col("ts").cast("date").as("day"),
+        floor(col("value") / 10).cast("int").as("bin"))
+    val refCdf = clicks.groupBy(col("bin")).agg(count(lit(1)).as("rc"))
+      .withColumn("rcum", sum(col("rc")).over(
+        Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(clicks.agg(count(lit(1)).as("rn"))))
+      .select(col("bin"), (col("rcum").cast("double") / col("rn")).as("ref_cdf"))
+    val daily = clicks.groupBy(col("day"), col("bin"))
+      .agg(count(lit(1)).as("dc"))
+    val dayTot = clicks.groupBy(col("day")).agg(count(lit(1)).as("dn"))
+    // evaluate at EVERY reference bin (the union of all jump points):
+    // the (day x bin) grid left-joins the day's counts, the per-day
+    // window cum carries the day's CDF across its absent bins — a true
+    // sup, not a sup over the day's own support only
+    val grid = dayTot.crossJoin(broadcast(refCdf))
+      .join(daily, Seq("day", "bin"), "left")
+      .withColumn("dcum", sum(coalesce(col("dc"), lit(0L))).over(
+        Window.partitionBy(col("day")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grid
+      .select(col("day"), col("dn"),
+        abs(col("dcum").cast("double") / col("dn") - col("ref_cdf")).as("dd"))
+      .groupBy(col("day"), col("dn"))
+      .agg(round(max(col("dd")), 9).as("drift"))
+      .select(col("day"), col("dn").as("n_day"), col("drift"))
+  }
+
+  // ---- nrm1: per-group z-score normalization ------------------------
+
+  /** Z-score normalization of the metric within its group — the
+    * feature-engineering staple. Group stats come from exact DECIMAL
+    * sums (a18 discipline: population stddev as an identical rational
+    * of identical doubles), broadcast-joined back onto the row stream,
+    * so the corpus is scanned once and shuffled zero times for the
+    * normalization itself.
+    */
+  def nrm1Zscore(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val stats = broadcast(ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast("decimal(27,4)"))
+          .cast("double").as("sxx")))
+    ev.join(stats, "event_type")
+      .select(col("event_id"), col("event_type"),
+        ((col("value") - col("sx") / col("n")) /
+          nullif(sqrt(col("sxx") / col("n") -
+            (col("sx") / col("n")) * (col("sx") / col("n"))), lit(0.0)))
+          .as("zscore"))
+  }
+
+  // ---- coh1: cohort retention ---------------------------------------
+
+  /** Cohort retention: users grouped by first-seen day, distinct-user
+    * counts per week offset — the long-format retention matrix. Two
+    * shuffles (per-user min, then per-cell distinct count), both
+    * partial-aggregating; dates are integer arithmetic, engine-exact.
+    */
+  def coh1Cohort(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        floor(datediff(col("day"), col("cohort_day")) / 7).cast("int").as("wk"))
+      .groupBy(col("cohort_day"), col("wk"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  // ---- fun1: sequential conversion funnel ---------------------------
+
+  /** Strict-order funnel click -> view -> purchase: each stage's entry
+    * time is the user's first qualifying event AFTER the previous
+    * stage's entry. Three per-user min-aggregations chained by joins on
+    * the user key (the natural co-partitioned shape — at scale all
+    * three aggregate on the same key, so AQE reuses one exchange);
+    * output is the stage-count summary row.
+    */
+  def fun1Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val v = ev.filter(col("event_type") === "view").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val p = ev.filter(col("event_type") === "purchase").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    val nAll = ev.select(count_distinct(col("user_id")).as("n"))
+    nAll.crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("n_view_after"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase_after"))))
+      .select(col("n").as("n_users"), col("n_click"),
+        col("n_view_after"), col("n_purchase_after"))
+  }
+
+  // ---- registry ------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ent1_word_entropy" -> (ent1WordEntropy _),
+    "reg1_group_linreg" -> (reg1GroupLinreg _),
+    "ks1_drift" -> (ks1Drift _),
+    "cooc1_pmi" -> (cooc1Pmi _),
+    "qf1_quality_rules" -> (qf1QualityRules _),
+    "rrf1_rank_fusion" -> (rrf1RankFusion _),
+    "hn1_hard_negatives" -> (hn1HardNegatives _),
+    "pca1_power" -> (pca1Power _),
+    "nrm1_zscore" -> (nrm1Zscore _),
+    "coh1_cohort" -> (coh1Cohort _),
+    "fun1_funnel" -> (fun1Funnel _),
+    "reg2_multireg" -> (reg2Multireg _),
+    "ks2_daily_drift" -> (ks2DailyDrift _))
+
+  val oracles: Map[String, String] = Map(
+    "ent1_word_entropy" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                WHERE token <> '' GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS n FROM tf GROUP BY 1)
+         SELECT t.doc_id, CAST(n AS BIGINT) AS n_tokens,
+                count(*) AS n_distinct,
+                CAST(SUM(CAST(round((CAST(tf AS DOUBLE) / n) *
+                    ln(CAST(n AS DOUBLE) / tf), 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS entropy_nats
+         FROM tf t JOIN dl USING (doc_id)
+         GROUP BY t.doc_id, n""",
+    "reg1_group_linreg" ->
+      """WITH pts AS (
+           SELECT event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) - 473352 AS x,
+                  value AS y
+           FROM events),
+         s AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(x * x AS DECIMAL(27,0))) AS DOUBLE) AS sxx,
+                  CAST(SUM(CAST(x * y AS DECIMAL(27,2))) AS DOUBLE) AS sxy
+           FROM pts GROUP BY event_type)
+         SELECT event_type, n,
+                (CAST(n AS DOUBLE) * sxy - sx * sy) /
+                  nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0) AS slope,
+                (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                  nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0)) * sx)
+                  / CAST(n AS DOUBLE) AS intercept
+         FROM s""",
+    "ks1_drift" ->
+      """WITH bv AS (
+           SELECT value,
+                  count(*) FILTER (WHERE event_type = 'click') AS ca,
+                  count(*) FILTER (WHERE event_type = 'view') AS cb
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY value),
+         cum AS (SELECT value,
+                  sum(ca) OVER (ORDER BY value) AS sa,
+                  sum(cb) OVER (ORDER BY value) AS sb
+                 FROM bv),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                        CAST(sum(cb) AS BIGINT) AS n_b FROM bv)
+         SELECT n_a, n_b,
+                max(abs(CAST(sa AS DOUBLE) / n_a -
+                        CAST(sb AS DOUBLE) / n_b)) AS ks_stat
+         FROM cum, tot GROUP BY n_a, n_b""",
+    "cooc1_pmi" ->
+      """WITH t AS (
+           SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         pairs AS (
+           SELECT t[i] AS w1, t[i + 1] AS w2
+           FROM t, unnest(range(1, len(t))) AS r(i)),
+         pc AS (SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+         l AS (SELECT w1, count(*) AS n_w1 FROM pairs GROUP BY 1),
+         r AS (SELECT w2, count(*) AS n_w2 FROM pairs GROUP BY 1),
+         tot AS (SELECT count(*) AS n_total FROM pairs)
+         SELECT w1, w2, n_pair, n_w1, n_w2,
+                round(ln(CAST(n_total * n_pair AS DOUBLE) /
+                  (n_w1 * n_w2)), 6) AS pmi
+         FROM pc JOIN l USING (w1) JOIN r USING (w2), tot
+         WHERE n_pair >= 5""",
+    "qf1_quality_rules" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  len(regexp_split_to_array(trim(text), '\s+')) AS nw,
+                  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                    / len(regexp_split_to_array(trim(text), '\s+')) AS ml,
+                  len(regexp_extract_all(lower(text),
+                    '\b(the|a|an|of|and|in|to|is|for|on)\b')) AS ns,
+                  1.0 - CAST(len(list_distinct(str_split(text, chr(10))))
+                    AS DOUBLE) / len(str_split(text, chr(10))) AS rep
+           FROM documents)
+         SELECT doc_id, CAST(nw AS INT) AS n_words,
+                CAST(nw >= 20 AND nw <= 100000 AS INT) AS f_len,
+                CAST(ml >= 3.0 AND ml <= 10.0 AS INT) AS f_meanlen,
+                CAST(ns >= 2 AS INT) AS f_stop,
+                CAST(rep < 0.3 AS INT) AS f_rep,
+                CAST((nw >= 20 AND nw <= 100000) AND (ml >= 3.0 AND ml <= 10.0)
+                  AND ns >= 2 AND rep < 0.3 AS INT) AS keep
+         FROM m""",
+    "rrf1_rank_fusion" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents WHERE doc_id <> 0),
+         tok2 AS (SELECT * FROM toks WHERE term <> ''),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         tf AS (SELECT term, doc_id, count(*) AS tf FROM tok2
+                WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+         dfreq AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+         scored AS (
+           SELECT f.doc_id,
+                  CAST(round(
+                    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+                    (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 +
+                      0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+                  , 6) AS DECIMAL(18,6)) AS contrib
+           FROM dfreq f JOIN dl USING (doc_id), stats),
+         lex AS (
+           SELECT doc_id, CAST(row_number() OVER
+                    (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+           FROM (SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
+                 FROM scored GROUP BY 1
+                 ORDER BY score DESC, doc_id LIMIT 50)),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         dense AS (
+           SELECT vec_id AS doc_id, CAST(row_number() OVER
+                    (ORDER BY sim DESC, vec_id) AS INT) AS dense_rank
+           FROM (SELECT vec_id,
+                        list_cosine_similarity(embedding, qv) AS sim
+                 FROM embeddings, q WHERE vec_id <> 0
+                 ORDER BY sim DESC, vec_id LIMIT 50)),
+         fused AS (
+           SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+                  l.lex_rank, de.dense_rank,
+                  COALESCE(1.0 / (60 + l.lex_rank), 0.0) +
+                  COALESCE(1.0 / (60 + de.dense_rank), 0.0) AS rrf
+           FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id)
+         SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+                  AS rank,
+                doc_id, lex_rank, dense_rank, round(rrf, 6) AS rrf6
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""",
+    "hn1_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                           embedding AS qv
+                    FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         scored AS (
+           SELECT q.query_id, e.vec_id, e.label,
+                  list_cosine_similarity(e.embedding, q.qv) AS sim
+           FROM embeddings e, q
+           WHERE e.label <> q.qlabel AND e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, CAST(row_number() OVER
+                    (PARTITION BY query_id ORDER BY sim DESC, vec_id)
+                    AS INT) AS rank,
+                  vec_id, label, round(CAST(sim AS DOUBLE), 4) AS sim4
+           FROM scored)
+         SELECT query_id, rank, vec_id, label, sim4
+         FROM ranked WHERE rank <= 5""",
+    "nrm1_zscore" ->
+      """WITH s AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(value * value AS DECIMAL(27,4))) AS DOUBLE) AS sxx
+           FROM events GROUP BY event_type)
+         SELECT event_id, event_type,
+                (value - sx / n) /
+                  nullif(sqrt(sxx / n - (sx / n) * (sx / n)), 0.0) AS zscore
+         FROM events JOIN s USING (event_type)""",
+    "coh1_cohort" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+         SELECT cohort_day,
+                CAST(floor(date_diff('day', cohort_day, day) / 7) AS INT) AS wk,
+                count(DISTINCT user_id) AS n_users
+         FROM ev JOIN first USING (user_id)
+         GROUP BY 1, 2""",
+    "fun1_funnel" ->
+      """WITH c AS (SELECT user_id, min(ts) AS t_click FROM events
+                    WHERE event_type = 'click' GROUP BY 1),
+         v AS (SELECT e.user_id, min(ts) AS t_view FROM events e
+               JOIN c USING (user_id)
+               WHERE event_type = 'view' AND ts > t_click GROUP BY 1),
+         p AS (SELECT e.user_id, min(ts) AS t_purchase FROM events e
+               JOIN v USING (user_id)
+               WHERE event_type = 'purchase' AND ts > t_view GROUP BY 1)
+         SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+                (SELECT count(*) FROM c) AS n_click,
+                (SELECT count(*) FROM v) AS n_view_after,
+                (SELECT count(*) FROM p) AS n_purchase_after""",
+    "reg2_multireg" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS x1,
+                  CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|in|to|is|for|on)\b')) AS BIGINT) AS x2,
+                  n_chars AS y
+           FROM documents),
+         m AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(x1 AS DECIMAL(27,0))) AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(x2 AS DECIMAL(27,0))) AS DOUBLE) AS s2,
+                  CAST(SUM(CAST(y AS DECIMAL(27,0))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(x1 * x1 AS DECIMAL(27,0))) AS DOUBLE) AS s11,
+                  CAST(SUM(CAST(x1 * x2 AS DECIMAL(27,0))) AS DOUBLE) AS s12,
+                  CAST(SUM(CAST(x2 * x2 AS DECIMAL(27,0))) AS DOUBLE) AS s22,
+                  CAST(SUM(CAST(x1 * y AS DECIMAL(27,0))) AS DOUBLE) AS s1y,
+                  CAST(SUM(CAST(x2 * y AS DECIMAL(27,0))) AS DOUBLE) AS s2y
+           FROM f),
+         w AS (
+           SELECT
+             (sy  * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+               + s2 * (s1y * s12 - s11 * s2y)) /
+             (n   * (s11 * s22 - s12 * s12) - s1 * (s1  * s22 - s12 * s2)
+               + s2 * (s1  * s12 - s11 * s2)) AS w0,
+             (n   * (s1y * s22 - s12 * s2y) - sy * (s1  * s22 - s12 * s2)
+               + s2 * (s1  * s2y - s1y * s2)) /
+             (n   * (s11 * s22 - s12 * s12) - s1 * (s1  * s22 - s12 * s2)
+               + s2 * (s1  * s12 - s11 * s2)) AS w1,
+             (n   * (s11 * s2y - s1y * s12) - s1 * (s1  * s2y - s1y * s2)
+               + sy * (s1  * s12 - s11 * s2)) /
+             (n   * (s11 * s22 - s12 * s12) - s1 * (s1  * s22 - s12 * s2)
+               + s2 * (s1  * s12 - s11 * s2)) AS w2
+           FROM m),
+         fit AS (
+           SELECT w0, w1, w2, count(*) AS n,
+                  CAST(SUM(CAST(round(
+                    (y - w0 - w1 * x1 - w2 * x2) *
+                    (y - w0 - w1 * x1 - w2 * x2), 6)
+                    AS DECIMAL(27,6))) AS DOUBLE) AS sse
+           FROM f, w GROUP BY w0, w1, w2)
+         SELECT round(w0, 6) AS w0_6, round(w1, 6) AS w1_6,
+                round(w2, 6) AS w2_6, n,
+                round(sqrt(sse / n), 6) AS rmse6
+         FROM fit""",
+    "ks2_daily_drift" ->
+      """WITH clicks AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(floor(value / 10) AS INT) AS bin
+           FROM events WHERE event_type = 'click'),
+         ref AS (
+           SELECT bin, CAST(sum(rc) OVER (ORDER BY bin) AS DOUBLE) /
+                  (SELECT count(*) FROM clicks) AS ref_cdf
+           FROM (SELECT bin, count(*) AS rc FROM clicks GROUP BY bin)),
+         daily AS (SELECT day, bin, count(*) AS dc FROM clicks GROUP BY 1, 2),
+         daytot AS (SELECT day, count(*) AS dn FROM clicks GROUP BY 1),
+         grid AS (
+           SELECT t.day, t.dn, r.bin, r.ref_cdf,
+                  sum(COALESCE(d.dc, 0)) OVER
+                    (PARTITION BY t.day ORDER BY r.bin) AS dcum
+           FROM daytot t CROSS JOIN ref r
+           LEFT JOIN daily d ON d.day = t.day AND d.bin = r.bin)
+         SELECT day, CAST(dn AS BIGINT) AS n_day,
+                round(max(abs(CAST(dcum AS DOUBLE) / dn - ref_cdf)), 9)
+                  AS drift
+         FROM grid GROUP BY day, dn""")
+}

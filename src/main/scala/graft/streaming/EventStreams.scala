@@ -28,6 +28,35 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Heavy hitters (top users by event volume) per tumbling window —
+    * the streaming face of hh1's Misra-Gries `freq_items` aggregate.
+    * ONE definition serves both engines: in batch it's an ordinary
+    * ObjectHashAggregate; in streaming the SAME mergeable summary is
+    * the state-store value (serialize/merge are the aggregate's own),
+    * so per-key state is O(k), not O(distinct users) — the property
+    * that makes per-window top-k viable on an unbounded stream. With
+    * k >= distinct keys per group the summary is exact, which is what
+    * StreamingSpec uses to assert stream == batch bit-for-bit.
+    */
+  def windowHeavyHitters(events: DataFrame, window_ : String = "1 hour",
+                         k: Int = 8): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(graft.functions.FreqItems.freq_items(
+        col("user_id").cast("string"), k).as("hh"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        explode(col("hh")).as("e"))
+      .select(col("window_start"), col("event_type"),
+        col("e.item").cast("bigint").as("user_id"), col("e.est").as("n"))
+
+  /** Streaming wiring for [[windowHeavyHitters]]: watermarked so closed
+    * windows finalize (append mode) and their O(k) summaries evict.
+    */
+  def streamingWindowHeavyHitters(events: DataFrame,
+                                  window_ : String = "1 hour",
+                                  k: Int = 8): DataFrame =
+    windowHeavyHitters(events.withWatermark("ts", "2 hours"), window_, k)
+
   /** Sliding 1h/30m windows. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Analytics
+import graft.similarity.Pca
+
+/** Round-8 analytics operators: PCA local-replay equivalence, KS
+  * statistic vs a brute-force local computation, fusion/negative-mining
+  * contracts, quality-rule consistency.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private lazy val localVecs: Array[Array[Double]] =
+    Tables.embeddings(spark, sf).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  test("pca1: distributed power iteration == local replay") {
+    val dim = 64
+    val n = localVecs.length.toDouble
+    val means = Array.tabulate(dim)(j => localVecs.map(_(j)).sum / n)
+    val centered = localVecs.map(v => Array.tabulate(dim)(j => v(j) - means(j)))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var eig = 0.0
+    for (_ <- 0 until 8) {
+      val acc = new Array[Double](dim)
+      centered.foreach { x =>
+        val s = (0 until dim).map(j => x(j) * v(j)).sum
+        (0 until dim).foreach(j => acc(j) += x(j) * s)
+      }
+      val cv = acc.map(_ / n)
+      eig = math.sqrt(cv.map(y => y * y).sum)
+      v = cv.map(_ / eig)
+    }
+    val (vd, eigD) = Pca.topComponent(
+      Tables.embeddings(spark, sf), "embedding", dim, iters = 8)
+    assert(math.abs(eigD - eig) / eig < 1e-9,
+      s"eigenvalue mismatch: distributed $eigD vs local $eig")
+    val cos = (0 until dim).map(j => vd(j) * v(j)).sum
+    assert(math.abs(cos - 1.0) < 1e-9,
+      s"component direction mismatch, cos=$cos")
+    // the top eigenvalue dominates the variance of every coordinate axis
+    val coordVar = (0 until dim).map(j =>
+      centered.map(x => x(j) * x(j)).sum / n).max
+    assert(eigD >= coordVar - 1e-9,
+      s"eigenvalue $eigD below max coordinate variance $coordVar")
+  }
+
+  test("ks1: matches brute-force ECDF sup-distance; bounded in [0,1]") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("value")).collect()
+    val a = ev.filter(_.getString(0) == "click").map(_.getDouble(1)).sorted
+    val b = ev.filter(_.getString(0) == "view").map(_.getDouble(1)).sorted
+    val grid = (a ++ b).distinct.sorted
+    def ecdf(xs: Array[Double], t: Double): Double =
+      xs.count(_ <= t).toDouble / xs.length
+    val expected = grid.map(t => math.abs(ecdf(a, t) - ecdf(b, t))).max
+    val row = Analytics.ks1Drift(spark, sf).head()
+    assert(row.getLong(0) == a.length && row.getLong(1) == b.length)
+    val ks = row.getDouble(2)
+    assert(math.abs(ks - expected) < 1e-12,
+      s"ks $ks != brute force $expected")
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
+
+  test("rrf1: dense-rank consistency and monotone fusion order") {
+    val rows = Analytics.rrf1RankFusion(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 20))
+    val rrfs = rows.map(_.getDouble(4))
+    assert(rrfs.zip(rrfs.tail).forall { case (x, y) => x >= y },
+      "rrf scores must be non-increasing in rank")
+    // every fused doc carries at least one system rank
+    assert(rows.forall(r => !r.isNullAt(2) || !r.isNullAt(3)))
+  }
+
+  test("hn1: negatives have a different label and valid per-query ranks") {
+    val emb = Tables.embeddings(spark, sf)
+    val labelOf = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Analytics.hn1HardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, rank, vid, label) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))
+      assert(label != labelOf(q), s"query $q negative $vid shares label")
+      assert(rank >= 1 && rank <= 5)
+      assert(vid != q)
+    }
+    // exactly top-5 per query, ranks distinct
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+    }
+  }
+
+  test("qf1: keep is the conjunction of the per-rule flags") {
+    val rows = Analytics.qf1QualityRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flags = Seq(2, 3, 4, 5).map(r.getInt)
+      assert(r.getInt(6) == flags.product,
+        s"keep != AND(flags) for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("ent1: entropy bounded by ln(n_distinct); uniform doc is exact") {
+    val rows = Analytics.ent1WordEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, h) = (r.getLong(2), r.getDouble(3))
+      // decimal per-term rounding moves each of nd terms < 5e-7
+      assert(h >= -1e-4 && h <= math.log(nd.toDouble) + 1e-4,
+        s"entropy $h outside [0, ln($nd)] for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("fun1: funnel stages are monotonically non-increasing") {
+    val r = Analytics.fun1Funnel(spark, sf).head()
+    val (users, c, v, p) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(users >= c && c >= v && v >= p,
+      s"funnel not monotone: $users >= $c >= $v >= $p")
+    assert(c > 0, "no users entered the funnel")
+  }
+
+  test("coh1: week-0 cell exists per cohort and equals its user count") {
+    val rows = Analytics.coh1Cohort(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (day, cells) =>
+      assert(cells.exists(_._2 == 0), s"cohort $day missing week 0")
+      // week 0 contains every user of the cohort (their first event)
+      val w0 = cells.find(_._2 == 0).get._3
+      assert(cells.forall(_._3 <= w0),
+        s"cohort $day has a retention cell above its week-0 size")
+    }
+  }
+
+  test("nrm1: per-group z-scores have zero mean and unit variance") {
+    val rows = Analytics.nrm1Zscore(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (g, zs) =>
+      val n = zs.length.toDouble
+      val mean = zs.map(_._2).sum / n
+      val varr = zs.map(z => z._2 * z._2).sum / n - mean * mean
+      assert(math.abs(mean) < 1e-9, s"group $g z-mean $mean != 0")
+      assert(math.abs(varr - 1.0) < 1e-9, s"group $g z-var $varr != 1")
+    }
+  }
+
+  test("reg2: in-plan Cramer solve matches a local normal-equations solve") {
+    import graft.text.TextFunctions
+    val f = Tables.documents(spark, sf).select(
+      TextFunctions.tokenCount(col("text")).cast("double").as("x1"),
+      TextFunctions.stopwordCount(col("text")).cast("double").as("x2"),
+      col("n_chars").cast("double").as("y")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val n = f.length.toDouble
+    val (s1, s2, sy) = (f.map(_._1).sum, f.map(_._2).sum, f.map(_._3).sum)
+    val s11 = f.map(t => t._1 * t._1).sum
+    val s12 = f.map(t => t._1 * t._2).sum
+    val s22 = f.map(t => t._2 * t._2).sum
+    val s1y = f.map(t => t._1 * t._3).sum
+    val s2y = f.map(t => t._2 * t._3).sum
+    def det(a: Array[Array[Double]]) =
+      a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
+        a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
+        a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
+    val aM = Array(Array(n, s1, s2), Array(s1, s11, s12), Array(s2, s12, s22))
+    val b = Array(sy, s1y, s2y)
+    val d0 = det(aM)
+    def repl(i: Int) = aM.indices.map(r =>
+      aM(r).indices.map(c => if (c == i) b(r) else aM(r)(c)).toArray).toArray
+    val w = (0 to 2).map(i => det(repl(i)) / d0)
+    val row = Analytics.reg2Multireg(spark, sf).head()
+    (0 to 2).foreach { i =>
+      assert(math.abs(row.getDouble(i) - w(i)) < 1e-4,
+        s"w$i ${row.getDouble(i)} != local ${w(i)}")
+    }
+    // residual RMSE consistency
+    val sse = f.map { case (x1, x2, y) =>
+      val e = y - w(0) - w(1) * x1 - w(2) * x2; e * e
+    }.sum
+    assert(math.abs(row.getDouble(4) - math.sqrt(sse / n)) < 1e-4)
+  }
+
+  test("ks2: day with the reference's own distribution drifts ~0; " +
+       "degenerate day drifts high") {
+    val rows = Analytics.ks2DailyDrift(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, nDay, drift) =>
+      assert(drift >= 0.0 && drift <= 1.0, s"$day drift $drift out of range")
+      assert(nDay > 0)
+    }
+    // sanity: daily samples from the same generator should sit well
+    // below the max possible drift
+    assert(rows.map(_._3).max < 0.9)
+  }
+
+  test("reg1: slope/intercept match closed-form least squares locally") {
+    val pts = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (floor(col("ts").cast("timestamp").cast("long") / 3600) - 473352L)
+          .cast("double").as("x"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val rows = Analytics.reg1GroupLinreg(spark, sf).collect()
+    rows.foreach { r =>
+      val g = pts.filter(_._1 == r.getString(0))
+      val n = g.length.toDouble
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxx = g.map(p => p._2 * p._2).sum
+      val sxy = g.map(p => p._2 * p._3).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getDouble(2) - slope) < 1e-6,
+        s"slope mismatch for ${r.getString(0)}")
+    }
+  }
+}

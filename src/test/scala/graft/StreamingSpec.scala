@@ -56,6 +56,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size === 2) // two distinct hours
   }
 
+  test("streaming windowed heavy hitters over MemoryStream equal the batch dual") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // <= 8 distinct users per (window, type) group -> the Misra-Gries
+    // summary is exact, so stream and batch must agree bit-for-bit
+    // regardless of merge order; arrivals are out of event-time order
+    val data = Seq(
+      Event(ts(2), 7L, "click", 1.0), Event(ts(1), 1L, "click", 1.0),
+      Event(ts(3), 1L, "click", 1.0), Event(ts(9), 2L, "click", 1.0),
+      Event(ts(4), 1L, "view", 1.0), Event(ts(8), 3L, "view", 1.0),
+      Event(ts(75), 2L, "click", 1.0), Event(ts(61), 2L, "click", 1.0),
+      Event(ts(62), 5L, "click", 1.0))
+    mem.addData(data: _*)
+    val q = EventStreams.streamingWindowHeavyHitters(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("hh_out").collect().map(key).toSet
+    val batch = EventStreams.windowHeavyHitters(data.toDF())
+      .collect().map(key).toSet
+    assert(streamed === batch) // ONE definition serves both engines
+    // exact counts: user 1 hit 2 clicks in hour 0, user 2 hit 2 in hour 1
+    val h0 = streamed.filter(t => t._2 == "click" && t._3 == 1L)
+    assert(h0.map(_._4) === Set(2L))
+    assert(streamed.exists(t => t._3 == 2L && t._4 == 2L))
+  }
+
   test("stream-stream interval join over MemoryStreams equals the batch dual") {
     implicit val sqlCtx = spark.sqlContext
     val clickData = Seq(
