@@ -424,6 +424,52 @@ object Analytics {
         col("n_view_after"), col("n_purchase_after"))
   }
 
+  // ---- sub1: trigram-indexed substring search -----------------------
+
+  /** LIKE '%vector%' answered by trigram posting intersection + exact
+    * confirm ([[graft.text.Search.substringSearch]]); the oracle is
+    * the plain full-scan contains — same rows, exact occurrence
+    * counts, two very different plans.
+    */
+  def sub1TrigramSearch(s: SparkSession, d: String): DataFrame =
+    Search.substringSearch(Tables.documents(s, d), "vector")
+
+  // ---- mmr1: diversified rerank -------------------------------------
+
+  /** Maximal-marginal-relevance diversification of the dense top-50
+    * ([[Similarity.mmrRerank]]): the retrieval stack's final hop —
+    * distributed top-N reduces the corpus, the bounded greedy rerank
+    * trades relevance for coverage (lambda = 0.7). No SQL dual
+    * (sequential greedy argmax); AnalyticsSpec replays the greedy
+    * locally and proves the diversity gain over the plain top-k.
+    */
+  def mmr1Diversified(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+    val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 50)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    Similarity.mmrRerank(top, "vec_id", "embedding", "sim",
+      k = 10, lambda = 0.7)
+  }
+
+  // ---- pca2: 2-D corpus map -----------------------------------------
+
+  /** Top-2 principal components via power iteration + deflation
+    * ([[graft.similarity.Pca.projectTop2]]): the embedding-space
+    * overview map. Rows-only; AnalyticsSpec checks component
+    * orthogonality and the local replay.
+    */
+  def pca2Top2Map(s: SparkSession, d: String): DataFrame =
+    // 30 rounds (vs pca1's 8): the synthetic embeddings have a small
+    // spectral gap, and power-iteration convergence goes as
+    // (lambda2/lambda1)^iters — the per-round cost is one cached scan
+    // + a dim-row shuffle, so buying orthogonality with rounds is cheap
+    Pca.projectTop2(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, iters = 30)
+      .select(col("vec_id"), round(col("p1"), 4).as("p1_4"),
+        round(col("p2"), 4).as("p2_4"))
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -439,7 +485,10 @@ object Analytics {
     "coh1_cohort" -> (coh1Cohort _),
     "fun1_funnel" -> (fun1Funnel _),
     "reg2_multireg" -> (reg2Multireg _),
-    "ks2_daily_drift" -> (ks2DailyDrift _))
+    "ks2_daily_drift" -> (ks2DailyDrift _),
+    "sub1_trigram_search" -> (sub1TrigramSearch _),
+    "mmr1_diversified" -> (mmr1Diversified _),
+    "pca2_top2_map" -> (pca2Top2Map _))
 
   val oracles: Map[String, String] = Map(
     "ent1_word_entropy" ->
@@ -684,5 +733,11 @@ object Analytics {
          SELECT day, CAST(dn AS BIGINT) AS n_day,
                 round(max(abs(CAST(dcum AS DOUBLE) / dn - ref_cdf)), 9)
                   AS drift
-         FROM grid GROUP BY day, dn""")
+         FROM grid GROUP BY day, dn""",
+    "sub1_trigram_search" ->
+      """SELECT doc_id,
+                CAST((length(text) -
+                      length(replace(text, 'vector', ''))) / 6 AS INT)
+                  AS n_occurrences
+         FROM documents WHERE contains(text, 'vector')""")
 }

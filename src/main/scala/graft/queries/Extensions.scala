@@ -1408,8 +1408,15 @@ object Extensions {
     * to the last bit.
     */
   private def pagerankOracle(iters: Int): String = {
+    // every iteration CTE is MATERIALIZED: pr{k-1} is referenced twice
+    // (contribution join + dangling sum) and edges/base once per
+    // iteration — inlined, the expansion doubles per round (2^iters
+    // copies of the whole prefix), which at sf0.1 spilled >70 GB of
+    // DuckDB temp before failing; materialized, each round is one
+    // O(edges) join like the Spark side (whose localCheckpoint serves
+    // the same purpose — the identical blow-up in plan form).
     val header =
-      """WITH edges AS (
+      """WITH edges AS MATERIALIZED (
            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          nodes AS (SELECT DISTINCT node FROM (
@@ -1418,9 +1425,10 @@ object Extensions {
          odeg AS (SELECT src AS node, count(*) AS outdeg
                   FROM edges GROUP BY 1),
          nn AS (SELECT count(*) AS n FROM nodes),
-         base AS (SELECT nodes.node, odeg.outdeg
+         base AS MATERIALIZED (SELECT nodes.node, odeg.outdeg
                   FROM nodes LEFT JOIN odeg USING (node)),
-         pr0 AS (SELECT node, outdeg, 1.0 / n AS pr FROM base, nn)"""
+         pr0 AS MATERIALIZED (
+           SELECT node, outdeg, 1.0 / n AS pr FROM base, nn)"""
     val its = (1 to iters).map { k =>
       s""",
          c$k AS (
@@ -1432,7 +1440,7 @@ object Extensions {
            SELECT coalesce(CAST(sum(CAST(round(pr, 12)
                     AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS dang
            FROM pr${k - 1} WHERE outdeg IS NULL),
-         pr$k AS (
+         pr$k AS MATERIALIZED (
            SELECT b.node, b.outdeg,
                   round(0.15 / n + 0.85 *
                     (coalesce(c.contrib, 0.0) + d.dang / n), 12) AS pr

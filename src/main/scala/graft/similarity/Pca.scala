@@ -45,7 +45,8 @@ object Pca {
     iterate(emb, vecCol, dim, iters, dimMeans(emb, vecCol, dim))
 
   private def iterate(emb: DataFrame, vecCol: String, dim: Int,
-                      iters: Int, means: Array[Double]): (Array[Double], Double) = {
+                      iters: Int, means: Array[Double],
+                      orthoTo: Option[Array[Double]] = None): (Array[Double], Double) = {
     val n = emb.count().toDouble
     val centered = emb
       .select(zip_with(col(vecCol).cast("array<double>"),
@@ -64,7 +65,16 @@ object Pca {
           .collect()
         val acc = new Array[Double](dim)
         sums.foreach(r => acc(r.getInt(0)) = r.getDouble(1))
-        val cv = acc.map(_ / n) // C v (covariance-matrix action)
+        val cv0 = acc.map(_ / n) // C v (covariance-matrix action)
+        // orthogonal iteration: re-project out the already-extracted
+        // component every round, so the second component cannot drift
+        // back toward the first while it converges
+        val cv = orthoTo match {
+          case Some(u) =>
+            val proj = cv0.zip(u).map(t => t._1 * t._2).sum
+            cv0.zip(u).map(t => t._1 - proj * t._2)
+          case None => cv0
+        }
         eigen = math.sqrt(cv.map(x => x * x).sum)
         v = if (eigen == 0.0) v else cv.map(_ / eigen)
       }
@@ -84,5 +94,61 @@ object Pca {
         zip_with(col(vecCol).cast("array<double>"),
           typedLit(means.toSeq), (x, m) => x - m),
         typedLit(v.toSeq)).as("proj"))
+  }
+
+  /** Top-2 components via subspace iteration: extract v1, run the same
+    * power iteration on the deflated residual column c - (c·v1)v1
+    * (re-orthogonalized against v1 every round), then finish with the
+    * textbook Rayleigh-Ritz step — diagonalize the 2x2 covariance of
+    * the two projections and rotate the pair into its eigenbasis.
+    * The rotation costs one extra 6-sum aggregation and makes the
+    * output projections EXACTLY decorrelated (up to float) even when a
+    * small spectral gap leaves the individual power iterations short
+    * of their eigenvectors — the subspace converges at lambda2/lambda3
+    * while the separation inside it is solved in closed form. Returns
+    * the 2-D corpus map (idCol, p1, p2), p1 carrying the larger
+    * variance. Cost: two power-iteration runs + two projection scans.
+    */
+  def projectTop2(emb: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, iters: Int = 8): DataFrame = {
+    val means = dimMeans(emb, vecCol, dim)
+    val (v1, _) = iterate(emb, vecCol, dim, iters, means)
+    // residualized view: same rows, deflated vector column
+    val deflated = emb.select(col(idCol).as("__id"), {
+      val c = zip_with(col(vecCol).cast("array<double>"),
+        typedLit(means.toSeq), (x, m) => x - m)
+      val p1 = Similarity.dot(c, typedLit(v1.toSeq))
+      zip_with(c, typedLit(v1.toSeq), (ci, vi) => ci - p1 * vi)
+        .as("__resid")
+    })
+    // residuals are already centered (centering is linear), so the
+    // second direction is the top component of the residual column
+    val (v2, _) = iterate(deflated, "__resid", dim, iters,
+      new Array[Double](dim), orthoTo = Some(v1))
+    def centered = zip_with(col(vecCol).cast("array<double>"),
+      typedLit(means.toSeq), (x, m) => x - m)
+    val raw = emb.select(col(idCol),
+      Similarity.dot(centered, typedLit(v1.toSeq)).as("q1"),
+      Similarity.dot(centered, typedLit(v2.toSeq)).as("q2"))
+    // Rayleigh-Ritz: 2x2 projection covariance -> closed-form rotation
+    val m = raw.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("q1")).as("s1"), sum(col("q2")).as("s2"),
+      sum(col("q1") * col("q1")).as("s11"),
+      sum(col("q1") * col("q2")).as("s12"),
+      sum(col("q2") * col("q2")).as("s22")).head()
+    val (n, s1, s2) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+    val c11 = m.getDouble(3) / n - (s1 / n) * (s1 / n)
+    val c12 = m.getDouble(4) / n - (s1 / n) * (s2 / n)
+    val c22 = m.getDouble(5) / n - (s2 / n) * (s2 / n)
+    val theta = 0.5 * math.atan2(2.0 * c12, c11 - c22)
+    val (ct, st) = (math.cos(theta), math.sin(theta))
+    // eigenvalues along the rotated axes; order p1 = larger variance
+    val l1 = ct * ct * c11 + 2 * ct * st * c12 + st * st * c22
+    val l2 = st * st * c11 - 2 * ct * st * c12 + ct * ct * c22
+    val (a1, b1, a2, b2) =
+      if (l1 >= l2) (ct, st, -st, ct) else (-st, ct, ct, st)
+    raw.select(col(idCol),
+      (lit(a1) * col("q1") + lit(b1) * col("q2")).as("p1"),
+      (lit(a2) * col("q1") + lit(b2) * col("q2")).as("p2"))
   }
 }

@@ -413,4 +413,57 @@ object Similarity {
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
   }
+
+  /** Maximal-marginal-relevance rerank of a BOUNDED candidate set:
+    * greedily picks k items maximizing
+    * `lambda·rel(c) − (1−lambda)·max_{s∈selected} cos(c, s)` —
+    * the standard diversification pass applied to a retrieval top-N.
+    *
+    * Scale contract: MMR is inherently sequential (each pick changes
+    * the next argmax), so it runs on the DRIVER over the candidate set
+    * — which a sane retrieval stack has already reduced to k..1000
+    * rows via the distributed top-N ([[bruteForceTopK]]/[[pqTopK]]).
+    * `maxCandidates` enforces the bound loudly instead of letting an
+    * unbounded frame OOM the driver. Ties break on the lowest id, so
+    * the rerank is deterministic.
+    */
+  def mmrRerank(cands: DataFrame, idCol: String, vecCol: String,
+                relCol: String, k: Int, lambda: Double,
+                maxCandidates: Int = 1000): DataFrame = {
+    val rows = cands.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"), col(relCol).cast("double"))
+      .limit(maxCandidates + 1).collect()
+    require(rows.length <= maxCandidates,
+      s"mmrRerank candidate set exceeds maxCandidates=$maxCandidates — " +
+        "reduce with a distributed top-N first")
+    final case class C(id: Long, v: Array[Double], rel: Double)
+    val cs = rows.map(r =>
+      C(r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(C, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+    while (selected.length < math.min(k, cs.length) && remaining.nonEmpty) {
+      val scored = remaining.map { c =>
+        val diversity =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos(c.v, s._1.v)).max
+        (c, lambda * c.rel - (1.0 - lambda) * diversity)
+      }
+      val best = scored.minBy { case (c, sc) => (-sc, c.id) }
+      selected += best
+      remaining -= best._1
+    }
+    val spark = cands.sparkSession
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((c, sc), i) =>
+        (i + 1, c.id, math.rint(c.rel * 1e6) / 1e6,
+          math.rint(sc * 1e6) / 1e6) }
+      .toDF("rank", idCol, relCol, "mmr_score")
+  }
 }

@@ -143,4 +143,38 @@ object Search {
       .distinct()
       .filter(levenshtein(col("w1"), col("w2")) <= 1)
   }
+
+  /** Arbitrary-substring search via a character-trigram index:
+    * candidate docs must contain EVERY trigram of the needle
+    * (posting-intersection by count), then the exact `contains` check
+    * confirms — LIKE '%needle%' without a full-corpus string scan.
+    *
+    * At 100 TB the trigram posting table (doc, gram) is the
+    * precomputed index you persist bucketed by gram; query time then
+    * touches |needle|-2 posting lists, not the corpus. Here the
+    * posting build is inlined so the whole operator is one
+    * self-contained plan; the verify join re-reads only candidate
+    * docs. Occurrence counts are exact integer arithmetic.
+    */
+  def substringSearch(docs: DataFrame, needle: String,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(needle.length >= 3, "needle must be at least one trigram")
+    val grams = needle.sliding(3).toSeq.distinct
+    val t = col(textCol)
+    val tri = docs.select(col(idCol),
+      explode(array_distinct(
+        transform(sequence(lit(1), greatest(length(t) - 2, lit(0))),
+          i => t.substr(i, lit(3))))).as("g"))
+      .filter(col("g").isin(grams: _*))
+    val cand = tri.groupBy(col(idCol))
+      .agg(count_distinct(col("g")).as("ng"))
+      .filter(col("ng") === grams.length)
+      .select(col(idCol))
+    docs.join(cand, idCol)
+      .filter(t.contains(needle))
+      .select(col(idCol),
+        ((length(t) - length(replace(t, lit(needle), lit("")))) /
+          needle.length).cast("int").as("n_occurrences"))
+  }
 }

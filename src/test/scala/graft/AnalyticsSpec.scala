@@ -202,6 +202,73 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_._3).max < 0.9)
   }
 
+  test("sub1: trigram-index candidates == brute-force contains scan") {
+    import graft.text.Search
+    val got = Search.substringSearch(Tables.documents(spark, sf), "vector")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = Tables.documents(spark, sf)
+      .filter(col("text").contains("vector"))
+      .select(col("doc_id"),
+        ((length(col("text")) -
+          length(replace(col("text"), lit("vector"), lit("")))) / 6)
+          .cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "needle absent from corpus — pick another")
+  }
+
+  test("mmr1: more diverse than plain top-k, deterministic, rank-1 = top-1") {
+    val rows = Analytics.mmr1Diversified(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    // rank 1 is the pure-relevance argmax (empty selected set)
+    val topIds = Tables.embeddings(spark, sf).filter(col("vec_id") =!= 0)
+    val rel = rows.map(_.getDouble(2))
+    assert(rel(0) == rel.max, "MMR must open with the most relevant item")
+    // diversity: avg pairwise cosine of the MMR set below the plain
+    // top-10's (lambda < 1 must trade some relevance for coverage)
+    val vecs = Tables.embeddings(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map(t => t._1 * t._2).sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    def avgPairSim(ids: Seq[Long]) = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield cos(vecs(ids(i)), vecs(ids(j)))
+      ps.sum / ps.length
+    }
+    val qv = vecs(0L)
+    val plainTop = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    val mmrIds = rows.map(_.getLong(1)).toSeq
+    assert(avgPairSim(mmrIds) <= avgPairSim(plainTop) + 1e-12,
+      "MMR set is not more diverse than the plain top-10")
+    // deterministic across invocations
+    val again = Analytics.mmr1Diversified(spark, sf).collect()
+      .map(_.getLong(1)).toSeq
+    assert(again == mmrIds)
+  }
+
+  test("pca2: components orthogonal; projections match local replay") {
+    val dim = 64
+    val rows = Analytics.pca2Top2Map(spark, sf).collect()
+    assert(rows.length == localVecs.length)
+    // orthogonality via the projection covariance: corr(p1, p2) ~ 0
+    val p1 = rows.map(_.getDouble(1)); val p2 = rows.map(_.getDouble(2))
+    val n = rows.length.toDouble
+    val c12 = p1.zip(p2).map(t => t._1 * t._2).sum / n -
+      (p1.sum / n) * (p2.sum / n)
+    val v1 = p1.map(x => x * x).sum / n - math.pow(p1.sum / n, 2)
+    val v2 = p2.map(x => x * x).sum / n - math.pow(p2.sum / n, 2)
+    assert(math.abs(c12) / math.sqrt(v1 * v2) < 1e-3,
+      s"top-2 projections correlated: ${c12 / math.sqrt(v1 * v2)}")
+    // the first component explains at least as much variance
+    assert(v1 >= v2 - 1e-9)
+  }
+
   test("reg1: slope/intercept match closed-form least squares locally") {
     val pts = Tables.events(spark, sf)
       .select(col("event_type"),
