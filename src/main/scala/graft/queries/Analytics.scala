@@ -32,8 +32,12 @@ object Analytics {
     * doc; nothing pairwise, so the 100 TB cost is the token stream's
     * two aggregations.
     */
-  def ent1WordEntropy(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+  def ent1WordEntropy(s: SparkSession, d: String): DataFrame =
+    wordEntropyOn(Tables.documents(s, d))
+
+  /** Frame-parameterized core (AnalyticsProbe feeds the sf1 replica). */
+  private[graft] def wordEntropyOn(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
       .filter(col("token") =!= "")
@@ -123,8 +127,11 @@ object Analytics {
     * floor n_pair >= 5. Grouped counts + two broadcast marginal
     * joins; the corpus is touched once.
     */
-  def cooc1Pmi(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d).select(
+  def cooc1Pmi(s: SparkSession, d: String): DataFrame =
+    pmiOn(Tables.documents(s, d))
+
+  private[graft] def pmiOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
       split(lower(trim(col("text"))), "\\s+").as("t"))
     val pairs = toks.select(explode(zip_with(
         slice(col("t"), lit(1), size(col("t")) - 1),
@@ -155,7 +162,10 @@ object Analytics {
     * exact counts compared to a literal threshold, so the verdicts are
     * engine-exact. Single scan, no shuffle.
     */
-  def qf1QualityRules(s: SparkSession, d: String): DataFrame = {
+  def qf1QualityRules(s: SparkSession, d: String): DataFrame =
+    qualityRulesOn(Tables.documents(s, d))
+
+  private[graft] def qualityRulesOn(docs: DataFrame): DataFrame = {
     val t = col("text")
     val nWords = TextFunctions.tokenCount(t)
     val meanLen = TextFunctions.meanTokenLen(t)
@@ -165,7 +175,7 @@ object Analytics {
     val fMean = meanLen.geq(3.0) && meanLen.leq(10.0)
     val fStop = nStop.geq(2)
     val fRep = rep < 0.3
-    Tables.documents(s, d).select(
+    docs.select(
       col("doc_id"),
       nWords.cast("int").as("n_words"),
       fLen.cast("int").as("f_len"),
@@ -461,12 +471,13 @@ object Analytics {
     * orthogonality and the local replay.
     */
   def pca2Top2Map(s: SparkSession, d: String): DataFrame =
-    // 30 rounds (vs pca1's 8): the synthetic embeddings have a small
-    // spectral gap, and power-iteration convergence goes as
-    // (lambda2/lambda1)^iters — the per-round cost is one cached scan
-    // + a dim-row shuffle, so buying orthogonality with rounds is cheap
+    // 15 rounds per component (vs pca1's 8): the synthetic embeddings
+    // have a small spectral gap, so the SUBSPACE needs the extra
+    // rounds — but the exact decorrelation of the output comes from
+    // the closed-form Rayleigh-Ritz rotation, not from iterating the
+    // individual eigenvectors to convergence
     Pca.projectTop2(Tables.embeddings(s, d), "vec_id", "embedding",
-        dim = 64, iters = 30)
+        dim = 64, iters = 15)
       .select(col("vec_id"), round(col("p1"), 4).as("p1_4"),
         round(col("p2"), 4).as("p2_4"))
 
