@@ -365,6 +365,33 @@ object Analytics {
       .select(col("day"), col("dn").as("n_day"), col("drift"))
   }
 
+  // ---- ks3: windowed drift, streaming-safe shape --------------------
+
+  /** Same drift statistic as ks2, restructured as the SINGLE-
+    * aggregation histogram-vector plan that Structured Streaming
+    * accepts ([[graft.streaming.EventStreams.binnedWindowDrift]] —
+    * chained aggregations and window functions are illegal on
+    * streams). Two different plans, one oracle: ks3 shares ks2's SQL
+    * dual verbatim, and AnalyticsSpec asserts batch ks3 == ks2
+    * bit-for-bit; StreamingSpec runs the same definition over a
+    * MemoryStream against its batch dual.
+    */
+  def ks3WindowedDrift(s: SparkSession, d: String): DataFrame = {
+    val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+    val nBins = 50
+    // whole-period reference CDF, exact longs -> identical doubles
+    val counts = clicks
+      .groupBy(least(floor(col("value") / 10).cast("int"), lit(nBins - 1))
+        .as("bin"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val cum = (0 until nBins).scanLeft(0L)((a, b) =>
+      a + counts.getOrElse(b, 0L)).tail
+    val refCdf = cum.map(_ / total)
+    graft.streaming.EventStreams.binnedWindowDrift(clicks, refCdf)
+  }
+
   // ---- nrm1: per-group z-score normalization ------------------------
 
   /** Z-score normalization of the metric within its group — the
@@ -499,7 +526,8 @@ object Analytics {
     "ks2_daily_drift" -> (ks2DailyDrift _),
     "sub1_trigram_search" -> (sub1TrigramSearch _),
     "mmr1_diversified" -> (mmr1Diversified _),
-    "pca2_top2_map" -> (pca2Top2Map _))
+    "pca2_top2_map" -> (pca2Top2Map _),
+    "ks3_windowed_drift" -> (ks3WindowedDrift _))
 
   val oracles: Map[String, String] = Map(
     "ent1_word_entropy" ->
@@ -724,7 +752,18 @@ object Analytics {
                 round(w2, 6) AS w2_6, n,
                 round(sqrt(sse / n), 6) AS rmse6
          FROM fit""",
-    "ks2_daily_drift" ->
+    "ks2_daily_drift" -> dailyDriftOracle,
+    // ks3 computes the SAME statistic through the streaming-legal
+    // single-aggregation plan — one oracle serves both formulations
+    "ks3_windowed_drift" -> dailyDriftOracle,
+    "sub1_trigram_search" ->
+      """SELECT doc_id,
+                CAST((length(text) -
+                      length(replace(text, 'vector', ''))) / 6 AS INT)
+                  AS n_occurrences
+         FROM documents WHERE contains(text, 'vector')""")
+
+  private lazy val dailyDriftOracle: String =
       """WITH clicks AS (
            SELECT CAST(ts AS DATE) AS day,
                   CAST(floor(value / 10) AS INT) AS bin
@@ -744,11 +783,5 @@ object Analytics {
          SELECT day, CAST(dn AS BIGINT) AS n_day,
                 round(max(abs(CAST(dcum AS DOUBLE) / dn - ref_cdf)), 9)
                   AS drift
-         FROM grid GROUP BY day, dn""",
-    "sub1_trigram_search" ->
-      """SELECT doc_id,
-                CAST((length(text) -
-                      length(replace(text, 'vector', ''))) / 6 AS INT)
-                  AS n_occurrences
-         FROM documents WHERE contains(text, 'vector')""")
+         FROM grid GROUP BY day, dn"""
 }

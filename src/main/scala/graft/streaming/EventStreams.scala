@@ -57,6 +57,44 @@ object EventStreams {
                                   k: Int = 8): DataFrame =
     windowHeavyHitters(events.withWatermark("ts", "2 hours"), window_, k)
 
+  /** Per-window binned-CDF drift against a STATIC reference CDF — the
+    * streaming data-drift gate. The whole statistic is ONE aggregation
+    * (bin counts as a fixed-width conditional-sum vector) plus pure
+    * array projections (running sums via higher-order functions, sup
+    * against the broadcast reference literal), because streaming
+    * forbids chained aggregations and window functions — the shape is
+    * dictated by the execution model, and the SAME definition runs in
+    * batch, where ks2's join+window formulation must produce
+    * bit-identical drift values (AnalyticsSpec asserts it).
+    * Reference CDF = one double per bin (bin = floor(value/10),
+    * clamped to the grid); state per window is O(nBins).
+    */
+  def binnedWindowDrift(events: DataFrame, refCdf: Seq[Double],
+                        window_ : String = "1 day"): DataFrame = {
+    val nBins = refCdf.length
+    val bin = least(floor(col("value") / 10).cast("int"), lit(nBins - 1))
+    val binned = events.withColumn("__bin", bin)
+    val hist = array((0 until nBins).map(b =>
+      sum(when(col("__bin") === b, 1L).otherwise(0L))): _*)
+    binned
+      .groupBy(window(col("ts"), window_).as("w"))
+      .agg(count(lit(1)).as("n_day"), hist.as("__hist"))
+      .withColumn("__cum", transform(sequence(lit(1), lit(nBins)),
+        i => aggregate(slice(col("__hist"), lit(1), i), lit(0L),
+          (a, x) => a + x)))
+      .select(col("w.start").cast("date").as("day"), col("n_day"),
+        round(array_max(zip_with(col("__cum"), typedLit(refCdf),
+          (c, r) => abs(c.cast("double") / col("n_day") - r))), 9)
+          .as("drift"))
+  }
+
+  /** Streaming wiring for [[binnedWindowDrift]]: watermarked so closed
+    * windows emit exactly once in append mode.
+    */
+  def streamingBinnedDrift(events: DataFrame, refCdf: Seq[Double],
+                           window_ : String = "1 day"): DataFrame =
+    binnedWindowDrift(events.withWatermark("ts", "2 days"), refCdf, window_)
+
   /** Sliding 1h/30m windows. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

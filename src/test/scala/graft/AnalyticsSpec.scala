@@ -269,6 +269,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(v1 >= v2 - 1e-9)
   }
 
+  test("ks3: streaming-shape histogram plan == ks2's join+window plan, " +
+       "bit for bit") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDate(0).toString, r.getLong(1), r.getDouble(2))
+    val ks2 = Analytics.ks2DailyDrift(spark, sf).collect().map(key).toSet
+    val ks3 = Analytics.ks3WindowedDrift(spark, sf).collect().map(key).toSet
+    assert(ks3 === ks2)
+    assert(ks3.nonEmpty)
+  }
+
   test("reg1: slope/intercept match closed-form least squares locally") {
     val pts = Tables.events(spark, sf)
       .select(col("event_type"),

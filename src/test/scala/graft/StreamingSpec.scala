@@ -87,6 +87,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(t => t._3 == 2L && t._4 == 2L))
   }
 
+  test("streaming binned drift gate over MemoryStream equals the batch dual") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // fixed reference CDF over 5 bins of width 10 (values 0..49);
+    // events span two day windows, arriving out of event-time order
+    val refCdf = Seq(0.2, 0.5, 0.7, 0.9, 1.0)
+    val data = Seq(
+      Event(ts(60), 1L, "click", 5.0), Event(ts(1), 1L, "click", 15.0),
+      Event(ts(30), 2L, "click", 45.0), Event(ts(90), 3L, "click", 25.0),
+      Event(ts(24 * 60 + 10), 1L, "click", 35.0),
+      Event(ts(24 * 60 + 5), 2L, "click", 8.0),
+      Event(ts(24 * 60 + 90), 2L, "click", 49.0))
+    mem.addData(data: _*)
+    val q = EventStreams.streamingBinnedDrift(mem.toDF(), refCdf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("drift_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDate(0).toString, r.getLong(1), r.getDouble(2))
+    val streamed = spark.table("drift_out").collect().map(key).toSet
+    val batch = EventStreams.binnedWindowDrift(data.toDF(), refCdf)
+      .collect().map(key).toSet
+    assert(streamed === batch) // ONE definition serves both engines
+    assert(streamed.size === 2) // two day windows
+    streamed.foreach { case (_, n, drift) =>
+      assert(n > 0 && drift >= 0.0 && drift <= 1.0)
+    }
+  }
+
   test("stream-stream interval join over MemoryStreams equals the batch dual") {
     implicit val sqlCtx = spark.sqlContext
     val clickData = Seq(
