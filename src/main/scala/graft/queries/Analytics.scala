@@ -508,6 +508,60 @@ object Analytics {
       .select(col("vec_id"), round(col("p1"), 4).as("p1_4"),
         round(col("p2"), 4).as("p2_4"))
 
+  // ---- w5: winsorized robust mean -----------------------------------
+
+  /** Winsorization: clip the metric to its group's [p05, p95] band
+    * before averaging — the outlier-robust mean every metrics pipeline
+    * reaches for. Exact interpolated percentiles (a15's cross-engine
+    * contract) broadcast back over the row stream; clipped values are
+    * rounded then DECIMAL-summed so the combine order can't move a
+    * digit. One scan + a 5-group aggregate.
+    */
+  def w5Winsorize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val stats = broadcast(ev.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.05)").as("lo"),
+      expr("percentile(value, 0.95)").as("hi")))
+    ev.join(stats, "event_type")
+      .withColumn("__w",
+        round(least(greatest(col("value"), col("lo")), col("hi")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__w")).cast("double") / count(lit(1)))
+          .as("winsorized_mean"))
+  }
+
+  // ---- tw1: time-weighted average -----------------------------------
+
+  /** Time-weighted mean of the metric per user: each observation is
+    * weighted by how long it was "current" (milliseconds until the
+    * user's next event; the open-ended last observation drops out) —
+    * the correct average for irregularly-sampled state. Durations are
+    * exact integer millis (floored identically on both engines),
+    * products exact DECIMALs whose SCALED magnitude stays under 2^53:
+    * that bound is load-bearing — above it, a decimal->double cast is
+    * no longer exact and DuckDB's int128-then-divide path double-
+    * rounds where the JVM's BigDecimal rounds once (observed: last-ulp
+    * mismatches with microsecond weights at 1e16 scaled units). One
+    * window pass on the user key, one partial-aggregating shuffle.
+    */
+  def tw1TimeWeighted(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("__next", lead(col("ts"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .withColumn("__dur", expr(
+        "(unix_micros(__next) - unix_micros(ts)) div 1000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        (sum(col("value").cast("decimal(18,2)") *
+            col("__dur").cast("decimal(18,0)"))
+          .cast("double") /
+          sum(col("__dur")).cast("double")).as("tw_mean"))
+  }
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -527,7 +581,9 @@ object Analytics {
     "sub1_trigram_search" -> (sub1TrigramSearch _),
     "mmr1_diversified" -> (mmr1Diversified _),
     "pca2_top2_map" -> (pca2Top2Map _),
-    "ks3_windowed_drift" -> (ks3WindowedDrift _))
+    "ks3_windowed_drift" -> (ks3WindowedDrift _),
+    "w5_winsorize" -> (w5Winsorize _),
+    "tw1_time_weighted" -> (tw1TimeWeighted _))
 
   val oracles: Map[String, String] = Map(
     "ent1_word_entropy" ->
@@ -761,7 +817,34 @@ object Analytics {
                 CAST((length(text) -
                       length(replace(text, 'vector', ''))) / 6 AS INT)
                   AS n_occurrences
-         FROM documents WHERE contains(text, 'vector')""")
+         FROM documents WHERE contains(text, 'vector')""",
+    "w5_winsorize" ->
+      """WITH st AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.05) AS lo,
+                  quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY event_type)
+         SELECT event_type, count(*) AS n,
+                CAST(SUM(CAST(round(least(greatest(value, lo), hi), 6)
+                  AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                  AS winsorized_mean
+         FROM events JOIN st USING (event_type)
+         GROUP BY event_type""",
+    "tw1_time_weighted" ->
+      """WITH x AS (
+           SELECT user_id, value,
+                  (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id)) - epoch_us(ts)) // 1000
+                    AS dur,
+                  lead(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+           FROM events)
+         SELECT user_id, count(*) AS n_intervals,
+                CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+                  CAST(dur AS DECIMAL(18,0))) AS DOUBLE) /
+                CAST(SUM(dur) AS DOUBLE) AS tw_mean
+         FROM x WHERE nxt IS NOT NULL
+         GROUP BY user_id""")
 
   private lazy val dailyDriftOracle: String =
       """WITH clicks AS (

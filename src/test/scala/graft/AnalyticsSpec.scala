@@ -279,6 +279,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(ks3.nonEmpty)
   }
 
+  test("w5: winsorized mean lies between trimmed bounds and differs " +
+       "from raw mean only inside the clip band") {
+    val raw = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(min(col("value")).as("lo"),
+        max(col("value")).as("hi")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = Analytics.w5Winsorize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (g, m) = (r.getString(0), r.getDouble(2))
+      val (lo, hi) = raw(g)
+      assert(m >= lo && m <= hi, s"winsorized mean $m outside [$lo,$hi]")
+    }
+  }
+
+  test("tw1: time-weighted mean is a convex combination of the user's values") {
+    val vals = Tables.events(spark, sf)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+    val rows = Analytics.tw1TimeWeighted(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (u, m) = (r.getLong(0), r.getDouble(2))
+      val vs = vals(u)
+      assert(m >= vs.min - 1e-9 && m <= vs.max + 1e-9,
+        s"user $u tw mean $m outside [${vs.min},${vs.max}]")
+    }
+  }
+
   test("reg1: slope/intercept match closed-form least squares locally") {
     val pts = Tables.events(spark, sf)
       .select(col("event_type"),
