@@ -259,6 +259,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("z-score normalization broadcasts the group stats — the row " +
+      "stream never shuffles for the join") {
+    val plan = executedPlan(graft.queries.Analytics.nrm1Zscore(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("rank fusion: both system rankings reduce via TakeOrdered, " +
+      "not a global sort") {
+    val plan = executedPlan(
+      graft.queries.Analytics.rrf1RankFusion(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("in-plan OLS is a single pair of aggregates — no join, no window") {
+    val plan = executedPlan(graft.queries.Analytics.reg2Multireg(spark, sf))
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("WindowExec"), plan)
+    // the Cramer solve is pure projection over the 1-row moment agg;
+    // the only joins are the broadcast of that row back onto the scan
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("trigram substring search: candidate set joins back by broadcast") {
+    val plan = executedPlan(
+      graft.queries.Analytics.sub1TrigramSearch(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("native vector expressions stay inside whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
