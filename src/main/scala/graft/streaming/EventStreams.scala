@@ -57,6 +57,30 @@ object EventStreams {
                                   k: Int = 8): DataFrame =
     windowHeavyHitters(events.withWatermark("ts", "2 hours"), window_, k)
 
+  /** Approximate distinct users per tumbling window via the
+    * Datasketches HLL aggregate — the third member of the
+    * sketch-as-state family (with [[windowHeavyHitters]]'s Misra-Gries
+    * and the drift gate's histogram vector): per-window state is the
+    * KB-bounded sketch, never the user set, so unbounded-cardinality
+    * windows stream in O(sketch) memory. In the sparse regime (below
+    * the dense-mode threshold) the estimate is EXACT, which is what
+    * the spec uses to pin stream == batch == true count.
+    */
+  def windowApproxDistinct(events: DataFrame,
+                           window_ : String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14)))
+          .as("n_users_est"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("n_users_est"))
+
+  /** Streaming wiring for [[windowApproxDistinct]]. */
+  def streamingWindowApproxDistinct(events: DataFrame,
+                                    window_ : String = "1 hour"): DataFrame =
+    windowApproxDistinct(events.withWatermark("ts", "2 hours"), window_)
+
   /** Per-window binned-CDF drift against a STATIC reference CDF — the
     * streaming data-drift gate. The whole statistic is ONE aggregation
     * (bin counts as a fixed-width conditional-sum vector) plus pure

@@ -87,6 +87,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(t => t._3 == 2L && t._4 == 2L))
   }
 
+  test("streaming windowed HLL distinct over MemoryStream equals the " +
+       "batch dual and the exact count (sparse regime)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val data = Seq(
+      Event(ts(1), 1L, "click", 1.0), Event(ts(2), 2L, "click", 1.0),
+      Event(ts(3), 1L, "click", 1.0), Event(ts(50), 3L, "click", 1.0),
+      Event(ts(10), 9L, "view", 1.0),
+      Event(ts(70), 4L, "click", 1.0), Event(ts(80), 4L, "click", 1.0),
+      Event(ts(95), 5L, "click", 1.0))
+    mem.addData(data: _*)
+    val q = EventStreams.streamingWindowApproxDistinct(mem.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("hll_out").collect().map(key).toSet
+    val batch = EventStreams.windowApproxDistinct(data.toDF())
+      .collect().map(key).toSet
+    assert(streamed === batch) // ONE definition serves both engines
+    // sparse-regime HLL is exact: the first click hour has users
+    // {1, 2} over 3 events, the second {3, 4, 5} over 4
+    val clicks = streamed.filter(_._2 == "click")
+      .map(t => (t._3, t._4))
+    assert(clicks === Set((3L, 2L), (4L, 3L)), streamed)
+  }
+
   test("streaming binned drift gate over MemoryStream equals the batch dual") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
