@@ -562,6 +562,37 @@ object Analytics {
           sum(col("__dur")).cast("double")).as("tw_mean"))
   }
 
+  // ---- ab1: two-proportion z-test -----------------------------------
+
+  /** A/B-test primitive: the pooled two-proportion z statistic between
+    * two slices ("conversion" = value > 100, click vs view). Every
+    * term is a rational of exact counts, so the statistic is
+    * bit-identical cross-engine with no rounding discipline needed.
+    * One tiny aggregation; the row stream is touched once.
+    */
+  def ab1TwoProportion(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+    val agg = ev.agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("event_type") === "click" && col("value") > 100, 1L)
+        .otherwise(0L)).as("x1"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"),
+      sum(when(col("event_type") === "view" && col("value") > 100, 1L)
+        .otherwise(0L)).as("x2"))
+    val (n1, x1, n2, x2) =
+      (col("n1").cast("double"), col("x1").cast("double"),
+        col("n2").cast("double"), col("x2").cast("double"))
+    val p1 = x1 / n1
+    val p2 = x2 / n2
+    val pp = (x1 + x2) / (n1 + n2)
+    agg.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      p1.as("p1"), p2.as("p2"),
+      ((p1 - p2) /
+        sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2)))
+        .as("z_stat"))
+  }
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -583,7 +614,8 @@ object Analytics {
     "pca2_top2_map" -> (pca2Top2Map _),
     "ks3_windowed_drift" -> (ks3WindowedDrift _),
     "w5_winsorize" -> (w5Winsorize _),
-    "tw1_time_weighted" -> (tw1TimeWeighted _))
+    "tw1_time_weighted" -> (tw1TimeWeighted _),
+    "ab1_two_proportion" -> (ab1TwoProportion _))
 
   val oracles: Map[String, String] = Map(
     "ent1_word_entropy" ->
@@ -844,7 +876,25 @@ object Analytics {
                   CAST(dur AS DECIMAL(18,0))) AS DOUBLE) /
                 CAST(SUM(dur) AS DOUBLE) AS tw_mean
          FROM x WHERE nxt IS NOT NULL
-         GROUP BY user_id""")
+         GROUP BY user_id""",
+    "ab1_two_proportion" ->
+      """WITH a AS (
+           SELECT
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE event_type = 'click'
+               AND value > 100) AS BIGINT) AS x1,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n2,
+             CAST(count(*) FILTER (WHERE event_type = 'view'
+               AND value > 100) AS BIGINT) AS x2
+           FROM events WHERE event_type IN ('click', 'view'))
+         SELECT n1, x1, n2, x2,
+                CAST(x1 AS DOUBLE) / n1 AS p1,
+                CAST(x2 AS DOUBLE) / n2 AS p2,
+                (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2) /
+                  sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) *
+                       (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) *
+                       (1.0 / n1 + 1.0 / n2)) AS z_stat
+         FROM a""")
 
   private lazy val dailyDriftOracle: String =
       """WITH clicks AS (
