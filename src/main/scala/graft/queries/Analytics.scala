@@ -593,6 +593,92 @@ object Analytics {
         .as("z_stat"))
   }
 
+  // ---- mk1: behavioral transition matrix ----------------------------
+
+  /** Per-corpus Markov transition statistics over user event
+    * sequences: P(next event type | current), from lead-window bigrams
+    * ordered by (ts, event_id) within each user. Counts are exact;
+    * probabilities are rationals of counts. One window pass on the
+    * user key + one grouped count — the sequence-mining shape that
+    * scales as the event stream, not as users².
+    */
+  def mk1MarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bigrams = Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val fromCnt = bigrams.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_from"))
+    bigrams.groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_pair"))
+      .join(broadcast(fromCnt), "event_type")
+      .select(col("event_type"), col("next_type"), col("n_pair"),
+        col("n_from"),
+        (col("n_pair").cast("double") / col("n_from")).as("p_next"))
+  }
+
+  // ---- rfm1: RFM customer scoring -----------------------------------
+
+  /** RFM (recency / frequency / monetary) scoring: per user, days
+    * since last purchase, purchase count, and exact-decimal spend,
+    * each quartiled into a 1-4 score by ntile over deterministic
+    * orderings (w4's rank-derived-stat contract). The aggregate is one
+    * user-key shuffle; the three ntile windows run over the 1-row-per-
+    * user aggregate, not the event stream.
+    */
+  def rfm1RfmScores(s: SparkSession, d: String): DataFrame = {
+    val ref = to_date(lit("2024-02-01"))
+    val per = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(datediff(ref, max(col("ts")).cast("date")).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+    def q(c: String, asc: Boolean) = ntile(4).over(
+      if (asc) Window.orderBy(col(c).asc, col("user_id"))
+      else Window.orderBy(col(c).desc, col("user_id")))
+    per.select(col("user_id"), col("recency_days"), col("frequency"),
+      col("monetary"),
+      q("recency_days", asc = true).as("r_score"),
+      q("frequency", asc = false).as("f_score"),
+      q("monetary", asc = false).as("m_score"))
+  }
+
+  // ---- chi1: chi-square independence --------------------------------
+
+  /** Chi-square test of independence over the (event_type x
+    * value-band) contingency table: expected cells from the marginals,
+    * the statistic as a DECIMAL sum of per-cell rationals rounded at 9
+    * (cells are few; the rounding only guards combine order). Two
+    * grouped counts + a broadcast join of 3-row marginals.
+    */
+  def chi1ChisqIndependence(s: SparkSession, d: String): DataFrame = {
+    val banded = Tables.events(s, d)
+      .select(col("event_type"),
+        when(col("value") < 50, "low")
+          .when(col("value") < 200, "mid")
+          .otherwise("high").as("band"))
+    val cells = banded.groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("o"))
+    val rowM = banded.groupBy(col("event_type")).agg(count(lit(1)).as("nr"))
+    val colM = banded.groupBy(col("band")).agg(count(lit(1)).as("nc"))
+    val tot = broadcast(banded.agg(count(lit(1)).as("n")))
+    cells.join(broadcast(rowM), "event_type")
+      .join(broadcast(colM), "band").crossJoin(tot)
+      .select(
+        round((col("o").cast("double") -
+          col("nr").cast("double") * col("nc") / col("n")) *
+          (col("o").cast("double") -
+            col("nr").cast("double") * col("nc") / col("n")) /
+          (col("nr").cast("double") * col("nc") / col("n")), 9)
+          .cast("decimal(18,9)").as("term"),
+        lit(1L).as("one"))
+      .agg(count(col("one")).as("n_cells"),
+        sum(col("term")).cast("double").as("chi_sq"))
+  }
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -615,7 +701,10 @@ object Analytics {
     "ks3_windowed_drift" -> (ks3WindowedDrift _),
     "w5_winsorize" -> (w5Winsorize _),
     "tw1_time_weighted" -> (tw1TimeWeighted _),
-    "ab1_two_proportion" -> (ab1TwoProportion _))
+    "ab1_two_proportion" -> (ab1TwoProportion _),
+    "mk1_markov_transitions" -> (mk1MarkovTransitions _),
+    "rfm1_rfm_scores" -> (rfm1RfmScores _),
+    "chi1_chisq_independence" -> (chi1ChisqIndependence _))
 
   val oracles: Map[String, String] = Map(
     "ent1_word_entropy" ->
@@ -894,7 +983,60 @@ object Analytics {
                   sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) *
                        (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2)) *
                        (1.0 / n1 + 1.0 / n2)) AS z_stat
-         FROM a""")
+         FROM a""",
+    "mk1_markov_transitions" ->
+      """WITH b AS (
+           SELECT event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS next_type
+           FROM events),
+         bg AS (SELECT * FROM b WHERE next_type IS NOT NULL),
+         f AS (SELECT event_type, count(*) AS n_from FROM bg GROUP BY 1)
+         SELECT event_type, next_type, count(*) AS n_pair,
+                CAST(n_from AS BIGINT) AS n_from,
+                CAST(count(*) AS DOUBLE) / n_from AS p_next
+         FROM bg JOIN f USING (event_type)
+         GROUP BY event_type, next_type, n_from""",
+    "rfm1_rfm_scores" ->
+      """WITH per AS (
+           SELECT user_id,
+                  date_diff('day', CAST(max(ts) AS DATE),
+                            DATE '2024-02-01') AS recency_days,
+                  count(*) AS frequency,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                    AS monetary
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+         SELECT user_id, CAST(recency_days AS INT) AS recency_days,
+                frequency, monetary,
+                CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id)
+                  AS INT) AS r_score,
+                CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id)
+                  AS INT) AS f_score,
+                CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id)
+                  AS INT) AS m_score
+         FROM per""",
+    "chi1_chisq_independence" ->
+      """WITH banded AS (
+           SELECT event_type,
+                  CASE WHEN value < 50 THEN 'low'
+                       WHEN value < 200 THEN 'mid'
+                       ELSE 'high' END AS band
+           FROM events),
+         cells AS (SELECT event_type, band, count(*) AS o
+                   FROM banded GROUP BY 1, 2),
+         rm AS (SELECT event_type, count(*) AS nr FROM banded GROUP BY 1),
+         cm AS (SELECT band, count(*) AS nc FROM banded GROUP BY 1),
+         t AS (SELECT count(*) AS n FROM banded),
+         terms AS (
+           SELECT CAST(round(
+                    (CAST(o AS DOUBLE) - CAST(nr AS DOUBLE) * nc / n) *
+                    (CAST(o AS DOUBLE) - CAST(nr AS DOUBLE) * nc / n) /
+                    (CAST(nr AS DOUBLE) * nc / n), 9)
+                  AS DECIMAL(18,9)) AS term
+           FROM cells JOIN rm USING (event_type) JOIN cm USING (band), t)
+         SELECT count(*) AS n_cells,
+                CAST(SUM(term) AS DOUBLE) AS chi_sq
+         FROM terms""")
 
   private lazy val dailyDriftOracle: String =
       """WITH clicks AS (

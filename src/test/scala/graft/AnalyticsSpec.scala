@@ -309,6 +309,36 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("mk1: transition probabilities sum to 1 per source state") {
+    val rows = Analytics.mk1MarkovTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (from, ps) =>
+      val s = ps.map(_._2).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"P(.|$from) sums to $s")
+    }
+  }
+
+  test("rfm1: quartile scores span 1..4 and recency/monetary are sane") {
+    val rows = Analytics.rfm1RfmScores(spark, sf).collect()
+    assert(rows.nonEmpty)
+    Seq(4, 5, 6).foreach { i =>
+      val scores = rows.map(_.getInt(i)).toSet
+      assert(scores.subsetOf(Set(1, 2, 3, 4)), s"col $i scores $scores")
+      assert(scores.contains(1) && scores.contains(4))
+    }
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0, "recency before the reference date")
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("chi1: statistic non-negative, cell count = |types| x |bands|") {
+    val r = Analytics.chi1ChisqIndependence(spark, sf).head()
+    assert(r.getLong(0) <= 15, "more cells than 5 types x 3 bands")
+    assert(r.getDouble(1) >= 0.0)
+  }
+
   test("reg1: slope/intercept match closed-form least squares locally") {
     val pts = Tables.events(spark, sf)
       .select(col("event_type"),
