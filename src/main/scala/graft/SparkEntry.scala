@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Flagship.queries ++
       graft.queries.Relational.queries ++
       graft.queries.Extensions.queries ++
-      graft.queries.Analytics.queries
+      graft.queries.Analytics.queries ++
+      graft.queries.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.Flagship.oracles ++
       graft.queries.Relational.oracles ++
       graft.queries.Extensions.oracles ++
-      graft.queries.Analytics.oracles
+      graft.queries.Analytics.oracles ++
+      graft.queries.Advanced.oracles
 }
