@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Relational.queries ++
       graft.queries.Extensions.queries ++
       graft.queries.Analytics.queries ++
-      graft.queries.Advanced.queries
+      graft.queries.Advanced.queries ++
+      graft.queries.Mining.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.Relational.oracles ++
       graft.queries.Extensions.oracles ++
       graft.queries.Analytics.oracles ++
-      graft.queries.Advanced.oracles
+      graft.queries.Advanced.oracles ++
+      graft.queries.Mining.oracles
 }

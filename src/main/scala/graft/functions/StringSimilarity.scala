@@ -43,9 +43,15 @@ case class JaroWinkler(left: Expression, right: Expression)
       a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Call the object's static-forwarder mirror class: the `object`
+    // compiles to `StringSimilarity$` (instance under MODULE$) plus a
+    // mirror class `StringSimilarity` whose members are plain statics —
+    // Janino resolves only the latter (referencing MODULE$ on the
+    // mirror class fails to compile and silently drops the whole stage
+    // to the interpreted path).
     val helper = StringSimilarity.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = $helper.MODULE$$.jaroWinkler($a, $b);")
+      s"${ev.value} = $helper.jaroWinkler($a, $b);")
   }
 
   override protected def withNewChildrenInternal(
