@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Extensions.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.Advanced.queries ++
-      graft.queries.Mining.queries
+      graft.queries.Mining.queries ++
+      graft.queries.Mining2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.Extensions.oracles ++
       graft.queries.Analytics.oracles ++
       graft.queries.Advanced.oracles ++
-      graft.queries.Mining.oracles
+      graft.queries.Mining.oracles ++
+      graft.queries.Mining2.oracles
 }

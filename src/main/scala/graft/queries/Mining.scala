@@ -153,25 +153,46 @@ object Mining {
     * sizes ride along from a shuffle-free projection.
     */
   def dd13Containment(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("shs"))
-    val sizes = docs.select(col("doc_id"),
-      size(array_distinct(col("shs"))).as("n_grams"))
-    val grams = docs.select(col("doc_id"),
-      explode(array_distinct(col("shs"))).as("gram"))
-    val total = docs.select(count(lit(1)).as("n_docs"))
-    val kept = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    // stage tokens as their own column BEFORE shingling (the HOF
+    // lambda re-evaluates captured subexpressions once per element —
+    // the Dedup scaladoc trap), build the gram frame ONCE, and
+    // truncate it: four consumers (sizes, corpus total, df cap,
+    // posting join x2) would otherwise each re-run the shingle build.
+    // Grams shuffle as 8-byte xxhash64 codes, never as strings — the
+    // dd7/dd12 digest trick (a 64-bit collision over the gram
+    // vocabulary is ~n²/2⁶⁵; the oracle joins on the gram text itself,
+    // so a collision would FAIL the gate, not hide).
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        array_distinct(Dedup.wordShinglesFromTokens(col("ts"), 3)).as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .localCheckpoint(true)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val total = sizes.agg(count(lit(1)).as("n_docs"))
+    val kept = grams.groupBy("gh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(total))
       .filter(col("df").cast("double") <= col("n_docs") * 0.05)
-      .select("gram")
-    val posted = grams.join(kept, Seq("gram"), "left_semi")
-    val inter = posted.select(col("gram"), col("doc_id").as("id_a"))
-      .join(posted.select(col("gram"), col("doc_id").as("id_b")), "gram")
-      .filter(col("id_a") =!= col("id_b"))
+      .select("gh")
+    val posted = grams.join(kept, Seq("gh"), "left_semi")
+      .localCheckpoint(true)
+    // intersections count once per UNORDERED pair (id_a < id_b halves
+    // the join output and the aggregate); directions fan out after,
+    // on the tiny pair table
+    val inter = posted.select(col("gh"), col("doc_id").as("id_a"))
+      .join(posted.select(col("gh"), col("doc_id").as("id_b")), "gh")
+      .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("id_a"),
-        col("n_grams").as("n_a"))), "id_a")
+    val both = inter.select(col("id_a"), col("id_b"), col("n_inter"))
+      .unionAll(inter.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b"), col("n_inter")))
+    // sizes joins stay plain equi-joins: at corpus scale the doc-size
+    // frame is |docs|-sized — not a broadcastable dimension (AQE may
+    // still elect to broadcast at test SFs)
+    both
+      .join(sizes.select(col("doc_id").as("id_a"),
+        col("n_grams").as("n_a")), "id_a")
       .filter(col("n_a") >= 10)
       .withColumn("containment6",
         round(col("n_inter").cast("double") / col("n_a"), 6))
