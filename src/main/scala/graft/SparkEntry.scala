@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Analytics.queries ++
       graft.queries.Advanced.queries ++
       graft.queries.Mining.queries ++
-      graft.queries.Mining2.queries
+      graft.queries.Mining2.queries ++
+      graft.queries.Mining3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Analytics.oracles ++
       graft.queries.Advanced.oracles ++
       graft.queries.Mining.oracles ++
-      graft.queries.Mining2.oracles
+      graft.queries.Mining2.oracles ++
+      graft.queries.Mining3.oracles
 }
