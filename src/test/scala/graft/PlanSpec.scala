@@ -302,4 +302,50 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("*(") && l.contains("Filter")), plan)
   }
+
+  test("t15/msk1 corpus hygiene are pure projections: ZERO Exchange") {
+    val p1 = executedPlan(graft.queries.Mining.t15WordDedup(spark, sf))
+    assert(!p1.contains("Exchange"), p1)
+    val p2 = executedPlan(graft.queries.Mining.msk1TokenMask(spark, sf))
+    assert(!p2.contains("Exchange"), p2)
+  }
+
+  test("rec1 co-occurrence: no lineitem self-join — pairs explode within the basket row; item counts broadcast") {
+    val plan = executedPlan(graft.queries.Mining.rec1ItemCooc(spark, sf))
+    // two Generate nodes (the two explodes), no SortMergeJoin anywhere
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("bs1 bootstrap: all 32 replicates in ONE aggregate pass — no explode, single scan, no join") {
+    val plan = executedPlan(graft.queries.Mining.bs1BootstrapCi(spark, sf))
+      .split("Initial Plan")(0) // assert on the AQE-final section only
+    assert(!plan.contains("Generate"), plan) // no B-fold row blow-up
+    assert(!plan.contains("Join"), plan)
+    // one scan of orders
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+  }
+
+  test("seq1 sequence mining: lead windows partition per user — no partition-less window") {
+    val plan = graft.queries.Mining2.seq1EventTrigrams(spark, sf)
+      .queryExecution.sparkPlan.toString
+    // physical Window prints [exprs], [partitionSpec], [orderSpec] —
+    // the partition spec must name the user key
+    val win = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(win.nonEmpty, plan)
+    assert(win.forall(_.matches(""".*Window \[.*\], \[user_id#\d+L\],.*""")), plan)
+  }
+
+  test("dbs1 grid density: cell counts join back broadcast; one shuffle for the cell aggregate") {
+    val plan = executedPlan(graft.queries.Mining2.dbs1GridDensity(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("imp1 imputation: medians broadcast back over the stream; the event scan never shuffles for the lookup") {
+    val plan = executedPlan(graft.queries.Mining3.imp1MedianImpute(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
