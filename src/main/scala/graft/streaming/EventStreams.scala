@@ -233,6 +233,43 @@ object EventStreams {
       }
   }
 
+  // ---- streaming sequence mining: contiguous trigrams with carry ----
+  final case class SeqEvent(ts: Timestamp, event_id: Long, user_id: Long,
+      event_type: String)
+  final case class SeqCarry(s1: String, s2: String, n: Int)
+  final case class Trigram(user_id: Long, e1: String, e2: String, e3: String)
+
+  /** Streaming dual of the batch contiguous-trigram miner
+    * ([[graft.queries.Mining2.seq1EventTrigrams]]): per-user state is
+    * ONLY the last two event types (O(1) per key — the minimal carry
+    * for a width-3 pattern window), and each arriving event closes at
+    * most one trigram. Events are ordered (ts, event_id) within each
+    * micro-batch; ACROSS batches the per-key stream must arrive in
+    * event-time order (the Kafka-partitioned-by-user contract) — the
+    * same assumption every per-key log consumer makes. Downstream
+    * pattern counting is then the ordinary windowed/global aggregate
+    * over the emitted trigram stream.
+    */
+  def streamingEventTrigrams(
+      spark: SparkSession,
+      events: Dataset[SeqEvent]): Dataset[Trigram] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqCarry, Trigram](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[SeqEvent], state: GroupState[SeqCarry]) =>
+          var c = state.getOption.getOrElse(SeqCarry("", "", 0))
+          val out = collection.mutable.ArrayBuffer.empty[Trigram]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (c.n == 2) out += Trigram(uid, c.s1, c.s2, e.event_type)
+            c = SeqCarry(if (c.n >= 1) c.s2 else e.event_type,
+              e.event_type, math.min(c.n + 1, 2))
+          }
+          state.update(c)
+          out.iterator
+      }
+  }
+
   final case class SessionState(start: Long, lastTs: Long, n: Long,
       total: Double)
   final case class ClosedSession(user_id: Long, session_start: Timestamp,

@@ -581,4 +581,37 @@ class StreamingSpec extends SparkSpec {
     assert(out(1L) === ((2L, 3.0)))
     assert(out(2L) === ((1L, 5.0)))
   }
+
+  test("streaming trigram miner == driver sliding replay across batch splits; O(1) carry") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{SeqEvent, Trigram}
+    // two users, interleaved types, split mid-stream (per-key in-order
+    // arrival across batches — the documented contract)
+    val all = Seq(
+      SeqEvent(ts(0), 1L, 1L, "click"), SeqEvent(ts(1), 2L, 1L, "view"),
+      SeqEvent(ts(2), 3L, 2L, "click"), SeqEvent(ts(3), 4L, 1L, "click"),
+      SeqEvent(ts(4), 5L, 1L, "purchase"), SeqEvent(ts(5), 6L, 2L, "view"),
+      SeqEvent(ts(6), 7L, 2L, "error"), SeqEvent(ts(7), 8L, 1L, "view"),
+      SeqEvent(ts(8), 9L, 2L, "click"))
+    val mem = MemoryStream[SeqEvent]
+    mem.addData(all.take(4): _*) // batch 1
+    mem.addData(all.drop(4): _*) // batch 2 — trigrams must span the cut
+    val q = graft.streaming.EventStreams
+      .streamingEventTrigrams(spark, mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trigram_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("trigram_out").as[Trigram].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val expected = all.groupBy(_.user_id).toSeq.flatMap { case (uid, evs) =>
+      evs.sortBy(e => (e.ts.getTime, e.event_id)).map(_.event_type)
+        .sliding(3).filter(_.length == 3)
+        .map(w => Trigram(uid, w(0), w(1), w(2)))
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(streamed === expected)
+    // trigrams that span the batch cut exist (the carry is exercised)
+    assert(streamed.keys.exists(t => t.user_id == 1L && t.e3 == "purchase"))
+  }
 }
