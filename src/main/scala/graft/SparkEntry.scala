@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Advanced.queries ++
       graft.queries.Mining.queries ++
       graft.queries.Mining2.queries ++
-      graft.queries.Mining3.queries
+      graft.queries.Mining3.queries ++
+      graft.queries.Eval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Advanced.oracles ++
       graft.queries.Mining.oracles ++
       graft.queries.Mining2.oracles ++
-      graft.queries.Mining3.oracles
+      graft.queries.Mining3.oracles ++
+      graft.queries.Eval.oracles
 }
