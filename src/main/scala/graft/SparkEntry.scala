@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Mining.queries ++
       graft.queries.Mining2.queries ++
       graft.queries.Mining3.queries ++
-      graft.queries.Eval.queries
+      graft.queries.Eval.queries ++
+      graft.queries.Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.Mining.oracles ++
       graft.queries.Mining2.oracles ++
       graft.queries.Mining3.oracles ++
-      graft.queries.Eval.oracles
+      graft.queries.Eval.oracles ++
+      graft.queries.Stats.oracles
 }
