@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.Mining2.queries ++
       graft.queries.Mining3.queries ++
       graft.queries.Eval.queries ++
-      graft.queries.Stats.queries
+      graft.queries.Stats.queries ++
+      graft.queries.Causal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.Mining2.oracles ++
       graft.queries.Mining3.oracles ++
       graft.queries.Eval.oracles ++
-      graft.queries.Stats.oracles
+      graft.queries.Stats.oracles ++
+      graft.queries.Causal.oracles
 }
