@@ -27,7 +27,9 @@ object SparkEntry {
       graft.queries.Mining3.queries ++
       graft.queries.Eval.queries ++
       graft.queries.Stats.queries ++
-      graft.queries.Causal.queries
+      graft.queries.Causal.queries ++
+      graft.queries.Behavior.queries ++
+      graft.queries.Diverge.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -43,5 +45,7 @@ object SparkEntry {
       graft.queries.Mining3.oracles ++
       graft.queries.Eval.oracles ++
       graft.queries.Stats.oracles ++
-      graft.queries.Causal.oracles
+      graft.queries.Causal.oracles ++
+      graft.queries.Behavior.oracles ++
+      graft.queries.Diverge.oracles
 }
