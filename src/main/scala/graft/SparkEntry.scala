@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Stats.queries ++
       graft.queries.Causal.queries ++
       graft.queries.Behavior.queries ++
-      graft.queries.Diverge.queries
+      graft.queries.Diverge.queries ++
+      graft.queries.Trend.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.Stats.oracles ++
       graft.queries.Causal.oracles ++
       graft.queries.Behavior.oracles ++
-      graft.queries.Diverge.oracles
+      graft.queries.Diverge.oracles ++
+      graft.queries.Trend.oracles
 }
