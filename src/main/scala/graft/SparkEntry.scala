@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Causal.queries ++
       graft.queries.Behavior.queries ++
       graft.queries.Diverge.queries ++
-      graft.queries.Trend.queries
+      graft.queries.Trend.queries ++
+      graft.queries.Series.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.Causal.oracles ++
       graft.queries.Behavior.oracles ++
       graft.queries.Diverge.oracles ++
-      graft.queries.Trend.oracles
+      graft.queries.Trend.oracles ++
+      graft.queries.Series.oracles
 }
