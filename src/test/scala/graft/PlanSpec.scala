@@ -348,4 +348,55 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("att1 attribution: the running-last window partitions by the user key") {
+    val plan = graft.queries.Behavior.att1LastTouch(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val win = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(win.nonEmpty, plan)
+    assert(win.forall(_.matches(""".*Window \[.*\], \[user_id#\d+L\],.*""")), plan)
+  }
+
+  test("tt1 Welch: both groups' moments come from ONE event scan — no join, no window") {
+    // sparkPlan, not executedPlan: AQE toString prints Final AND
+    // Initial plans, double-counting scans
+    val plan = graft.queries.Behavior.tt1WelchTtest(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
+  test("te1 target encoding: segment stats broadcast back; no cartesian anywhere") {
+    val plan = executedPlan(graft.queries.Behavior.te1TargetEncode(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("fc1 backtest: the 7-row seasonal table joins back broadcast") {
+    val plan = executedPlan(graft.queries.Series.fc1SeasonalBacktest(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("rol1 rolling distinct: pure fan-out + aggregates — no window, no sort-merge join") {
+    val plan = executedPlan(graft.queries.Series.rol1RollingDistinct(spark, sf))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("isl1 islands: the anchor window partitions by the customer key") {
+    val plan = graft.queries.Series.isl1GapsIslands(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val win = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(win.nonEmpty, plan)
+    assert(win.forall(_.matches(""".*Window \[.*\], \[custkey#\d+L\],.*""")), plan)
+  }
+
+  test("chk1 checksum: three pruned scans, zero joins, partial aggregation") {
+    val plan = graft.queries.Series.chk1RowChecksum(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 3, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
 }
