@@ -233,6 +233,36 @@ object EventStreams {
       }
   }
 
+  final case class Seen(done: Boolean)
+  final case class FirstSeen(user_id: Long, first_ts: Timestamp)
+
+  /** Streaming new-user detection: emits each user_id EXACTLY ONCE —
+    * at its first appearance — with the earliest event time in that
+    * first micro-batch. The state is one boolean per key (the
+    * smallest possible state store entry); the day rollup over the
+    * emitted stream is the streaming dual of the batch growth curve
+    * ([[graft.queries.Series.cum1CumulativeUniques]]). Per-key
+    * event-time order across batches is the same
+    * Kafka-partitioned-by-user contract streamingEventTrigrams
+    * documents; within a batch the earliest (ts) wins explicitly.
+    */
+  def streamingFirstSeen(
+      spark: SparkSession,
+      events: Dataset[Event]): Dataset[FirstSeen] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seen, FirstSeen](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[Seen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(Seen(true))
+            val first = it.minBy(_.ts.getTime)
+            Iterator.single(FirstSeen(uid, first.ts))
+          }
+      }
+  }
+
   // ---- streaming sequence mining: contiguous trigrams with carry ----
   final case class SeqEvent(ts: Timestamp, event_id: Long, user_id: Long,
       event_type: String)

@@ -614,4 +614,40 @@ class StreamingSpec extends SparkSpec {
     // trigrams that span the batch cut exist (the carry is exercised)
     assert(streamed.keys.exists(t => t.user_id == 1L && t.e3 == "purchase"))
   }
+
+  test("streamingFirstSeen emits each user exactly once with its first ts — " +
+      "the day rollup equals the batch growth curve on the real corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.FirstSeen
+    val all = Tables.events(spark, sf)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.streamingFirstSeen(spark, mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("firstseen_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // chronological chunks — the per-key ordered-arrival contract
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("firstseen_out").as[FirstSeen].collect()
+    // exactly once per user
+    assert(streamed.map(_.user_id).distinct.length == streamed.length)
+    val batchFirst = all.groupBy(_.user_id)
+      .map { case (u, es) => u -> es.map(_.ts.getTime).min }
+    assert(streamed.map(f => f.user_id -> f.first_ts.getTime).toMap
+      == batchFirst)
+    // day rollup over the emitted stream == cum1's new_users column
+    val streamedByDay = streamed
+      .groupBy(f => f.first_ts.toLocalDateTime.toLocalDate.toString)
+      .view.mapValues(_.length.toLong).toMap
+    val cum1 = graft.queries.Series.cum1CumulativeUniques(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(streamedByDay == cum1)
+  }
 }
