@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.Behavior.queries ++
       graft.queries.Diverge.queries ++
       graft.queries.Trend.queries ++
-      graft.queries.Series.queries
+      graft.queries.Series.queries ++
+      graft.queries.Signals.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.queries.Behavior.oracles ++
       graft.queries.Diverge.oracles ++
       graft.queries.Trend.oracles ++
-      graft.queries.Series.oracles
+      graft.queries.Series.oracles ++
+      graft.queries.Signals.oracles
 }
