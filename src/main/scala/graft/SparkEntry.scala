@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Diverge.queries ++
       graft.queries.Trend.queries ++
       graft.queries.Series.queries ++
-      graft.queries.Signals.queries
+      graft.queries.Signals.queries ++
+      graft.queries.Growth.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.Diverge.oracles ++
       graft.queries.Trend.oracles ++
       graft.queries.Series.oracles ++
-      graft.queries.Signals.oracles
+      graft.queries.Signals.oracles ++
+      graft.queries.Growth.oracles
 }
