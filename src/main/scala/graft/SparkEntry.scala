@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.Trend.queries ++
       graft.queries.Series.queries ++
       graft.queries.Signals.queries ++
-      graft.queries.Growth.queries
+      graft.queries.Growth.queries ++
+      graft.queries.Steward.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.Trend.oracles ++
       graft.queries.Series.oracles ++
       graft.queries.Signals.oracles ++
-      graft.queries.Growth.oracles
+      graft.queries.Growth.oracles ++
+      graft.queries.Steward.oracles
 }
