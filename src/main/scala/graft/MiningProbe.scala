@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object MiningProbe {
 
-  private def ensureTradeReplica(
+  private[graft] def ensureTradeReplica(
       spark: SparkSession, root: String, dir: String): Unit = {
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir, "lineitem.parquet", "_SUCCESS"))) {

@@ -147,15 +147,21 @@ object Diverge {
   /** Per-part count of DISTINCT other part names within Levenshtein
     * distance 3, plus the nearest distance. The quadratic metric runs
     * on the distinct-name domain (64 names — bounded by the catalog,
-    * not the row count) and broadcasts back over one fact scan; the
-    * codegen `levenshtein` is the exact DP both engines share.
+    * not the row count) and broadcasts back over one fact scan. The
+    * distance is the native banded `lev_within` expression
+    * ([[graft.functions.EditDistance]]): exact when ≤ k, abandons a
+    * pair the moment the band exceeds k — O(k·min) per pair vs the
+    * builtin's full O(n·m) DP, the difference that matters when the
+    * blocked candidate set is billions of mostly-far pairs. DuckDB's
+    * plain `levenshtein` stays a valid oracle (values ≤ k agree).
     */
   def lev1EditDistance(s: SparkSession, d: String): DataFrame = {
     val names = Tables.part(s, d).select(col("p_name")).distinct()
     val pairs = names.as("a").crossJoin(broadcast(names.as("b")))
       .filter(col("a.p_name") =!= col("b.p_name"))
       .select(col("a.p_name").as("p_name"),
-        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        graft.functions.EditDistance.lev_within(
+          col("a.p_name"), col("b.p_name"), 3).as("dist"))
       .filter(col("dist") <= 3)
     val near = pairs.groupBy(col("p_name"))
       .agg(count(lit(1)).as("n_near"), min(col("dist")).as("min_dist"))
