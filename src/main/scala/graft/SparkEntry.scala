@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.Series.queries ++
       graft.queries.Signals.queries ++
       graft.queries.Growth.queries ++
-      graft.queries.Steward.queries
+      graft.queries.Steward.queries ++
+      graft.queries.Warp.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -57,5 +58,6 @@ object SparkEntry {
       graft.queries.Series.oracles ++
       graft.queries.Signals.oracles ++
       graft.queries.Growth.oracles ++
-      graft.queries.Steward.oracles
+      graft.queries.Steward.oracles ++
+      graft.queries.Warp.oracles
 }
