@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.Signals.queries ++
       graft.queries.Growth.queries ++
       graft.queries.Steward.queries ++
-      graft.queries.Warp.queries
+      graft.queries.Warp.queries ++
+      graft.queries.Journey.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.queries.Signals.oracles ++
       graft.queries.Growth.oracles ++
       graft.queries.Steward.oracles ++
-      graft.queries.Warp.oracles
+      graft.queries.Warp.oracles ++
+      graft.queries.Journey.oracles
 }
