@@ -36,7 +36,11 @@ object SparkEntry {
       graft.queries.Growth.queries ++
       graft.queries.Steward.queries ++
       graft.queries.Warp.queries ++
-      graft.queries.Journey.queries
+      graft.queries.Journey.queries ++
+      graft.queries.Pref.queries ++
+      graft.queries.Season.queries ++
+      graft.queries.Geo.queries ++
+      graft.queries.Shape.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -61,5 +65,9 @@ object SparkEntry {
       graft.queries.Growth.oracles ++
       graft.queries.Steward.oracles ++
       graft.queries.Warp.oracles ++
-      graft.queries.Journey.oracles
+      graft.queries.Journey.oracles ++
+      graft.queries.Pref.oracles ++
+      graft.queries.Season.oracles ++
+      graft.queries.Geo.oracles ++
+      graft.queries.Shape.oracles
 }
