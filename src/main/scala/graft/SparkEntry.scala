@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.Pref.queries ++
       graft.queries.Season.queries ++
       graft.queries.Geo.queries ++
-      graft.queries.Shape.queries
+      graft.queries.Shape.queries ++
+      graft.queries.Robust.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -69,5 +70,6 @@ object SparkEntry {
       graft.queries.Pref.oracles ++
       graft.queries.Season.oracles ++
       graft.queries.Geo.oracles ++
-      graft.queries.Shape.oracles
+      graft.queries.Shape.oracles ++
+      graft.queries.Robust.oracles
 }
