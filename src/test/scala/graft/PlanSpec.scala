@@ -399,4 +399,61 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
     assert(plan.contains("partial_count"), plan)
   }
+
+  // ---- round-12 batches ------------------------------------------------
+
+  test("psm matching core: banded candidates equi-join, argmin is a " +
+      "partial-aggregable struct-min — no cartesian, no nested loop, " +
+      "no window") {
+    val base = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("id"), col("c_acctbal").as("score"),
+        lit(1L).as("y"))
+    val m = graft.queries.Robust.nearestWithinCaliper(
+      base.filter(col("id") % 2 === 0),
+      base.filter(col("id") % 2 === 1), 100.0)
+    val plan = executedPlan(m)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min"), plan)
+  }
+
+  test("hw1: the whole Holt-Winters recursion is ONE aggregate pass " +
+      "over one scan — no join, no window") {
+    val plan = graft.queries.Season.hw1HoltWinters(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("conf1: per-segment stats and qhat broadcast back; the rank " +
+      "window partitions by segment") {
+    val df = graft.queries.Robust.conf1SplitConformal(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val sp = graft.queries.Robust.conf1SplitConformal(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val win = sp.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(win.nonEmpty, sp)
+    assert(win.forall(_.matches(""".*Window \[.*\], \[segment#\d+\],.*""")),
+      sp)
+  }
+
+  test("qn1: the quantile window partitions by the group key") {
+    val sp = graft.queries.Shape.qn1QuantileNormalize(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val win = sp.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(win.nonEmpty, sp)
+    assert(win.forall(_.matches(""".*Window \[.*\], \[priority#\d+\],.*""")),
+      sp)
+  }
+
+  test("bt1: the MM loop joins the item-bounded pair table — no " +
+      "cartesian anywhere (the 1-row normalizer broadcasts)") {
+    val plan = executedPlan(graft.queries.Pref.bt1BradleyTerry(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
