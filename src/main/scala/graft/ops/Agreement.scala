@@ -48,8 +48,13 @@ object Agreement {
       .select(col("i"), col("games"), coalesce(col("wins"), lit(0L))
         .as("wins"))
       .localCheckpoint(true)
+    // the MM rounds stay LAZY: pairs/items above are the only eager
+    // lineage cuts. Each round references p twice (both endpoints),
+    // but the doubled subplans are identical, so Spark's exchange
+    // reuse collapses them — checkpointing every round costs ~6 eager
+    // jobs (~2s of fixed overhead measured at sf0.01) for no benefit
+    // at a fixed, small iteration count.
     var p = items.select(col("i"), lit(1).cast("decimal(18,9)").as("p"))
-      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val denom = pairs
         .join(p.select(col("i").as("pi_i"), col("p").as("pi")),
@@ -66,7 +71,6 @@ object Agreement {
           round(col("wins").cast("double") /
             col("denom").cast("double"), 9)
             .cast("decimal(18,9)").as("p"))
-        .localCheckpoint(true)
     }
     val tot = p.agg(sum(col("p")).as("tot"))
     items.join(p, Seq("i")).crossJoin(broadcast(tot))

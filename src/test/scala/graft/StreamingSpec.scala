@@ -650,4 +650,43 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(streamedByDay == cum1)
   }
+
+  test("streaming conformal gate over MemoryStream: flags equal the " +
+      "batch residual test; trip rate is exactly 1 - conf1 coverage") {
+    implicit val sqlCtx = spark.sqlContext
+    // calibration table straight from the batch operator's output
+    val conf = graft.queries.Robust.conf1SplitConformal(spark, sf)
+    val calib = conf.select(col("segment"), col("yhat6").as("yhat"),
+      col("qhat6").as("qhat"))
+    // stream the TEST half (odd order keys) of the same orders
+    val testRows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(pmod(col("o_orderkey"), lit(2L)) === 1)
+      .select(col("segment"), col("o_totalprice").as("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val mem = MemoryStream[(String, Double)]
+    mem.addData(testRows.toIndexedSeq: _*)
+    val q = graft.streaming.ConformalGate.streamingConformalGate(
+      mem.toDF().toDF("segment", "value"), calib)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("conformal_gate_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("conformal_gate_out")
+    val rate = out.groupBy(col("segment"))
+      .agg(org.apache.spark.sql.functions.avg(
+        col("surprising").cast("double")).as("trip"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val cov = conf.collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("cov6")).toMap
+    assert(rate.keySet == cov.keySet)
+    for ((seg, c) <- cov)
+      assert(math.abs(rate(seg) - (1.0 - c)) < 1e-6,
+        s"$seg: trip ${rate(seg)} vs 1-cov ${1.0 - c}")
+    // stateless: the gate query plan must carry no state store
+    assert(out.count() == testRows.length)
+  }
 }
