@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.Season.queries ++
       graft.queries.Geo.queries ++
       graft.queries.Shape.queries ++
-      graft.queries.Robust.queries
+      graft.queries.Robust.queries ++
+      graft.queries.Fit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -71,5 +72,6 @@ object SparkEntry {
       graft.queries.Season.oracles ++
       graft.queries.Geo.oracles ++
       graft.queries.Shape.oracles ++
-      graft.queries.Robust.oracles
+      graft.queries.Robust.oracles ++
+      graft.queries.Fit.oracles
 }
