@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.Geo.queries ++
       graft.queries.Shape.queries ++
       graft.queries.Robust.queries ++
-      graft.queries.Fit.queries
+      graft.queries.Fit.queries ++
+      graft.queries.Panel.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -73,5 +74,6 @@ object SparkEntry {
       graft.queries.Geo.oracles ++
       graft.queries.Shape.oracles ++
       graft.queries.Robust.oracles ++
-      graft.queries.Fit.oracles
+      graft.queries.Fit.oracles ++
+      graft.queries.Panel.oracles
 }
