@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.Shape.queries ++
       graft.queries.Robust.queries ++
       graft.queries.Fit.queries ++
-      graft.queries.Panel.queries
+      graft.queries.Panel.queries ++
+      graft.queries.Exp.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -75,5 +76,6 @@ object SparkEntry {
       graft.queries.Shape.oracles ++
       graft.queries.Robust.oracles ++
       graft.queries.Fit.oracles ++
-      graft.queries.Panel.oracles
+      graft.queries.Panel.oracles ++
+      graft.queries.Exp.oracles
 }
