@@ -44,7 +44,8 @@ object SparkEntry {
       graft.queries.Robust.queries ++
       graft.queries.Fit.queries ++
       graft.queries.Panel.queries ++
-      graft.queries.Exp.queries
+      graft.queries.Exp.queries ++
+      graft.queries.Audit.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -77,5 +78,6 @@ object SparkEntry {
       graft.queries.Robust.oracles ++
       graft.queries.Fit.oracles ++
       graft.queries.Panel.oracles ++
-      graft.queries.Exp.oracles
+      graft.queries.Exp.oracles ++
+      graft.queries.Audit.oracles
 }
