@@ -45,7 +45,8 @@ object SparkEntry {
       graft.queries.Fit.queries ++
       graft.queries.Panel.queries ++
       graft.queries.Exp.queries ++
-      graft.queries.Audit.queries
+      graft.queries.Audit.queries ++
+      graft.queries.Guard.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -79,5 +80,6 @@ object SparkEntry {
       graft.queries.Fit.oracles ++
       graft.queries.Panel.oracles ++
       graft.queries.Exp.oracles ++
-      graft.queries.Audit.oracles
+      graft.queries.Audit.oracles ++
+      graft.queries.Guard.oracles
 }
