@@ -46,7 +46,8 @@ object SparkEntry {
       graft.queries.Panel.queries ++
       graft.queries.Exp.queries ++
       graft.queries.Audit.queries ++
-      graft.queries.Guard.queries
+      graft.queries.Guard.queries ++
+      graft.queries.Seg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -81,5 +82,6 @@ object SparkEntry {
       graft.queries.Panel.oracles ++
       graft.queries.Exp.oracles ++
       graft.queries.Audit.oracles ++
-      graft.queries.Guard.oracles
+      graft.queries.Guard.oracles ++
+      graft.queries.Seg.oracles
 }
