@@ -56,6 +56,24 @@ object MatchProbe {
     }
   }
 
+  /** 10x embeddings replica (disjoint vec_ids, vectors/labels kept) —
+    * knn2's workload is quadratic in vectors BY DESIGN (exact self
+    * top-k); the probe documents that honestly, with the LSH/IVF
+    * family as the corpus-scale path.
+    */
+  private[graft] def ensureEmbReplica(
+      spark: SparkSession, root: String, dir: String): Unit = {
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "embeddings.parquet", "_SUCCESS"))) {
+      val e = Tables.embeddings(spark, s"$root/sf0.1")
+      (0 until 10).map { k =>
+        e.select((col("vec_id") + lit(k * 100000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_.unionAll(_)).repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -72,19 +90,48 @@ object MatchProbe {
       "/tmp/graft_sf1_match_replica_v1")
     ensureMatchReplica(spark, root, replica)
 
-    val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      ("geo1_radius_pairs", graft.queries.Geo.geo1RadiusPairs _),
-      ("geo2_kernel_density", graft.queries.Geo.geo2KernelDensity _),
-      ("psm1_propensity_match",
-        graft.queries.Robust.psm1PropensityMatch _),
-      ("bt1_bradley_terry", graft.queries.Pref.bt1BradleyTerry _),
-      ("conf1_split_conformal",
-        graft.queries.Robust.conf1SplitConformal _),
-      ("iso1_isotonic_rate", graft.queries.Shape.iso1IsotonicRate _))
+    val embReplica = sys.env.getOrElse("SPARK_GRAFT_EMB_REPLICA_DIR",
+      "/tmp/graft_sf1_emb_replica_v1")
+    ensureEmbReplica(spark, root, embReplica)
+    val eventsReplica = sys.env.getOrElse(
+      "SPARK_GRAFT_EVENTS_REPLICA_DIR",
+      "/tmp/graft_sf1_events_replica_v1")
+    SignalProbe.ensureEventsReplica(spark, root, eventsReplica)
 
-    probes.foreach { case (name, fn) =>
+    val probes: Seq[(String, (SparkSession, String) => DataFrame,
+        String)] = Seq(
+      ("geo1_radius_pairs", graft.queries.Geo.geo1RadiusPairs _,
+        replica),
+      ("geo2_kernel_density", graft.queries.Geo.geo2KernelDensity _,
+        replica),
+      ("psm1_propensity_match",
+        graft.queries.Robust.psm1PropensityMatch _, replica),
+      ("bt1_bradley_terry", graft.queries.Pref.bt1BradleyTerry _,
+        replica),
+      ("conf1_split_conformal",
+        graft.queries.Robust.conf1SplitConformal _, replica),
+      ("iso1_isotonic_rate", graft.queries.Shape.iso1IsotonicRate _,
+        replica),
+      ("srk1_spearman_rank", graft.queries.Fit.srk1SpearmanRank _,
+        replica),
+      ("pid1_panel_fe", graft.queries.Panel.pid1PanelFixedEffects _,
+        replica),
+      ("knn2_label_audit", graft.queries.Audit.knn2LabelAudit _,
+        embReplica),
+      ("cent1_class_silhouette",
+        graft.queries.Audit.cent1ClassSilhouette _, embReplica),
+      ("psi1_stability", graft.queries.Guard.psi1Stability _,
+        eventsReplica),
+      ("cuped1_variance_reduction",
+        graft.queries.Exp.cuped1VarianceReduction _, eventsReplica),
+      ("rm1_ratio_delta_ci", graft.queries.Seg.rm1RatioDeltaCi _,
+        eventsReplica),
+      ("cv1_kfold_ols", graft.queries.Panel.cv1KfoldOls _,
+        eventsReplica))
+
+    probes.foreach { case (name, fn, bigDir) =>
       fn(spark, s"$root/sf0.01").count() // JIT/codegen warmup
-      val series = Seq(s"$root/sf0.01", s"$root/sf0.1", replica)
+      val series = Seq(s"$root/sf0.01", s"$root/sf0.1", bigDir)
         .zip(Seq(1.0, 10.0, 100.0)).map { case (dir, n) =>
           val (sec, rows) = ScaleProbe.timeSec(fn(spark, dir).count())
           System.err.println(

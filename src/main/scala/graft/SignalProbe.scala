@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object SignalProbe {
 
-  private def ensureEventsReplica(
+  private[graft] def ensureEventsReplica(
       spark: SparkSession, root: String, dir: String): Unit = {
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir, "events.parquet", "_SUCCESS"))) {

@@ -47,7 +47,8 @@ object SparkEntry {
       graft.queries.Exp.queries ++
       graft.queries.Audit.queries ++
       graft.queries.Guard.queries ++
-      graft.queries.Seg.queries
+      graft.queries.Seg.queries ++
+      graft.queries.Meta.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -83,5 +84,6 @@ object SparkEntry {
       graft.queries.Exp.oracles ++
       graft.queries.Audit.oracles ++
       graft.queries.Guard.oracles ++
-      graft.queries.Seg.oracles
+      graft.queries.Seg.oracles ++
+      graft.queries.Meta.oracles
 }
