@@ -138,29 +138,18 @@ object Meta {
     "bh1_fdr_battery" -> (bh1FdrBattery _),
     "eb1_shrunk_means" -> (eb1ShrunkMeans _))
 
+  // composed so the paren structure is correct BY CONSTRUCTION and
+  // the expression tree matches pTwoSided's exactly
+  private val tSql = "(1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911))"
+  private val xSql = "(abs(z6) / sqrt(2.0))"
+  private val polySql =
+    s"$tSql * 0.254829592 + $tSql * $tSql * (-0.284496736) + " +
+      s"$tSql * $tSql * $tSql * 1.421413741 + " +
+      s"$tSql * $tSql * $tSql * $tSql * (-1.453152027) + " +
+      s"$tSql * $tSql * $tSql * $tSql * $tSql * 1.061405429"
   private val pSql =
-    """round(2.0 * (1.0 - (0.5 * (1.0 + (1.0 -
-         ((1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911))
-            * 0.254829592 +
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-            (-0.284496736) +
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-            1.421413741 +
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-            (-1.453152027) +
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-          (1.0 / (1.0 + abs(z6) / sqrt(2.0) * 0.3275911)) *
-            1.061405429)
-         * exp(-(abs(z6) / sqrt(2.0)) * (abs(z6) / sqrt(2.0)))))), 6)"""
+    s"round(2.0 * (1.0 - (0.5 * (1.0 + (1.0 - ($polySql) * " +
+      s"exp(-$xSql * $xSql))))), 6)"
 
   val oracles: Map[String, String] = Map(
     "bh1_fdr_battery" ->
@@ -217,7 +206,7 @@ object Meta {
                   CAST(svd AS DOUBLE) AS sv,
                   CAST(svvd AS DOUBLE) AS svv
            FROM g0),
-         glob AS MATERIALIZED (
+         gtot AS MATERIALIZED (
            SELECT CAST(count(*) AS BIGINT) AS k,
                   CAST(sum(n) AS BIGINT) AS nn,
                   CAST(sum(svd) AS DOUBLE) AS ssv,
@@ -232,7 +221,7 @@ object Meta {
                   (ssvv - sgrp) / (nn - k) AS msw,
                   (sgrp - ssv * ssv / nn) / (k - 1) AS msb,
                   (nn - snn / nn) / (k - 1) AS n0
-           FROM glob),
+           FROM gtot),
          prm2 AS (
            SELECT *, greatest(0.0, (msb - msw) / n0) AS tau2
            FROM prm)
