@@ -48,7 +48,8 @@ object SparkEntry {
       graft.queries.Audit.queries ++
       graft.queries.Guard.queries ++
       graft.queries.Seg.queries ++
-      graft.queries.Meta.queries
+      graft.queries.Meta.queries ++
+      graft.queries.Strat.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -85,5 +86,6 @@ object SparkEntry {
       graft.queries.Audit.oracles ++
       graft.queries.Guard.oracles ++
       graft.queries.Seg.oracles ++
-      graft.queries.Meta.oracles
+      graft.queries.Meta.oracles ++
+      graft.queries.Strat.oracles
 }
