@@ -49,7 +49,8 @@ object SparkEntry {
       graft.queries.Guard.queries ++
       graft.queries.Seg.queries ++
       graft.queries.Meta.queries ++
-      graft.queries.Strat.queries
+      graft.queries.Strat.queries ++
+      graft.queries.Uplift.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -87,5 +88,6 @@ object SparkEntry {
       graft.queries.Guard.oracles ++
       graft.queries.Seg.oracles ++
       graft.queries.Meta.oracles ++
-      graft.queries.Strat.oracles
+      graft.queries.Strat.oracles ++
+      graft.queries.Uplift.oracles
 }

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-12 batch fourteen: uplift-model evaluation — the Qini curve
+  * by targeting-score decile: per decile, treated-vs-control response
+  * gap and the cumulative Qini value Q(d) = cumYt - cumYc *
+  * cumNt/cumNc. The report that decides whether a targeting score
+  * ranks persuadable users ahead of sure things. All rates are
+  * exact-count rationals over the decile-bounded table.
+  */
+object Uplift {
+
+  /** lift1: arms by knuth hash, outcome = purchased in days 16-30,
+    * targeting score = pre-period (days 1-15) spend; deciles over the
+    * score with deterministic (score DESC, user) tiebreak.
+    */
+  def lift1QiniDeciles(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(dayofmonth(col("ts")) <= 15 &&
+          col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("score"),
+        max(when(dayofmonth(col("ts")) > 15 &&
+          col("event_type") === "purchase", 1).otherwise(0)).as("y"))
+      .withColumn("arm",
+        pmod(col("user_id") * lit(2654435761L) + lit(23L),
+          lit(4294967296L)).mod(2).cast("int"))
+    val wDec = Window.orderBy(col("score").desc, col("user_id"))
+    val byDec = users.withColumn("decile", ntile(10).over(wDec))
+      .groupBy(col("decile"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("arm") === 1, col("y").cast("long"))
+          .otherwise(0L)).as("yt"),
+        sum(when(col("arm") === 0, col("y").cast("long"))
+          .otherwise(0L)).as("yc"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDec
+      .withColumn("cyt", sum(col("yt")).over(wCum))
+      .withColumn("cyc", sum(col("yc")).over(wCum))
+      .withColumn("cnt", sum(col("nt")).over(wCum))
+      .withColumn("cnc", sum(col("nc")).over(wCum))
+      .select(col("decile"), col("nt"), col("nc"),
+        round(col("yt").cast("double") / nullif(col("nt"), lit(0L)) -
+          col("yc").cast("double") / nullif(col("nc"), lit(0L)), 6)
+          .as("uplift6"),
+        round(col("cyt").cast("double") - col("cyc").cast("double") *
+          col("cnt") / nullif(col("cnc"), lit(0L)), 6).as("qini6"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lift1_qini_deciles" -> (lift1QiniDeciles _))
+
+  val oracles: Map[String, String] = Map(
+    "lift1_qini_deciles" ->
+      """WITH users AS MATERIALIZED (
+           SELECT user_id,
+                  sum(CASE WHEN CAST(day(ts) AS INT) <= 15
+                      AND event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS score,
+                  max(CASE WHEN CAST(day(ts) AS INT) > 15
+                      AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS y,
+                  CAST((user_id * 2654435761 + 23) % 4294967296 % 2
+                    AS INT) AS arm
+           FROM events GROUP BY 1),
+         dec AS MATERIALIZED (
+           SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id)
+                    AS decile
+           FROM users),
+         byDec AS MATERIALIZED (
+           SELECT decile,
+                  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nt,
+                  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nc,
+                  CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END)
+                    AS BIGINT) AS yt,
+                  CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END)
+                    AS BIGINT) AS yc
+           FROM dec GROUP BY 1)
+         SELECT decile, nt, nc,
+                round(CAST(yt AS DOUBLE) / nullif(nt, 0) -
+                  CAST(yc AS DOUBLE) / nullif(nc, 0), 6) AS uplift6,
+                round(CAST(sum(yt) OVER w AS DOUBLE) -
+                  CAST(sum(yc) OVER w AS DOUBLE) *
+                  sum(nt) OVER w / nullif(sum(nc) OVER w, 0), 6)
+                  AS qini6
+         FROM byDec
+         WINDOW w AS (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+}
