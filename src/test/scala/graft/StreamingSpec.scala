@@ -689,4 +689,32 @@ class StreamingSpec extends SparkSpec {
     // stateless: the gate query plan must carry no state store
     assert(out.count() == testRows.length)
   }
+
+  test("streaming experiment monitor over MemoryStream equals the " +
+      "batch dual window-for-window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val data = (1 to 120).map { i =>
+      val ty = if (i % 3 == 0) "purchase" else "click"
+      Event(ts(i * 30), (i % 17).toLong, ty, 1.0)
+    }
+    mem.addData(data: _*)
+    val q = graft.streaming.ExpMonitor.streamingWindowedArmZ(
+      mem.toDF(), window_ = "1 hour", delay = "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("exp_monitor_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) -999.0 else r.getDouble(5))
+    }.toSet
+    val streamed = canon(spark.table("exp_monitor_out").collect())
+    val batch = canon(graft.streaming.ExpMonitor.windowedArmZ(
+      data.toDF(), window_ = "1 hour").collect())
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
