@@ -127,11 +127,117 @@ object Strat {
           .as("or_mh6"))
   }
 
+  /** yuen1: Yuen's 20%-trimmed robust two-sample test between the
+    * knuth arms' purchase values — trimmed means compare, winsorized
+    * variances scale (outliers can neither drag the location nor
+    * inflate the denominator). Ranks are deterministic (value,
+    * event id); trimmed/winsorized moments are exact DECIMAL sums;
+    * t assembles in fixed IEEE order. The rank window partitions by
+    * arm.
+    */
+  def yuen1TrimmedTtest(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        col("value").cast("decimal(18,2)").as("v"),
+        pmod(col("user_id") * lit(2654435761L) + lit(23L),
+          lit(4294967296L)).mod(2).cast("int").as("arm"))
+    val wRank = Window.partitionBy(col("arm"))
+      .orderBy(col("v"), col("event_id"))
+    val ranked = rows
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("arm"))))
+      .withColumn("k", floor(col("n") * 0.2).cast("long"))
+    val kept = ranked.filter(col("rn") > col("k") &&
+      col("rn") <= col("n") - col("k"))
+    val bounds = kept.groupBy(col("arm"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("h"),
+        sum(col("v")).cast("double").as("sv"))
+    val wins = ranked.join(broadcast(bounds), Seq("arm"))
+      .withColumn("w", when(col("v") < col("lo"), col("lo"))
+        .when(col("v") > col("hi"), col("hi")).otherwise(col("v")))
+      .groupBy(col("arm"))
+      .agg(first(col("h")).as("h"), first(col("sv")).as("sv"),
+        count(lit(1)).as("n"),
+        sum(col("w")).cast("double").as("sw"),
+        sum((col("w") * col("w")).cast("decimal(28,4)")).cast("double")
+          .as("sww"))
+      .select(col("arm"), col("n"), col("h"),
+        round(col("sv") / col("h"), 9).as("tm"),
+        // winsorized sample variance
+        ((col("sww") - col("sw") * col("sw") / col("n")) /
+          (col("n") - 1)).as("swvar"))
+      .withColumn("dterm", col("swvar") * (col("n") - 1) /
+        (col("h") * (col("h") - lit(1.0))))
+    wins.groupBy()
+      .agg(max(when(col("arm") === 0, col("n"))).as("n_a"),
+        max(when(col("arm") === 1, col("n"))).as("n_b"),
+        max(when(col("arm") === 0, col("tm"))).as("tma"),
+        max(when(col("arm") === 1, col("tm"))).as("tmb"),
+        max(when(col("arm") === 0, col("dterm"))).as("da"),
+        max(when(col("arm") === 1, col("dterm"))).as("db"))
+      .select(col("n_a"), col("n_b"),
+        round(col("tma"), 6).as("tm_a6"),
+        round(col("tmb"), 6).as("tm_b6"),
+        round((col("tma") - col("tmb")) /
+          nullif(sqrt(col("da") + col("db")), lit(0.0)), 6)
+          .as("yuen_t6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lr1_logrank" -> (lr1LogRank _),
-    "cmh1_mantel_haenszel" -> (cmh1MantelHaenszel _))
+    "cmh1_mantel_haenszel" -> (cmh1MantelHaenszel _),
+    "yuen1_trimmed_ttest" -> (yuen1TrimmedTtest _))
 
   val oracles: Map[String, String] = Map(
+    "yuen1_trimmed_ttest" ->
+      """WITH rows_ AS MATERIALIZED (
+           SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v,
+                  CAST((user_id * 2654435761 + 23) % 4294967296 % 2
+                    AS INT) AS arm
+           FROM events WHERE event_type = 'purchase'),
+         ranked AS MATERIALIZED (
+           SELECT *, row_number() OVER (PARTITION BY arm
+                       ORDER BY v, event_id) AS rn,
+                  count(*) OVER (PARTITION BY arm) AS n,
+                  CAST(floor(count(*) OVER (PARTITION BY arm) * 0.2)
+                    AS BIGINT) AS k
+           FROM rows_),
+         bounds AS MATERIALIZED (
+           SELECT arm, min(v) AS lo, max(v) AS hi,
+                  CAST(count(*) AS BIGINT) AS h,
+                  CAST(sum(v) AS DOUBLE) AS sv
+           FROM ranked WHERE rn > k AND rn <= n - k GROUP BY 1),
+         wins AS MATERIALIZED (
+           SELECT r.arm, CAST(count(*) AS BIGINT) AS n,
+                  max(h) AS h, max(sv) AS sv,
+                  CAST(sum(CASE WHEN v < lo THEN lo
+                           WHEN v > hi THEN hi ELSE v END)
+                    AS DOUBLE) AS sw,
+                  CAST(sum(CAST(
+                    (CASE WHEN v < lo THEN lo
+                          WHEN v > hi THEN hi ELSE v END) *
+                    (CASE WHEN v < lo THEN lo
+                          WHEN v > hi THEN hi ELSE v END)
+                    AS DECIMAL(28,4))) AS DOUBLE) AS sww
+           FROM ranked r JOIN bounds USING (arm) GROUP BY 1),
+         terms AS (
+           SELECT arm, n, h, round(sv / h, 9) AS tm,
+                  ((sww - sw * sw / n) / (n - 1)) * (n - 1) /
+                    (h * (h - 1.0)) AS dterm
+           FROM wins)
+         SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+                max(CASE WHEN arm = 1 THEN n END) AS n_b,
+                round(max(CASE WHEN arm = 0 THEN tm END), 6) AS tm_a6,
+                round(max(CASE WHEN arm = 1 THEN tm END), 6) AS tm_b6,
+                round((max(CASE WHEN arm = 0 THEN tm END) -
+                       max(CASE WHEN arm = 1 THEN tm END)) /
+                  nullif(sqrt(max(CASE WHEN arm = 0 THEN dterm END) +
+                       max(CASE WHEN arm = 1 THEN dterm END)), 0.0), 6)
+                  AS yuen_t6
+         FROM terms""",
     "lr1_logrank" ->
       """WITH perUser AS MATERIALIZED (
            SELECT user_id,

@@ -79,4 +79,33 @@ class StratSpec extends SparkSpec {
       s"planted OR ${r.getAs[Double]("or_mh6")}")
     assert(r.getAs[Double]("cmh_chi2_6") > 10.0)
   }
+
+  test("yuen1: planted extreme outliers cannot move the trimmed " +
+      "means; null split t is finite and modest on the corpus") {
+    val real = Strat.yuen1TrimmedTtest(spark, sf).collect()(0)
+    assert(real.getLong(0) > 0 && real.getLong(1) > 0)
+    if (!real.isNullAt(real.fieldIndex("yuen_t6")))
+      assert(math.abs(real.getAs[Double]("yuen_t6")) < 4.0)
+    def armOf(u: Long) = ((u * 2654435761L + 23L) % 4294967296L % 2).toInt
+    val dir = java.nio.file.Files.createTempDirectory("yuen").toString
+    // both arms: values 1..50 (identical); arm 0 additionally gets 5
+    // enormous outliers that 20% trimming must erase entirely
+    val a0 = (1L to 300L).filter(armOf(_) == 0).take(55)
+    val a1 = (1L to 300L).filter(armOf(_) == 1).take(50)
+    val rows =
+      a0.take(50).zipWithIndex.map { case (u, i) =>
+        (i.toLong, t(1), u, "purchase", (i % 50 + 1).toDouble, "{}") } ++
+      a0.drop(50).zipWithIndex.map { case (u, i) =>
+        (1000L + i, t(1), u, "purchase", 1.0e6, "{}") } ++
+      a1.zipWithIndex.map { case (u, i) =>
+        (2000L + i, t(1), u, "purchase", (i % 50 + 1).toDouble, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Strat.yuen1TrimmedTtest(spark, dir).collect()(0)
+    // the five 1e6 outliers sit far outside arm 0's kept band, so the
+    // trimmed means stay close despite a poisoned raw mean
+    assert(math.abs(r.getAs[Double]("tm_a6") -
+      r.getAs[Double]("tm_b6")) < 10.0,
+      s"trimmed means ${r.get(2)} vs ${r.get(3)}")
+  }
 }
