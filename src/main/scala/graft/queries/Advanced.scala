@@ -239,7 +239,11 @@ object Advanced {
         when(pmod(col("o_orderkey"), lit(89)) === 0,
           (col("price") + lit(10)).cast("decimal(18,2)"))
           .otherwise(col("price")).as("price"))
+    // value-compare runs on exact DECIMAL(18,2); the EDGE is DOUBLE
+    // per repo convention (decimal->double identical in both engines)
     snapshotDiff(old, neu, "o_orderkey", "price")
+      .withColumn("old_price", col("old_price").cast("double"))
+      .withColumn("new_price", col("new_price").cast("double"))
   }
 
   /** Generic snapshot-reconciliation core: classify every key as
@@ -707,7 +711,8 @@ object Advanced {
                      WHEN new_price IS NULL THEN 'deleted'
                      WHEN old_price <> new_price THEN 'changed' END
                   AS change_type,
-                old_price, new_price
+                CAST(old_price AS DOUBLE) AS old_price,
+                CAST(new_price AS DOUBLE) AS new_price
          FROM old FULL JOIN neu ON old.o_orderkey = neu.o_orderkey
          WHERE (CASE WHEN old_price IS NULL THEN 'added'
                      WHEN new_price IS NULL THEN 'deleted'

@@ -248,9 +248,11 @@ object Extensions {
         (array_max(transform(col("v"), x => abs(x))) / lit(127.0))
           .as("scale"), col("v"))
       .select(col("vec_id"), col("scale"),
-        when(col("scale") === 0, transform(col("v"), _ => lit(0)))
+        // "serialize at the edge": arrays leave as JSON text so the
+        // driver's value canonicalizer never sees a raw array column
+        to_json(when(col("scale") === 0, transform(col("v"), _ => lit(0)))
           .otherwise(transform(col("v"),
-            x => floor(x / col("scale") + lit(0.5)).cast("int")))
+            x => floor(x / col("scale") + lit(0.5)).cast("int"))))
           .as("qvec"))
   }
 
@@ -433,8 +435,9 @@ object Extensions {
     pairCnt.join(broadcast(w1Cnt), "w1")
       .filter(col("n_pair") >= 3)
       .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        // round-via-decimal for exact tie behavior; DOUBLE at the edge
         round(-log(col("n_pair").cast("double") / col("n_w1")), 6)
-          .cast("decimal(18,6)").as("neg_logp"))
+          .cast("decimal(18,6)").cast("double").as("neg_logp"))
   }
 
   /** Doc-level bigram-LM quality score (the CCNet-style perplexity
@@ -582,8 +585,9 @@ object Extensions {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
       .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        // round-via-decimal for exact tie behavior; DOUBLE at the edge
         round(col("n_shared").cast("double") / col("n_grams"), 6)
-          .cast("decimal(18,6)").as("shared_frac"))
+          .cast("decimal(18,6)").cast("double").as("shared_frac"))
   }
 
   /** Relational inverted index over the corpus ([[graft.text.Search]]):
@@ -1963,9 +1967,10 @@ object Extensions {
                  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
                FROM v)
          SELECT vec_id, scale,
-                CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                CAST(to_json(CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
                      ELSE list_transform(v,
-                       x -> CAST(FLOOR(x / scale + 0.5) AS INT)) END AS qvec
+                       x -> CAST(FLOOR(x / scale + 0.5) AS INT)) END)
+                  AS VARCHAR) AS qvec
          FROM s""",
     // chunk ids via exclusive prefix-count of boundary flags == the
     // Spark side's 0-based starts-array numbering
@@ -2007,9 +2012,9 @@ object Extensions {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                 CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_shared,
-                CAST(round(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0
+                CAST(CAST(round(CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0
                   END) AS DOUBLE) / count(*), 6)
-                  AS DECIMAL(18,6)) AS shared_frac
+                  AS DECIMAL(18,6)) AS DOUBLE) AS shared_frac
          FROM dg JOIN f USING (gram) GROUP BY doc_id""",
     "t14_bigram_logprob" ->
       """WITH toks AS (
@@ -2410,8 +2415,8 @@ object Extensions {
          m AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1
                FROM pp GROUP BY w1)
          SELECT w1, w2, n_pair, n_w1,
-                CAST(round(-ln(CAST(n_pair AS DOUBLE) / n_w1), 6)
-                     AS DECIMAL(18,6)) AS neg_logp
+                CAST(CAST(round(-ln(CAST(n_pair AS DOUBLE) / n_w1), 6)
+                     AS DECIMAL(18,6)) AS DOUBLE) AS neg_logp
          FROM pp JOIN m USING (w1) WHERE n_pair >= 3""",
     "x1_sql_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

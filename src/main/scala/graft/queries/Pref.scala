@@ -40,7 +40,10 @@ object Pref {
           .as("loser"))
     Agreement.bradleyTerry(duels, iters = 3)
       .select(col("item").as("brand"), col("wins"), col("games"),
-        col("rating"))
+        // internal fixed-point iterates stay DECIMAL(18,9) for exact
+        // cross-engine replay; the EDGE is DOUBLE per repo convention
+        // (decimal->double is the same nearest-double in both engines)
+        col("rating").cast("double").as("rating"))
   }
 
   /** kap1: Cohen's kappa per document source between two rule-based
@@ -152,8 +155,8 @@ object Pref {
            FROM items JOIN d3 ON items.i = d3.i),
          tot AS (SELECT sum(p) AS tot FROM p3)
          SELECT items.i AS brand, wins, games,
-                CAST(round(CAST(p AS DOUBLE) / CAST(tot AS DOUBLE), 9)
-                  AS DECIMAL(18,9)) AS rating
+                CAST(CAST(round(CAST(p AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+                  AS DECIMAL(18,9)) AS DOUBLE) AS rating
          FROM items JOIN p3 ON items.i = p3.i, tot""",
     "kap1_cohen_kappa" ->
       """WITH lab AS (

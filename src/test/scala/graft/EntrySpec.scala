@@ -24,6 +24,27 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("no query output schema carries Decimal/Array/Map/Struct at the edge") {
+    // The driver's canonicalizer stringifies Decimals by their scale
+    // ('1.000000' vs float '1.0') and sorts RAW values (crashes on
+    // arrays) — so the repo-wide edge convention is: round-then-cast
+    // DOUBLE for fractional numbers, to_json for nested values.
+    // r7 proved the convention slips by habit (5 violations shipped);
+    // this pins it mechanically for every registered query.
+    import org.apache.spark.sql.types._
+    def bad(dt: DataType): Boolean = dt match {
+      case _: DecimalType | _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
+    val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, sf).schema.fields.collect {
+        case f if bad(f.dataType) => s"$name.${f.name}: ${f.dataType.sql}"
+      }
+    }
+    assert(violations.isEmpty,
+      s"edge-type convention violations:\n${violations.mkString("\n")}")
+  }
+
   test("every query runs and returns a non-degenerate schema") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

@@ -17,17 +17,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Mirrors the DRIVER's canonicalizer: sort the RAW values first
+    # (so a Decimal column sorts as Decimal and an array column crashes
+    # here exactly like it crashes the driver), THEN stringify. r7
+    # proved the old stringify-then-sort order masked edge-type
+    # violations the driver catches — keep this order in sync.
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize cell values to stable strings
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     def cell(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
         if isinstance(v, float):
             return repr(v)
         return str(v)
-    out = df.apply(lambda c: c.map(cell))
-    out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
-    return out
+    return df.apply(lambda c: c.map(cell))
 
 
 def main(sf_dir: str, out_dir: str) -> int:
