@@ -619,7 +619,11 @@ class DedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val scale = r.getDouble(1)
-      val q = r.getSeq[Int](2)
+      // qvec is JSON text at the edge (r8 serialize-at-the-edge rule)
+      val q = r.getString(2).stripPrefix("[").stripSuffix("]") match {
+        case "" => Seq.empty[Int]
+        case s => s.split(",").toSeq.map(_.trim.toInt)
+      }
       val v = r.getSeq[Double](3)
       assert(q.forall(c => c >= -127 && c <= 127),
         s"code out of int8 range for vec ${r.getLong(0)}")

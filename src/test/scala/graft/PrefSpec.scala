@@ -52,7 +52,7 @@ class PrefSpec extends SparkSpec {
   test("bt1 on the star schema: ratings normalize to 1, all positive") {
     val rows = Pref.bt1BradleyTerry(spark, sf).collect()
     assert(rows.nonEmpty)
-    val ratings = rows.map(_.getDecimal(3).doubleValue())
+    val ratings = rows.map(_.getDouble(3)) // DOUBLE at the edge (r8)
     assert(math.abs(ratings.sum - 1.0) < 1e-6)
     assert(ratings.forall(_ > 0))
     rows.foreach(r => assert(r.getLong(1) <= r.getLong(2),
