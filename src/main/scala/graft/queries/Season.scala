@@ -50,11 +50,18 @@ object Season {
     * then one fold over days 8..n. Forecast for day n+1 is
     * level + trend + the matching seasonal.
     */
-  def hw1HoltWinters(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
+  def hw1HoltWinters(s: SparkSession, d: String): DataFrame =
+    holtWinters(Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev")))
+
+  /** Core fold over a (day, rev DECIMAL(18,2)) daily series — split
+    * from hw1 so the degenerate short-series contract (NULL outputs
+    * below 8 days, matching the oracle's NULL scalar-subquery sum)
+    * is unit-testable on synthetic frames.
+    */
+  private[graft] def holtWinters(daily: DataFrame): DataFrame = {
     val arr = daily
       .agg(sort_array(collect_list(struct(col("day"), col("rev"))))
         .as("sd"))
@@ -65,15 +72,26 @@ object Season {
                  CAST(0 AS DECIMAL(28,2)),
                  (a, x) -> CAST(a + x.rev AS DECIMAL(28,2)))
                AS DOUBLE) / 7, 9)""").as("m1"),
-        expr("""round(CAST(aggregate(slice(sd, 8, 7),
-                 CAST(0 AS DECIMAL(28,2)),
-                 (a, x) -> CAST(a + x.rev AS DECIMAL(28,2)))
-               AS DOUBLE) / 7, 9)""").as("m2"))
+        // degenerate-series dual: the oracle's scalar-subquery sum
+        // over days 8..14 is NULL when NO such day exists, while an
+        // empty-slice fold would give 0 (m2=0, b0=-m1/7) — guard so
+        // both engines agree on series shorter than 8 days (NULL m2
+        // -> NULL b0 -> NULL fold state -> NULL outputs)
+        expr("""CASE WHEN size(sd) >= 8 THEN
+                 round(CAST(aggregate(slice(sd, 8, 7),
+                   CAST(0 AS DECIMAL(28,2)),
+                   (a, x) -> CAST(a + x.rev AS DECIMAL(28,2)))
+                 AS DOUBLE) / 7, 9) END""").as("m2"))
       .withColumn("b0", expr("round((m2 - m1) / 7, 9)"))
       .withColumn("s0",
         expr("transform(slice(ys, 1, 7), v -> round(v - m1, 9))"))
-    arr.select(size(col("ys")).as("n_days"), expr(hwFold).as("st"))
-      .select(col("n_days"),
+    arr.select(size(col("ys")).as("ndays"), expr(hwFold).as("st"))
+      // the oracle's recursive CTE starts at t = 7, so a series
+      // shorter than 7 days never reaches t = c and yields ZERO rows
+      // — mirror that here (at 7 days both emit one row with defined
+      // level, NULL trend/forecast via the m2 guard above)
+      .where(col("ndays") >= 7)
+      .select(col("ndays").as("n_days"),
         round(col("st.l"), 6).as("level6"),
         round(col("st.b"), 6).as("trend6"),
         round(expr("element_at(st.s, 1)"), 6).as("season6"),

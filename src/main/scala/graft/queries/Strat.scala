@@ -134,6 +134,15 @@ object Strat {
     * event id); trimmed/winsorized moments are exact DECIMAL sums;
     * t assembles in fixed IEEE order. The rank window partitions by
     * arm.
+    *
+    * Scale note (same contract as ate1/lift1): the per-arm rank
+    * window has only 2 partitions — two single-task sorts — kept for
+    * oracle bit-equality only. At production scale the 20%/80% trim
+    * CUTS come from a per-arm approx-quantile sketch
+    * (`a15_percentiles`/kll1 machinery); trimming/winsorizing then
+    * becomes a broadcast 2-row cut lookup plus one conditional
+    * aggregate pass — no global sort, and the moment assembly after
+    * the cuts is identical.
     */
   def yuen1TrimmedTtest(s: SparkSession, d: String): DataFrame = {
     val rows = Tables.events(s, d)

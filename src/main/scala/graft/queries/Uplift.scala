@@ -18,6 +18,14 @@ object Uplift {
   /** lift1: arms by knuth hash, outcome = purchased in days 16-30,
     * targeting score = pre-period (days 1-15) spend; deciles over the
     * score with deterministic (score DESC, user) tiebreak.
+    *
+    * Scale note (same contract as ate1): the exact global ntile(10)
+    * window — a single-task sort — is kept for oracle bit-equality
+    * only. At production scale the decile EDGES come from an
+    * approx-quantile sketch (`a15_percentiles`/kll1 machinery) and
+    * decile assignment becomes a broadcast range lookup over 9 edges;
+    * the per-decile aggregate and cumulative-Qini shape after binning
+    * is identical (10-row domain).
     */
   def lift1QiniDeciles(s: SparkSession, d: String): DataFrame = {
     val users = Tables.events(s, d)

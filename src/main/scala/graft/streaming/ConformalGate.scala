@@ -25,13 +25,20 @@ object ConformalGate {
     * through); `calibration` is a batch DataFrame with (segment,
     * yhat, qhat) — e.g. the stats x qhat tables of conf1's
     * calibration half.
+    *
+    * LEFT join on segment: a row whose segment has no calibration
+    * entry (e.g. conf1 drops segments with n_cal < 18, or a brand-new
+    * source appears mid-stream) is the MOST surprising traffic a QC
+    * gate can see — it must surface, not vanish. Such rows get
+    * resid = NULL and surprising = true.
     */
   def streamingConformalGate(stream: DataFrame,
       calibration: DataFrame): DataFrame =
     stream
       .join(broadcast(calibration.select(col("segment"), col("yhat"),
-        col("qhat"))), Seq("segment"))
+        col("qhat"))), Seq("segment"), "left")
       .withColumn("resid",
         round(abs(col("value").cast("double") - col("yhat")), 6))
-      .withColumn("surprising", col("resid") > col("qhat"))
+      .withColumn("surprising",
+        coalesce(col("resid") > col("qhat"), lit(true)))
 }

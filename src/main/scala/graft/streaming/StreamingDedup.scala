@@ -85,6 +85,68 @@ object StreamingDedup {
           .as("contamination"))
   }
 
+  /** Auto-dispatching streaming decontamination — the streaming face
+    * of [[graft.dedup.Dedup.contaminationScoresAuto]]: the SAME
+    * estimate-then-choose (one pre-distinct pass over the STATIC eval
+    * side, an upper bound on its distinct gram count) picks the
+    * broadcast gate ([[streamingContaminationScores]]) when the eval
+    * set safely broadcasts, and a bloom-prefiltered variant when it
+    * does not: the fixed-size bloom blob rides the plan as a LITERAL
+    * (scan-adjacent codegen filter, the bf1 pattern), only bloom
+    * survivors reach the exact stream-static equi-join that removes
+    * false positives (Catalyst picks the join strategy per batch —
+    * never a forced broadcast of the oversized side), and
+    * non-survivors bypass the join entirely with a null hit flag.
+    * No false negatives, so both branches are row-identical to the
+    * batch operator (StreamingSpec proves the over-cap branch).
+    */
+  def streamingContaminationScoresAuto(
+      corpusStream: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      delayMs: Long = 2 * 3600 * 1000L,
+      maxBroadcastGrams: Long = 2L * 1000 * 1000): DataFrame = {
+    val estGrams = evalDocs
+      .agg(sum(size(Dedup.wordShingles(col(textCol), k))))
+      .head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    if (estGrams <= maxBroadcastGrams)
+      streamingContaminationScores(corpusStream, evalDocs, idCol,
+        textCol, k, delayMs)
+    else {
+      import graft.functions.BloomFunctions._
+      val evalGrams = Dedup.distinctGrams(evalDocs, textCol, k)
+      val bloomBits = math.min(1L << 30,
+        java.lang.Long.highestOneBit(math.max(1L, estGrams * 10L) * 2 - 1)
+      ).toInt.max(1 << 20)
+      val blob = evalGrams
+        .agg(bloom_agg(xxhash64(col("gram")), bloomBits, 7))
+        .head().getAs[Array[Byte]](0)
+      val grams = corpusStream
+        .withWatermark("ts", s"$delayMs milliseconds")
+        .select(col("ts"), col(idCol),
+          explode(array_distinct(
+            Dedup.wordShingles(col(textCol), k))).as("gram"))
+      val survivors = grams
+        .filter(might_contain(lit(blob), xxhash64(col("gram"))))
+        .join(evalGrams.withColumn("__hit", lit(1)), Seq("gram"),
+          "left_outer")
+      val missed = grams
+        .filter(!might_contain(lit(blob), xxhash64(col("gram"))))
+        .withColumn("__hit", lit(null).cast("int"))
+      survivors.unionByName(missed)
+        .groupBy(window(col("ts"), "1 second"), col(idCol))
+        .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+        .select(col(idCol), col("n_grams"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_grams"))
+            .as("contamination"))
+    }
+  }
+
   /** Verified near-dup pairs over a STREAMING docs frame with columns
     * (`ts` timestamp, idCol long, textCol string). Batch dual:
     * [[graft.dedup.Dedup.minhashPairs]] with the same parameters

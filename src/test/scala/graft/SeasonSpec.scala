@@ -44,6 +44,31 @@ class SeasonSpec extends SparkSpec {
       round6(l + b + s(0))) < 1e-9)
   }
 
+  test("hw1: degenerate short series match the oracle's recursive-CTE " +
+      "edges (0 rows < 7 days; NULL trend/forecast at 7; defined at 8)") {
+    import spark.implicits._
+    def series(n: Int) = (1 to n)
+      .map(i => (java.sql.Date.valueOf(f"2024-01-$i%02d"), BigDecimal(i * 10)))
+      .toDF("day", "rev")
+      .select(col("day"), col("rev").cast("decimal(18,2)").as("rev"))
+    // < 7 days: the oracle's recursion starts at t=7 and never reaches
+    // t=c, yielding ZERO rows — so must we
+    assert(Season.holtWinters(series(6)).count() == 0)
+    // exactly 7: one row, level = week-1 mean, but the week-2 slice is
+    // EMPTY -> m2 NULL (the oracle's scalar-subquery sum), NOT 0 —
+    // trend and forecast are NULL, level/season defined
+    val r7 = Season.holtWinters(series(7)).collect()(0)
+    assert(r7.getInt(0) == 7)
+    assert(!r7.isNullAt(1) && r7.isNullAt(2) && !r7.isNullAt(3) &&
+      r7.isNullAt(4), s"7-day series must carry NULL trend/forecast, got $r7")
+    assert(math.abs(r7.getAs[Double]("level6") - 40.0) < 1e-9) // mean 10..70
+    // 8 days: week-2 slice partial but non-empty -> all defined (the
+    // oracle's partial scalar sum is non-NULL there too)
+    val r8 = Season.holtWinters(series(8)).collect()(0)
+    assert(!r8.isNullAt(1) && !r8.isNullAt(4),
+      s"8-day series must be defined, got $r8")
+  }
+
   test("stl1: residual identity holds; seasonal recentres to ~0; " +
       "edges carry NULL trend") {
     val rows = Season.stl1Decompose(spark, sf).collect()

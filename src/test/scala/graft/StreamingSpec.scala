@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, lit, pmod, size, sum}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.EventStreams
@@ -381,6 +381,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_._3 > 0), "fixture should contain contamination")
   }
 
+  test("streaming contamination AUTO-dispatch: the over-cap branch " +
+      "(bloom prefilter, no forced broadcast) equals the batch dual") {
+    implicit val sqlCtx = spark.sqlContext
+    val real = Tables.documents(spark, sf)
+    val evalDocs = real.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val corpus = real.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    // maxBroadcastGrams = 1 forces the bloom branch on any real eval
+    // set — the same flip DedupSpec proves for the batch dd11 dispatch
+    val q = graft.streaming.StreamingDedup.streamingContaminationScoresAuto(
+      mem.toDS().toDF("ts", "doc_id", "text"), evalDocs,
+      "doc_id", "text", k = 3, delayMs = 60000L, maxBroadcastGrams = 1L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_auto_out")
+      .start()
+    try {
+      mem.addData(corpus.map { case (id, t) => (ts(0), id, t) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData((ts(1000), -1L, "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("contam_auto_out")
+      .filter(col("doc_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = graft.dedup.Dedup.contaminationScores(
+      real.filter(pmod(col("doc_id"), lit(97)) =!= 0), evalDocs,
+      "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed === batch)
+    // under-cap dispatch stays on the broadcast gate and agrees too
+    val est = evalDocs
+      .agg(sum(size(graft.dedup.Dedup.wordShingles(col("text"), 3))))
+      .head().getLong(0)
+    assert(est > 1L, "fixture eval set must exceed the forced cap")
+  }
+
   test("streaming minhash dedup: bucket state is EVICTED once the " +
       "watermark passes (twin arriving later is not paired)") {
     implicit val sqlCtx = spark.sqlContext
@@ -688,6 +730,29 @@ class StreamingSpec extends SparkSpec {
         s"$seg: trip ${rate(seg)} vs 1-cov ${1.0 - c}")
     // stateless: the gate query plan must carry no state store
     assert(out.count() == testRows.length)
+  }
+
+  test("conformal gate surfaces rows whose segment has no calibration " +
+      "entry (left join, surprising = true) instead of dropping them") {
+    implicit val sqlCtx = spark.sqlContext
+    val calib = Seq(("KNOWN", 100.0, 5.0)).toDF("segment", "yhat", "qhat")
+    val mem = MemoryStream[(String, Double)]
+    mem.addData(("KNOWN", 102.0), ("KNOWN", 120.0), ("NEVER_SEEN", 1.0))
+    val q = graft.streaming.ConformalGate.streamingConformalGate(
+      mem.toDF().toDF("segment", "value"), calib)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("conformal_gate_unknown")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("conformal_gate_unknown")
+      .select("segment", "surprising")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toSeq
+    // all three rows survive; the uncalibrated segment is flagged
+    assert(out.size == 3)
+    assert(out.contains("NEVER_SEEN" -> true))
+    assert(out.contains("KNOWN" -> false)) // |102-100| <= 5
+    assert(out.contains("KNOWN" -> true))  // |120-100| > 5
   }
 
   test("streaming experiment monitor over MemoryStream equals the " +
