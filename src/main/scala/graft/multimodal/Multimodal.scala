@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus batch-shaped decode / feature
   * extraction (north-star in BASELINE.json).
   *
-  * The ACTUAL media decode is STUBBED (this container has no
-  * image/audio libraries): `StubDecoder` produces a deterministic fake
-  * feature vector from the payload bytes. Everything Spark-side —
-  * schema, batching, partitioning, the mapPartitions pipeline shape —
-  * is real and is what matters at scale:
+  * IMAGE decode/resize is REAL (pure-JDK `javax.imageio` codecs:
+  * [[Multimodal.ImageIoDecoder]] / [[Multimodal.ImageIoResizer]]).
+  * Audio/video codecs remain STUBBED (this container has no such
+  * libraries): `StubDecoder` produces a deterministic fake feature
+  * vector from the payload bytes and doubles as the hermetic-test
+  * codec. Everything Spark-side — schema, batching, partitioning, the
+  * mapPartitions pipeline shape — is real and is what matters at
+  * scale:
   *
   *  - payloads stay opaque binary end-to-end (never stringified);
   *  - decode runs per PARTITION in bounded-size batches (the JVM
@@ -49,7 +52,8 @@ object Multimodal {
 
   final class StubDecoder(val featureDim: Int = 8) extends Decoder {
     def decode(payload: Array[Byte]): Array[Float] = {
-      // ??? <- real codec goes here; deterministic fake below
+      // real image codec: ImageIoDecoder below; audio/video codecs
+      // would plug in here — deterministic fake for hermetic tests
       var h = 0xcbf29ce484222325L
       val out = new Array[Float](featureDim)
       var i = 0
@@ -59,6 +63,52 @@ object Multimodal {
         i += 1
       }
       out
+    }
+  }
+
+  /** REAL image codec behind the same [[Decoder]] seam — pure JDK
+    * `javax.imageio` (PNG/JPEG/GIF/BMP), no new dependencies. Features
+    * are an `grid x grid` mean-pooled grayscale thumbnail (gray =
+    * (299r + 587g + 114b)/1000, integer weights), the classic
+    * perceptual-hash front end: all pixel math is integer accumulation
+    * followed by one float division, so decoded features are
+    * bit-deterministic for a given payload. Throws
+    * `IllegalArgumentException` on an undecodable payload — at
+    * pipeline scale wrap rows in a quarantine filter rather than
+    * silently zero-filling corrupt media.
+    *
+    * The [[StubDecoder]] above stays the hermetic-test codec (and the
+    * seam documentation for audio/video codecs this container lacks).
+    */
+  final class ImageIoDecoder(val grid: Int = 8) extends Decoder {
+    def featureDim: Int = grid * grid
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"undecodable image payload (${payload.length} bytes)")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](grid * grid)
+      val counts = new Array[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * grid / h, grid - 1)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(x * grid / w, grid - 1)
+          val rgb = img.getRGB(x, y)
+          val gray = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          sums(cy * grid + cx) += gray
+          counts(cy * grid + cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(grid * grid) { i =>
+        if (counts(i) == 0) 0f else sums(i).toFloat / counts(i)
+      }
     }
   }
 
@@ -105,8 +155,8 @@ object Multimodal {
 
   final class StubResizer extends Resizer {
     def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-      // ??? <- real image resize goes here; deterministic stride stub:
-      // output size = min(len, targetW*targetH), sampled evenly
+      // real image resize: ImageIoResizer below; deterministic stride
+      // stub: output size = min(len, targetW*targetH), sampled evenly
       val target = math.min(payload.length, targetW * targetH)
       if (target <= 0) Array.emptyByteArray
       else {
@@ -118,6 +168,39 @@ object Multimodal {
         }
         out
       }
+    }
+  }
+
+  /** REAL image resize behind the same [[Resizer]] seam: ImageIO
+    * decode -> exact nearest-neighbor pixel remap (src index =
+    * floor(dst * src/target) — pure integer math, no rendering-engine
+    * interpolation, so resized pixels are bit-deterministic across
+    * JVMs) -> lossless PNG re-encode. Undecodable payloads throw, as
+    * in [[ImageIoDecoder]].
+    */
+  final class ImageIoResizer extends Resizer {
+    def resize(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"undecodable image payload (${payload.length} bytes)")
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < targetH) {
+        val sy = (y.toLong * img.getHeight / targetH).toInt
+        var x = 0
+        while (x < targetW) {
+          val sx = (x.toLong * img.getWidth / targetW).toInt
+          out.setRGB(x, y, img.getRGB(sx, sy) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
     }
   }
 

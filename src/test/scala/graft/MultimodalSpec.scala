@@ -62,6 +62,62 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1).payload.toSeq === payload.slice(2000, 2500).toSeq)
   }
 
+  // ---- real (pure-JDK ImageIO) image codec ---------------------------
+
+  /** 4x4 RGB image with constant-gray 2x2 quadrants (10, 40, 90, 160),
+    * PNG-encoded. Gray weights (299,587,114)/1000 make gray(v,v,v)=v
+    * exactly, so expected pooled features are the quadrant constants.
+    */
+  private def quadrantPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val q = Array(Array(10, 40), Array(90, 160))
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v = q(y / 2)(x / 2)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder decodes a real PNG byte-exactly: pooled features " +
+      "equal the known quadrant grays") {
+    val d = new Multimodal.ImageIoDecoder(grid = 2)
+    assert(d.featureDim === 4)
+    val feats = d.decode(quadrantPng()).toSeq
+    assert(feats === Seq(10f, 40f, 90f, 160f))
+    // undecodable payloads fail loudly, never zero-fill
+    intercept[IllegalArgumentException] {
+      d.decode("not an image".getBytes("UTF-8"))
+    }
+  }
+
+  test("ImageIoResizer: real decode -> exact NN remap -> lossless PNG; " +
+      "resized pixels are the mapped source pixels") {
+    val resized = new Multimodal.ImageIoResizer()
+      .resize(quadrantPng(), 2, 2)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth === 2 && img.getHeight === 2)
+    // NN maps dst(0,0)->src(0,0) etc. at stride 2: quadrant corners
+    val got = for (y <- 0 until 2; x <- 0 until 2)
+      yield img.getRGB(x, y) & 0xff
+    assert(got === Seq(10, 40, 90, 160))
+  }
+
+  test("real-codec pipeline: extractFeatures over PNG payloads keeps " +
+      "the same batched mapPartitions shape") {
+    import spark.implicits._
+    val png = quadrantPng()
+    val media = (1L to 10L)
+      .map(i => Multimodal.MediaRecord(i, "image/png", png, 4, 4)).toDF()
+    val rows = Multimodal.extractFeatures(spark, media,
+      new Multimodal.ImageIoDecoder(2), batchSize = 3).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.features.toSeq == Seq(10f, 40f, 90f, 160f)))
+  }
+
   test("SplitFrames generator == sampleFrames flatMap dual, byte for byte") {
     import org.apache.spark.sql.functions._
     val media = Multimodal.documentsAsMedia(Tables.documents(spark, sf))
