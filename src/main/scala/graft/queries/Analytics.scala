@@ -249,15 +249,23 @@ object Analytics {
 
   /** 1-D projection of the embedding corpus onto its top principal
     * component ([[graft.similarity.Pca]]): fixed 8-round power
-    * iteration, all-ones deterministic start. No SQL dual (eigenvector
-    * extraction is not expressible); AnalyticsSpec replays the same
-    * iteration locally and bounds the projection error, and checks the
-    * eigenvalue dominates every coordinate axis variance.
+    * iteration, all-ones deterministic start, 9dp-requantized means
+    * and iterates (the bt1/g2 cross-engine fixed-point discipline).
+    * SQL dual: the 8 rounds unroll into t1/v1..t8/v8 CTE pairs —
+    * per-pos covariance-action sums (round(sum/n, 9) absorbs combine-
+    * order noise), then an exact normalize; the final projection is
+    * the same sequential fold on both sides. AnalyticsSpec replays the
+    * iteration locally and checks the eigenvalue dominates every
+    * coordinate axis variance.
     */
   def pca1Power(s: SparkSession, d: String): DataFrame =
     Pca.projectTop(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, iters = 8)
-      .select(col("vec_id"), round(col("proj"), 4).as("proj4"))
+      // + 0.0 normalizes IEEE -0.0: a near-zero projection whose last
+      // bits differ cross-engine can round to 0.0 on one side and
+      // -0.0 on the other (caught at sf0.1), and the canonicalizer
+      // stringifies them differently
+      .select(col("vec_id"), (round(col("proj"), 4) + lit(0.0)).as("proj4"))
 
   // ---- reg2: multivariate OLS, fully declarative --------------------
 
@@ -476,9 +484,12 @@ object Analytics {
   /** Maximal-marginal-relevance diversification of the dense top-50
     * ([[Similarity.mmrRerank]]): the retrieval stack's final hop —
     * distributed top-N reduces the corpus, the bounded greedy rerank
-    * trades relevance for coverage (lambda = 0.7). No SQL dual
-    * (sequential greedy argmax); AnalyticsSpec replays the greedy
-    * locally and proves the diversity gain over the plain top-k.
+    * trades relevance for coverage (lambda = 0.7). SQL dual: the
+    * k = 10 greedy unrolls into 10 CTE stages (bt1's unrolled-
+    * iteration trick) carrying (ids, vs, rels, scores) lists; every
+    * cosine on both sides is the SAME sequential double accumulation
+    * (ArrayDot / driver loop vs list_reduce), so argmax choices are
+    * bit-identical and the 6dp-rounded output hash-matches.
     */
   def mmr1Diversified(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
@@ -494,8 +505,10 @@ object Analytics {
 
   /** Top-2 principal components via power iteration + deflation
     * ([[graft.similarity.Pca.projectTop2]]): the embedding-space
-    * overview map. Rows-only; AnalyticsSpec checks component
-    * orthogonality and the local replay.
+    * overview map. SQL dual (see [[pca2OracleSql]]): both 15-round
+    * runs unroll into CTE pairs with the driver's exact requantization
+    * points, the deflation and Rayleigh-Ritz rotation included.
+    * AnalyticsSpec additionally checks component orthogonality.
     */
   def pca2Top2Map(s: SparkSession, d: String): DataFrame =
     // 15 rounds per component (vs pca1's 8): the synthetic embeddings
@@ -505,8 +518,9 @@ object Analytics {
     // individual eigenvectors to convergence
     Pca.projectTop2(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, iters = 15)
-      .select(col("vec_id"), round(col("p1"), 4).as("p1_4"),
-        round(col("p2"), 4).as("p2_4"))
+      // + 0.0: same -0.0 normalization as pca1
+      .select(col("vec_id"), (round(col("p1"), 4) + lit(0.0)).as("p1_4"),
+        (round(col("p2"), 4) + lit(0.0)).as("p2_4"))
 
   // ---- w5: winsorized robust mean -----------------------------------
 
@@ -706,7 +720,201 @@ object Analytics {
     "rfm1_rfm_scores" -> (rfm1RfmScores _),
     "chi1_chisq_independence" -> (chi1ChisqIndependence _))
 
+  /** mmr1's dual: the k = 10 greedy unrolled into CTE stages s1..s10
+    * (built programmatically — each stage is identical modulo the
+    * previous-stage name, like bt1's p0..p3 unroll). Stage k appends
+    * the argmax-by-(score DESC, id) candidate to the carried
+    * (ids, vs, rels, scores) lists; cosines are explicit sequential
+    * list_reduce folds so they are bit-identical to the Spark side's
+    * ArrayDot / driver-loop accumulation.
+    */
+  private val mmrOracleHead =
+    """WITH v AS MATERIALIZED (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+       q AS MATERIALIZED (SELECT v AS qv FROM v WHERE vec_id = 0),
+       cand AS MATERIALIZED (
+         SELECT vec_id AS id, v.v,
+                list_reduce(list_transform(range(1, len(v.v) + 1),
+                    i -> v.v[i] * qv[i]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(range(1, len(v.v) + 1),
+                     i -> v.v[i] * v.v[i]), (a, b) -> a + b))
+                   * sqrt(list_reduce(list_transform(range(1, len(qv) + 1),
+                     i -> qv[i] * qv[i]), (a, b) -> a + b))) AS rel
+         FROM v, q WHERE vec_id <> 0
+         ORDER BY rel DESC, vec_id LIMIT 50),
+       s1 AS MATERIALIZED (
+         SELECT [id] AS ids, [v] AS vs, [rel] AS rels,
+                [0.7 * rel - (1.0 - 0.7) * 0.0] AS scores
+         FROM cand ORDER BY 0.7 * rel - (1.0 - 0.7) * 0.0 DESC, id LIMIT 1)"""
+
+  private def mmrOracleStage(k: Int): String =
+    s""",
+       s$k AS MATERIALIZED (
+         SELECT list_append(ids, id) AS ids, list_append(vs, cv) AS vs,
+                list_append(rels, rel) AS rels,
+                list_append(scores, score) AS scores
+         FROM (
+           SELECT s.ids, s.vs, s.rels, s.scores, c.id, c.v AS cv, c.rel,
+                  0.7 * c.rel - (1.0 - 0.7) * list_max(list_transform(s.vs, sv ->
+                    list_reduce(list_transform(range(1, len(c.v) + 1),
+                        i -> c.v[i] * sv[i]), (a, b) -> a + b)
+                    / (sqrt(list_reduce(list_transform(range(1, len(c.v) + 1),
+                         i -> c.v[i] * c.v[i]), (a, b) -> a + b))
+                       * sqrt(list_reduce(list_transform(range(1, len(sv) + 1),
+                         i -> sv[i] * sv[i]), (a, b) -> a + b))))) AS score
+           FROM s${k - 1} s JOIN cand c ON NOT list_contains(s.ids, c.id))
+         QUALIFY row_number() OVER (ORDER BY score DESC, id) = 1)"""
+
+  private val mmrOracleSql: String =
+    mmrOracleHead + (2 to 10).map(mmrOracleStage).mkString +
+      """
+       SELECT CAST(i AS INT) AS rank, ids[i] AS vec_id,
+              round(rels[i], 6) + 0.0 AS sim,
+              round(scores[i], 6) + 0.0 AS mmr_score
+       FROM s10, unnest(range(1, 11)) AS u(i)"""
+
+  /** pca1's dual: 8 power-iteration rounds unrolled into t_k (per-pos
+    * covariance-action sums, 9dp-requantized like the driver side) and
+    * v_k (exact normalize) CTE pairs. Cosines/folds are sequential
+    * list_reduce, bit-identical to ArrayDot.
+    */
+  private val pcaOracleHead =
+    """WITH v AS MATERIALIZED (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       mm AS MATERIALIZED (
+         SELECT p, round(avg(x), 9) AS mp
+         FROM (SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS p
+               FROM v)
+         GROUP BY p),
+       ml AS MATERIALIZED (SELECT list(mp ORDER BY p) AS m FROM mm),
+       c AS MATERIALIZED (
+         SELECT vec_id,
+                list_transform(range(1, len(v) + 1), i -> v[i] - m[i]) AS c
+         FROM v, ml),
+       v0 AS (SELECT list_transform(range(1, 65), i -> 0.125) AS vec)"""
+
+  private def pcaOracleIter(k: Int): String =
+    s""",
+       t$k AS MATERIALIZED (
+         SELECT p, round(sum(cp * d) / any_value(n), 9) AS cvp
+         FROM (SELECT unnest(c.c) AS cp,
+                      unnest(range(1, len(c.c) + 1)) AS p,
+                      list_reduce(list_transform(range(1, len(c.c) + 1),
+                          i -> c.c[i] * vec[i]), (a, b) -> a + b) AS d,
+                      n
+               FROM c, v${k - 1}, nn)
+         GROUP BY p),
+       v$k AS MATERIALIZED (
+         SELECT list_transform(cv, x -> x / e) AS vec
+         FROM (SELECT list(cvp ORDER BY p) AS cv,
+                      sqrt(list_reduce(list_transform(list(cvp ORDER BY p),
+                          x -> x * x), (a, b) -> a + b)) AS e
+               FROM t$k))"""
+
+  private val pcaOracleSql: String =
+    pcaOracleHead + (1 to 8).map(pcaOracleIter).mkString +
+      """
+       SELECT vec_id,
+              round(list_reduce(list_transform(range(1, len(c.c) + 1),
+                  i -> c.c[i] * vec[i]), (a, b) -> a + b), 4) + 0.0 AS proj4
+       FROM c, v8"""
+
+  /** pca2's dual: v1's 15 unrolled rounds (t/v pairs, as pca1), the
+    * in-plan deflation d = c - (c·v1)v1, v2's 15 rounds with the
+    * per-round re-orthogonalization (raw sums -> sequential
+    * projection -> deflate -> 9dp requantize, exactly the driver's
+    * operation order), then the Rayleigh-Ritz moments (9dp) and
+    * rotation coefficients (12dp — atan2/cos/sin are not correctly-
+    * rounded cross-library, so the last ulp is pinned on both sides).
+    */
+  private def pca2OracleIterV2(k: Int, last: Int): String =
+    s""",
+       s$k AS MATERIALIZED (
+         SELECT p, sum(cp * dd) / any_value(n) AS cvp0
+         FROM (SELECT unnest(d.c) AS cp,
+                      unnest(range(1, len(d.c) + 1)) AS p,
+                      list_reduce(list_transform(range(1, len(d.c) + 1),
+                          i -> d.c[i] * vec[i]), (a, b) -> a + b) AS dd,
+                      n
+               FROM d, u${k - 1}, nn)
+         GROUP BY p),
+       u$k AS MATERIALIZED (
+         SELECT list_transform(cv, x -> x / e) AS vec
+         FROM (SELECT cv,
+                      sqrt(list_reduce(list_transform(cv, x -> x * x),
+                          (a, b) -> a + b)) AS e
+               FROM (SELECT list_transform(range(1, 65),
+                         p -> round(cv0[p] - proj * w[p], 9)) AS cv
+                     FROM (SELECT cv0,
+                             list_reduce(list_transform(range(1, 65),
+                                 p -> cv0[p] * w[p]), (a, b) -> a + b)
+                               AS proj,
+                             w
+                           FROM (SELECT list(cvp0 ORDER BY p) AS cv0
+                                 FROM s$k),
+                                (SELECT vec AS w FROM v$last)))))"""
+
+  private val pca2OracleSql: String = {
+    val iters = 15
+    pcaOracleHead +
+      (1 to iters).map(pcaOracleIter).mkString +
+      s""",
+       d AS MATERIALIZED (
+         SELECT vec_id,
+                list_transform(range(1, 65), i -> cc[i] - p1 * vec[i]) AS c
+         FROM (SELECT c.vec_id, c.c AS cc,
+                      list_reduce(list_transform(range(1, len(c.c) + 1),
+                          i -> c.c[i] * vec[i]), (a, b) -> a + b) AS p1,
+                      vec
+               FROM c, v$iters)),
+       u0 AS (SELECT list_transform(range(1, 65), i -> 0.125) AS vec)""" +
+      (1 to iters).map(pca2OracleIterV2(_, iters)).mkString +
+      s""",
+       raw AS MATERIALIZED (
+         SELECT c.vec_id,
+                list_reduce(list_transform(range(1, len(c.c) + 1),
+                    i -> c.c[i] * w1[i]), (a, b) -> a + b) AS q1,
+                list_reduce(list_transform(range(1, len(c.c) + 1),
+                    i -> c.c[i] * w2[i]), (a, b) -> a + b) AS q2
+         FROM c, (SELECT vec AS w1 FROM v$iters),
+                 (SELECT vec AS w2 FROM u$iters)),
+       mom AS MATERIALIZED (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+                round(sum(q1), 9) AS s1, round(sum(q2), 9) AS s2,
+                round(sum(q1 * q1), 9) AS s11,
+                round(sum(q1 * q2), 9) AS s12,
+                round(sum(q2 * q2), 9) AS s22
+         FROM raw),
+       cov AS (
+         SELECT s11 / n - (s1 / n) * (s1 / n) AS c11,
+                s12 / n - (s1 / n) * (s2 / n) AS c12,
+                s22 / n - (s2 / n) * (s2 / n) AS c22
+         FROM mom),
+       coef AS (
+         SELECT ct, st,
+                ct * ct * c11 + 2 * ct * st * c12 + st * st * c22 AS l1,
+                st * st * c11 - 2 * ct * st * c12 + ct * ct * c22 AS l2
+         FROM (SELECT round(cos(0.5 * atan2(2 * c12, c11 - c22)), 12) AS ct,
+                      round(sin(0.5 * atan2(2 * c12, c11 - c22)), 12) AS st,
+                      c11, c12, c22
+               FROM cov)),
+       ab AS (
+         SELECT CASE WHEN l1 >= l2 THEN ct ELSE -st END AS a1,
+                CASE WHEN l1 >= l2 THEN st ELSE ct END AS b1,
+                CASE WHEN l1 >= l2 THEN -st ELSE ct END AS a2,
+                CASE WHEN l1 >= l2 THEN ct ELSE st END AS b2
+         FROM coef)
+       SELECT vec_id, round(a1 * q1 + b1 * q2, 4) + 0.0 AS p1_4,
+              round(a2 * q1 + b2 * q2, 4) + 0.0 AS p2_4
+       FROM raw, ab"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "mmr1_diversified" -> mmrOracleSql,
+    "pca1_power" -> pcaOracleSql,
+    "pca2_top2_map" -> pca2OracleSql,
     "ent1_word_entropy" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -21,8 +21,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object Pca {
 
+  /** 9dp HALF_UP requantization — the cross-engine fixed point (bt1 /
+    * g2 discipline): a distributed sum's combine order differs from
+    * any other engine's (or run topology's) by ~1e-15 relative, so
+    * every driver-side iterate that a SQL dual must reproduce is
+    * rounded where the ~1e-15 noise cannot move the rounded value.
+    * Power iteration is self-correcting, so the 5e-8-relative nudge
+    * per round does not change what the iteration converges to.
+    */
+  private def r9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Per-dimension means of an array column: one partial-aggregating
-    * posexplode pass; exactly `dim` rows reach the shuffle.
+    * posexplode pass; exactly `dim` rows reach the shuffle. Means are
+    * 9dp-requantized (see [[r9]]) so the centered column is
+    * bit-reproducible cross-engine.
     */
   def dimMeans(emb: DataFrame, vecCol: String, dim: Int): Array[Double] = {
     val rows = emb
@@ -30,7 +43,7 @@ object Pca {
       .groupBy(col("pos")).agg(avg(col("x")).as("m"))
       .collect()
     val out = new Array[Double](dim)
-    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    rows.foreach(r => out(r.getInt(0)) = r9(r.getDouble(1)))
     out
   }
 
@@ -69,12 +82,12 @@ object Pca {
         // orthogonal iteration: re-project out the already-extracted
         // component every round, so the second component cannot drift
         // back toward the first while it converges
-        val cv = orthoTo match {
+        val cv = (orthoTo match {
           case Some(u) =>
             val proj = cv0.zip(u).map(t => t._1 * t._2).sum
             cv0.zip(u).map(t => t._1 - proj * t._2)
           case None => cv0
-        }
+        }).map(r9) // requantize the iterate (cross-engine fixed point)
         eigen = math.sqrt(cv.map(x => x * x).sum)
         v = if (eigen == 0.0) v else cv.map(_ / eigen)
       }
@@ -131,17 +144,28 @@ object Pca {
       Similarity.dot(centered, typedLit(v1.toSeq)).as("q1"),
       Similarity.dot(centered, typedLit(v2.toSeq)).as("q2"))
     // Rayleigh-Ritz: 2x2 projection covariance -> closed-form rotation
+    // moment sums are 9dp-requantized (combine-order noise), and the
+    // rotation coefficients 12dp-requantized: atan2/cos/sin are not
+    // guaranteed correctly-rounded across math libraries, so the
+    // last-ulp is pinned before the coefficients re-enter the plan —
+    // with identical (a, b) the projections are bit-identical
+    // cross-engine and pca2 can carry a SQL dual
     val m = raw.agg(count(lit(1)).cast("double").as("n"),
       sum(col("q1")).as("s1"), sum(col("q2")).as("s2"),
       sum(col("q1") * col("q1")).as("s11"),
       sum(col("q1") * col("q2")).as("s12"),
       sum(col("q2") * col("q2")).as("s22")).head()
-    val (n, s1, s2) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
-    val c11 = m.getDouble(3) / n - (s1 / n) * (s1 / n)
-    val c12 = m.getDouble(4) / n - (s1 / n) * (s2 / n)
-    val c22 = m.getDouble(5) / n - (s2 / n) * (s2 / n)
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = m.getDouble(0)
+    val (s1, s2) = (r9(m.getDouble(1)), r9(m.getDouble(2)))
+    val (s11, s12, s22) =
+      (r9(m.getDouble(3)), r9(m.getDouble(4)), r9(m.getDouble(5)))
+    val c11 = s11 / n - (s1 / n) * (s1 / n)
+    val c12 = s12 / n - (s1 / n) * (s2 / n)
+    val c22 = s22 / n - (s2 / n) * (s2 / n)
     val theta = 0.5 * math.atan2(2.0 * c12, c11 - c22)
-    val (ct, st) = (math.cos(theta), math.sin(theta))
+    val (ct, st) = (r12(math.cos(theta)), r12(math.sin(theta)))
     // eigenvalues along the rotated axes; order p1 = larger variance
     val l1 = ct * ct * c11 + 2 * ct * st * c12 + st * st * c22
     val l2 = st * st * c11 - 2 * ct * st * c12 + ct * ct * c22

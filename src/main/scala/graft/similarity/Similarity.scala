@@ -460,10 +460,13 @@ object Similarity {
     }
     val spark = cands.sparkSession
     import spark.implicits._
+    // HALF_UP at 6dp — the repo's round-then-DOUBLE edge convention
+    // (Spark round / DuckDB round agree on it), so the SQL dual's
+    // unrolled greedy can hash-match this output exactly
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     selected.toSeq.zipWithIndex
-      .map { case ((c, sc), i) =>
-        (i + 1, c.id, math.rint(c.rel * 1e6) / 1e6,
-          math.rint(sc * 1e6) / 1e6) }
+      .map { case ((c, sc), i) => (i + 1, c.id, r6(c.rel), r6(sc)) }
       .toDF("rank", idCol, relCol, "mmr_score")
   }
 }

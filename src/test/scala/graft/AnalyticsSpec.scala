@@ -19,7 +19,11 @@ class AnalyticsSpec extends SparkSpec {
   test("pca1: distributed power iteration == local replay") {
     val dim = 64
     val n = localVecs.length.toDouble
-    val means = Array.tabulate(dim)(j => localVecs.map(_(j)).sum / n)
+    // same 9dp requantization as the production iterate (the
+    // cross-engine fixed point that lets pca1 carry a DuckDB dual)
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val means = Array.tabulate(dim)(j => r9(localVecs.map(_(j)).sum / n))
     val centered = localVecs.map(v => Array.tabulate(dim)(j => v(j) - means(j)))
     var v = Array.fill(dim)(1.0 / math.sqrt(dim))
     var eig = 0.0
@@ -29,7 +33,7 @@ class AnalyticsSpec extends SparkSpec {
         val s = (0 until dim).map(j => x(j) * v(j)).sum
         (0 until dim).foreach(j => acc(j) += x(j) * s)
       }
-      val cv = acc.map(_ / n)
+      val cv = acc.map(a => r9(a / n))
       eig = math.sqrt(cv.map(y => y * y).sum)
       v = cv.map(_ / eig)
     }
