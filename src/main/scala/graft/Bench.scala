@@ -182,6 +182,33 @@ object Bench {
       "x1_sql_cosine", "sk2_salted_join", "bf1_bloom_prune", "smp3_weighted_k")
     val byName = results.toMap
     def r3(v: Double): String = f"$v%.3f"
+    // machine-readable regression bands (tools/bench_bands.json,
+    // regenerated by tools/make_bands.py from each committed quiet
+    // baseline): query -> [lo, hi] seconds. A query above its ceiling
+    // in a canary-clean segment is a regression CANDIDATE — the
+    // documented same-morning host variance still applies, so a
+    // candidate needs a quiet re-read before being treated as drift —
+    // but candidates now surface mechanically in the bench JSON
+    // instead of via prose-table cross-reference.
+    val bandsPath = sys.env.getOrElse("SPARK_GRAFT_BANDS", "tools/bench_bands.json")
+    val bandHi: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(bandsPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val re = """"([^"]+)":\s*\[\s*([-0-9.eE+]+)\s*,\s*([-0-9.eE+]+)\s*\]""".r
+      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(3).toDouble).toMap
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] no bands from $bandsPath " +
+        s"(${e.getMessage}) — above_band flags disabled")
+      Map.empty
+    }
+    val aboveBand = results.collect {
+      case (k, v) if bandHi.get(k).exists(v > _) && !stalled.contains(k) => k
+    }
+    aboveBand.foreach { k =>
+      System.err.println(f"[bench] ABOVE BAND $k%-28s ${byName(k)}%8.2f s " +
+        f"(ceiling ${bandHi(k)}%.2f)")
+    }
     val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + r3(v)))
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -196,10 +223,15 @@ object Bench {
     // char log-tail capture window
     val stalledJson =
       stalled.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // same 8-name cap rationale as `stalled`: keep the line inside the
+    // driver's ~2000-char log-tail capture; full list in the out file
+    val aboveJson =
+      aboveBand.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
         s""""value_quiet":${r3(quiet)},"n_stalled":${stalled.size},""" +
         s""""canary":$canaryJson,"stalled":$stalledJson,""" +
+        s""""n_above_band":${aboveBand.size},"above_band":$aboveJson,""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     // structured capture: the driver's log-tail parse missed the JSON
     // when sbt noise followed it (BENCH_r05 parsed:null), so a summary
@@ -209,11 +241,16 @@ object Bench {
     // spark.stop(), so no further output displaces it from the tail.
     val fullQs = results.map { case (k, v) =>
       "\"" + k + "\":{\"sec\":" + r3(v) +
-        ",\"stalled\":" + stalled.contains(k) + "}"
+        ",\"stalled\":" + stalled.contains(k) +
+        bandHi.get(k).map(hi =>
+          ",\"band_hi\":" + r3(hi) + ",\"above_band\":" + (v > hi))
+          .getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
         s""""value_quiet":${r3(quiet)},"n_stalled":${stalled.size},""" +
+        s""""n_above_band":${aboveBand.size},""" +
+        s""""above_band":${aboveBand.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""canary_ref":${r3(canaryRef)},""" +
         s""""canary_times":${canaryTimes.map(r3).mkString("[", ",", "]")},""" +
         s""""stalled":${stalled.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

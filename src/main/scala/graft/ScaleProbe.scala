@@ -65,6 +65,36 @@ object ScaleProbe {
     }
   }
 
+  /** Build (or reuse) the ADVERSARIALLY SKEWED sf0.1 variant: same
+    * row count, but 30% of docs are replaced by ONE template (plus a
+    * tiny per-doc suffix so copies are near- but not bit-identical,
+    * J >> threshold). This is the hot-template regime the fixed-
+    * density replica deliberately avoids: the template's grams
+    * concentrate the candidate join onto a handful of keys, and the
+    * true-pair output is quadratic in the template count (~1M pairs
+    * here) — the probe records whether the salted self-join + AQE
+    * hold dd7/dd6 anywhere near their uniform-corpus bands.
+    */
+  private[graft] def ensureSkewReplica(
+      spark: SparkSession, root: String, skewDir: String): Unit = {
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(skewDir, "_SUCCESS"))) {
+      val sf01 = Tables.documents(spark, s"$root/sf0.1")
+      val template = sf01
+        .filter(col("n_chars").between(200, 2000))
+        .orderBy(col("doc_id")).select(col("text"))
+        .head().getString(0)
+      sf01.select(
+        col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(10)) < 3,
+          concat(lit(template), lit(" zq"), col("doc_id")))
+          .otherwise(col("text")).as("text"),
+        col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(skewDir)
+    }
+  }
+
   /** Growth exponent: slope of log(t) vs log(n) over a series. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Double = {
     val n = pts.size
@@ -181,6 +211,19 @@ object ScaleProbe {
       (name, n, t7, p7, t6, c6, cj, tp2, np2)
     }
 
+    // adversarial skew leg (NOT in the exponent fit: same n as sf0.1,
+    // different density regime by construction)
+    val skewDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR",
+      "/tmp/graft_sf01_skew_v1")
+    ensureSkewReplica(spark, root, skewDir)
+    val skewDf = spark.read.parquet(skewDir)
+    val nSkew = skewDf.count()
+    val (t7s, p7s) = timeSec(dd7(skewDf))
+    val (t6s, c6s) = timeSec(dd6(skewDf))
+    System.err.println(
+      f"[probe] skew30%% n=$nSkew%6d dd7=$t7s%7.2fs ($p7s pairs) " +
+        f"dd6=$t6s%7.2fs ($c6s clusters)")
+
     val e7 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._3))))
     val e6 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._5))))
     val ep2 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._8))))
@@ -192,6 +235,8 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"scale_probe","scales":$qs,""" +
+      s""""skew":{"n":$nSkew,"dd7_sec":${f"$t7s%.2f"},"dd7_pairs":$p7s,""" +
+      s""""dd6_sec":${f"$t6s%.2f"},"dd6_clusters":$c6s},""" +
       s""""dd7_exponent":${f"$e7%.3f"},"dd6_exponent":${f"$e6%.3f"},""" +
       s""""pipe2_exponent":${f"$ep2%.3f"}}""")
   }

@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Dev tool: regenerate tools/bench_bands.json from the committed
+quiet baseline. A band is [0, hi] where hi is the recorded PROSE band
+ceiling when BASELINE.md carries one (the multi-run evidence), else
+max(2 x quiet_sec, quiet_sec + 1.0) — 2x is the repo's regression
+contract, the +1.0 floor keeps sub-second queries from flagging on
+scheduler jitter. Bench.scala reads the file and marks `above_band`
+per query, so regression candidates surface mechanically instead of
+via prose-table cross-reference.
+
+Usage: python3 tools/make_bands.py [quiet_bench.json] > tools/bench_bands.json
+"""
+import json
+import sys
+
+# multi-run prose bands from BASELINE.md (ceilings; seconds at sf0.1)
+PROSE_HI = {
+    "dd7_exact_jaccard": 14.0,      # 8-14 s quiet band (three-run r10)
+    "dd6_cluster_keep": 14.0,       # 8-14 s quiet band
+    "pipe2_training_prep": 23.0,    # 18-23 s recorded band
+    "g2_pagerank": 13.1,            # 11.9-13.1 rows
+    "pipe1_corpus_clean": 6.4,      # 4.4-6.4 band
+    "bt1_bradley_terry": 4.5,       # ~3-4 s post wl-lineage-cut (3.71, 3.64)
+    "yuen1_trimmed_ttest": 1.2,     # 0.55 single row, jitter floor
+}
+
+
+def main(path: str) -> None:
+    base = json.load(open(path))["queries"]
+    bands = {}
+    for name, rec in sorted(base.items()):
+        sec = rec["sec"]
+        hi = PROSE_HI.get(name, max(2.0 * sec, sec + 1.0))
+        bands[name] = [0.0, round(hi, 3)]
+    for name, hi in PROSE_HI.items():
+        bands.setdefault(name, [0.0, hi])
+    json.dump(bands, sys.stdout, indent=0, sort_keys=True)
+    sys.stdout.write("\n")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "BENCH_full_r12c_quiet.json")
