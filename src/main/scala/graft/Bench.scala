@@ -113,8 +113,17 @@ object Bench {
     // whose baseline band absorbs it, and is bounded by BASELINE.md's
     // variance notes).
     val front = Seq("dd7_exact_jaccard", "dd6_cluster_keep")
-    val ordered = front.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
+    // dev-only isolated re-read filter (comma-separated names) for
+    // adjudicating above_band flags without a full run; the driver
+    // never sets it, so round benches always measure the full set
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val all = front.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
       SparkEntry.queries.toSeq.sortBy(_._1).filterNot(kv => front.contains(kv._1))
+    val ordered = only match {
+      case Some(names) => all.filter(kv => names(kv._1))
+      case None => all
+    }
 
     // segment = queries measured since the previous canary reading; a
     // spiking canary taints its whole segment (conservative: the stall

@@ -211,6 +211,19 @@ object ScaleProbe {
       (name, n, t7, p7, t6, c6, cj, tp2, np2)
     }
 
+    // cacheVerifySets experiment (r7 advice #8): dd7 on the sf1
+    // replica with the sorted-hash arrays localCheckpointed once
+    // pre-join vs the committed recompute-per-side plan — keep the
+    // flag only if it takes >=20% off the 100x leg
+    def dd7Cached(df: DataFrame): Long =
+      graft.dedup.Dedup
+        .exactJaccardPairs(df, "doc_id", "text", threshold = 0.8,
+          cacheVerifySets = true)
+        .count()
+    val (t7c, p7c) = timeSec(dd7Cached(spark.read.parquet(replicaDir)))
+    System.err.println(
+      f"[probe] sf1rep dd7(cacheVerifySets)=$t7c%7.2fs ($p7c pairs)")
+
     // adversarial skew leg (NOT in the exponent fit: same n as sf0.1,
     // different density regime by construction)
     val skewDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR",
@@ -235,6 +248,7 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"scale_probe","scales":$qs,""" +
+      s""""dd7_cached_sf1rep_sec":${f"$t7c%.2f"},""" +
       s""""skew":{"n":$nSkew,"dd7_sec":${f"$t7s%.2f"},"dd7_pairs":$p7s,""" +
       s""""dd6_sec":${f"$t6s%.2f"},"dd6_clusters":$c6s},""" +
       s""""dd7_exponent":${f"$e7%.3f"},"dd6_exponent":${f"$e6%.3f"},""" +
