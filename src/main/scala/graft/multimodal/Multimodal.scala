@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus batch-shaped decode / feature
   * extraction (north-star in BASELINE.json).
   *
-  * IMAGE decode/resize is REAL (pure-JDK `javax.imageio` codecs:
-  * [[Multimodal.ImageIoDecoder]] / [[Multimodal.ImageIoResizer]]).
-  * Audio/video codecs remain STUBBED (this container has no such
-  * libraries): `StubDecoder` produces a deterministic fake feature
-  * vector from the payload bytes and doubles as the hermetic-test
-  * codec. Everything Spark-side — schema, batching, partitioning, the
-  * mapPartitions pipeline shape — is real and is what matters at
-  * scale:
+  * IMAGE decode/resize is REAL (pure-JDK `javax.imageio`:
+  * [[Multimodal.ImageIoDecoder]] / [[Multimodal.ImageIoResizer]]) and
+  * so is AUDIO decode (pure-JDK `javax.sound.sampled` WAV/PCM:
+  * [[Multimodal.WavDecoder]]). Video codecs remain STUBBED (no such
+  * library exists in the JDK): `StubDecoder` produces a deterministic
+  * fake feature vector from the payload bytes and doubles as the
+  * hermetic-test codec. Everything Spark-side — schema, batching,
+  * partitioning, the mapPartitions pipeline shape — is real and is
+  * what matters at scale:
   *
   *  - payloads stay opaque binary end-to-end (never stringified);
   *  - decode runs per PARTITION in bounded-size batches (the JVM
@@ -108,6 +109,78 @@ object Multimodal {
       }
       Array.tabulate(grid * grid) { i =>
         if (counts(i) == 0) 0f else sums(i).toFloat / counts(i)
+      }
+    }
+  }
+
+  /** REAL audio codec behind the same [[Decoder]] seam — pure JDK
+    * `javax.sound.sampled` (WAV/AIFF/AU containers, PCM encodings).
+    * Features are per-window RMS energy over `windows` equal slices
+    * of the channel-averaged sample stream — the classic
+    * voice-activity / silence-trim front end. Sample decode is exact
+    * integer math (16/8-bit PCM -> int, channel mean by integer
+    * division) and the RMS accumulates sequentially in doubles, so
+    * features are bit-deterministic for a given payload. Undecodable
+    * payloads throw, like [[ImageIoDecoder]].
+    */
+  final class WavDecoder(val windows: Int = 8) extends Decoder {
+    def featureDim: Int = windows
+    def decode(payload: Array[Byte]): Array[Float] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais =
+        try AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"undecodable audio payload (${payload.length} bytes)", e)
+        }
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED,
+        s"unsupported encoding ${fmt.getEncoding}")
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      require(bytesPerSample == 1 || bytesPerSample == 2,
+        s"unsupported sample size ${fmt.getSampleSizeInBits} bits")
+      val raw = ais.readAllBytes()
+      val channels = fmt.getChannels
+      val frameBytes = bytesPerSample * channels
+      val nFrames = raw.length / frameBytes
+      // channel-averaged signed samples
+      val samples = new Array[Int](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0
+        var c = 0
+        while (c < channels) {
+          val off = f * frameBytes + c * bytesPerSample
+          val s =
+            if (bytesPerSample == 2) {
+              val lo = raw(off) & 0xff
+              val hi = raw(off + 1)
+              if (fmt.isBigEndian) (raw(off) << 8) | (raw(off + 1) & 0xff)
+              else (hi << 8) | lo
+            } else if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
+              (raw(off) & 0xff) - 128
+            else raw(off).toInt
+          acc += s
+          c += 1
+        }
+        samples(f) = acc / channels
+        f += 1
+      }
+      // per-window RMS (empty windows -> 0, matching the image codec's
+      // empty-cell convention)
+      Array.tabulate(windows) { w =>
+        val from = (w.toLong * nFrames / windows).toInt
+        val until = ((w + 1).toLong * nFrames / windows).toInt
+        if (until <= from) 0f
+        else {
+          var ss = 0.0
+          var i = from
+          while (i < until) { ss += samples(i).toDouble * samples(i); i += 1 }
+          math.sqrt(ss / (until - from)).toFloat
+        }
       }
     }
   }

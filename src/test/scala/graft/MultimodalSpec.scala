@@ -118,6 +118,46 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.features.toSeq == Seq(10f, 40f, 90f, 160f)))
   }
 
+  /** 16-bit mono PCM WAV: first half silence, second half a constant
+    * +1000 amplitude — RMS of a constant is the constant, exactly.
+    */
+  private def halfToneWav(nFrames: Int = 800): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- nFrames / 2 until nFrames) {
+      pcm(2 * i) = (1000 & 0xff).toByte
+      pcm(2 * i + 1) = ((1000 >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavDecoder decodes a real WAV byte-exactly: window RMS equals " +
+      "the known amplitudes") {
+    val d = new Multimodal.WavDecoder(windows = 4)
+    assert(d.featureDim === 4)
+    val feats = d.decode(halfToneWav()).toSeq
+    assert(feats === Seq(0f, 0f, 1000f, 1000f))
+    intercept[IllegalArgumentException] {
+      d.decode("definitely not audio".getBytes("UTF-8"))
+    }
+  }
+
+  test("real-audio pipeline: extractFeatures over WAV payloads") {
+    import spark.implicits._
+    val wav = halfToneWav()
+    val media = (1L to 6L)
+      .map(i => Multimodal.MediaRecord(i, "audio/wav", wav, 0, 0)).toDF()
+    val rows = Multimodal.extractFeatures(spark, media,
+      new Multimodal.WavDecoder(4), batchSize = 2).collect()
+    assert(rows.length === 6)
+    assert(rows.forall(_.features.toSeq == Seq(0f, 0f, 1000f, 1000f)))
+  }
+
   test("SplitFrames generator == sampleFrames flatMap dual, byte for byte") {
     import org.apache.spark.sql.functions._
     val media = Multimodal.documentsAsMedia(Tables.documents(spark, sf))
