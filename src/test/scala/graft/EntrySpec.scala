@@ -34,6 +34,9 @@ class EntrySpec extends SparkSpec {
     import org.apache.spark.sql.types._
     def bad(dt: DataType): Boolean = dt match {
       case _: DecimalType | _: ArrayType | _: MapType | _: StructType => true
+      // float32 at the edge stringifies as its shortest FLOAT repr,
+      // which differs from the oracle's DOUBLE repr of the same value
+      case FloatType => true
       case _ => false
     }
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
