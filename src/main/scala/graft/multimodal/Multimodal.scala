@@ -142,6 +142,12 @@ object Multimodal {
       val bytesPerSample = fmt.getSampleSizeInBits / 8
       require(bytesPerSample == 1 || bytesPerSample == 2,
         s"unsupported sample size ${fmt.getSampleSizeInBits} bits")
+      // 16-bit unsigned PCM would decode WRONG through the signed
+      // path below — unheard-of in WAV (unsigned is 8-bit by spec
+      // convention), so fail loudly rather than emit garbage features
+      require(!(bytesPerSample == 2 &&
+        fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED),
+        "16-bit unsigned PCM is not supported")
       val raw = ais.readAllBytes()
       val channels = fmt.getChannels
       val frameBytes = bytesPerSample * channels
