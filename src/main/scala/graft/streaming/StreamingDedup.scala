@@ -85,6 +85,52 @@ object StreamingDedup {
           .as("contamination"))
   }
 
+  /** Streaming EXACT dedup — the continuous face of
+    * [[graft.dedup.Dedup.exact]] (dd1): drop every arriving doc whose
+    * 64-char content digest was already seen within the watermark
+    * window, via the engine's own `dropDuplicatesWithinWatermark`
+    * state store (state is digests only — 64 chars/doc regardless of
+    * document size — and evicted once the watermark passes, the same
+    * retention contract as the near-dup bucket state). The batch
+    * operator keeps min(id) per digest group; the stream keeps FIRST
+    * ARRIVAL — identical whenever arrival order follows id order, the
+    * append-only ingest contract (asserted in StreamingSpec).
+    */
+  def streamingExactDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      delayMs: Long = 2 * 3600 * 1000L): DataFrame =
+    docs
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .dropDuplicatesWithinWatermark("content_hash")
+      .drop("content_hash")
+
+  /** Streaming corpus-clean gate — the ingest-time face of pipe1's
+    * quality + exact-dedup phases plus the per-doc stats projection:
+    * quality gate (stateless) -> exact dedup (watermark-bounded
+    * digest state) -> token count + language id. The near-dup phase
+    * deliberately stays OUT of this operator: pair connectivity is
+    * global, so it runs as the separate [[streamingMinhashPairs]]
+    * stream feeding a downstream keep/drop sink. Equality with the
+    * batch pipeline's quality+exact phases is asserted in
+    * StreamingSpec.
+    */
+  def streamingCorpusClean(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      delayMs: Long = 2 * 3600 * 1000L): DataFrame = {
+    import graft.text.TextFunctions
+    streamingExactDedup(
+      docs.filter(TextFunctions.qualityScore(col(textCol)) > 0.3),
+      idCol, textCol, delayMs)
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("predicted_lang", TextFunctions.langId(col(textCol)))
+      .drop(textCol)
+  }
+
   /** Auto-dispatching streaming decontamination — the streaming face
     * of [[graft.dedup.Dedup.contaminationScoresAuto]]: the SAME
     * estimate-then-choose (one pre-distinct pass over the STATIC eval

@@ -381,6 +381,51 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_._3 > 0), "fixture should contain contamination")
   }
 
+  test("streaming corpus-clean gate (quality -> exact dedup -> stats) " +
+      "equals the batch pipeline's quality+exact phases") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.TextFunctions
+    val real = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // plant exact duplicates: every 5th doc arrives again under a
+    // HIGHER id (so first-arrival == min-id, the batch keep rule)
+    val dupes = real.filter(_._1 % 5 == 0)
+      .map { case (id, t) => (id + 1000000L, t) }
+    val feed = (real ++ dupes).sortBy(_._1)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingDedup.streamingCorpusClean(
+      mem.toDS().toDF("ts", "doc_id", "text"), "doc_id", "text",
+      delayMs = 60000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corpus_clean_out")
+      .start()
+    try {
+      mem.addData(feed.map { case (id, t) => (ts(0), id, t) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("corpus_clean_out")
+      .select(col("doc_id"), col("n_tokens"), col("predicted_lang"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    // batch dual: quality gate + exact keep-min-id + same stats
+    import spark.implicits._
+    val batchDocs = (real ++ dupes).toSeq.toDF("doc_id", "text")
+      .filter(TextFunctions.qualityScore(col("text")) > 0.3)
+    val batch = batchDocs
+      .join(graft.dedup.Dedup.exactKeepIds(batchDocs, "doc_id", "text"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.langId(col("text")).as("predicted_lang"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(streamed === batch)
+    // the planted duplicates were actually dropped
+    assert(!streamed.exists(_._1 >= 1000000L))
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming contamination AUTO-dispatch: the over-cap branch " +
       "(bloom prefilter, no forced broadcast) equals the batch dual") {
     implicit val sqlCtx = spark.sqlContext
