@@ -568,19 +568,27 @@ object Extensions {
     * document — the doc-level duplication-fraction signal ("how much
     * of this doc is boilerplate the corpus already has"), the scoring
     * dual of the pair-detection dd family. Shape: distinct (doc,gram)
-    * pairs -> gram doc-frequency -> rejoin by gram -> per-doc mean of
-    * (df > 1); two gram-keyed shuffles, no pairwise anything — at
-    * 100 TB this is the affordable whole-corpus duplication audit
-    * (the pair joins are reserved for the candidates dedup acts on).
-    * Fraction emitted as round(·,6) DECIMAL (t10 pattern).
+    * pairs -> gram doc-frequency via a window over the gram partition
+    * -> per-doc mean of (df > 1); ONE gram-keyed shuffle (iv1's
+    * trick — the old aggregate + self-rejoin shuffled the stream
+    * twice), no pairwise anything — at 100 TB this is the affordable
+    * whole-corpus duplication audit (the pair joins are reserved for
+    * the candidates dedup acts on). Fraction emitted as round(·,6)
+    * through DECIMAL, DOUBLE at the edge.
     */
   def nov1NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), explode(array_distinct(
         Dedup.wordShingles(col("text"), 3))).as("gram"))
-    val df = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("n_docs")) // grams are distinct per doc
-    grams.join(df, "gram")
+    // doc-frequency via a window over the gram partition (iv1's
+    // one-shuffle trick): the exploded gram stream shuffles ONCE and
+    // n_docs lands on each row in place — vs the old aggregate +
+    // self-rejoin, which shuffled the same stream twice and carried a
+    // gram-keyed join build side
+    grams
+      .withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col("gram"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
