@@ -37,7 +37,13 @@ object PageRank {
   def run(edges: DataFrame, iters: Int = 8,
           damping: Double = 0.85): DataFrame = {
     val spark = edges.sparkSession
+    // pre-partition the (static) edge table by src ONCE: the cache
+    // preserves outputPartitioning, so every iteration's contribution
+    // join reads e co-partitioned instead of re-exchanging it — at
+    // cluster scale this removes the per-iteration shuffle of the
+    // biggest input (the edge list)
     val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
