@@ -199,7 +199,13 @@ object Bench {
     // candidate needs a quiet re-read before being treated as drift —
     // but candidates now surface mechanically in the bench JSON
     // instead of via prose-table cross-reference.
-    val bandsPath = sys.env.getOrElse("SPARK_GRAFT_BANDS", "tools/bench_bands.json")
+    // resolve relative to CWD, falling back to the repo checkout so a
+    // driver started elsewhere still gets band flags
+    val bandsPath = sys.env.get("SPARK_GRAFT_BANDS")
+      .orElse(Seq("tools/bench_bands.json",
+        "/root/repo/tools/bench_bands.json")
+        .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+      .getOrElse("tools/bench_bands.json")
     val bandHi: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(bandsPath)),
