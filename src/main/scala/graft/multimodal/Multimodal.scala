@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * extraction (north-star in BASELINE.json).
   *
   * IMAGE decode/resize is REAL (pure-JDK `javax.imageio`:
-  * [[Multimodal.ImageIoDecoder]] / [[Multimodal.ImageIoResizer]]) and
-  * so is AUDIO decode (pure-JDK `javax.sound.sampled` WAV/PCM:
-  * [[Multimodal.WavDecoder]]). Video codecs remain STUBBED (no such
-  * library exists in the JDK): `StubDecoder` produces a deterministic
+  * [[Multimodal.ImageIoDecoder]] / [[Multimodal.ImageIoResizer]]), so
+  * is AUDIO decode (pure-JDK `javax.sound.sampled` WAV/PCM:
+  * [[Multimodal.WavDecoder]]), and so is VIDEO frame extraction for
+  * MJPEG-in-AVI ([[Multimodal.sampleVideoFrames]] — RIFF container
+  * parse, each frame a standalone JPEG the image codec decodes).
+  * Compressed inter-frame codecs (H.264 etc.) have no JDK decoder and
+  * stay behind the stub seam: `StubDecoder` produces a deterministic
   * fake feature vector from the payload bytes and doubles as the
   * hermetic-test codec. Everything Spark-side — schema, batching,
   * partitioning, the mapPartitions pipeline shape — is real and is
@@ -311,6 +314,66 @@ object Multimodal {
       media_id: Long,
       frame_idx: Int,
       payload: Array[Byte])
+
+  /** REAL video frame extraction for MJPEG-in-AVI — the one video
+    * format a zero-dependency JVM can fully handle: the AVI container
+    * is plain RIFF (4cc + little-endian size chunks, 'RIFF'/'LIST'
+    * nesting, frame payloads in 'NNdc'/'NNdb' chunks) and each MJPEG
+    * frame is a standalone JPEG that [[ImageIoDecoder]] decodes. The
+    * parser walks the chunk tree linearly, tolerates unknown chunks
+    * (hdrl, idx1, junk padding), and stops at any malformed size
+    * instead of over-reading. Returns the raw frame payloads in
+    * stream order.
+    */
+  private[graft] def aviFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def le32(i: Int): Long =
+      (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+        ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+    def walk(from: Int, until: Int): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        val id = new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(i + 4)
+        if (size < 0 || i + 8 + size > until) return // malformed: stop
+        if (id == "RIFF" || id == "LIST") {
+          if (size >= 4) walk(i + 12, (i + 8 + size).toInt)
+        } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+            id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') && size > 0) {
+          out += java.util.Arrays.copyOfRange(payload, i + 8, (i + 8 + size).toInt)
+        }
+        i += (8 + size + (size & 1)).toInt // chunks pad to even
+      }
+    }
+    if (payload.length >= 12 &&
+        new String(payload, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) == "RIFF")
+      walk(0, payload.length)
+    else
+      throw new IllegalArgumentException(
+        s"not a RIFF/AVI payload (${payload.length} bytes)")
+    out.toSeq
+  }
+
+  /** Sample every `everyNth` REAL video frame from MJPEG-AVI payloads
+    * — the codec-backed counterpart of the byte-window
+    * [[sampleFrames]]: same one-to-many flatMap generator shape, same
+    * (media_id, frame_idx) provenance, but frames are the container's
+    * actual JPEG frame payloads (each decodable by
+    * [[ImageIoDecoder]]), and frames NOT sampled are never copied out
+    * of the source buffer.
+    */
+  def sampleVideoFrames(
+      spark: SparkSession,
+      media: DataFrame,
+      everyNth: Int = 2): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      aviFrames(r.payload).iterator.zipWithIndex.collect {
+        case (frame, idx) if idx % everyNth == 0 =>
+          MediaFrame(r.media_id, idx, frame)
+      }
+    }
+  }
 
   /** Sample every `everyNth` fixed-size frame from each payload — the
     * video-frame-extraction shape: a one-to-many flatMap that NEVER

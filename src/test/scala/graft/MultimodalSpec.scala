@@ -158,6 +158,55 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.features.toSeq == Seq(0f, 0f, 1000f, 1000f)))
   }
 
+  /** Minimal MJPEG-AVI: RIFF('AVI ' LIST('movi' 00dc(jpeg)...)) —
+    * frame k is a solid-gray JPEG of value 32*(k+1).
+    */
+  private def mjpegAvi(nFrames: Int): Array[Byte] = {
+    def jpegGray(v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    val frames = (0 until nFrames)
+      .flatMap(k => chunk("00dc", jpegGray(32 * (k + 1)))).toArray
+    val movi = "movi".getBytes("US-ASCII") ++ frames
+    val lst = chunk("LIST", movi)
+    val body = "AVI ".getBytes("US-ASCII") ++ lst
+    chunk("RIFF", body)
+  }
+
+  test("sampleVideoFrames: REAL MJPEG-AVI parse -> every-nth JPEG " +
+      "frame, each decodable by the real image codec") {
+    import spark.implicits._
+    val avi = mjpegAvi(5)
+    val media = Seq(Multimodal.MediaRecord(9L, "video/avi", avi, 8, 8)).toDF()
+    val frames = Multimodal.sampleVideoFrames(spark, media, everyNth = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    // frames are REAL JPEGs: decode each and check the solid gray
+    // level (JPEG is lossy -> small tolerance)
+    val dec = new Multimodal.ImageIoDecoder(1)
+    frames.foreach { f =>
+      val gray = dec.decode(f.payload)(0)
+      val want = 32f * (f.frame_idx + 1)
+      assert(math.abs(gray - want) < 4f, s"frame ${f.frame_idx}: $gray vs $want")
+    }
+    // non-RIFF payloads fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.aviFrames("not a container".getBytes("UTF-8"))
+    }
+  }
+
   test("SplitFrames generator == sampleFrames flatMap dual, byte for byte") {
     import org.apache.spark.sql.functions._
     val media = Multimodal.documentsAsMedia(Tables.documents(spark, sf))
