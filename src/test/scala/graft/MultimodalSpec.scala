@@ -207,6 +207,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("codec properties over seeded random inputs: WAV RMS of a " +
+      "constant-amplitude signal is the amplitude; image pooling of a " +
+      "solid color is the color's gray") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      amp <- Gen.choose(1, 32000)
+      n <- Gen.choose(4, 2000)
+      gray <- Gen.choose(0, 255)
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+    } yield (amp, n, gray, w, h)
+    (1 to 25).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .foreach { case (amp, n, gray, w, h) =>
+        // WAV: constant signed amplitude -> every window RMS == amp
+        val pcm = new Array[Byte](n * 2)
+        for (i <- 0 until n) {
+          pcm(2 * i) = (amp & 0xff).toByte
+          pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val wavFeats = new Multimodal.WavDecoder(4).decode(bos.toByteArray)
+        // windows narrower than the signal may be empty (n < windows)
+        wavFeats.filter(_ != 0f).foreach(f =>
+          assert(math.abs(f - amp) < 0.5f, s"amp=$amp n=$n got $f"))
+        // PNG: solid gray(v,v,v) -> every populated cell == v exactly
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+        val pb = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", pb)
+        val cells = new Multimodal.ImageIoDecoder(4).decode(pb.toByteArray)
+        // cells with no pixels (image smaller than the grid) are 0
+        cells.filter(_ != 0f).foreach(c =>
+          assert(c == gray.toFloat, s"gray=$gray ${w}x$h got $c"))
+        // the all-black image is all-zero cells by BOTH rules — fine
+        if (gray != 0) assert(cells.exists(_ != 0f))
+      }
+  }
+
   test("SplitFrames generator == sampleFrames flatMap dual, byte for byte") {
     import org.apache.spark.sql.functions._
     val media = Multimodal.documentsAsMedia(Tables.documents(spark, sf))
