@@ -132,27 +132,28 @@ object Stats {
   /** Revenue concentration: customers ranked ascending by total spend
     * (integer cents; ties by custkey), the Lorenz cumulative-share
     * curve at customer deciles, and the Gini coefficient
-    * G = 2·Σ i·x_i / (n·Σx) − (n+1)/n. The rank window runs on the
-    * per-customer AGGREGATE (ks1 discipline; at warehouse scale the
-    * prefix rank takes the pk1 distributed-prefix-sum form — same
-    * two-level kernel, documented there). All sums are exact integer
-    * cents; the Gini assembly is four IEEE ops in fixed order.
+    * G = 2·Σ i·x_i / (n·Σx) − (n+1)/n. The rank/prefix-sum runs the
+    * pk1-style distributed two-level kernel
+    * ([[graft.ops.GlobalRank.rankAndPrefixSum]]) — NOT a global
+    * `Window.orderBy`, which would sort the whole per-customer
+    * aggregate in one task. The domain here is per-customer, i.e. it
+    * scales with the data; at 100x customers the kernel's only
+    * driver-side state is one (count, sum) row per partition. All
+    * sums are exact integer cents; the Gini assembly is four IEEE ops
+    * in fixed order.
     */
   def gini1LorenzGini(s: SparkSession, d: String): DataFrame = {
     val spend = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
         .as("cents"))
-    val w = Window.orderBy(col("cents"), col("o_custkey"))
-    val ranked = spend
-      .withColumn("i", row_number().over(w).cast("long"))
+    val ranked = graft.ops.GlobalRank.rankAndPrefixSum(
+      spend, Seq(col("cents"), col("o_custkey")), col("cents"))
     val tot = spend.agg(count(lit(1)).as("n"), sum(col("cents")).as("sx"))
     val cum = ranked.crossJoin(broadcast(tot))
       // ceil(i*10/n): equal-size deciles 1..10 (floor would make
       // "decile 10" the single top customer)
       .withColumn("decile", expr("(i * 10 + n - 1) div n"))
-      .withColumn("csum", sum(col("cents")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
     val lorenz = cum.groupBy("decile")
       .agg(max(col("csum")).as("csum"), first(col("sx")).as("sx"),
         first(col("n")).as("n"))
