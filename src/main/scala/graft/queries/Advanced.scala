@@ -78,10 +78,13 @@ object Advanced {
       .groupBy(score.as("score"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(isPos, 1L).otherwise(0L)).as("pos"))
-    val w = Window.orderBy(col("score"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byScore
-      .withColumn("cum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    // distinct raw scores scale ~ rows for continuous domains, so the
+    // "strictly below" count runs the distributed prefix kernel, not
+    // a global window (exclusive sum: 0 on the first score)
+    val ranked = graft.ops.GlobalRank.prefixScan(byScore,
+        Seq(col("score")),
+        Seq(graft.ops.GlobalRank.Scan("cum", col("cnt"),
+          inclusive = false)))
       .withColumn("r2", lit(2) * col("cum") + col("cnt") + lit(1))
     ranked
       .agg(sum(col("pos") * col("r2")).as("sr2"),
@@ -442,10 +445,14 @@ object Advanced {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
     val perPrice = o.groupBy(col("o_totalprice").as("p"))
       .agg(max(col("o_orderdate")).as("md"))
-    val w = Window.orderBy(col("p").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = perPrice
-      .withColumn("cm", max(col("md")).over(w)) // best date strictly above p
+    // the promised two-level prefix-max: distinct prices scale with
+    // the order table, so "best date at any strictly higher price" is
+    // an exclusive running max via the distributed kernel (NULL cm on
+    // the highest price, exactly like the window frame it replaces)
+    val frontier = graft.ops.GlobalRank.prefixScan(perPrice,
+      Seq(col("p").desc),
+      Seq(graft.ops.GlobalRank.Scan("cm", col("md"),
+        op = "max", inclusive = false)))
     o.join(frontier, col("o_totalprice") === col("p"))
       .filter((col("cm").isNull || col("cm") < col("o_orderdate")) &&
         col("o_orderdate") === col("md")) // not beaten above, best in group

@@ -66,11 +66,15 @@ object Eval {
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
     val byVal = ev.groupBy("cents")
       .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("posc"))
-    val w = Window.orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byVal
-      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
-      .withColumn("pos_below", coalesce(sum(col("posc")).over(w), lit(0L)))
+    // both exclusive cumulatives in ONE distributed prefix pass over
+    // the distinct-cents aggregate (cardinality tracks the value
+    // domain, which a global window would single-task-sort)
+    val ranked = graft.ops.GlobalRank.prefixScan(byVal,
+      Seq(col("cents")), Seq(
+        graft.ops.GlobalRank.Scan("below", col("cnt"),
+          inclusive = false),
+        graft.ops.GlobalRank.Scan("pos_below", col("posc"),
+          inclusive = false)))
     val tot = ev.agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
     val qs = s.range(1, 10).select(col("id").as("q"))
     // threshold for decile q = smallest cents with at most ceil(q*n/10)

@@ -101,10 +101,12 @@ object Fit {
         col("o_custkey") === col("c_custkey"))
       .select(col("o_totalprice").as("v1"), col("c_acctbal").as("v2"))
     def avgRanks(vcol: String): DataFrame = {
-      val w = Window.orderBy(col(vcol))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      pairs.groupBy(col(vcol)).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(w))
+      // distinct raw values scale ~ rows: the tie-midrank cumulative
+      // count runs the distributed prefix kernel, not a global window
+      graft.ops.GlobalRank.prefixScan(
+          pairs.groupBy(col(vcol)).agg(count(lit(1)).as("cnt")),
+          Seq(col(vcol)),
+          Seq(graft.ops.GlobalRank.Scan("cum", col("cnt"))))
         // doubled average rank: 2*(cum - (cnt-1)/2) = 2*cum - cnt + 1
         .select(col(vcol), (col("cum") * 2 - col("cnt") + 1).as(s"ir_$vcol"))
     }

@@ -143,10 +143,13 @@ object Mining2 {
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("pos"))
-    val w = Window.orderBy(col("score"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byScore
-      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    // distinct raw scores scale ~ rows (continuous domain): midrank
+    // "below" counts run the distributed prefix kernel, not a global
+    // window (exclusive sum: 0 at the smallest score)
+    val ranked = graft.ops.GlobalRank.prefixScan(byScore,
+      Seq(col("score")),
+      Seq(graft.ops.GlobalRank.Scan("below", col("cnt"),
+        inclusive = false)))
     val n = byScore.agg(sum(col("cnt")).as("n"))
     ranked.crossJoin(broadcast(n))
       // midrank numerator 2*below+cnt over denominator 2n; decile =

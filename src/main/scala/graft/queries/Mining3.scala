@@ -147,10 +147,12 @@ object Mining3 {
   def qq1QuantilePairs(s: SparkSession, d: String): DataFrame = {
     def deciles(ev: DataFrame, label: String): DataFrame = {
       val byVal = ev.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = byVal
-        .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      // distinct cents track the value domain: the below-count runs
+      // the distributed prefix kernel, not a global window
+      val ranked = graft.ops.GlobalRank.prefixScan(byVal,
+        Seq(col("cents")),
+        Seq(graft.ops.GlobalRank.Scan("below", col("cnt"),
+          inclusive = false)))
       val n = ev.agg(count(lit(1)).as("n"))
       val qs = s.range(1, 10).select(col("id").as("q"))
       ranked.crossJoin(broadcast(n)).crossJoin(broadcast(qs))

@@ -77,18 +77,25 @@ object Robust {
     * gap. IPW with a binned propensity IS stratification, so this is
     * the estimator's exact per-stratum decomposition.
     *
-    * Scale note: the exact global ntile is kept for oracle
-    * bit-equality; at production scale the decile EDGES come from an
-    * approx-quantile sketch (`a15_percentiles`/kll1 machinery) and
-    * bin assignment becomes a broadcast range lookup — the aggregate
-    * shape after binning is identical.
+    * Scale note: exact NTILE semantics are kept for oracle
+    * bit-equality, but the assignment runs the distributed rank
+    * kernel (no single-task sort); an approx-quantile sketch
+    * (`a15_percentiles`/kll1 machinery) with broadcast edges remains
+    * the cheaper alternative when exactness isn't contractual.
     */
   def ate1StratifiedAte(s: SparkSession, d: String): DataFrame = {
-    val wDec = Window.orderBy(col("score"), col("id"))
-    val binned = customersWithOutcome(s, d)
+    val base = customersWithOutcome(s, d)
       .withColumn("t",
         (col("c_mktsegment") === "BUILDING").cast("int"))
-      .withColumn("bin", ntile(10).over(wDec))
+    // exact-NTILE deciles via the distributed rank kernel: the score
+    // domain is per-CUSTOMER (row-scaling), so a global ntile window
+    // would single-task-sort it at 100x — bucket assignment is
+    // bit-identical to ntile(10) (GlobalRankSpec)
+    val binned = graft.ops.GlobalRank.prefixScan(base,
+        Seq(col("score"), col("id")), Nil, rankCol = Some("__i"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"))))
+      .withColumn("bin",
+        graft.ops.GlobalRank.ntileFromRank(col("__i"), col("__n"), 10))
     binned.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("t")).cast("long").as("n_treated"),

@@ -61,20 +61,26 @@ object Series {
   // ---- abc1: ABC / Pareto classification ------------------------------
 
   /** ABC inventory classification: parts ranked by exact-DECIMAL
-    * revenue, cumulative share over the part AGGREGATE (bounded by
-    * the catalog, ks1 discipline), class A ≤ 80%, B ≤ 95%, else C.
-    * The cumulative sum is DECIMAL, so the share every engine
-    * compares against the thresholds is the identical double.
+    * revenue, cumulative share over the part AGGREGATE, class A ≤
+    * 80%, B ≤ 95%, else C. The part catalog SCALES with the data, so
+    * the cumulative sum runs the distributed two-level prefix kernel
+    * ([[graft.ops.GlobalRank.prefixScan]]) in exact integer cents —
+    * not a global window (single-task sort at 100x parts). cents/100
+    * in double equals the DECIMAL-sum-cast-double it replaced (the
+    * long is exact below 2^53, and x/100.0 is correctly rounded), so
+    * the shares and class cuts are bit-identical.
     */
   def abc1ParetoClass(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.lineitem(s, d)
       .groupBy(col("l_partkey").as("partkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev"))
     val tot = rev.agg(sum(col("rev")).as("total"))
-    val w = Window.orderBy(col("rev").desc, col("partkey"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    rev.crossJoin(broadcast(tot))
-      .withColumn("share", sum(col("rev")).over(w).cast("double") /
+    graft.ops.GlobalRank.prefixScan(rev,
+        Seq(col("rev").desc, col("partkey")),
+        Seq(graft.ops.GlobalRank.Scan("cumcents",
+          (col("rev") * 100).cast("long"))))
+      .crossJoin(broadcast(tot))
+      .withColumn("share", (col("cumcents").cast("double") / 100.0) /
         col("total").cast("double"))
       .select(col("partkey"),
         round(col("rev").cast("double"), 2).as("rev2"),

@@ -39,8 +39,14 @@ object Uplift {
       .withColumn("arm",
         pmod(col("user_id") * lit(2654435761L) + lit(23L),
           lit(4294967296L)).mod(2).cast("int"))
-    val wDec = Window.orderBy(col("score").desc, col("user_id"))
-    val byDec = users.withColumn("decile", ntile(10).over(wDec))
+    // exact-NTILE deciles via the distributed rank kernel (users are
+    // a row-scaling domain; a global ntile window single-task-sorts)
+    val byDec = graft.ops.GlobalRank.prefixScan(users,
+        Seq(col("score").desc, col("user_id")), Nil,
+        rankCol = Some("__i"))
+      .crossJoin(broadcast(users.agg(count(lit(1)).as("__n"))))
+      .withColumn("decile",
+        graft.ops.GlobalRank.ntileFromRank(col("__i"), col("__n"), 10))
       .groupBy(col("decile"))
       .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),

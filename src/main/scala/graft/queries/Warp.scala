@@ -116,13 +116,14 @@ object Warp {
         round(col("l_quantity"), 0).cast("long").as("wt"))
       .groupBy(col("cents")).agg(sum(col("wt")).as("w"))
     val tot = cents.agg(sum(col("w")).as("totw"))
-    val wc = Window.orderBy(col("cents"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    cents.crossJoin(broadcast(tot))
-      .withColumn("cumw", sum(col("w")).over(wc))
+    // distinct cents scale with the lineitem table: the cumulative
+    // weight runs the distributed prefix kernel, and the median pick
+    // is a TakeOrdered limit(1), not a second global window
+    graft.ops.GlobalRank.prefixScan(cents, Seq(col("cents")),
+        Seq(graft.ops.GlobalRank.Scan("cumw", col("w"))))
+      .crossJoin(broadcast(tot))
       .filter(col("cumw") * 2 >= col("totw"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("cents"))))
-      .filter(col("rk") === 1)
+      .orderBy(col("cents")).limit(1)
       .select(round(col("cents").cast("double") / 100, 2)
         .as("weighted_median2"), col("totw"))
   }

@@ -456,4 +456,63 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("global-window sweep: every partition-less WindowExec in the " +
+      "committed query surface is whitelisted with a domain bound") {
+    // A WindowExec with an empty partitionSpec moves its ENTIRE input
+    // to one task (single-partition sort). That is fine over a
+    // bounded aggregate domain (a decile table, an ECDF over 50 bins)
+    // and a 100x-scale bug over a row-scaling domain (the r8 gini1
+    // finding, since fixed via ops.GlobalRank). The r7 edge-type
+    // episode showed conventions slip by habit: this sweep makes the
+    // judgement mechanical. Every query whose physical plan contains
+    // a global WindowExec must appear below WITH the cardinality
+    // argument that bounds the window's input; an unlisted site fails
+    // the build, and a stale whitelist row (site removed) also fails
+    // so the list cannot rot.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val whitelist: Map[String, String] = Map(
+      // name -> why the global window's input is bounded (not O(rows)).
+      // Everything that ranked/cumulated over a row-scaling domain
+      // (per-part, per-user, distinct-raw-value aggregates) moved to
+      // ops.GlobalRank this round: gini1, abc1, ate1, rfm1, lift1's
+      // decile assignment, auc1, cal1, ks1, srk1, wmed1, sky1, prc1's
+      // below-counts, qq1.
+      "acf1_autocorr" -> "input = 30 daily aggregate rows (fixed 30-day window)",
+      "ann1_bruteforce" -> "rank window runs AFTER bruteForceTopK: k = 10 rows",
+      "cpt1_cusum_changepoint" -> "CUSUM + argmax over 30 daily rows (fixed date window)",
+      "cum1_cumulative_uniques" -> "input = first-seen-day aggregate, <= 31 day rows",
+      "fair1_bias_audit" -> "input = per-language count rows, bounded by the language inventory (5)",
+      "ks2_daily_drift" -> "reference-CDF window over value div 10 bins, <= ~50 rows",
+      "lift1_qini_deciles" -> "cumulative window over the 10-row decile aggregate (decile ASSIGNMENT runs the rank kernel)",
+      "ndcg1_ranking_metrics" -> "window over the 10-row broadcast IDCG range table",
+      "ots1_otsu_threshold" -> "threshold scan + argmax over floor(value) histogram bins (~560)",
+      "prc1_pr_lift_curve" -> "best-f1 rank over the 9-row threshold table (below-counts run the prefix kernel)",
+      "rrf1_rank_fusion" -> "rank windows after top-k limits: 50 dense rows, 20 fused rows",
+      "run1_runs_test" -> "input = 30 daily rows",
+      "sax1_sax_symbols" -> "input = 30 daily rows",
+      "seg1_binary_segmentation" -> "input = 30 daily rows per split round",
+      "sprt1_sequential_llr" -> "input = 30 daily rows",
+      "stl1_decompose" -> "input = 30 daily rows",
+      "surv1_kaplan_meier" -> "input = distinct event days, <= 31",
+      "t13_bm25" -> "rank window after the TakeOrdered limit(k = 20)",
+      "theil1_theilsen_slope" -> "input = day-pair slopes, <= C(31,2) = 465 rows",
+      "ucb1_bandit_scores" -> "argmax over 5 arm rows",
+      "wow1_weekly_growth" -> "input = <= 6 weekly rollup rows",
+      "zipf1_rank_frequency" -> "rank window after limit(100)")
+    val found = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, sf)
+        val globals = flattenPlan(df.queryExecution.executedPlan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (globals.nonEmpty) Seq(name) else Nil
+    }.toSet
+    val unlisted = found -- whitelist.keySet
+    val stale = whitelist.keySet -- found
+    assert(unlisted.isEmpty && stale.isEmpty,
+      s"unlisted global WindowExec sites: ${unlisted.toSeq.sorted}\n" +
+        s"stale whitelist rows: ${stale.toSeq.sorted}\n" +
+        s"full found set: ${found.toSeq.sorted}")
+  }
 }
