@@ -104,13 +104,14 @@ object Analytics {
       .groupBy(col("value"))
       .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = broadcast(byVal.agg(sum(col("ca")).as("n_a"),
       sum(col("cb")).as("n_b")))
-    byVal
-      .withColumn("sa", sum(col("ca")).over(w))
-      .withColumn("sb", sum(col("cb")).over(w))
+    // both ECDFs in ONE distributed prefix pass over the
+    // distinct-value aggregate (raw values scale ~ rows; a global
+    // window would single-task-sort them)
+    graft.ops.GlobalRank.prefixScan(byVal, Seq(col("value")), Seq(
+        graft.ops.GlobalRank.Scan("sa", col("ca")),
+        graft.ops.GlobalRank.Scan("sb", col("cb"))))
       .crossJoin(tot)
       .select(col("n_a"), col("n_b"),
         abs(col("sa").cast("double") / col("n_a") -
@@ -503,11 +504,13 @@ object Analytics {
 
   // ---- pca2: 2-D corpus map -----------------------------------------
 
-  /** Top-2 principal components via power iteration + deflation
-    * ([[graft.similarity.Pca.projectTop2]]): the embedding-space
-    * overview map. SQL dual (see [[pca2OracleSql]]): both 15-round
-    * runs unroll into CTE pairs with the driver's exact requantization
-    * points, the deflation and Rayleigh-Ritz rotation included.
+  /** Top-2 principal components via FUSED block subspace iteration
+    * ([[graft.similarity.Pca.projectTop2]]): one aggregation job per
+    * round advances BOTH directions from the same cached scan (15
+    * jobs, not 30), Gram-Schmidt keeping u orthogonal to the current
+    * v. SQL dual (see [[pca2OracleSql]]): both 15-round unrolls as
+    * CTE pairs with the driver's exact requantization points, the
+    * per-round orthogonalization and Rayleigh-Ritz rotation included.
     * AnalyticsSpec additionally checks component orthogonality.
     */
   def pca2Top2Map(s: SparkSession, d: String): DataFrame =
@@ -636,10 +639,11 @@ object Analytics {
 
   /** RFM (recency / frequency / monetary) scoring: per user, days
     * since last purchase, purchase count, and exact-decimal spend,
-    * each quartiled into a 1-4 score by ntile over deterministic
-    * orderings (w4's rank-derived-stat contract). The aggregate is one
-    * user-key shuffle; the three ntile windows run over the 1-row-per-
-    * user aggregate, not the event stream.
+    * each quartiled into a 1-4 score by exact NTILE semantics over
+    * deterministic orderings (w4's rank-derived-stat contract). The
+    * aggregate is one user-key shuffle; the user table still scales
+    * with the data, so each quartile assignment runs the distributed
+    * rank kernel, not a global window.
     */
   def rfm1RfmScores(s: SparkSession, d: String): DataFrame = {
     val ref = to_date(lit("2024-02-01"))
@@ -650,14 +654,23 @@ object Analytics {
         count(lit(1)).as("frequency"),
         sum(col("value").cast("decimal(18,2)")).cast("double")
           .as("monetary"))
-    def q(c: String, asc: Boolean) = ntile(4).over(
-      if (asc) Window.orderBy(col(c).asc, col("user_id"))
-      else Window.orderBy(col(c).desc, col("user_id")))
-    per.select(col("user_id"), col("recency_days"), col("frequency"),
-      col("monetary"),
-      q("recency_days", asc = true).as("r_score"),
-      q("frequency", asc = false).as("f_score"),
-      q("monetary", asc = false).as("m_score"))
+    // exact-NTILE quartiles via the distributed rank kernel: users
+    // are a row-scaling domain, so the three orderings each run the
+    // two-level range-partition scan instead of a global window
+    // (three sorts either way — but distributed, not single-task)
+    val base = per.crossJoin(broadcast(per.agg(count(lit(1)).as("__n"))))
+    def q(df: DataFrame, c: String, asc: Boolean, out: String): DataFrame =
+      graft.ops.GlobalRank.prefixScan(df,
+          Seq(if (asc) col(c).asc else col(c).desc, col("user_id")),
+          Nil, rankCol = Some("__i"))
+        .withColumn(out,
+          graft.ops.GlobalRank.ntileFromRank(col("__i"), col("__n"), 4))
+        .drop("__i")
+    q(q(q(base, "recency_days", asc = true, "r_score"),
+        "frequency", asc = false, "f_score"),
+        "monetary", asc = false, "m_score")
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
   }
 
   // ---- chi1: chi-square independence --------------------------------
@@ -735,12 +748,12 @@ object Analytics {
        q AS MATERIALIZED (SELECT v AS qv FROM v WHERE vec_id = 0),
        cand AS MATERIALIZED (
          SELECT vec_id AS id, v.v,
-                list_reduce(list_transform(range(1, len(v.v) + 1),
+                COALESCE(list_reduce(list_transform(range(1, len(v.v) + 1),
                     i -> v.v[i] * qv[i]), (a, b) -> a + b)
-                / (sqrt(list_reduce(list_transform(range(1, len(v.v) + 1),
+                / NULLIF(sqrt(list_reduce(list_transform(range(1, len(v.v) + 1),
                      i -> v.v[i] * v.v[i]), (a, b) -> a + b))
                    * sqrt(list_reduce(list_transform(range(1, len(qv) + 1),
-                     i -> qv[i] * qv[i]), (a, b) -> a + b))) AS rel
+                     i -> qv[i] * qv[i]), (a, b) -> a + b)), 0.0), 0.0) AS rel
          FROM v, q WHERE vec_id <> 0
          ORDER BY rel DESC, vec_id LIMIT 50),
        s1 AS MATERIALIZED (
@@ -757,12 +770,12 @@ object Analytics {
          FROM (
            SELECT s.ids, s.vs, s.rels, s.scores, c.id, c.v AS cv, c.rel,
                   0.7 * c.rel - (1.0 - 0.7) * list_max(list_transform(s.vs, sv ->
-                    list_reduce(list_transform(range(1, len(c.v) + 1),
+                    COALESCE(list_reduce(list_transform(range(1, len(c.v) + 1),
                         i -> c.v[i] * sv[i]), (a, b) -> a + b)
-                    / (sqrt(list_reduce(list_transform(range(1, len(c.v) + 1),
+                    / NULLIF(sqrt(list_reduce(list_transform(range(1, len(c.v) + 1),
                          i -> c.v[i] * c.v[i]), (a, b) -> a + b))
                        * sqrt(list_reduce(list_transform(range(1, len(sv) + 1),
-                         i -> sv[i] * sv[i]), (a, b) -> a + b))))) AS score
+                         i -> sv[i] * sv[i]), (a, b) -> a + b)), 0.0), 0.0))) AS score
            FROM s${k - 1} s JOIN cand c ON NOT list_contains(s.ids, c.id))
          QUALIFY row_number() OVER (ORDER BY score DESC, id) = 1)"""
 
@@ -821,24 +834,26 @@ object Analytics {
                   i -> c.c[i] * vec[i]), (a, b) -> a + b), 4) + 0.0 AS proj4
        FROM c, v8"""
 
-  /** pca2's dual: v1's 15 unrolled rounds (t/v pairs, as pca1), the
-    * in-plan deflation d = c - (c·v1)v1, v2's 15 rounds with the
-    * per-round re-orthogonalization (raw sums -> sequential
-    * projection -> deflate -> 9dp requantize, exactly the driver's
+  /** pca2's dual, mirroring the FUSED block subspace iteration: the
+    * v-side t/v rounds are byte-identical to pca1's unroll (the u
+    * update never feeds back into v), and each u round sources the
+    * SAME centered column c, Gram-Schmidt-orthogonalizes against the
+    * CURRENT round's v_k (raw sums -> sequential projection ->
+    * subtract -> 9dp requantize -> normalize, exactly the driver's
     * operation order), then the Rayleigh-Ritz moments (9dp) and
     * rotation coefficients (12dp — atan2/cos/sin are not correctly-
     * rounded cross-library, so the last ulp is pinned on both sides).
     */
-  private def pca2OracleIterV2(k: Int, last: Int): String =
+  private def pca2OracleIterV2(k: Int): String =
     s""",
        s$k AS MATERIALIZED (
          SELECT p, sum(cp * dd) / any_value(n) AS cvp0
-         FROM (SELECT unnest(d.c) AS cp,
-                      unnest(range(1, len(d.c) + 1)) AS p,
-                      list_reduce(list_transform(range(1, len(d.c) + 1),
-                          i -> d.c[i] * vec[i]), (a, b) -> a + b) AS dd,
+         FROM (SELECT unnest(c.c) AS cp,
+                      unnest(range(1, len(c.c) + 1)) AS p,
+                      list_reduce(list_transform(range(1, len(c.c) + 1),
+                          i -> c.c[i] * vec[i]), (a, b) -> a + b) AS dd,
                       n
-               FROM d, u${k - 1}, nn)
+               FROM c, u${k - 1}, nn)
          GROUP BY p),
        u$k AS MATERIALIZED (
          SELECT list_transform(cv, x -> x / e) AS vec
@@ -854,23 +869,15 @@ object Analytics {
                              w
                            FROM (SELECT list(cvp0 ORDER BY p) AS cv0
                                  FROM s$k),
-                                (SELECT vec AS w FROM v$last)))))"""
+                                (SELECT vec AS w FROM v$k)))))"""
 
   private val pca2OracleSql: String = {
     val iters = 15
     pcaOracleHead +
       (1 to iters).map(pcaOracleIter).mkString +
       s""",
-       d AS MATERIALIZED (
-         SELECT vec_id,
-                list_transform(range(1, 65), i -> cc[i] - p1 * vec[i]) AS c
-         FROM (SELECT c.vec_id, c.c AS cc,
-                      list_reduce(list_transform(range(1, len(c.c) + 1),
-                          i -> c.c[i] * vec[i]), (a, b) -> a + b) AS p1,
-                      vec
-               FROM c, v$iters)),
        u0 AS (SELECT list_transform(range(1, 65), i -> 0.125) AS vec)""" +
-      (1 to iters).map(pca2OracleIterV2(_, iters)).mkString +
+      (1 to iters).map(pca2OracleIterV2).mkString +
       s""",
        raw AS MATERIALIZED (
          SELECT c.vec_id,

@@ -58,8 +58,7 @@ object Pca {
     iterate(emb, vecCol, dim, iters, dimMeans(emb, vecCol, dim))
 
   private def iterate(emb: DataFrame, vecCol: String, dim: Int,
-                      iters: Int, means: Array[Double],
-                      orthoTo: Option[Array[Double]] = None): (Array[Double], Double) = {
+                      iters: Int, means: Array[Double]): (Array[Double], Double) = {
     val n = emb.count().toDouble
     val centered = emb
       .select(zip_with(col(vecCol).cast("array<double>"),
@@ -79,15 +78,7 @@ object Pca {
         val acc = new Array[Double](dim)
         sums.foreach(r => acc(r.getInt(0)) = r.getDouble(1))
         val cv0 = acc.map(_ / n) // C v (covariance-matrix action)
-        // orthogonal iteration: re-project out the already-extracted
-        // component every round, so the second component cannot drift
-        // back toward the first while it converges
-        val cv = (orthoTo match {
-          case Some(u) =>
-            val proj = cv0.zip(u).map(t => t._1 * t._2).sum
-            cv0.zip(u).map(t => t._1 - proj * t._2)
-          case None => cv0
-        }).map(r9) // requantize the iterate (cross-engine fixed point)
+        val cv = cv0.map(r9) // requantize the iterate (cross-engine fixed point)
         eigen = math.sqrt(cv.map(x => x * x).sum)
         v = if (eigen == 0.0) v else cv.map(_ / eigen)
       }
@@ -109,35 +100,70 @@ object Pca {
         typedLit(v.toSeq)).as("proj"))
   }
 
-  /** Top-2 components via subspace iteration: extract v1, run the same
-    * power iteration on the deflated residual column c - (c·v1)v1
-    * (re-orthogonalized against v1 every round), then finish with the
+  /** Top-2 components via FUSED block subspace iteration: both
+    * directions advance from the SAME cached scan each round — one
+    * aggregation job computes C·v and C·u together (posexplode of the
+    * zipped per-dimension products), the driver normalizes v, then
+    * Gram-Schmidt-orthogonalizes u against the freshly updated v
+    * before its own normalize. This halves the round job count vs
+    * the former extract-v1-then-deflate sequence (15 jobs for 15
+    * rounds instead of 30 plus a deflated-column build) while the
+    * v-side iterates stay BIT-IDENTICAL to the single-component run
+    * (the u update never feeds back into v), so pca1's fixed-point
+    * discipline carries over unchanged. The finish is the same
     * textbook Rayleigh-Ritz step — diagonalize the 2x2 covariance of
-    * the two projections and rotate the pair into its eigenbasis.
-    * The rotation costs one extra 6-sum aggregation and makes the
-    * output projections EXACTLY decorrelated (up to float) even when a
-    * small spectral gap leaves the individual power iterations short
-    * of their eigenvectors — the subspace converges at lambda2/lambda3
-    * while the separation inside it is solved in closed form. Returns
-    * the 2-D corpus map (idCol, p1, p2), p1 carrying the larger
-    * variance. Cost: two power-iteration runs + two projection scans.
+    * the two projections and rotate the pair into its eigenbasis —
+    * which makes the output projections EXACTLY decorrelated (up to
+    * float) even when a small spectral gap leaves the individual
+    * directions short of their eigenvectors: the subspace converges
+    * at lambda2/lambda3 while the separation inside it is solved in
+    * closed form. Returns the 2-D corpus map (idCol, p1, p2), p1
+    * carrying the larger variance.
+    *
+    * Driver/dual fixed points per round, in order: r9 the v iterate,
+    * normalize; project the RAW u iterate onto the new v, subtract,
+    * r9, normalize — the SQL dual replays exactly this sequence.
     */
   def projectTop2(emb: DataFrame, idCol: String, vecCol: String,
                   dim: Int, iters: Int = 8): DataFrame = {
     val means = dimMeans(emb, vecCol, dim)
-    val (v1, _) = iterate(emb, vecCol, dim, iters, means)
-    // residualized view: same rows, deflated vector column
-    val deflated = emb.select(col(idCol).as("__id"), {
-      val c = zip_with(col(vecCol).cast("array<double>"),
-        typedLit(means.toSeq), (x, m) => x - m)
-      val p1 = Similarity.dot(c, typedLit(v1.toSeq))
-      zip_with(c, typedLit(v1.toSeq), (ci, vi) => ci - p1 * vi)
-        .as("__resid")
-    })
-    // residuals are already centered (centering is linear), so the
-    // second direction is the top component of the residual column
-    val (v2, _) = iterate(deflated, "__resid", dim, iters,
-      new Array[Double](dim), orthoTo = Some(v1))
+    val nRows = emb.count().toDouble
+    val centered0 = emb
+      .select(zip_with(col(vecCol).cast("array<double>"),
+        typedLit(means.toSeq), (x, m) => x - m).as("__c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var v1 = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var v2 = Array.fill(dim)(1.0 / math.sqrt(dim))
+    try {
+      for (_ <- 0 until iters) {
+        val sums = centered0
+          .withColumn("__s1", Similarity.dot(col("__c"), typedLit(v1.toSeq)))
+          .withColumn("__s2", Similarity.dot(col("__c"), typedLit(v2.toSeq)))
+          .select(posexplode(arrays_zip(
+            transform(col("__c"), x => x * col("__s1")).as("x1"),
+            transform(col("__c"), x => x * col("__s2")).as("x2")))
+            .as(Seq("pos", "xs")))
+          .groupBy(col("pos"))
+          .agg(sum(col("xs.x1")).as("sx1"), sum(col("xs.x2")).as("sx2"))
+          .collect()
+        val acc1 = new Array[Double](dim)
+        val acc2 = new Array[Double](dim)
+        sums.foreach { r =>
+          acc1(r.getInt(0)) = r.getDouble(1)
+          acc2(r.getInt(0)) = r.getDouble(2)
+        }
+        // v side: identical to the single-component iteration
+        val cv1 = acc1.map(_ / nRows).map(r9)
+        val e1 = math.sqrt(cv1.map(x => x * x).sum)
+        v1 = if (e1 == 0.0) v1 else cv1.map(_ / e1)
+        // u side: Gram-Schmidt against the NEW v, then requantize
+        val cu0 = acc2.map(_ / nRows)
+        val proj = cu0.zip(v1).map(t => t._1 * t._2).sum
+        val cu = cu0.zip(v1).map(t => t._1 - proj * t._2).map(r9)
+        val e2 = math.sqrt(cu.map(x => x * x).sum)
+        v2 = if (e2 == 0.0) v2 else cu.map(_ / e2)
+      }
+    } finally centered0.unpersist()
     def centered = zip_with(col(vecCol).cast("array<double>"),
       typedLit(means.toSeq), (x, m) => x - m)
     val raw = emb.select(col(idCol),

@@ -443,7 +443,12 @@ object Similarity {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
         nb += b(i) * b(i); i += 1 }
-      if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+      // sqrt(na)*sqrt(nb), NOT sqrt(na*nb): the two differ in the
+      // last ulp, and the SQL dual + cosine_sim normalize with the
+      // product-of-roots form — a near-tie on a regenerated vintage
+      // must not flip the greedy argmax between engines
+      if (na == 0.0 || nb == 0.0) 0.0
+      else d / (math.sqrt(na) * math.sqrt(nb))
     }
     val selected = scala.collection.mutable.ArrayBuffer.empty[(C, Double)]
     val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
