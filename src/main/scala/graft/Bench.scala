@@ -131,10 +131,18 @@ object Bench {
     // without per-query ground truth)
     val canaryTimes = collection.mutable.ArrayBuffer.empty[Double]
     val stalled = collection.mutable.LinkedHashSet.empty[String]
+    // per-query: the canary reading that CLOSES the query's segment —
+    // the contention proxy nearest in time to the measurement, used to
+    // scale band ceilings (host contention below the spike threshold
+    // still inflates readings 2-4x; r08 flagged 5 queries, all later
+    // adjudicated variance/vintage, because ceilings were compared
+    // against readings from a differently-loaded host)
+    val segCanary = collection.mutable.HashMap.empty[String, Double]
     var segment = collection.mutable.ArrayBuffer.empty[String]
     def checkCanary(): Unit = {
       val c = canaryOnce()
       canaryTimes += c
+      segment.foreach(q => segCanary(q) = c)
       if (isSpike(c)) {
         System.err.println(f"[bench] CANARY SPIKE $c%.3f s (ref " +
           f"$canaryRef%.3f) — flagging ${segment.size} queries as stalled")
@@ -199,11 +207,19 @@ object Bench {
     // candidate needs a quiet re-read before being treated as drift —
     // but candidates now surface mechanically in the bench JSON
     // instead of via prose-table cross-reference.
-    // resolve relative to CWD, falling back to the repo checkout so a
-    // driver started elsewhere still gets band flags
+    // resolve via env override, then CWD, then the location of this
+    // jar/classes dir (../../.. of target/scala-2.13/classes is the
+    // checkout) — no hardcoded absolute path coupling the bench to
+    // one container's layout
+    val codeRoot = try {
+      val uri = getClass.getProtectionDomain
+        .getCodeSource.getLocation.toURI
+      // classes dir: <repo>/target/scala-2.13/classes
+      java.nio.file.Paths.get(uri).getParent.getParent.getParent
+        .resolve("tools/bench_bands.json").toString
+    } catch { case _: Throwable => "tools/bench_bands.json" }
     val bandsPath = sys.env.get("SPARK_GRAFT_BANDS")
-      .orElse(Seq("tools/bench_bands.json",
-        "/root/repo/tools/bench_bands.json")
+      .orElse(Seq("tools/bench_bands.json", codeRoot)
         .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
       .getOrElse("tools/bench_bands.json")
     val bandHi: Map[String, Double] = try {
@@ -217,12 +233,32 @@ object Bench {
         s"(${e.getMessage}) — above_band flags disabled")
       Map.empty
     }
+    // canary-normalized ceilings: the bands file records the canary
+    // ref of the quiet run it derives from (__canary_ref, written by
+    // tools/make_bands.py). A query's ceiling scales by how much more
+    // contended ITS segment was than that quiet run — measured by the
+    // canary reading closing its segment (and never below the run's
+    // own start-of-run ref). Floor 1.0: a quieter-than-baseline host
+    // never TIGHTENS a ceiling. This turns "above band" from "slower
+    // than a number measured on a different day's host" into "slower
+    // than the baseline after accounting for measured contention".
+    val bandCanaryRef = bandHi.get("__canary_ref").filter(_ > 0)
+    def bandScale(k: String): Double = bandCanaryRef match {
+      case Some(ref) =>
+        math.max(1.0,
+          math.max(segCanary.getOrElse(k, canaryRef), canaryRef) / ref)
+      case None => 1.0
+    }
+    def ceilingFor(k: String): Option[Double] =
+      bandHi.get(k).filter(_ => k != "__canary_ref")
+        .map(_ * bandScale(k))
     val aboveBand = results.collect {
-      case (k, v) if bandHi.get(k).exists(v > _) && !stalled.contains(k) => k
+      case (k, v) if ceilingFor(k).exists(v > _) && !stalled.contains(k) => k
     }
     aboveBand.foreach { k =>
       System.err.println(f"[bench] ABOVE BAND $k%-28s ${byName(k)}%8.2f s " +
-        f"(ceiling ${bandHi(k)}%.2f)")
+        f"(ceiling ${ceilingFor(k).get}%.2f = ${bandHi(k)}%.2f x " +
+        f"${bandScale(k)}%.2f)")
     }
     val qs = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + r3(v)))
       .mkString("{", ",", "}")
@@ -257,8 +293,10 @@ object Bench {
     val fullQs = results.map { case (k, v) =>
       "\"" + k + "\":{\"sec\":" + r3(v) +
         ",\"stalled\":" + stalled.contains(k) +
-        bandHi.get(k).map(hi =>
-          ",\"band_hi\":" + r3(hi) + ",\"above_band\":" + (v > hi))
+        ceilingFor(k).map(eff =>
+          ",\"band_hi\":" + r3(bandHi(k)) +
+            ",\"band_scale\":" + r3(bandScale(k)) +
+            ",\"above_band\":" + (v > eff))
           .getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val fullJson =

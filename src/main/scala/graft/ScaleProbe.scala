@@ -83,13 +83,19 @@ object ScaleProbe {
       val template = sf01
         .filter(col("n_chars").between(200, 2000))
         .orderBy(col("doc_id")).select(col("text"))
-        .head().getString(0)
+        .limit(1).collect().headOption
+        .getOrElse(throw new IllegalStateException(
+          s"skew replica: no document with n_chars in [200,2000] " +
+            s"under $root/sf0.1 — regenerate testdata"))
+        .getString(0)
+      // recompute n_chars for rewritten rows so the replica stays
+      // internally consistent for consumers that trust the column
       sf01.select(
         col("doc_id"), col("lang"),
         when(pmod(col("doc_id"), lit(10)) < 3,
           concat(lit(template), lit(" zq"), col("doc_id")))
-          .otherwise(col("text")).as("text"),
-        col("n_chars"))
+          .otherwise(col("text")).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
         .repartition(32)
         .write.mode("overwrite").parquet(skewDir)
     }
@@ -236,6 +242,21 @@ object ScaleProbe {
     System.err.println(
       f"[probe] skew30%% n=$nSkew%6d dd7=$t7s%7.2fs ($p7s pairs) " +
         f"dd6=$t6s%7.2fs ($c6s clusters)")
+    // composed pipelines on the SAME adversarial corpus (r8 verdict
+    // item: the kernel legs absorb the 30%-hot-template blow-up —
+    // prove the COMPOSITIONS do too, end-to-end, through the parquet
+    // staging path pipe2 would run at 100 TB). pipe1's internal
+    // near-dup phase runs at t=0.9; its pair count on this corpus is
+    // recorded so the wall number carries its output-bound context.
+    val (tp1s, np1s) = timeSec(
+      graft.queries.Extensions.pipe1CorpusCleanOn(
+        spark, skewDf, graft.queries.Staging.Memory).count())
+    val p9s = graft.dedup.Dedup.exactJaccardPairs(
+      skewDf, "doc_id", "text", threshold = 0.9).count()
+    val (tp2s, np2s) = timeSec(pipe2(skewDf, "skew"))
+    System.err.println(
+      f"[probe] skew30%% pipe1=$tp1s%7.2fs ($np1s rows, $p9s pairs@0.9) " +
+        f"pipe2=$tp2s%7.2fs ($np2s rows)")
 
     val e7 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._3))))
     val e6 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._5))))
@@ -250,7 +271,10 @@ object ScaleProbe {
     println(s"""{"metric":"scale_probe","scales":$qs,""" +
       s""""dd7_cached_sf1rep_sec":${f"$t7c%.2f"},""" +
       s""""skew":{"n":$nSkew,"dd7_sec":${f"$t7s%.2f"},"dd7_pairs":$p7s,""" +
-      s""""dd6_sec":${f"$t6s%.2f"},"dd6_clusters":$c6s},""" +
+      s""""dd6_sec":${f"$t6s%.2f"},"dd6_clusters":$c6s,""" +
+      s""""pipe1_sec":${f"$tp1s%.2f"},"pipe1_rows":$np1s,""" +
+      s""""pipe1_pairs09":$p9s,""" +
+      s""""pipe2_sec":${f"$tp2s%.2f"},"pipe2_rows":$np2s},""" +
       s""""dd7_exponent":${f"$e7%.3f"},"dd6_exponent":${f"$e6%.3f"},""" +
       s""""pipe2_exponent":${f"$ep2%.3f"}}""")
   }

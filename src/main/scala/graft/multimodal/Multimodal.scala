@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * is AUDIO decode (pure-JDK `javax.sound.sampled` WAV/PCM:
   * [[Multimodal.WavDecoder]]), and so is VIDEO frame extraction for
   * MJPEG-in-AVI ([[Multimodal.sampleVideoFrames]] — RIFF container
-  * parse, each frame a standalone JPEG the image codec decodes).
-  * Compressed inter-frame codecs (H.264 etc.) have no JDK decoder and
-  * stay behind the stub seam: `StubDecoder` produces a deterministic
-  * fake feature vector from the payload bytes and doubles as the
-  * hermetic-test codec. Everything Spark-side — schema, batching,
-  * partitioning, the mapPartitions pipeline shape — is real and is
-  * what matters at scale:
+  * parse, each frame a standalone JPEG the image codec decodes) AND
+  * for a real TEMPORAL codec — Microsoft RLE8 delta video in AVI
+  * ([[Multimodal.sampleRle8VideoFrames]]), where frame N is defined
+  * relative to frame N-1 via skip/delta escapes and reconstruction
+  * folds the stream onto a carried canvas. Transform-coded temporal
+  * codecs (H.264 etc.) have no JDK decoder and remain out of scope;
+  * `StubDecoder` produces a deterministic fake feature vector from
+  * payload bytes and doubles as the hermetic-test codec. Everything
+  * Spark-side — schema, batching, partitioning, the mapPartitions
+  * pipeline shape — is real and is what matters at scale:
   *
   *  - payloads stay opaque binary end-to-end (never stringified);
   *  - decode runs per PARTITION in bounded-size batches (the JVM
@@ -352,6 +355,101 @@ object Multimodal {
       throw new IllegalArgumentException(
         s"not a RIFF/AVI payload (${payload.length} bytes)")
     out.toSeq
+  }
+
+  /** REAL TEMPORAL (inter-frame) video decode: Microsoft RLE8
+    * (biCompression = BI_RLE8, the `msrle` codec AVI has carried
+    * since Video for Windows) — a delta-coded format a zero-dependency
+    * JVM can decode exactly. Unlike MJPEG's independent frames, an
+    * RLE8 frame is DEFINED relative to its predecessor: the escape
+    * codes 00 00 (end of line), 00 02 dx dy (cursor delta), and any
+    * implicit skip leave the underlying pixels at their PREVIOUS
+    * frame's values, so reconstructing frame N requires decoding
+    * frames 0..N-1 onto a carried canvas — the defining property of a
+    * temporal codec, and why [[decodeRle8Video]] is a stateful fold,
+    * not a per-frame map.
+    *
+    * Wire format per frame (8-bit indexed, bottom-up row order, per
+    * the public BMP/AVI spec):
+    *   `c d`  with c>0          -> run: c pixels of palette index d
+    *   `00 00`                  -> end of line (x=0, y+=1)
+    *   `00 01`                  -> end of bitmap
+    *   `00 02 dx dy`            -> cursor delta (skipped pixels RETAIN)
+    *   `00 n  p1..pn [pad]`     -> absolute: n literal pixels, padded
+    *                               to an even byte count
+    * Decoding is bounds-guarded: out-of-canvas writes are dropped and
+    * a malformed stream terminates the frame, never over-reads.
+    */
+  private[graft] def decodeRle8Frame(
+      data: Array[Byte], canvas: Array[Byte], w: Int, h: Int): Unit = {
+    var x = 0
+    var y = 0 // row from the BOTTOM (BMP convention)
+    var i = 0
+    def put(v: Byte): Unit = {
+      if (x >= 0 && x < w && y >= 0 && y < h) canvas((h - 1 - y) * w + x) = v
+      x += 1
+    }
+    var done = false
+    while (!done && i + 1 < data.length) {
+      val c = data(i) & 0xff
+      val d = data(i + 1) & 0xff
+      i += 2
+      if (c > 0) {
+        var k = 0
+        while (k < c) { put(d.toByte); k += 1 }
+      } else d match {
+        case 0 => x = 0; y += 1
+        case 1 => done = true
+        case 2 =>
+          if (i + 1 < data.length) {
+            x += data(i) & 0xff; y += data(i + 1) & 0xff; i += 2
+          } else done = true
+        case n =>
+          if (i + n <= data.length) {
+            var k = 0
+            while (k < n) { put(data(i + k)); k += 1 }
+            i += n + (n & 1)
+          } else done = true
+      }
+    }
+  }
+
+  /** Temporal reconstruction of an RLE8 frame sequence: fold the
+    * frames onto one carried canvas (initially all index 0) and
+    * snapshot after each — output k is the FULL image at time k, with
+    * every skipped/delta'd region inherited from earlier frames.
+    */
+  private[graft] def decodeRle8Video(
+      frames: Seq[Array[Byte]], w: Int, h: Int): Seq[Array[Byte]] = {
+    val canvas = new Array[Byte](w * h)
+    frames.map { f =>
+      decodeRle8Frame(f, canvas, w, h)
+      canvas.clone()
+    }
+  }
+
+  /** Sample every `everyNth` RECONSTRUCTED frame from RLE8-AVI
+    * payloads. The flatMap still emits only sampled frames, but —
+    * temporal dependency — every PRIOR frame must be decoded onto the
+    * carried canvas to make a sampled frame's pixels right; that
+    * sequential prefix is inherent to inter-frame coding (a real
+    * pipeline seeks the nearest KEYFRAME first; RLE8 streams are
+    * typically all-delta after frame 0, the worst case, decoded here
+    * exactly).
+    */
+  def sampleRle8VideoFrames(
+      spark: SparkSession,
+      media: DataFrame,
+      w: Int,
+      h: Int,
+      everyNth: Int = 2): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      decodeRle8Video(aviFrames(r.payload), w, h).iterator.zipWithIndex
+        .collect { case (frame, idx) if idx % everyNth == 0 =>
+          MediaFrame(r.media_id, idx, frame)
+        }
+    }
   }
 
   /** Sample every `everyNth` REAL video frame from MJPEG-AVI payloads

@@ -185,6 +185,67 @@ object Extensions {
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id",
       "embedding", threshold = 0.4, bits = 4, tables = 24)
 
+  /** Driver-visible containment check for the seeded-sketch dd4
+    * family: dd4's verify phase is EXACT n-gram Jaccard, so every
+    * emitted pair must lie inside the exact all-pairs truth set
+    * (which the prefix-filter kernel computes with guaranteed recall,
+    * and which DuckDB reproduces independently). Emits ONE row:
+    * n_violations (emitted pairs OUTSIDE the truth set — 0 unless the
+    * verify predicate is broken) and n_truth (the exact pair count at
+    * the same threshold, cross-engine checkable). This moves the
+    * sketch family's correctness claim from ScalaTest-only into the
+    * driver's two-engine gate; the seeded RECALL number stays in
+    * DedupSpec (no second engine can reproduce xxhash64 banding).
+    */
+  def dd16NgramContainment(s: SparkSession, d: String): DataFrame = {
+    // t = 0.8, the prefix-filter kernel's benched regime (dd7): the
+    // containment property is threshold-independent, and at 0.8 the
+    // truth side's prefix is 0.2|set| (at dd4's 0.5 it would be
+    // 0.5|set| — a ~6x candidate blow-up for zero extra check power)
+    val docs = Tables.documents(s, d)
+    val emitted = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.8, candidateThreshold = 0.2)
+    val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.8)
+    val violations = emitted.select(col("id_a"), col("id_b"))
+      .join(truth.select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+    violations.agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("n_violations"), col("n_truth"))
+  }
+
+  /** dd5's twin of [[dd16NgramContainment]]: the hyperplane-LSH
+    * family's verify phase is EXACT cosine, so emitted pairs must lie
+    * inside the exact all-pairs cosine truth set. The truth side is
+    * quadratic BY DESIGN (that is what makes it a verification query,
+    * not a production operator — dd5 itself is the scale path); the
+    * embeddings table broadcasts and the pair loop runs map-side.
+    * Truth membership thresholds on round(cos, 6) — ann5's discipline
+    * — which is a superset of dd5's raw-threshold emission (x >= t
+    * implies round6(x) >= t for a 6dp-representable t), so
+    * containment is preserved while the cross-engine count compares
+    * rounded values.
+    */
+  def dd17EmbeddingContainment(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val emitted = Dedup.embeddingNearDupPairs(emb, "vec_id",
+      "embedding", threshold = 0.4, bits = 4, tables = 24)
+    val truth = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(broadcast(
+        emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("cos6"))
+      .filter(col("cos6") >= 0.4)
+    val violations = emitted.select(col("id_a"), col("id_b"))
+      .join(truth.select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+    violations.agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("n_violations"), col("n_truth"))
+  }
+
   // ---- similarity search -------------------------------------------
 
   private def queryVec(s: SparkSession, d: String): Seq[Float] =
@@ -866,8 +927,11 @@ object Extensions {
     * asserted in ExportSpec).
     */
   def pipe1CorpusClean(
-      s: SparkSession, d: String, staging: Staging): DataFrame = {
-    val docs = Tables.documents(s, d)
+      s: SparkSession, d: String, staging: Staging): DataFrame =
+    pipe1CorpusCleanOn(s, Tables.documents(s, d), staging)
+
+  private[graft] def pipe1CorpusCleanOn(
+      s: SparkSession, docs: DataFrame, staging: Staging): DataFrame = {
     val quality = docs.filter(TextFunctions.qualityScore(col("text")) > 0.3)
     // stage materialization: the downstream near-dup pass references
     // this frame several times (gram explode + per-side set fetches +
@@ -1257,6 +1321,8 @@ object Extensions {
     "dd3_simhash_pairs" -> (dd3SimhashPairs _),
     "dd4_ngram_pairs" -> (dd4NgramPairs _),
     "dd5_embedding_neardup" -> (dd5EmbeddingNearDup _),
+    "dd16_ngram_containment" -> (dd16NgramContainment _),
+    "dd17_embedding_containment" -> (dd17EmbeddingContainment _),
     "ann1_bruteforce" -> (ann1BruteForce _),
     "ann2_lsh" -> (ann2Lsh _),
     "ann3_ivf" -> (ann3Ivf _),
@@ -1464,6 +1530,49 @@ object Extensions {
   val oracles: Map[String, String] = Map(
     // brute-force exact trigram Jaccard — ground truth the prefix-
     // filter join must reproduce pair-for-pair (recall guarantee)
+    // containment checks: n_violations is structurally 0 (the Spark
+    // side anti-joins sketch-emitted pairs against ITS exact truth
+    // set, whose predicate is the same expression the verify phase
+    // ran); n_truth is the cross-engine leg — DuckDB recomputes the
+    // exact pair count independently
+    "dd16_ngram_containment" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+         g AS (SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN length(s) >= 3
+                      THEN list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, CAST(i AS INT), 3))
+                      ELSE [s] END) AS gram
+               FROM t),
+         gs AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         truth AS (
+           SELECT id_a, id_b
+           FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                   JOIN gs sb ON sb.doc_id = ix.id_b
+           WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8)
+         SELECT CAST(0 AS BIGINT) AS n_violations,
+                CAST(count(*) AS BIGINT) AS n_truth FROM truth""",
+    // explicit sequential-fold cosine on DOUBLE[] — the mmr1-proven
+    // bit-exact twin of Spark's cosine_sim (list_cosine_similarity
+    // computes in list-element precision, which is FLOAT here)
+    "dd17_embedding_containment" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(
+                    list_reduce(list_transform(range(1, len(a.v) + 1),
+                        i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+                    / (sqrt(list_reduce(list_transform(range(1, len(a.v) + 1),
+                         i -> a.v[i] * a.v[i]), (x, y) -> x + y))
+                       * sqrt(list_reduce(list_transform(range(1, len(b.v) + 1),
+                         i -> b.v[i] * b.v[i]), (x, y) -> x + y))), 6) AS cos6
+           FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         SELECT CAST(0 AS BIGINT) AS n_violations,
+                CAST(count(*) AS BIGINT) AS n_truth
+         FROM p WHERE cos6 >= 0.4""",
     "dd7_exact_jaccard" ->
       """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
          g AS (SELECT DISTINCT doc_id, unnest(

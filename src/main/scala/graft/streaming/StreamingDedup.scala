@@ -93,8 +93,16 @@ object StreamingDedup {
     * document size — and evicted once the watermark passes, the same
     * retention contract as the near-dup bucket state). The batch
     * operator keeps min(id) per digest group; the stream keeps FIRST
-    * ARRIVAL — identical whenever arrival order follows id order, the
-    * append-only ingest contract (asserted in StreamingSpec).
+    * ARRIVAL. The two coincide only when arrival order follows id
+    * order AND duplicates of a digest never share a micro-batch from
+    * a multi-partition source: within one micro-batch, same-hash rows
+    * are shuffled to the state-store partition with NO ordering
+    * guarantee, so the retained row need not be min(id) even under
+    * id-ordered ingest. StreamingSpec drives a single-partition
+    * source, where the contract is exact; multi-partition ingest that
+    * needs min(id) semantics should pre-aggregate
+    * min(id)-per-(hash, batch) via foreachBatch before the state
+    * store, or reconcile in the batch dedup pass downstream.
     */
   def streamingExactDedup(
       docs: DataFrame,

@@ -207,6 +207,65 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** RLE8-AVI fixture: the same RIFF shell as [[mjpegAvi]] around
+    * hand-assembled BI_RLE8 frame payloads.
+    */
+  private def rle8Avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    val movi = "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => chunk("00dc", f)).toArray
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi))
+  }
+
+  test("RLE8 temporal decode: delta frames inherit prior-frame pixels " +
+      "byte-exactly (committed 4x4 fixture, hand-computed canvases)") {
+    import spark.implicits._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // frame 0: four bottom-up rows of runs (7,8,9,10), then EOB
+    val f0 = b(4, 7, 0, 0, 4, 8, 0, 0, 4, 9, 0, 0, 4, 10, 0, 1)
+    // frame 1: PURE DELTA — cursor jump (dx=1, dy=1), 2-px run of 5,
+    // EOB. Every other pixel must come from frame 0's canvas.
+    val f1 = b(0, 2, 1, 1, 2, 5, 0, 1)
+    // frame 2: absolute mode, 3 literal pixels (1,2,3) + pad at the
+    // bottom-left, EOB — again everything else inherited
+    val f2 = b(0, 3, 1, 2, 3, 0, 0, 1)
+    // hand-computed expected canvases, stored top-down (row y from the
+    // TOP; decode writes bottom-up per the BMP convention)
+    val e0 = b(10, 10, 10, 10, 9, 9, 9, 9, 8, 8, 8, 8, 7, 7, 7, 7)
+    val e1 = b(10, 10, 10, 10, 9, 9, 9, 9, 8, 5, 5, 8, 7, 7, 7, 7)
+    val e2 = b(10, 10, 10, 10, 9, 9, 9, 9, 8, 5, 5, 8, 1, 2, 3, 7)
+    val got = Multimodal.decodeRle8Video(Seq(f0, f1, f2), 4, 4)
+    assert(got(0).toSeq === e0.toSeq)
+    assert(got(1).toSeq === e1.toSeq)
+    assert(got(2).toSeq === e2.toSeq)
+    // end-to-end through the AVI container + Spark generator, every
+    // frame sampled: reconstruction matches the local fold bit-exactly
+    val media = Seq(Multimodal.MediaRecord(11L, "video/avi",
+      rle8Avi(Seq(f0, f1, f2)), 4, 4)).toDF()
+    val out = Multimodal.sampleRle8VideoFrames(spark, media, 4, 4,
+      everyNth = 1).collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq === Seq(0, 1, 2))
+    assert(out(0).payload.toSeq === e0.toSeq)
+    assert(out(1).payload.toSeq === e1.toSeq)
+    assert(out(2).payload.toSeq === e2.toSeq)
+    // sampling still pays the temporal prefix: every-2nd emits frames
+    // 0 and 2, and frame 2 must still carry frame 1's delta pixels
+    val sampled = Multimodal.sampleRle8VideoFrames(spark, media, 4, 4,
+      everyNth = 2).collect().sortBy(_.frame_idx)
+    assert(sampled.map(_.frame_idx).toSeq === Seq(0, 2))
+    assert(sampled(1).payload.toSeq === e2.toSeq)
+    // malformed stream: truncated delta escape terminates cleanly
+    val trunc = b(0, 2, 1) // delta escape missing dy
+    val canvas = new Array[Byte](16)
+    Multimodal.decodeRle8Frame(trunc, canvas, 4, 4)
+    assert(canvas.toSeq === Seq.fill(16)(0.toByte))
+  }
+
   test("codec properties over seeded random inputs: WAV RMS of a " +
       "constant-amplitude signal is the amplitude; image pooling of a " +
       "solid color is the color's gray") {

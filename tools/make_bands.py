@@ -31,7 +31,8 @@ PROSE_HI = {
 
 
 def main(path: str) -> None:
-    base = json.load(open(path))["queries"]
+    full = json.load(open(path))
+    base = full["queries"]
     bands = {}
     for name, rec in sorted(base.items()):
         sec = rec["sec"]
@@ -39,6 +40,13 @@ def main(path: str) -> None:
         bands[name] = [0.0, round(hi, 3)]
     for name, hi in PROSE_HI.items():
         bands.setdefault(name, [0.0, hi])
+    # the quiet run's canary ref: Bench.scala scales each ceiling by
+    # (segment canary / this ref) so a run on a more-contended host
+    # compares against contention-adjusted ceilings instead of raw
+    # numbers from a differently-loaded day (r08: 5 flags, all later
+    # adjudicated variance/vintage)
+    if full.get("canary_ref"):
+        bands["__canary_ref"] = [0.0, full["canary_ref"]]
     json.dump(bands, sys.stdout, indent=0, sort_keys=True)
     sys.stdout.write("\n")
 
