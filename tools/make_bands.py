@@ -20,12 +20,17 @@ import sys
 # g2 11.9-13.1->14.2-16.4, dd12 3.1->5.6 with untouched plans. Bands
 # should be regenerated from each round's own quiet run.
 PROSE_HI = {
-    "dd7_exact_jaccard": 14.0,      # 8-14 s quiet band (three-run r10)
-    "dd6_cluster_keep": 14.0,       # 8-14 s quiet band
-    "pipe2_training_prep": 23.0,    # 18-23 s recorded band
-    "g2_pagerank": 17.0,            # 14.2/16.4 on the r8 testdata vintage
-    "pipe1_corpus_clean": 6.4,      # 4.4-6.4 band
-    "bt1_bradley_terry": 7.5,       # 6.1-7.0 on the r8 vintage (was 3.6-3.7)
+    "dd7_exact_jaccard": 15.5,      # 13.6/14.0 on the r14 vintage pair
+    "dd6_cluster_keep": 15.0,       # 9.6/14.5 r14 pair (16.7 r13b one-off)
+    "pipe2_training_prep": 23.0,    # 19.3/19.9 r14 pair, 18-23 recorded
+    "g2_pagerank": 17.0,            # 11.1/11.9 r14; 14.2/16.4 r8 vintage
+    "pipe1_corpus_clean": 7.5,      # 5.3/7.0 r14 pair; isolated 4.7;
+                                    # dd7@0.9 phase is 4.7 of it
+                                    # (MicroBench decomposition,
+                                    # BASELINE.md r14)
+    "dd16_ngram_containment": 16.0, # 8.7/14.1 r14 pair — truth side is
+                                    # a second dd7-class join, variance
+                                    # tracks dd7's
     "yuen1_trimmed_ttest": 1.2,     # 0.55-0.60 rows, jitter floor
 }
 
