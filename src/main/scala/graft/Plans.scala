@@ -91,7 +91,13 @@ object Plans {
       "cv1_kfold_ols" ->
         "k-fold CV: one fold-sums aggregate trains all 5 complement models, broadcast scoring pass",
       "knn2_label_audit" ->
-        "kNN label audit: bounded-heap batch top-k, broadcast labels, plurality windows per query key")
+        "kNN label audit: bounded-heap batch top-k, broadcast labels, plurality windows per query key",
+      "gini1_lorenz_gini" ->
+        "distributed rank kernel: range-repartition + broadcast bases + pid-keyed windows, no global sort",
+      "abc1_pareto_class" ->
+        "cumulative share over a row-scaling catalog via the prefix kernel (exact cents)",
+      "dd16_ngram_containment" ->
+        "sketch-family containment: emitted pairs anti-joined against the exact truth set")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")

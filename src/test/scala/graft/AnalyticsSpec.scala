@@ -256,6 +256,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(again == mmrIds)
   }
 
+  test("pca2: fused iteration runs ONE aggregation job per round " +
+      "(15 rounds + fixed setup, not the former 30+)") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Analytics.pca2Top2Map(spark, sf).collect()
+      // listener delivery is async (the bus is private[spark]): poll
+      // until the count is stable for two consecutive reads
+      var last = -1
+      var spins = 0
+      while (counter.get() != last && spins < 30) {
+        last = counter.get(); Thread.sleep(100); spins += 1
+      }
+      // AQE runs ~2 jobs per aggregation (shuffle-stage
+      // materialization + final): the fused loop measures ~39 =
+      // 15 rounds x 2 + means/count/Rayleigh-Ritz/final-collect
+      // overhead. The pre-fusion shape (two 15-round runs + the
+      // deflated-column build) was ~2x that; 45 is the regression
+      // tripwire between the two regimes.
+      assert(counter.get() <= 45,
+        s"pca2 ran ${counter.get()} jobs — fusion regressed?")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("pca2: components orthogonal; projections match local replay") {
     val dim = 64
     val rows = Analytics.pca2Top2Map(spark, sf).collect()
