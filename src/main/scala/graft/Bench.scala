@@ -223,11 +223,9 @@ object Bench {
         .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
       .getOrElse("tools/bench_bands.json")
     val bandHi: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
+      BenchBands.parse(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(bandsPath)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val re = """"([^"]+)":\s*\[\s*([-0-9.eE+]+)\s*,\s*([-0-9.eE+]+)\s*\]""".r
-      re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(3).toDouble).toMap
+        java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] no bands from $bandsPath " +
         s"(${e.getMessage}) — above_band flags disabled")
@@ -242,16 +240,12 @@ object Bench {
     // never TIGHTENS a ceiling. This turns "above band" from "slower
     // than a number measured on a different day's host" into "slower
     // than the baseline after accounting for measured contention".
-    val bandCanaryRef = bandHi.get("__canary_ref").filter(_ > 0)
-    def bandScale(k: String): Double = bandCanaryRef match {
-      case Some(ref) =>
-        math.max(1.0,
-          math.max(segCanary.getOrElse(k, canaryRef), canaryRef) / ref)
-      case None => 1.0
-    }
+    def bandScale(k: String): Double =
+      BenchBands.scale(segCanary.getOrElse(k, canaryRef), canaryRef,
+        bandHi.get(BenchBands.CanaryKey).filter(_ > 0))
     def ceilingFor(k: String): Option[Double] =
-      bandHi.get(k).filter(_ => k != "__canary_ref")
-        .map(_ * bandScale(k))
+      BenchBands.ceiling(bandHi, k,
+        segCanary.getOrElse(k, canaryRef), canaryRef)
     val aboveBand = results.collect {
       case (k, v) if ceilingFor(k).exists(v > _) && !stalled.contains(k) => k
     }

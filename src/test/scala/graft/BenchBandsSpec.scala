@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The contention-normalization semantics the bench's `above_band`
+  * flags depend on: a hotter-than-baseline segment RAISES a query's
+  * ceiling proportionally, a quieter host never tightens it, and the
+  * canary pseudo-entry is metadata, never a band.
+  */
+class BenchBandsSpec extends AnyFunSuite {
+
+  test("parse extracts hi ceilings and the canary ref") {
+    val txt = """{"a_query":[0.0,2.5],"__canary_ref":[0.0,0.1],
+                  "b":[0.0,14.0]}"""
+    val b = BenchBands.parse(txt)
+    assert(b("a_query") === 2.5)
+    assert(b("b") === 14.0)
+    assert(b(BenchBands.CanaryKey) === 0.1)
+  }
+
+  test("scale: contended segment raises, quiet host never tightens") {
+    // bands measured at ref 0.1; this segment's canary read 0.4 ->
+    // the host was 4x contended around this query's measurement
+    assert(BenchBands.scale(0.4, 0.1, Some(0.1)) === 4.0)
+    // quieter than baseline: floor at 1.0, never tighten
+    assert(BenchBands.scale(0.05, 0.04, Some(0.1)) === 1.0)
+    // the run-wide start ref is a contention floor even when this
+    // segment's closing canary happened to read quiet
+    assert(math.abs(BenchBands.scale(0.05, 0.3, Some(0.1)) - 3.0) < 1e-12)
+    // no recorded ref (pre-normalization bands): raw ceilings
+    assert(BenchBands.scale(9.9, 9.9, None) === 1.0)
+    // degenerate zero ref: treated as absent
+    assert(BenchBands.scale(9.9, 9.9, Some(0.0)) === 1.0)
+  }
+
+  test("ceiling: scaled per query; the canary key is never a band") {
+    val bands = Map("q" -> 2.0, BenchBands.CanaryKey -> 0.1)
+    assert(BenchBands.ceiling(bands, "q", 0.2, 0.1) === Some(4.0))
+    assert(BenchBands.ceiling(bands, "q", 0.05, 0.05) === Some(2.0))
+    assert(BenchBands.ceiling(bands, "missing", 0.2, 0.1) === None)
+    assert(BenchBands.ceiling(bands, BenchBands.CanaryKey, 0.2, 0.1)
+      === None)
+  }
+
+  test("r08 shape: a 4x mid-run excursion with a quiet run ref no " +
+      "longer flags a query whose segment canary spiked with it") {
+    // pca2's r08 reading: 17.52 s vs quiet 4.4-4.7; ceiling 8.87.
+    // run ref 0.108 (quiet start), bands ref 0.12, and the excursion
+    // segment's canary read ~0.417 (the run's recorded max)
+    val eff = 8.87 * BenchBands.scale(0.417, 0.108, Some(0.12))
+    assert(eff > 17.52, f"effective ceiling $eff%.2f should absorb " +
+      "the contention excursion")
+    // while a genuinely quiet segment keeps the tight ceiling
+    val tight = 8.87 * BenchBands.scale(0.11, 0.108, Some(0.12))
+    assert(tight < 9.0)
+  }
+}
