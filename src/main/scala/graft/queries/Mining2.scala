@@ -104,22 +104,37 @@ object Mining2 {
 
   // ---- dd14: tail/head overlap stitching -----------------------------
 
-  /** Crawl-fragment stitch candidates: doc a's LAST 8 tokens equal doc
-    * b's FIRST 8 tokens — the signature of one source document split
-    * across fetches, which no whole-doc similarity score catches
-    * (Jaccard of a 1000-token doc and its 30-token continuation is
-    * ~0). One equi-join on the boundary gram; each doc contributes
-    * exactly one head row and one tail row, so the shuffle is two slim
-    * rows per document regardless of document size.
+  /** Crawl-fragment stitch detection: unit a's LAST 4 tokens equal
+    * unit b's FIRST 4 tokens — the signature of one source document
+    * split across fetches, which no whole-unit similarity score
+    * catches (Jaccard of a long unit and its short continuation is
+    * ~0). Run over the pk2 CHUNK STREAM (16-token windows, overlap
+    * 4), whose adjacent chunks overlap by construction: the detector
+    * must rediscover every chunk adjacency from CONTENT ALONE —
+    * (n_chunks - 1) stitches per multi-chunk doc, plus any genuine
+    * cross-doc boundary collisions — so the check is exercised on
+    * thousands of known-true positives instead of the empty result
+    * the raw synthetic corpus gives (r8: 0 rows at both scales, a
+    * vacuous hash-match). One equi-join on the boundary gram; each
+    * chunk contributes at most one head row and one tail row, so the
+    * shuffle is two slim rows per unit regardless of unit size. Unit
+    * ids pack (doc_id, chunk_id) exactly as pipe2 does.
     */
   def dd14OverlapStitch(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
-      .filter(size(col("ts")) >= 16) // both ends must be distinct grams
-    val tails = toks.select(col("doc_id").as("id_a"),
-      concat_ws(" ", slice(col("ts"), -8, 8)).as("gram"))
-    val heads = toks.select(col("doc_id").as("id_b"),
-      concat_ws(" ", slice(col("ts"), 1, 8)).as("gram"))
+    val chunks = graft.export.Packing.chunkDocuments(
+        Tables.documents(s, d), "doc_id", "text",
+        maxTokens = 16, overlap = 4)
+      .select(col("doc_id"), col("chunk_id"),
+        split(col("chunk_text"), " ").as("ts"))
+    val unitId = col("doc_id") * lit(1048576L) + col("chunk_id")
+    // only FULL chunks can be stitch left-sides (a short tail chunk's
+    // last 4 tokens are not a successor's prefix)
+    val tails = chunks.filter(size(col("ts")) === 16)
+      .select(unitId.as("id_a"),
+        concat_ws(" ", slice(col("ts"), -4, 4)).as("gram"))
+    val heads = chunks.filter(size(col("ts")) >= 4)
+      .select(unitId.as("id_b"),
+        concat_ws(" ", slice(col("ts"), 1, 4)).as("gram"))
     tails.join(heads, "gram")
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"), col("gram").as("overlap"))
@@ -285,17 +300,31 @@ object Mining2 {
          FROM h3
          UNION ALL
          SELECT 'authority', p, CAST(a AS DOUBLE) FROM a3""",
+    // over the pk2 chunk stream (same chunk CTEs as pk2's dual) so
+    // adjacencies exist by construction — the detector must find them
+    // from content alone
     "dd14_overlap_stitch" ->
       """WITH tok AS (SELECT doc_id,
-             regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+             regexp_split_to_array(trim(text), '\s+') AS ts
            FROM documents),
-         ok AS MATERIALIZED (
-           SELECT doc_id, ts FROM tok WHERE len(ts) >= 16),
-         tails AS (SELECT doc_id AS id_a,
-             array_to_string(ts[CAST(len(ts) - 7 AS INT):CAST(len(ts) AS INT)],
-               ' ') AS gram FROM ok),
-         heads AS (SELECT doc_id AS id_b,
-             array_to_string(ts[1:8], ' ') AS gram FROM ok)
+         meta AS (SELECT doc_id, ts,
+             CAST(CASE WHEN len(ts) <= 16 THEN 1
+                  ELSE 1 + (len(ts) - 5) // 12 END AS BIGINT)
+               AS n_chunks
+           FROM tok),
+         ch AS MATERIALIZED (
+           SELECT doc_id,
+             unnest(range(0, n_chunks)) AS chunk_id,
+             unnest(list_transform(range(0, n_chunks),
+               i -> ts[CAST(i * 12 + 1 AS INT):
+                       CAST(i * 12 + 16 AS INT)])) AS cts
+           FROM meta),
+         tails AS (SELECT doc_id * 1048576 + chunk_id AS id_a,
+             array_to_string(cts[13:16], ' ') AS gram
+           FROM ch WHERE len(cts) = 16),
+         heads AS (SELECT doc_id * 1048576 + chunk_id AS id_b,
+             array_to_string(cts[1:4], ' ') AS gram
+           FROM ch WHERE len(cts) >= 4)
          SELECT id_a, id_b, gram AS overlap
          FROM tails JOIN heads USING (gram)
          WHERE id_a <> id_b""",

@@ -40,7 +40,8 @@ class Mining2Spec extends SparkSpec {
     assert(auths.forall(s => s > 0.0 && s <= 1.0))
   }
 
-  test("dd14: a split document's halves stitch; unrelated docs do not") {
+  test("dd14: a split document's halves stitch across docs; every " +
+      "chunk adjacency is rediscovered from content alone") {
     val dir = java.nio.file.Files.createTempDirectory("dd14").toString
     val overlap = (1 to 8).map(i => s"o$i").mkString(" ")
     val fragA = (1 to 12).map(i => s"a$i").mkString(" ") + " " + overlap
@@ -53,7 +54,14 @@ class Mining2Spec extends SparkSpec {
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = Mining2.dd14OverlapStitch(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(out == Set((1L, 2L)))
+    def u(doc: Long, ch: Long) = doc * 1048576L + ch
+    // every 20-token doc chunks into (0: tokens 1-16, 1: tokens
+    // 13-20), so chunk 0's last 4 == chunk 1's first 4 — the detector
+    // must find all 20 within-doc adjacencies...
+    val adjacencies = (1L to 20L).map(dId => u(dId, 0) -> u(dId, 1)).toSet
+    // ...plus the one CROSS-doc stitch: fragA's chunk-0 tail (o1-o4)
+    // is fragB's chunk-0 head — the split-document signature
+    assert(out === adjacencies + (u(1L, 0) -> u(2L, 0)))
   }
 
   test("cal1: deciles partition the events; probabilities are monotone in bin") {

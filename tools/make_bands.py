@@ -32,6 +32,10 @@ PROSE_HI = {
                                     # a second dd7-class join, variance
                                     # tracks dd7's
     "yuen1_trimmed_ttest": 1.2,     # 0.55-0.60 rows, jitter floor
+    "dd14_overlap_stitch": 3.0,     # redesigned r14 over the chunk
+                                    # stream (20k stitches, was a
+                                    # vacuous 0-row join); isolated
+                                    # 1.29, in-bench residue margin
 }
 
 
