@@ -71,6 +71,27 @@ class GlobalRankSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("results are invariant to the shuffle-partition count (the " +
+      "base-offset seam moves; the values must not)") {
+    val df = sample
+    val ord = Seq(col("key"), col("id"))
+    def run(): Set[(Long, Long, Long)] =
+      GlobalRank.prefixScan(df, ord,
+          Seq(Scan("cs", col("v"))), rankCol = Some("i"))
+        .select(col("id"), col("i"), col("cs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val conf = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(conf)
+    val base = run()
+    try {
+      spark.conf.set(conf, "3")
+      assert(run() === base, "3-partition layout changed the scan")
+      spark.conf.set(conf, "64")
+      assert(run() === base, "64-partition layout changed the scan")
+    } finally spark.conf.set(conf, old)
+  }
+
   test("ntileFromRank is bit-identical to ntile() for awkward (n, k)") {
     for (n <- Seq(1, 3, 9, 10, 11, 12, 100, 1037); k <- Seq(3, 4, 7, 10, 32)) {
       val df = spark.range(0, n.toLong).toDF("id")
