@@ -541,6 +541,45 @@ object Extensions {
           .as("mean_neg_logp2"))
   }
 
+  /** Gopher-style top-n-gram repetition metric (Rae et al. 2021,
+    * "Scaling Language Models", Table A1): for each document and each
+    * n in 2..4, the word n-gram with the highest count and the
+    * fraction of the document's character mass it accounts for
+    * (count x gram chars / joined-token-stream chars). High fractions
+    * flag boilerplate/templated docs that slip past t6's line-level
+    * check because the repetition lives WITHIN lines. Everything is
+    * an integer rational until the final 6dp rounding, and the argmax
+    * tie-break is the (count, gram) struct max — deterministic and
+    * engine-portable (binary string order both sides). Scale shape:
+    * grams are built array-side per row (no self-join), the count is
+    * one partial-aggregable groupBy keyed (doc_id, n, gram) — the
+    * explode fan-out combines map-side — and the per-(doc, n) argmax
+    * is a second partial aggregate; nothing ranks globally.
+    */
+  def t16TopNgramFrac(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("ts"))
+    val grams = toks
+      .select(col("doc_id"),
+        length(concat_ws(" ", col("ts"))).cast("long").as("tot_chars"),
+        col("ts"), explode(array(lit(2), lit(3), lit(4))).as("n"))
+      .filter(size(col("ts")) >= col("n"))
+      .select(col("doc_id"), col("n"), col("tot_chars"),
+        explode(transform(sequence(lit(0), size(col("ts")) - col("n")),
+          i => concat_ws(" ", slice(col("ts"), i + 1, col("n")))))
+          .as("gram"))
+    grams
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"), max(col("tot_chars")).as("tot_chars"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(struct(col("cnt"), col("gram"))).as("m"),
+        max(col("tot_chars")).as("tot_chars"))
+      .select(col("doc_id"), col("n"),
+        col("m.gram").as("top_gram"), col("m.cnt").as("cnt"),
+        round(col("m.cnt") * length(col("m.gram")) /
+          col("tot_chars"), 6).as("frac6"))
+  }
+
   /** Token-budget curation: per source, keep documents in priority
     * order (longest first, doc_id tiebreak) until the source's
     * cumulative token count reaches the budget — "sample N tokens per
@@ -1313,6 +1352,7 @@ object Extensions {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_redact" -> (t5Redact _),
     "t6_repetition" -> (t6Repetition _),
+    "t16_top_ngram_frac" -> (t16TopNgramFrac _),
     "t7_nfc" -> (t7Nfc _),
     "t8_wordcount" -> (t8Wordcount _),
     "t9_tfidf" -> (t9Tfidf _),
@@ -1964,6 +2004,35 @@ object Extensions {
          FROM documents""",
     "t7_nfc" ->
       """SELECT doc_id, nfc_normalize(text) AS nfc FROM documents""",
+    "t16_top_ngram_frac" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+           FROM documents),
+         base AS (
+           SELECT doc_id, ts,
+                  CAST(length(array_to_string(ts, ' ')) AS BIGINT)
+                    AS tot_chars
+           FROM toks),
+         grams AS (
+           SELECT doc_id, n, tot_chars,
+                  unnest(list_transform(range(1, len(ts) - n + 2),
+                    i -> array_to_string(list_slice(ts, i, i + n - 1), ' ')))
+                    AS gram
+           FROM base, (VALUES (2), (3), (4)) AS v(n)
+           WHERE len(ts) >= n),
+         counts AS (
+           SELECT doc_id, n, gram, max(tot_chars) AS tot_chars,
+                  count(*) AS cnt
+           FROM grams GROUP BY doc_id, n, gram),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                       ORDER BY cnt DESC, gram DESC) AS rk
+           FROM counts)
+         SELECT doc_id, CAST(n AS INT) AS n, gram AS top_gram,
+                CAST(cnt AS BIGINT) AS cnt,
+                round(cnt * length(gram) / tot_chars, 6) AS frac6
+         FROM ranked WHERE rk = 1""",
     "t8_wordcount" ->
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

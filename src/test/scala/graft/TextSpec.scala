@@ -76,4 +76,35 @@ class TextSpec extends SparkSpec {
     val out = df.select(TextFunctions.langId(col("text"))).as[String].collect()
     assert(out.toSeq === Seq("en", "de", "und"))
   }
+
+  test("t16: top-n-gram fractions — counts, tie-break, overlap > 1, " +
+      "and short docs emit nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("t16").toString
+    val docs = Seq(
+      (1L, "x y x y x y z"), // overlapping repeats; trigram tie
+      (2L, "a b c d e"),     // all grams distinct -> pure tie-break
+      (3L, "hi")             // 1 token: no n-gram for any n in 2..4
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Extensions.t16TopNgramFrac(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1: "x y" appears 3x (9 of 13 chars); the trigram tie between
+    // "x y x" and "y x y" (2 each) breaks to the binary-larger gram;
+    // the 4-gram "x y x y" appears 2x OVERLAPPING, so its char mass
+    // exceeds the doc's (14/13) — fractions are occurrence-weighted by
+    // definition, not a coverage measure
+    assert(out((1L, 2)) === (("x y", 3L, math.rint(9.0 / 13 * 1e6) / 1e6)))
+    assert(out((1L, 3)) === (("y x y", 2L, math.rint(10.0 / 13 * 1e6) / 1e6)))
+    assert(out((1L, 4)) === (("x y x y", 2L, math.rint(14.0 / 13 * 1e6) / 1e6)))
+    // doc 2: every gram count is 1 -> the lexicographically largest wins
+    assert(out((2L, 2)) === (("d e", 1L, math.rint(3.0 / 9 * 1e6) / 1e6)))
+    assert(out((2L, 3)) === (("c d e", 1L, math.rint(5.0 / 9 * 1e6) / 1e6)))
+    assert(out((2L, 4)) === (("b c d e", 1L, math.rint(7.0 / 9 * 1e6) / 1e6)))
+    assert(!out.keySet.exists(_._1 == 3L))
+    assert(out.size === 6)
+  }
 }
