@@ -580,6 +580,47 @@ object Extensions {
           col("tot_chars"), 6).as("frac6"))
   }
 
+  /** Gopher's duplicate-n-gram repetition family (Rae et al. 2021,
+    * Table A1), the long-gram complement of [[t16TopNgramFrac]]: for
+    * each document and n in 5..10, how much of the character mass
+    * sits in word n-grams that occur MORE THAN ONCE in the document.
+    * Long duplicated grams are the signature of boilerplate blocks
+    * (headers, nav bars, license stubs) pasted repeatedly into one
+    * page. As in t16, the fraction is occurrence-weighted
+    * (sum of count x gram chars over duplicated grams / joined-token
+    * chars), not an overlap-deduplicated coverage measure — integer
+    * rationals end-to-end, one 6dp rounding at the edge. A doc with
+    * >= n tokens but no duplicated n-gram still emits its (doc, n)
+    * row with frac 0, so the output domain is data-independent given
+    * doc lengths. Same scale shape as t16: array-side gram build, two
+    * partial-aggregable groupBys, nothing global.
+    */
+  def t17DupNgramFrac(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      split(lower(trim(col("text"))), "\\s+").as("ts"))
+    val grams = toks
+      .select(col("doc_id"),
+        length(concat_ws(" ", col("ts"))).cast("long").as("tot_chars"),
+        col("ts"),
+        explode(array((5 to 10).map(lit(_)): _*)).as("n"))
+      .filter(size(col("ts")) >= col("n"))
+      .select(col("doc_id"), col("n"), col("tot_chars"),
+        explode(transform(sequence(lit(0), size(col("ts")) - col("n")),
+          i => concat_ws(" ", slice(col("ts"), i + 1, col("n")))))
+          .as("gram"))
+    grams
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"), max(col("tot_chars")).as("tot_chars"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_grams"),
+        sum(when(col("cnt") >= 2,
+          col("cnt") * length(col("gram"))).otherwise(0L)).as("__dc"),
+        max(col("tot_chars")).as("__tot"))
+      .select(col("doc_id"), col("n"), col("dup_grams"),
+        round(col("__dc") / col("__tot"), 6).as("frac6"))
+  }
+
   /** Token-budget curation: per source, keep documents in priority
     * order (longest first, doc_id tiebreak) until the source's
     * cumulative token count reaches the budget — "sample N tokens per
@@ -1353,6 +1394,7 @@ object Extensions {
     "t5_redact" -> (t5Redact _),
     "t6_repetition" -> (t6Repetition _),
     "t16_top_ngram_frac" -> (t16TopNgramFrac _),
+    "t17_dup_ngram_frac" -> (t17DupNgramFrac _),
     "t7_nfc" -> (t7Nfc _),
     "t8_wordcount" -> (t8Wordcount _),
     "t9_tfidf" -> (t9Tfidf _),
@@ -2033,6 +2075,34 @@ object Extensions {
                 CAST(cnt AS BIGINT) AS cnt,
                 round(cnt * length(gram) / tot_chars, 6) AS frac6
          FROM ranked WHERE rk = 1""",
+    "t17_dup_ngram_frac" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+           FROM documents),
+         base AS (
+           SELECT doc_id, ts,
+                  CAST(length(array_to_string(ts, ' ')) AS BIGINT)
+                    AS tot_chars
+           FROM toks),
+         grams AS (
+           SELECT doc_id, n, tot_chars,
+                  unnest(list_transform(range(1, len(ts) - n + 2),
+                    i -> array_to_string(list_slice(ts, i, i + n - 1), ' ')))
+                    AS gram
+           FROM base, (VALUES (5), (6), (7), (8), (9), (10)) AS v(n)
+           WHERE len(ts) >= n),
+         counts AS (
+           SELECT doc_id, n, gram, max(tot_chars) AS tot_chars,
+                  count(*) AS cnt
+           FROM grams GROUP BY doc_id, n, gram)
+         SELECT doc_id, CAST(n AS INT) AS n,
+                CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS dup_grams,
+                round(CAST(sum(CASE WHEN cnt >= 2
+                         THEN cnt * length(gram) ELSE 0 END) AS BIGINT)
+                      / max(tot_chars), 6) AS frac6
+         FROM counts GROUP BY doc_id, n""",
     "t8_wordcount" ->
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token

@@ -107,4 +107,28 @@ class TextSpec extends SparkSpec {
     assert(!out.keySet.exists(_._1 == 3L))
     assert(out.size === 6)
   }
+
+  test("t17: duplicate-n-gram fractions — a pasted 6-token block is " +
+      "caught at n<=6, longer grams are clean, short docs emit nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("t17").toString
+    val docs = Seq(
+      (1L, "p q r s t u p q r s t u"), // the 6-gram pasted twice
+      (2L, "a b c d")                  // 4 tokens: below every n
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Extensions.t17DupNgramFrac(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // 23 joined chars; n=5: two grams appear twice (the window slides
+    // into the repeat), 2x2x9 chars; n=6: exactly the pasted block,
+    // 2x11 chars; n>=7: the period-6 stream has no repeats
+    assert(out((1L, 5)) === ((2L, math.rint(36.0 / 23 * 1e6) / 1e6)))
+    assert(out((1L, 6)) === ((1L, math.rint(22.0 / 23 * 1e6) / 1e6)))
+    for (n <- 7 to 10) assert(out((1L, n)) === ((0L, 0.0)))
+    assert(!out.keySet.exists(_._1 == 2L)) // 4 tokens < every n
+    assert(out.size === 6)
+  }
 }
