@@ -557,23 +557,40 @@ object Extensions {
     * is a second partial aggregate; nothing ranks globally.
     */
   def t16TopNgramFrac(s: SparkSession, d: String): DataFrame = {
+    // ZERO-SHUFFLE shape: every gram of a document lives in that
+    // document's own row, so the per-(doc, n) argmax never needs a
+    // groupBy — sort the gram array and fold it for the longest
+    // equal-run. The explode+groupBy alternative shuffles ~3x the
+    // corpus token mass for an answer that was map-side computable;
+    // at 100 TB that shuffle IS the job. The fold runs interpreted
+    // (higher-order functions are CodegenFallback) but touches only
+    // the row-local array — narrow beats codegen-over-a-shuffle here.
+    // Ascending sort makes the tie-break free: on equal run length
+    // the LATER (binary-larger) gram overwrites, which is exactly the
+    // (count, gram) struct-max order the DuckDB dual ranks by.
     val toks = Tables.documents(s, d).select(col("doc_id"),
       split(lower(trim(col("text"))), "\\s+").as("ts"))
-    val grams = toks
+    val base = toks
       .select(col("doc_id"),
         length(concat_ws(" ", col("ts"))).cast("long").as("tot_chars"),
         col("ts"), explode(array(lit(2), lit(3), lit(4))).as("n"))
       .filter(size(col("ts")) >= col("n"))
+    val grams = array_sort(transform(
+      sequence(lit(0), size(col("ts")) - col("n")),
+      i => concat_ws(" ", slice(col("ts"), i + 1, col("n")))))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("cnt"), lit("").as("gram"))
+    val folded = aggregate(grams, zero, (acc, g) => {
+      val run = when(g === acc.getField("prev"),
+        acc.getField("run") + 1L).otherwise(lit(1L))
+      val take = run >= acc.getField("cnt")
+      struct(g.as("prev"), run.as("run"),
+        when(take, run).otherwise(acc.getField("cnt")).as("cnt"),
+        when(take, g).otherwise(acc.getField("gram")).as("gram"))
+    })
+    base
       .select(col("doc_id"), col("n"), col("tot_chars"),
-        explode(transform(sequence(lit(0), size(col("ts")) - col("n")),
-          i => concat_ws(" ", slice(col("ts"), i + 1, col("n")))))
-          .as("gram"))
-    grams
-      .groupBy(col("doc_id"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("cnt"), max(col("tot_chars")).as("tot_chars"))
-      .groupBy(col("doc_id"), col("n"))
-      .agg(max(struct(col("cnt"), col("gram"))).as("m"),
-        max(col("tot_chars")).as("tot_chars"))
+        folded.as("m"))
       .select(col("doc_id"), col("n"),
         col("m.gram").as("top_gram"), col("m.cnt").as("cnt"),
         round(col("m.cnt") * length(col("m.gram")) /
@@ -596,29 +613,51 @@ object Extensions {
     * partial-aggregable groupBys, nothing global.
     */
   def t17DupNgramFrac(s: SparkSession, d: String): DataFrame = {
+    // Same zero-shuffle run-fold shape as [[t16TopNgramFrac]], with a
+    // finish step that flushes the trailing run: scan the sorted gram
+    // array, and each time a run of length >= 2 CLOSES, add one
+    // duplicated gram and run x chars(gram) to the accumulators.
     val toks = Tables.documents(s, d).select(col("doc_id"),
       split(lower(trim(col("text"))), "\\s+").as("ts"))
-    val grams = toks
+    val base = toks
       .select(col("doc_id"),
         length(concat_ws(" ", col("ts"))).cast("long").as("tot_chars"),
         col("ts"),
         explode(array((5 to 10).map(lit(_)): _*)).as("n"))
       .filter(size(col("ts")) >= col("n"))
+    val grams = array_sort(transform(
+      sequence(lit(0), size(col("ts")) - col("n")),
+      i => concat_ws(" ", slice(col("ts"), i + 1, col("n")))))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("dg"), lit(0L).as("dc"))
+    val folded = aggregate(grams, zero,
+      (acc, g) => {
+        val closes = (g =!= acc.getField("prev")) &&
+          (acc.getField("run") >= 2L)
+        struct(g.as("prev"),
+          when(g === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L)).as("run"),
+          when(closes, acc.getField("dg") + 1L)
+            .otherwise(acc.getField("dg")).as("dg"),
+          when(closes, acc.getField("dc") +
+              acc.getField("run") * length(acc.getField("prev")))
+            .otherwise(acc.getField("dc")).as("dc"))
+      },
+      acc => {
+        val closes = acc.getField("run") >= 2L
+        struct(
+          when(closes, acc.getField("dg") + 1L)
+            .otherwise(acc.getField("dg")).as("dg"),
+          when(closes, acc.getField("dc") +
+              acc.getField("run") * length(acc.getField("prev")))
+            .otherwise(acc.getField("dc")).as("dc"))
+      })
+    base
       .select(col("doc_id"), col("n"), col("tot_chars"),
-        explode(transform(sequence(lit(0), size(col("ts")) - col("n")),
-          i => concat_ws(" ", slice(col("ts"), i + 1, col("n")))))
-          .as("gram"))
-    grams
-      .groupBy(col("doc_id"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("cnt"), max(col("tot_chars")).as("tot_chars"))
-      .groupBy(col("doc_id"), col("n"))
-      .agg(
-        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_grams"),
-        sum(when(col("cnt") >= 2,
-          col("cnt") * length(col("gram"))).otherwise(0L)).as("__dc"),
-        max(col("tot_chars")).as("__tot"))
-      .select(col("doc_id"), col("n"), col("dup_grams"),
-        round(col("__dc") / col("__tot"), 6).as("frac6"))
+        folded.as("m"))
+      .select(col("doc_id"), col("n"),
+        col("m.dg").as("dup_grams"),
+        round(col("m.dc") / col("tot_chars"), 6).as("frac6"))
   }
 
   /** Token-budget curation: per source, keep documents in priority

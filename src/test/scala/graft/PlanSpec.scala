@@ -232,6 +232,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_freq_items"), plan)
   }
 
+  test("t16/t17 repetition metrics are ZERO-shuffle: per-doc sorted-run " +
+      "folds, no Exchange, no Window, no Join anywhere in the plan") {
+    for (q <- Seq(
+        graft.queries.Extensions.t16TopNgramFrac(spark, sf),
+        graft.queries.Extensions.t17DupNgramFrac(spark, sf))) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("Exchange"), s"repetition metric shuffled:\n$plan")
+      assert(!plan.contains("Window"), plan)
+      assert(!plan.contains("Join"), plan)
+    }
+  }
+
   test("quantized k-means assignment is a pure projection: no Exchange, " +
       "no join — centroids live in the plan as literals") {
     val plan = executedPlan(
