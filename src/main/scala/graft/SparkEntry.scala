@@ -50,7 +50,8 @@ object SparkEntry {
       graft.queries.Seg.queries ++
       graft.queries.Meta.queries ++
       graft.queries.Strat.queries ++
-      graft.queries.Uplift.queries
+      graft.queries.Uplift.queries ++
+      graft.queries.Curate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -89,5 +90,6 @@ object SparkEntry {
       graft.queries.Seg.oracles ++
       graft.queries.Meta.oracles ++
       graft.queries.Strat.oracles ++
-      graft.queries.Uplift.oracles
+      graft.queries.Uplift.oracles ++
+      graft.queries.Curate.oracles
 }

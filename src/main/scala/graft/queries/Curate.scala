@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.EditDistance
+import graft.ops.GlobalRank
+
+/** Corpus-curation batch: sorted-neighborhood dedup (the classic
+  * blocking-window record-linkage method the dedup family was
+  * missing), temperature-based data-mixture weighting (the mT5/Pile
+  * recipe for balancing domains in a training corpus), and a
+  * distributed logistic-regression document classifier trained
+  * in-plan by Newton-IRLS over sufficient statistics (the trainable
+  * quality-filter component of an LLM data pipeline).
+  */
+object Curate {
+
+  // ---- snm1: sorted-neighborhood near-dup pairs ----------------------
+
+  /** Sorted-neighborhood pairs over `docs`: normalize, sort the corpus
+    * by a `bkLen`-char blocking prefix (doc_id tiebreak), and compare
+    * each doc against its next `w` neighbors in sorted order with the
+    * native banded [[EditDistance.lev_within]] (exact when <= k, k+1
+    * the moment the band exceeds k — O(k·min) per pair).
+    *
+    * Scale shape: the global sort rank comes from
+    * [[GlobalRank.prefixScan]] (range-repartition + per-partition
+    * local sorts + a partition-count driver scan), NEVER a
+    * single-task `Window.orderBy`. The window-of-w candidate join is
+    * an EQUI-join — each row explodes into `w` slim (rank+off, id,
+    * text) probes joined on the target rank — so the shuffle is w×
+    * a slim projection; the naive `b.r BETWEEN a.r+1 AND a.r+w`
+    * range predicate would fall off the equi-join path entirely
+    * (BroadcastNestedLoop) at scale. Candidate count is exactly
+    * w·(n - (w+1)/2): linear in the corpus BY CONSTRUCTION — the
+    * property that makes sorted-neighborhood the fixed-budget
+    * complement of dd7's threshold-driven prefix filter.
+    */
+  def snmPairs(docs: DataFrame, w: Int, k: Int, bkLen: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), lower(trim(col("text"))).as("s"))
+      .withColumn("bk", substring(col("s"), 1, bkLen))
+    val ranked = GlobalRank.prefixScan(t,
+        Seq(col("bk"), col("doc_id")), Nil, Some("r"))
+      .select(col("doc_id"), col("s"), col("r"))
+    val probes = ranked.select(col("doc_id").as("id_a"),
+        col("s").as("sa"), col("r"),
+        explode(array((1 to w).map(lit): _*)).as("off"))
+      .withColumn("tr", col("r") + col("off")).drop("r", "off")
+    probes
+      .join(ranked.select(col("doc_id").as("id_b"), col("s").as("sb"),
+        col("r").as("tr")), Seq("tr"))
+      .select(col("id_a"), col("id_b"),
+        EditDistance.lev_within(col("sa"), col("sb"), k).as("lev"))
+      .filter(col("lev") <= k)
+  }
+
+  /** snm1: sorted-neighborhood near-dup pairs on the documents table
+    * (24-char blocking prefix, window 4, edit-distance cut 20).
+    * DuckDB's plain `levenshtein` is a valid oracle for the banded
+    * expression: values <= k agree exactly.
+    */
+  def snm1SortedNeighborhood(s: SparkSession, d: String): DataFrame =
+    snmPairs(Tables.documents(s, d), w = 4, k = 20, bkLen = 24)
+
+  // ---- mix1: temperature-sampled mixture weights ---------------------
+
+  /** mix1: per-language token counts -> temperature-flattened
+    * sampling weights (alpha = 1/2: weight ∝ sqrt(share), the mT5
+    * domain-balancing recipe — sqrt is IEEE-correctly-rounded, so the
+    * flattening is bit-identical cross-engine with no polynomial
+    * discipline). Normalizer = DECIMAL sum of the 9-dp raw weights
+    * (order-free); everything downstream is per-row arithmetic on
+    * identical doubles. One aggregate over the corpus + two
+    * broadcast-scalar joins — the group domain is bounded by the
+    * language catalog.
+    */
+  def mix1MixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val la = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("tokens"))
+    val tot = la.agg(sum(col("tokens")).as("total"))
+    val shared = la.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("tokens").cast("double") / col("total").cast("double"))
+      .withColumn("wr9", round(sqrt(col("share")), 9))
+    val norm = shared.agg(
+      sum(col("wr9").cast("decimal(28,9)")).cast("double").as("sw"))
+    shared.crossJoin(broadcast(norm))
+      .withColumn("weight9", round(col("wr9") / col("sw"), 9))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        round(col("share"), 6).as("share6"), col("weight9"),
+        round(col("weight9") / col("share"), 6).as("boost6"),
+        round(col("weight9") * col("total").cast("double"), 0)
+          .cast("long").as("expected_tokens"))
+  }
+
+  // ---- lrq1: logistic-regression classifier via Newton-IRLS ----------
+
+  /** Distributed linear-classifier trainer: 3 IRLS rounds over
+    * `feat` (columns y, f1, f2 — label and two 6-dp features), each
+    * round ONE aggregate producing the 9 sufficient statistics
+    * (X'WX upper triangle + X'(y-p)), solved 3×3 by Cramer on the
+    * driver-free broadcast row. Returns one row: (n, b0, b1, b2)
+    * with 9-dp betas.
+    *
+    * Bilinear terms run in the EXACT DECIMAL domain: the 9-dp link
+    * outputs and 6-dp features cast losslessly to decimals (the
+    * doubles sit ~1e-16 from their decimal grid points — no cast
+    * ambiguity), products and sums are then exact integer
+    * arithmetic, and the one rescale back to 9 dp is decimal
+    * HALF_UP — deterministic in BOTH engines by definition. A
+    * `round(double, 6)` term discipline is NOT enough here: round 1
+    * starts at beta = 0, so wt = 0.25 and y-p = ±0.5 exactly, and
+    * the term products land exactly on decimal halves, where
+    * DuckDB's multiply-then-round and the JVM's exact-decimal
+    * HALF_UP disagree on ~1% of values (measured) — hub1 never hits
+    * this because its weights come from divisions that almost never
+    * sit on the grid.
+    *
+    * Link function: the SOFT-SIGN squash p = 1/2 + eta/(2(1+|eta|)),
+    * not exp-sigmoid — deliberately. Java's `Math.exp` and C libm's
+    * `exp` disagree by 1 ulp on ~0.3% of inputs (measured), and an
+    * iterated trainer amplifies those flips straight through the
+    * 9-dp gate; the soft-sign link uses only IEEE
+    * correctly-rounded ops (+, *, /, abs), so both engines compute
+    * IDENTICAL doubles before every requantization. Same sign, same
+    * 1/2-at-zero decision boundary, same monotonicity; a production
+    * pipeline that doesn't need cross-engine bit-equality swaps
+    * `exp` back in without touching the plan.
+    *
+    * Scale shape: per round the whole corpus reduces to ONE 13-number
+    * row — the map-side-combined aggregate is the entire shuffle; no
+    * per-row state, no driver collect of anything row-scaling. The
+    * caller stages the feature frame once (here: eager
+    * localCheckpoint; at warehouse scale the parquet staging seam,
+    * `queries/Staging.scala`).
+    */
+  def logisticTrain(feat: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = feat.sparkSession
+    import spark.implicits._
+    var params = Seq((0.0, 0.0, 0.0)).toDF("b0", "b1", "b2")
+      .select(round(col("b0"), 9).as("b0"), round(col("b1"), 9).as("b1"),
+        round(col("b2"), 9).as("b2"))
+    def dec9(c: org.apache.spark.sql.Column) =
+      sum(c).cast("decimal(28,9)").cast("double")
+    for (_ <- 1 to rounds) {
+      val scored = feat.crossJoin(broadcast(params))
+        .withColumn("eta",
+          round(col("b0") + col("f1") * col("b1") + col("f2") * col("b2"), 9))
+        .withColumn("p", round(lit(0.5) +
+          lit(0.5) * col("eta") / (lit(1.0) + abs(col("eta"))), 9))
+        .withColumn("wtD",
+          round(col("p") * (lit(1.0) - col("p")), 9).cast("decimal(12,9)"))
+        .withColumn("rD", col("y").cast("decimal(12,9)") -
+          col("p").cast("decimal(12,9)"))
+        .withColumn("f1D", col("f1").cast("decimal(9,6)"))
+        .withColumn("f2D", col("f2").cast("decimal(9,6)"))
+      val stats = scored.groupBy(col("b0"), col("b1"), col("b2"))
+        .agg(count(lit(1)).as("n"),
+          dec9(col("wtD")).as("h11"),
+          dec9(col("wtD") * col("f1D")).as("h12"),
+          dec9(col("wtD") * col("f2D")).as("h13"),
+          dec9(col("wtD") * col("f1D") * col("f1D")).as("h22"),
+          dec9(col("wtD") * col("f1D") * col("f2D")).as("h23"),
+          dec9(col("wtD") * col("f2D") * col("f2D")).as("h33"),
+          dec9(col("rD")).as("g1"),
+          dec9(col("rD") * col("f1D")).as("g2"),
+          dec9(col("rD") * col("f2D")).as("g3"))
+      // Cramer's rule on the symmetric 3×3 normal system H·d = g;
+      // the SQL dual composes the IDENTICAL expression trees.
+      val det = col("h11") * (col("h22") * col("h33") - col("h23") * col("h23")) -
+        col("h12") * (col("h12") * col("h33") - col("h23") * col("h13")) +
+        col("h13") * (col("h12") * col("h23") - col("h22") * col("h13"))
+      val d0 = col("g1") * (col("h22") * col("h33") - col("h23") * col("h23")) -
+        col("h12") * (col("g2") * col("h33") - col("h23") * col("g3")) +
+        col("h13") * (col("g2") * col("h23") - col("h22") * col("g3"))
+      val d1 = col("h11") * (col("g2") * col("h33") - col("h23") * col("g3")) -
+        col("g1") * (col("h12") * col("h33") - col("h23") * col("h13")) +
+        col("h13") * (col("h12") * col("g3") - col("g2") * col("h13"))
+      val d2 = col("h11") * (col("h22") * col("g3") - col("g2") * col("h23")) -
+        col("h12") * (col("h12") * col("g3") - col("g2") * col("h13")) +
+        col("g1") * (col("h12") * col("h23") - col("h22") * col("h13"))
+      params = stats.select(col("n"),
+        round(col("b0") + round(d0 / det, 9), 9).as("b0"),
+        round(col("b1") + round(d1 / det, 9), 9).as("b1"),
+        round(col("b2") + round(d2 / det, 9), 9).as("b2"))
+        .select(col("n"), col("b0"), col("b1"), col("b2"))
+    }
+    params
+  }
+
+  /** Per-doc features for lrq1: y = (lang = 'en'), f1 = mean word
+    * length, f2 = distinct-word ratio — both 6-dp rounded so every
+    * downstream product starts from identical doubles.
+    */
+  def docFeatures(docs: DataFrame): DataFrame =
+    docs.select(
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      round(length(regexp_replace(trim(col("text")), "\\s", ""))
+          .cast("double") /
+        size(split(trim(col("text")), "\\s+")), 6).as("f1"),
+      round(size(array_distinct(split(trim(col("text")), "\\s+")))
+          .cast("double") /
+        size(split(trim(col("text")), "\\s+")), 6).as("f2"))
+
+  /** lrq1: train the English-document classifier on the corpus, then
+    * score it in the same plan — output one row with the 6-dp betas
+    * and training accuracy at the eta >= 0 decision boundary (no
+    * sigmoid needed to threshold at 1/2, so scoring is exp-free).
+    * On this synthetic corpus all languages share one vocabulary, so
+    * accuracy ~ the majority share — the CONTRACT here is the
+    * bit-exact distributed trainer (CurateSpec proves it separates a
+    * separable plant); the features are the point where a real
+    * pipeline swaps in richer signals.
+    */
+  def lrq1LogisticQuality(s: SparkSession, d: String): DataFrame = {
+    val feat = docFeatures(Tables.documents(s, d)).localCheckpoint(true)
+    val params = logisticTrain(feat, rounds = 3)
+    feat.crossJoin(broadcast(params))
+      .withColumn("pred",
+        when(col("b0") + col("f1") * col("b1") + col("f2") * col("b2") >= 0,
+          1.0).otherwise(0.0))
+      .groupBy(col("n"), col("b0"), col("b1"), col("b2"))
+      .agg(sum(when(col("pred") === col("y"), 1L).otherwise(0L))
+        .as("n_correct"))
+      .select(col("n"),
+        round(col("b0"), 6).as("b0_6"), round(col("b1"), 6).as("b1_6"),
+        round(col("b2"), 6).as("b2_6"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n").cast("double"), 6)
+          .as("acc6"))
+  }
+
+  // ---- registry ------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snm1_sorted_neighborhood" -> (snm1SortedNeighborhood _),
+    "mix1_mixture_weights" -> (mix1MixtureWeights _),
+    "lrq1_logistic_quality" -> (lrq1LogisticQuality _))
+
+  /** One Newton round of the lrq1 SQL dual: p$prev -> s$i -> p$i,
+    * composing the exact expression trees of [[logisticTrain]].
+    */
+  private def newtonRound(prev: String, i: Int): String =
+    s"""s$i AS MATERIALIZED (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(CAST(sum(wtD) AS DECIMAL(28,9)) AS DOUBLE) AS h11,
+                CAST(CAST(sum(wtD * f1D) AS DECIMAL(28,9)) AS DOUBLE) AS h12,
+                CAST(CAST(sum(wtD * f2D) AS DECIMAL(28,9)) AS DOUBLE) AS h13,
+                CAST(CAST(sum(wtD * f1D * f1D) AS DECIMAL(28,9)) AS DOUBLE) AS h22,
+                CAST(CAST(sum(wtD * f1D * f2D) AS DECIMAL(28,9)) AS DOUBLE) AS h23,
+                CAST(CAST(sum(wtD * f2D * f2D) AS DECIMAL(28,9)) AS DOUBLE) AS h33,
+                CAST(CAST(sum(rD) AS DECIMAL(28,9)) AS DOUBLE) AS g1,
+                CAST(CAST(sum(rD * f1D) AS DECIMAL(28,9)) AS DOUBLE) AS g2,
+                CAST(CAST(sum(rD * f2D) AS DECIMAL(28,9)) AS DOUBLE) AS g3,
+                any_value(b0) AS b0, any_value(b1) AS b1, any_value(b2) AS b2
+         FROM (
+           SELECT *,
+                  CAST(round(p * (1.0 - p), 9) AS DECIMAL(12,9)) AS wtD,
+                  CAST(y AS DECIMAL(12,9)) - CAST(p AS DECIMAL(12,9)) AS rD,
+                  CAST(f1 AS DECIMAL(9,6)) AS f1D,
+                  CAST(f2 AS DECIMAL(9,6)) AS f2D
+           FROM (SELECT *, round(0.5 + 0.5 * eta / (1.0 + abs(eta)), 9) AS p
+                 FROM (SELECT f0.*, b0, b1, b2,
+                              round(b0 + f1 * b1 + f2 * b2, 9) AS eta
+                       FROM feat f0 CROSS JOIN $prev p0))) t),
+       p$i AS (
+         SELECT n,
+                round(b0 + round((g1*(h22*h33-h23*h23) - h12*(g2*h33-h23*g3) + h13*(g2*h23-h22*g3))
+                  / (h11*(h22*h33-h23*h23) - h12*(h12*h33-h23*h13) + h13*(h12*h23-h22*h13)), 9), 9) AS b0,
+                round(b1 + round((h11*(g2*h33-h23*g3) - g1*(h12*h33-h23*h13) + h13*(h12*g3-g2*h13))
+                  / (h11*(h22*h33-h23*h23) - h12*(h12*h33-h23*h13) + h13*(h12*h23-h22*h13)), 9), 9) AS b1,
+                round(b2 + round((h11*(h22*g3-g2*h23) - h12*(h12*g3-g2*h13) + g1*(h12*h23-h22*h13))
+                  / (h11*(h22*h33-h23*h23) - h12*(h12*h33-h23*h13) + h13*(h12*h23-h22*h13)), 9), 9) AS b2
+         FROM s$i)"""
+
+  val oracles: Map[String, String] = Map(
+    "snm1_sorted_neighborhood" ->
+      """WITH t AS MATERIALIZED (
+           SELECT doc_id, lower(trim(text)) AS s,
+                  substr(lower(trim(text)), 1, 24) AS bk
+           FROM documents),
+         r AS MATERIALIZED (
+           SELECT doc_id, s, row_number() OVER (ORDER BY bk, doc_id) AS r
+           FROM t),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  levenshtein(a.s, b.s) AS lev
+           FROM r a JOIN r b ON b.r BETWEEN a.r + 1 AND a.r + 4)
+         SELECT id_a, id_b, CAST(lev AS INT) AS lev
+         FROM pairs WHERE lev <= 20""",
+    "mix1_mixture_weights" ->
+      """WITH la AS MATERIALIZED (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(length(regexp_split_to_array(trim(text), '\s+')))
+                    AS BIGINT) AS tokens
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM la),
+         sh AS MATERIALIZED (
+           SELECT la.*, total,
+                  CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+                  round(sqrt(CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE)), 9)
+                    AS wr9
+           FROM la CROSS JOIN tot),
+         norm AS (SELECT CAST(sum(CAST(wr9 AS DECIMAL(28,9))) AS DOUBLE)
+                    AS sw FROM sh)
+         SELECT lang, n_docs, tokens,
+                round(share, 6) AS share6,
+                round(wr9 / sw, 9) AS weight9,
+                round(round(wr9 / sw, 9) / share, 6) AS boost6,
+                CAST(round(round(wr9 / sw, 9) * CAST(total AS DOUBLE), 0)
+                  AS BIGINT) AS expected_tokens
+         FROM sh CROSS JOIN norm""",
+    "lrq1_logistic_quality" ->
+      s"""WITH feat AS MATERIALIZED (
+           SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                  round(CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS DOUBLE)
+                        / length(regexp_split_to_array(trim(text), '\\s+')), 6) AS f1,
+                  round(CAST(length(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+                        / length(regexp_split_to_array(trim(text), '\\s+')), 6) AS f2
+           FROM documents),
+         p0 AS (SELECT round(0.0, 9) AS b0, round(0.0, 9) AS b1,
+                       round(0.0, 9) AS b2),
+         ${newtonRound("p0", 1)},
+         ${newtonRound("p1", 2)},
+         ${newtonRound("p2", 3)}
+         SELECT n,
+                round(b0, 6) AS b0_6, round(b1, 6) AS b1_6,
+                round(b2, 6) AS b2_6,
+                CAST(sum(CASE WHEN (CASE WHEN b0 + f1 * b1 + f2 * b2 >= 0
+                                         THEN 1.0 ELSE 0.0 END) = y
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                round(CAST(sum(CASE WHEN (CASE WHEN b0 + f1 * b1 + f2 * b2 >= 0
+                                               THEN 1.0 ELSE 0.0 END) = y
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(n AS DOUBLE), 6) AS acc6
+         FROM feat CROSS JOIN p3
+         GROUP BY n, b0, b1, b2""")
+}

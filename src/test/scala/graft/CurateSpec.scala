@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Curate
+
+/** Corpus-curation batch: sorted-neighborhood window/threshold laws,
+  * temperature-mixing algebra, and the logistic trainer on a
+  * separable plant.
+  */
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+
+  test("snm1: adjacent near-identical docs pair up; a far doc inside " +
+      "the window is cut by the threshold; pairs respect the window") {
+    // blocking prefix groups the two aaa-docs next to each other
+    val docs = docsDF(Seq(
+      (1L, "aaaa bbbb cccc dddd eeee", "en"),
+      (2L, "aaaa bbbb cccc dddd eeXe", "en"), // lev 1 from doc 1
+      (3L, "zzzz yyyy xxxx wwww vvvv", "en"), // far from everything
+      (4L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk", "en")))
+    val pairs = Curate.snmPairs(docs, w = 4, k = 5, bkLen = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // sorted order by 24-char prefix: 1, 2, 4 share "aaaa bbbb cccc dddd eee"
+    // prefixes; only (1,2) is within lev 5 (doc 4 is 27 chars longer)
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    assert(pairs.head._3 == 1)
+  }
+
+  test("snm1: every doc compares against at most w following " +
+      "neighbors — candidate count is linear by construction") {
+    val docs = docsDF((1L to 30L).map(i => (i, s"doc number $i", "en")))
+    // k large enough that every compared pair passes: the output IS
+    // the candidate set
+    val n = Curate.snmPairs(docs, w = 3, k = 200, bkLen = 24).count()
+    // exactly sum_{i=1..n-1} min(3, n-i) = 3*(30-2) + 2 + 1
+    assert(n == 3 * 27 + 2 + 1)
+  }
+
+  test("mix1: weights sum to 1, sqrt-temperature boosts the minority " +
+      "language and damps the majority") {
+    val dir = java.nio.file.Files.createTempDirectory("mix1").toString
+    val docs = docsDF(
+      (1L to 80L).map(i => (i, "w " * 10 + "x", "en")) ++
+        (81L to 100L).map(i => (i, "w " * 10 + "x", "fr")))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curate.mix1MixtureWeights(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("weight9"), r.getAs[Double]("boost6"))).toMap
+    val wSum = out.values.map(_._1).sum
+    assert(math.abs(wSum - 1.0) < 1e-6, s"weights sum $wSum")
+    // shares 0.8/0.2 -> sqrt ratio 2:1 -> weights 2/3, 1/3
+    assert(math.abs(out("en")._1 - 2.0 / 3) < 1e-6)
+    assert(math.abs(out("fr")._1 - 1.0 / 3) < 1e-6)
+    assert(out("fr")._2 > 1.0 && out("en")._2 < 1.0,
+      "temperature must boost the minority and damp the majority")
+  }
+
+  test("lrq1 trainer: a linearly separable plant is classified " +
+      "perfectly and the learned slope points the right way") {
+    val feat = ((1 to 40).map(i => (1.0, 5.0 + (i % 3) * 0.1, 0.9)) ++
+      (1 to 40).map(i => (0.0, 2.0 + (i % 3) * 0.1, 0.3)))
+      .toDF("y", "f1", "f2")
+      .select(col("y"), round(col("f1"), 6).as("f1"),
+        round(col("f2"), 6).as("f2"))
+    val b = Curate.logisticTrain(feat, rounds = 3).collect()(0)
+    val (b0, b1, b2) = (b.getAs[Double]("b0"), b.getAs[Double]("b1"),
+      b.getAs[Double]("b2"))
+    // positive class sits at larger f1/f2: learned slopes positive
+    assert(b1 > 0 || b2 > 0, s"slopes ($b1, $b2) must separate upward")
+    val correct = feat.withColumn("eta",
+        lit(b0) + col("f1") * lit(b1) + col("f2") * lit(b2))
+      .filter((col("eta") >= 0 && col("y") === 1.0) ||
+        (col("eta") < 0 && col("y") === 0.0)).count()
+    assert(correct == 80L, s"separable plant: $correct/80 correct")
+  }
+
+  test("lrq1 on the corpus: one row, finite betas, accuracy at least " +
+      "the majority-class share") {
+    val r = Curate.lrq1LogisticQuality(spark, sf).collect()
+    assert(r.length == 1)
+    val acc = r(0).getAs[Double]("acc6")
+    val n = r(0).getAs[Long]("n")
+    assert(n > 0 && acc >= 0.0 && acc <= 1.0)
+    assert(!r(0).getAs[Double]("b1_6").isNaN)
+  }
+}
