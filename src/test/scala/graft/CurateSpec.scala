@@ -80,6 +80,22 @@ class CurateSpec extends SparkSpec {
     assert(correct == 80L, s"separable plant: $correct/80 correct")
   }
 
+  test("snm1 pairs and lrq1 betas are invariant to input partitioning " +
+      "(the GlobalRank + exact-DECIMAL disciplines hold end-to-end)") {
+    val docs = Tables.documents(spark, sf)
+    def pairSet(parts: Int) =
+      Curate.snmPairs(docs.repartition(parts), w = 4, k = 20, bkLen = 24)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairSet(1) == pairSet(7))
+    val feat = Curate.docFeatures(docs)
+    def betas(parts: Int) =
+      Curate.logisticTrain(feat.repartition(parts), rounds = 3)
+        .collect()(0) match {
+        case r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      }
+    assert(betas(1) == betas(5))
+  }
+
   test("lrq1 on the corpus: one row, finite betas, accuracy at least " +
       "the majority-class share") {
     val r = Curate.lrq1LogisticQuality(spark, sf).collect()

@@ -827,4 +827,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming mixture monitor over MemoryStream equals the batch " +
+      "dual; a window drifting off its target trips the flag") {
+    import graft.streaming.MixMonitor
+    import graft.streaming.MixMonitor.TimedDoc
+    implicit val sqlCtx = spark.sqlContext
+    val target = Seq("en" -> 0.5, "fr" -> 0.5)
+    // window 1 on-target (5/5 tokens), window 2 all-English (drifted)
+    val data =
+      (1 to 5).map(i => TimedDoc(ts(i), "en", "one two")) ++
+        (1 to 5).map(i => TimedDoc(ts(10 + i), "fr", "un deux")) ++
+        (1 to 8).map(i => TimedDoc(ts(70 + i), "en", "one two"))
+    val mem = MemoryStream[TimedDoc]
+    mem.addData(data: _*)
+    val q = MixMonitor.streamingMixDrift(mem.toDF(), target,
+        window_ = "1 hour", delay = "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("mix_monitor_out")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(6), r.getBoolean(7))
+    }.toSet
+    val streamed = canon(spark.table("mix_monitor_out").collect())
+    val batch = canon(MixMonitor.windowedMixDrift(
+      data.toDF(), target, window_ = "1 hour").collect())
+    assert(streamed == batch)
+    assert(streamed.size == 4) // 2 windows x 2 target languages
+    // window 1: both langs at share 0.5 -> on target
+    val w1 = streamed.filter(_._1 == new Timestamp(
+      ts(0).getTime / 3600000L * 3600000L))
+    assert(w1.forall(!_._7))
+    // window 2: en share 1.0, fr share 0.0 -> both off target
+    val w2 = streamed -- w1
+    assert(w2.forall(_._7), s"drifted window must trip: $w2")
+    assert(w2.exists(r => r._2 == "fr" && r._3 == 0L))
+  }
 }
