@@ -51,7 +51,8 @@ object SparkEntry {
       graft.queries.Meta.queries ++
       graft.queries.Strat.queries ++
       graft.queries.Uplift.queries ++
-      graft.queries.Curate.queries
+      graft.queries.Curate.queries ++
+      graft.queries.Select.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -91,5 +92,6 @@ object SparkEntry {
       graft.queries.Meta.oracles ++
       graft.queries.Strat.oracles ++
       graft.queries.Uplift.oracles ++
-      graft.queries.Curate.oracles
+      graft.queries.Curate.oracles ++
+      graft.queries.Select.oracles
 }

@@ -238,6 +238,55 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared Euclidean distance sum (a_i - b_i)^2 (double), sequential
+  * over element index — the k-center/k-means distance kernel. The
+  * expanded form dot(a,a) - 2 dot(a,b) + dot(b,b) would change the
+  * floating-point fold order and break cross-engine bit-identity with
+  * the DuckDB `list_reduce` dual, so this stays one subtract-square
+  * loop.
+  */
+case class ArraySqDist(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val dv = get(x, i, fx) - get(y, i, fy)
+      acc += dv * dv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val dv = ctx.freshName("dv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dv = ${getJava(a, i, fx)} - ${getJava(b, i, fy)};
+         |  $acc += $dv * $dv;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level facade. */
 object VectorFunctions {
   def array_dot(a: Column, b: Column): Column =
@@ -246,6 +295,10 @@ object VectorFunctions {
 
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def array_sqdist(a: Column, b: Column): Column =
+    ColumnBridge.column(ArraySqDist(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def array_match_frac(a: Column, b: Column): Column =

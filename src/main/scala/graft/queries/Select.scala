@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.ops.GlobalRank
+
+/** Data-selection batch — the "which documents do we train on"
+  * operators that sit between dedup and packing in an LLM pipeline:
+  *
+  *  - dsir1: importance weighting of the raw corpus toward a target
+  *    distribution via unigram log-likelihood ratios (the DSIR
+  *    recipe: estimate cheap n-gram LMs of target and raw, weight
+  *    each raw doc by how target-like its tokens are).
+  *  - ccnet1: perplexity terciles per source (the CCNet recipe:
+  *    score docs with a cheap LM, split each source into
+  *    head/middle/tail quality buckets by score rank).
+  *  - kc1: greedy k-center coreset over the embedding table
+  *    (farthest-first traversal — the classic diverse-subset
+  *    selection whose per-round argmax is a distributed aggregate).
+  */
+object Select {
+
+  // ---- dsir1: importance weights toward a target distribution --------
+
+  private val V = 256 // restricted feature vocabulary size
+
+  /** dsir1: per-source mean importance weight of the raw corpus
+    * toward the English-language target slice.
+    *
+    * Features are unigram counts over a RESTRICTED vocabulary — the
+    * top-[[V]] tokens by global frequency (count-desc, token-asc
+    * tiebreak so the cut is total-ordered). A bounded vocabulary is
+    * what makes the operator scale- and oracle-honest at once: the
+    * per-token log-likelihood-ratio table is V rows — broadcast
+    * weight, never a shuffle — and needs no seeded feature hashing a
+    * second engine couldn't replay (hashing and frequency truncation
+    * play the same role: a fixed-width feature space).
+    *
+    * Weight per doc = Σ_tokens llr(token), llr = add-one-smoothed
+    * log(p_target/p_raw). Determinism discipline: each log is
+    * rounded to 6 dp (the t10 rule), the subtraction and the per-doc
+    * and per-source sums then run in exact DECIMAL.
+    *
+    * Scale shape: one token-explode scan feeds (a) the vocabulary
+    * top-V (TakeOrdered, no global sort), (b) the V-row count table,
+    * and (c) the per-doc fold via a broadcast join — the only
+    * row-scaling shuffle is the per-doc groupBy.
+    */
+  def dsir1ImportanceWeights(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      (col("lang") === "en").as("is_t"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt_raw"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"))
+    val vocab = counts
+      .orderBy(col("cnt_raw").desc, col("token")).limit(V)
+    val tot = vocab.agg(
+      sum(col("cnt_raw")).as("tot_r"), sum(col("cnt_t")).as("tot_t"))
+    val llr = vocab.crossJoin(broadcast(tot))
+      .select(col("token"),
+        (round(log((col("cnt_t") + 1).cast("double") /
+            (col("tot_t") + V).cast("double")), 6).cast("decimal(18,6)") -
+          round(log((col("cnt_raw") + 1).cast("double") /
+            (col("tot_r") + V).cast("double")), 6).cast("decimal(18,6)"))
+          .as("llr"))
+    val perDoc = toks
+      .join(broadcast(llr), Seq("token"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(coalesce(col("llr"), lit(0).cast("decimal(18,6)")))
+          .as("w"),
+        sum(when(col("llr").isNotNull, 1L).otherwise(0L)).as("nv"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("nv")).as("vocab_tokens"),
+        // exact decimal total, THEN one double division (t10 rule)
+        round(sum(col("w")).cast("double") / count(lit(1)), 6)
+          .as("mean_w6"))
+  }
+
+  // ---- ccnet1: perplexity head/middle/tail buckets per source --------
+
+  /** ccnet1: split each source's documents into head/middle/tail
+    * terciles of unigram negative log-likelihood (CCNet's quality
+    * bucketing, with the corpus itself as the LM — the seam where a
+    * production pipeline swaps in a wiki-trained model).
+    *
+    * The per-source rank comes from ONE [[GlobalRank.prefixScan]]
+    * ordered by (source, nll, doc_id) — ranks within a source are
+    * then contiguous, so `bucket = (rank - first_rank_of_source) * 3
+    * div source_count` needs only a broadcast of the 20-row
+    * per-source (first rank, count) table. A
+    * `Window.partitionBy(source)` would put EVERY doc of a source in
+    * one task — with tens of sources over 100 TB that is the skewed
+    * single-task sort this repo bans; the range-partitioned prefix
+    * kernel has no such hot key.
+    */
+  def ccnet1PerplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val nTotal = broadcast(toks.agg(count(lit(1)).as("n_total")))
+    val nll = toks.join(broadcast(freq), "token")
+      .crossJoin(nTotal)
+      .withColumn("__lp",
+        round(-log(col("cnt").cast("double") / col("n_total")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(round(sum(col("__lp")).cast("double") / count(lit(1)), 6)
+        .as("nll6"))
+    val ranked = GlobalRank.prefixScan(nll,
+      Seq(col("source"), col("nll6"), col("doc_id")), Nil, Some("r"))
+    val srcStats = ranked.groupBy(col("source"))
+      .agg(min(col("r")).as("r0"), count(lit(1)).as("cnt"))
+    ranked.join(broadcast(srcStats), Seq("source"))
+      .withColumn("bucket", expr("(r - r0) * 3 div cnt"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("nll6").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_nll6"))
+  }
+
+  // ---- kc1: greedy k-center coreset over embeddings ------------------
+
+  /** Greedy farthest-first k-center selection over `emb`: seed with
+    * the min-id vector, then k-1 rounds of "add the point farthest
+    * from its nearest selected center" (squared Euclidean; ties on
+    * distance break to the lowest id).
+    *
+    * Scale contract: the DRIVER holds only the k selected centers;
+    * each round is ONE distributed aggregate — every row computes
+    * its min distance to the ≤k broadcast center literals (a
+    * codegen'd [[graft.functions.ArraySqDist]] loop per center) and
+    * a single `max(struct(dist, -id, …))` reduces map-side to one
+    * row. k sequential jobs over a (cacheable) scan, the pca1/pca2
+    * iteration shape — no pairwise materialization, no global sort.
+    * Distances are 9-dp-rounded before the argmax so the comparison
+    * runs on grid points both engines agree on (round is monotone,
+    * so rounding before or after the min over centers commutes).
+    */
+  def kcenterGreedy(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val seed = base.orderBy(col("id")).limit(1).collect()(0)
+    def vecOf(raw: Seq[Any]): Seq[Double] = raw.map {
+      case f: Float => f.toDouble
+      case dd: Double => dd
+    }
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (seed.getLong(0), vecOf(seed.getSeq[Any](1)), 0.0))
+    while (picked.length < k) {
+      val dists: Seq[Column] = picked.toSeq.map { case (_, cv, _) =>
+        round(VectorFunctions.array_sqdist(col("v"),
+          typedLit(cv).cast("array<double>")), 9)
+      }
+      val minDist = if (dists.size == 1) dists.head else least(dists: _*)
+      val row = base
+        .filter(!col("id").isin(picked.toSeq.map(_._1): _*))
+        .agg(max(struct(minDist.as("d"), (-col("id")).as("nid"),
+          col("id").as("id"), col("v").as("v"))).as("m"))
+        .select(col("m.d"), col("m.id"), col("m.v")).collect()(0)
+      picked += ((row.getLong(1), vecOf(row.getSeq[Any](2)),
+        row.getDouble(0)))
+    }
+    picked.toSeq.zipWithIndex
+      .map { case ((id, _, dist), i) => (i + 1, id, dist) }
+      .toDF("rank", idCol, "dist9")
+  }
+
+  /** kc1: 8-center greedy coreset of the embedding table. */
+  def kc1KcenterCoreset(s: SparkSession, d: String): DataFrame =
+    kcenterGreedy(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
+
+  // ---- registry ------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir1_importance_weights" -> (dsir1ImportanceWeights _),
+    "ccnet1_perplexity_buckets" -> (ccnet1PerplexityBuckets _),
+    "kc1_kcenter_coreset" -> (kc1KcenterCoreset _))
+
+  /** One k-center stage of the kc1 SQL dual (mmr1's unrolled-greedy
+    * pattern): carry (ids, vs, ds) lists, append the argmax-by-
+    * (min-dist DESC, id) row.
+    */
+  private def kcOracleStage(k: Int): String =
+    s""",
+       s$k AS MATERIALIZED (
+         SELECT list_append(ids, id) AS ids, list_append(vs, cv) AS vs,
+                list_append(ds, d) AS ds
+         FROM (
+           SELECT s.ids, s.vs, s.ds, c.vec_id AS id, c.v AS cv,
+                  list_min(list_transform(s.vs, sv ->
+                    round(list_reduce(list_prepend(0.0,
+                      list_transform(range(1, len(c.v) + 1),
+                        i -> (c.v[i] - sv[i]) * (c.v[i] - sv[i]))),
+                      (a, b) -> a + b), 9))) AS d
+           FROM s${k - 1} s JOIN v c ON NOT list_contains(s.ids, c.vec_id))
+         QUALIFY row_number() OVER (ORDER BY d DESC, id) = 1)"""
+
+  val oracles: Map[String, String] = Map(
+    "dsir1_importance_weights" ->
+      s"""WITH toks AS MATERIALIZED (
+           SELECT doc_id, source, lang = 'en' AS is_t,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                    AS token
+           FROM documents),
+         counts AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS cnt_raw,
+                  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                    AS cnt_t
+           FROM toks GROUP BY token),
+         vocab AS MATERIALIZED (
+           SELECT * FROM counts ORDER BY cnt_raw DESC, token LIMIT $V),
+         tot AS (SELECT CAST(sum(cnt_raw) AS BIGINT) AS tot_r,
+                        CAST(sum(cnt_t) AS BIGINT) AS tot_t FROM vocab),
+         llr AS MATERIALIZED (
+           SELECT token,
+                  CAST(round(ln(CAST(cnt_t + 1 AS DOUBLE) /
+                      CAST(tot_t + $V AS DOUBLE)), 6) AS DECIMAL(18,6)) -
+                  CAST(round(ln(CAST(cnt_raw + 1 AS DOUBLE) /
+                      CAST(tot_r + $V AS DOUBLE)), 6) AS DECIMAL(18,6))
+                    AS llr
+           FROM vocab CROSS JOIN tot),
+         per_doc AS (
+           SELECT doc_id, source,
+                  sum(COALESCE(llr, CAST(0 AS DECIMAL(18,6)))) AS w,
+                  CAST(sum(CASE WHEN llr IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nv
+           FROM toks LEFT JOIN llr USING (token)
+           GROUP BY doc_id, source)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pos,
+                CAST(sum(nv) AS BIGINT) AS vocab_tokens,
+                round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS mean_w6
+         FROM per_doc GROUP BY source""",
+    "ccnet1_perplexity_buckets" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT doc_id, source,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                    AS token
+           FROM documents),
+         freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+         tot AS (SELECT count(*) AS n_total FROM toks),
+         nll AS MATERIALIZED (
+           SELECT doc_id, source,
+                  round(CAST(sum(CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS nll6
+           FROM toks JOIN freq USING (token) CROSS JOIN tot
+           GROUP BY doc_id, source),
+         ranked AS (
+           SELECT source, nll6,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY nll6, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY source) AS cnt
+           FROM nll)
+         SELECT source, CAST((rn - 1) * 3 // cnt AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                round(CAST(sum(CAST(nll6 AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(*), 6) AS mean_nll6
+         FROM ranked GROUP BY 1, 2""",
+    "kc1_kcenter_coreset" ->
+      ("""WITH v AS MATERIALIZED (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         s1 AS MATERIALIZED (
+           SELECT [vec_id] AS ids, [v] AS vs, [0.0] AS ds
+           FROM v ORDER BY vec_id LIMIT 1)""" +
+      (2 to 8).map(kcOracleStage).mkString +
+      """
+         SELECT CAST(i AS INT) AS rank, ids[i] AS vec_id,
+                ds[i] + 0.0 AS dist9
+         FROM s8, unnest(range(1, 9)) AS u(i)"""))
+}

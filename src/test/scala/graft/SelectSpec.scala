@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.functions.VectorFunctions
+import graft.queries.Select
+import graft.similarity.Similarity
+
+class SelectSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- ArraySqDist kernel -------------------------------------------
+
+  test("array_sqdist equals the sequential HOF fold bit-for-bit on " +
+      "float and double inputs") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat()),
+        Array.fill(64)((rnd.nextDouble() - 0.5) * 3))
+    }.toDF("id", "fv", "dv")
+    val hof = aggregate(
+      zip_with(col("fv"), col("dv"),
+        (x, y) => x.cast("double") - y.cast("double")),
+      lit(0.0), (acc, v) => acc + v * v)
+    // note: fold order differs ((x-y)*(x-y) inline vs squared later)
+    // — must still be IDENTICAL because each term is the same double
+    val got = rows.select(
+      VectorFunctions.array_sqdist(col("fv"), col("dv")).as("a"),
+      hof.as("b")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  // ---- kcenterGreedy -------------------------------------------------
+
+  test("kcenterGreedy on three planted far clusters: the first three " +
+      "centers land in three distinct clusters, seed is min id, and " +
+      "the result is invariant to input partitioning") {
+    val rnd = new scala.util.Random(11)
+    // cluster c at (100c, 0, ...) with tiny jitter; ids interleaved
+    val pts = (0 until 90).map { i =>
+      val c = i % 3
+      val v = Array.tabulate(8)(j =>
+        (if (j == 0) 100.0 * c else 0.0) + rnd.nextDouble() * 0.01)
+      (i.toLong, v)
+    }
+    def run(parts: Int) =
+      Select.kcenterGreedy(
+        pts.toDF("vec_id", "embedding").repartition(parts),
+        "vec_id", "embedding", k = 6)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val a = run(1)
+    assert(a.head._2 == 0L) // seed = min id
+    val firstThreeClusters = a.take(3).map(_._2 % 3).toSet
+    assert(firstThreeClusters.size == 3,
+      s"first 3 centers must cover all clusters: ${a.toSeq}")
+    // after all clusters are covered, max-min-dist drops by ~1e4
+    assert(a(2)._3 > 9000 && a(3)._3 < 1.0)
+    assert(a.toSeq == run(7).toSeq)
+  }
+
+  // ---- dsir1 ---------------------------------------------------------
+
+  test("dsir1 planted target: sources rich in target-distinctive " +
+      "tokens score higher mean importance weight") {
+    // target (en) over-uses 'zq'; raw background is uniform 'aa bb'
+    val docs = ((1 to 40).map(i =>
+      (i.toLong, "zq zq aa bb", "en", "srcT")) ++
+      (41 to 80).map(i => (i.toLong, "aa bb aa bb", "de", "srcB")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val res = Select.dsir1ImportanceWeights(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // smoothing (add-V with V=256 over a 3-token plant) shifts the
+    // absolute level; the contract is the ORDER, and a clear margin
+    assert(res("srcT") > res("srcB") + 1.0,
+      s"target-like source must out-weigh background: $res")
+  }
+
+  test("dsir1 on the corpus: 20 sources, vocab_tokens <= total tokens, " +
+      "weights finite") {
+    val rows = Select.dsir1ImportanceWeights(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_pos <= n_docs
+      assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)
+    }
+  }
+
+  // ---- ccnet1 --------------------------------------------------------
+
+  test("ccnet1 terciles: per source the three buckets partition the " +
+      "docs near-evenly, means are monotone head<=middle<=tail, and " +
+      "the result is invariant to input partitioning") {
+    val res = Select.ccnet1PerplexityBuckets(spark, sf)
+    val rows = res.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L),
+        s"$src must have buckets 0,1,2")
+      val counts = rs.sortBy(_._2).map(_._3)
+      assert(counts.max - counts.min <= 1,
+        s"$src tercile sizes must differ by <=1: ${counts.toSeq}")
+      val means = rs.sortBy(_._2).map(_._4)
+      assert(means(0) <= means(1) && means(1) <= means(2),
+        s"$src bucket means must be monotone: ${means.toSeq}")
+    }
+    // partitioning invariance of the underlying rank kernel
+    val again = Select.ccnet1PerplexityBuckets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSet == again.toSet)
+  }
+}
