@@ -410,6 +410,74 @@ object Relational {
         .select(lit("__ALL__").as("l_returnflag"), col("n_orders_est")))
   }
 
+  /** Driver-visible accuracy gate for the HLL family (a14/a19's
+    * dd16-style containment twin): per group the EXACT distinct count
+    * (cross-engine hash-checked) plus a boolean `hll_ok` asserting
+    * the HLL estimate — per-group sketches AND the merged-union
+    * rollup — lands within 5x its configured rsd. The oracle emits
+    * literal TRUE: if a sketch ever drifts outside the bound the
+    * driver gate goes red, which moves the accuracy claim from
+    * ScalaTest into the two-engine gate. 5% on an rsd=0.01 (resp.
+    * lgK=14 ~ 0.8%) sketch is a >5-sigma bound — deterministic for a
+    * fixed input and astronomically unlikely to trip on a
+    * regenerated vintage.
+    */
+  def a21SketchAccuracy(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val perFlag = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("est"),
+        hll_sketch_agg(col("l_orderkey"), 14).as("sk"))
+      .localCheckpoint(true)
+    val flagRows = perFlag.select(col("l_returnflag"), col("n_orders"),
+      (abs(col("est") - col("n_orders")).cast("double") /
+        col("n_orders") <= 0.05).as("hll_ok"))
+    val allRow = perFlag
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("est"))
+      .crossJoin(broadcast(
+        li.agg(countDistinct(col("l_orderkey")).as("n_orders"))))
+      .select(lit("__ALL__").as("l_returnflag"), col("n_orders"),
+        (abs(col("est") - col("n_orders")).cast("double") /
+          col("n_orders") <= 0.05).as("hll_ok"))
+    flagRows.unionByName(allRow)
+  }
+
+  /** KLL's twin of [[a21SketchAccuracy]]: per group (and for the
+    * merged-union rollup) the EXACT row count, plus booleans
+    * asserting the sketch's p50/p95 estimates sit within 5%
+    * NORMALIZED RANK error of their targets — the bound KLL proves
+    * at ~1.65% for k=200, so 5% holds with overwhelming margin even
+    * though compaction is randomized (the reason kll1 itself is
+    * rows-only). Rank-of-estimate is computed by joining the
+    * ≤(groups+1)-row estimate table back over the data as ONE
+    * conditional aggregate — no sort, no window.
+    */
+  def kll2RankAccuracy(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KllExpressions._
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice")
+        .cast("double").as("x"))
+    val perFlag = li.groupBy(col("l_returnflag"))
+      .agg(kll_sketch_agg(col("x")).as("sk"), count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val ranks = array(lit(0.5), lit(0.95))
+    val ests = perFlag
+      .select(col("l_returnflag"), kll_quantiles(col("sk"), ranks).as("qs"))
+      .unionByName(perFlag
+        .agg(kll_quantiles(kll_merge_agg(col("sk")), ranks).as("qs"))
+        .select(lit("__ALL__").as("l_returnflag"), col("qs")))
+      .select(col("l_returnflag").as("est_flag"),
+        col("qs").getItem(0).as("p50"), col("qs").getItem(1).as("p95"))
+    li.withColumn("g", explode(array(col("l_returnflag"), lit("__ALL__"))))
+      .join(broadcast(ests), col("g") === col("est_flag"))
+      .groupBy(col("g").as("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        (abs(sum(when(col("x") <= col("p50"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)) - 0.5) <= 0.05).as("p50_ok"),
+        (abs(sum(when(col("x") <= col("p95"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)) - 0.95) <= 0.05).as("p95_ok"))
+  }
+
   /** Theta-sketch set algebra ([[graft.functions.ThetaFunctions]]):
     * distinct customers ordering at BOTH priority extremes, and
     * urgent-only — intersection/difference over KB-sized sketch blobs
@@ -858,8 +926,10 @@ object Relational {
     "a13_distinct_counts" -> (a13DistinctCounts _),
     "a14_approx_distinct" -> (a14ApproxDistinct _),
     "a19_hll_rollup" -> (a19HllRollup _),
+    "a21_sketch_accuracy" -> (a21SketchAccuracy _),
     "th1_theta_set_algebra" -> (th1ThetaSetAlgebra _),
     "kll1_quantile_rollup" -> (kll1QuantileRollup _),
+    "kll2_rank_accuracy" -> (kll2RankAccuracy _),
     "a15_percentiles" -> (a15Percentiles _),
     "sk1_salted_agg" -> (sk1SaltedAgg _),
     "sk2_salted_join" -> (sk2SaltedJoin _),
@@ -1149,6 +1219,25 @@ object Relational {
     // scales — see th1ThetaSetAlgebra's oracle-validity bound) make the
     // set-algebra estimates exactly the distinct-set counts, so plain
     // SQL checks them
+    // dd16-pattern accuracy gates: the exact column is cross-engine
+    // computed; the ok booleans are literal TRUE on the oracle side —
+    // a sketch drifting past its 5x-rsd / 5%-rank bound turns the
+    // driver gate red
+    "a21_sketch_accuracy" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                AS n_orders, TRUE AS hll_ok
+         FROM lineitem GROUP BY l_returnflag
+         UNION ALL
+         SELECT '__ALL__', CAST(count(DISTINCT l_orderkey) AS BIGINT),
+                TRUE
+         FROM lineitem""",
+    "kll2_rank_accuracy" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                TRUE AS p50_ok, TRUE AS p95_ok
+         FROM lineitem GROUP BY l_returnflag
+         UNION ALL
+         SELECT '__ALL__', CAST(count(*) AS BIGINT), TRUE, TRUE
+         FROM lineitem""",
     "th1_theta_set_algebra" ->
       """WITH u AS (SELECT DISTINCT o_custkey FROM orders
                     WHERE o_orderpriority = '1-URGENT'),
