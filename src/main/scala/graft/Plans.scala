@@ -97,7 +97,11 @@ object Plans {
       "abc1_pareto_class" ->
         "cumulative share over a row-scaling catalog via the prefix kernel (exact cents)",
       "dd16_ngram_containment" ->
-        "sketch-family containment: emitted pairs anti-joined against the exact truth set")
+        "sketch-family containment: emitted pairs anti-joined against the exact truth set",
+      "dsir1_importance_weights" ->
+        "DSIR weighting: V-row broadcast LLR table over one token scan, per-doc groupBy only",
+      "ccnet1_perplexity_buckets" ->
+        "perplexity terciles: prefix-rank kernel over (source,nll), broadcast 20-row cut table")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")

@@ -214,7 +214,18 @@ object ScaleProbe {
       val (tp2, np2) = timeSec(pipe2(df, name))
       System.err.println(
         f"[probe]   pipe2 composed (parquet-staged) $tp2%7.2fs ($np2 rows)")
-      (name, n, t7, p7, t6, c6, cj, tp2, np2)
+      // selection batch: dsir1 (broadcast-LLR fold) and ccnet1
+      // (GlobalRank tercile) — both should track the token volume
+      // near-linearly; a super-linear drift here means the rank
+      // kernel or the vocabulary broadcast stopped scaling
+      val (tds, nds) = timeSec(
+        graft.queries.Select.dsirWeightsOn(df).count())
+      val (tcc, ncc) = timeSec(
+        graft.queries.Select.ccnetBucketsOn(df).count())
+      System.err.println(
+        f"[probe]   select dsir1=$tds%6.2fs ($nds rows) " +
+          f"ccnet1=$tcc%6.2fs ($ncc rows)")
+      (name, n, t7, p7, t6, c6, cj, tp2, np2, tds, tcc)
     }
 
     // cacheVerifySets experiment (r7 advice #8): dd7 on the sf1
@@ -261,11 +272,15 @@ object ScaleProbe {
     val e7 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._3))))
     val e6 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._5))))
     val ep2 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._8))))
+    val eds = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._10))))
+    val ecc = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._11))))
 
-    val qs = rows.map { case (name, n, t7, p7, t6, c6, cj, tp2, np2) =>
-      s""""$name":{"n":$n,"dd7_sec":${f"$t7%.2f"},"dd7_pairs":$p7,""" +
-        s""""dd6_sec":${f"$t6%.2f"},"dd6_clusters":$c6,$cj,""" +
-        s""""pipe2_sec":${f"$tp2%.2f"},"pipe2_rows":$np2}"""
+    val qs = rows.map {
+      case (name, n, t7, p7, t6, c6, cj, tp2, np2, tds, tcc) =>
+        s""""$name":{"n":$n,"dd7_sec":${f"$t7%.2f"},"dd7_pairs":$p7,""" +
+          s""""dd6_sec":${f"$t6%.2f"},"dd6_clusters":$c6,$cj,""" +
+          s""""pipe2_sec":${f"$tp2%.2f"},"pipe2_rows":$np2,""" +
+          s""""dsir1_sec":${f"$tds%.2f"},"ccnet1_sec":${f"$tcc%.2f"}}"""
     }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"scale_probe","scales":$qs,""" +
@@ -276,6 +291,8 @@ object ScaleProbe {
       s""""pipe1_pairs09":$p9s,""" +
       s""""pipe2_sec":${f"$tp2s%.2f"},"pipe2_rows":$np2s},""" +
       s""""dd7_exponent":${f"$e7%.3f"},"dd6_exponent":${f"$e6%.3f"},""" +
-      s""""pipe2_exponent":${f"$ep2%.3f"}}""")
+      s""""pipe2_exponent":${f"$ep2%.3f"},""" +
+      s""""dsir1_exponent":${f"$eds%.3f"},""" +
+      s""""ccnet1_exponent":${f"$ecc%.3f"}}""")
   }
 }

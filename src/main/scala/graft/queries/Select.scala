@@ -49,8 +49,12 @@ object Select {
     * and (c) the per-doc fold via a broadcast join — the only
     * row-scaling shuffle is the per-doc groupBy.
     */
-  def dsir1ImportanceWeights(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d).select(
+  def dsir1ImportanceWeights(s: SparkSession, d: String): DataFrame =
+    dsirWeightsOn(Tables.documents(s, d))
+
+  /** The frame-parameterized core (ScaleProbe feeds replicas here). */
+  private[graft] def dsirWeightsOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
       col("doc_id"), col("source"),
       (col("lang") === "en").as("is_t"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
@@ -100,8 +104,12 @@ object Select {
     * single-task sort this repo bans; the range-partitioned prefix
     * kernel has no such hot key.
     */
-  def ccnet1PerplexityBuckets(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d).select(
+  def ccnet1PerplexityBuckets(s: SparkSession, d: String): DataFrame =
+    ccnetBucketsOn(Tables.documents(s, d))
+
+  /** The frame-parameterized core (ScaleProbe feeds replicas here). */
+  private[graft] def ccnetBucketsOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
       col("doc_id"), col("source"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
