@@ -52,6 +52,7 @@ object ScaleProbe {
         sf01.select(
           (col("doc_id") * 10 + lit(k)).as("doc_id"),
           col("lang"),
+          col("source"),
           // lowercase BEFORE the bijection: the similarity space is
           // lower(trim(text)) trigrams, so mapping raw text would let
           // uppercase letters bypass the translate and break the 1:1
@@ -122,12 +123,13 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = sys.env.getOrElse("SPARK_GRAFT_DATA_ROOT", "/root/testdata")
-    // v2 suffix: the replica FORMAT changed (bijection now applied to
-    // the lowercased similarity space); a versioned default path means
-    // hosts with a v1 replica regenerate instead of silently reusing
-    // data built by the old code
+    // versioned suffix: bump it whenever the replica FORMAT changes
+    // (v2: bijection applied to the lowercased similarity space;
+    // v3: `source` column carried through for the selection legs) so
+    // hosts with an old replica regenerate instead of silently
+    // reusing data built by the old code
     val replicaDir = sys.env.getOrElse("SPARK_GRAFT_REPLICA_DIR",
-      "/tmp/graft_sf1_replica_fd_v2")
+      "/tmp/graft_sf1_replica_fd_v3")
 
     // build (or reuse) the 10x fixed-density replica as real parquet
     // so the timed runs scan files, same as the benched scales
@@ -244,7 +246,7 @@ object ScaleProbe {
     // adversarial skew leg (NOT in the exponent fit: same n as sf0.1,
     // different density regime by construction)
     val skewDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR",
-      "/tmp/graft_sf01_skew_v1")
+      "/tmp/graft_sf01_skew_v2")
     ensureSkewReplica(spark, root, skewDir)
     val skewDf = spark.read.parquet(skewDir)
     val nSkew = skewDf.count()
