@@ -399,7 +399,7 @@ object Extensions {
     * codes + the k lowest-id vectors' codes as deterministic initial
     * centroids ([[Quantize.globalInt8]]).
     */
-  private def quantizedWithInit(s: SparkSession, d: String, k: Int)
+  private[queries] def quantizedWithInit(s: SparkSession, d: String, k: Int)
       : (DataFrame, Seq[(Int, Seq[Int])]) = {
     val (q, _) = Quantize.globalInt8(Tables.embeddings(s, d),
       "vec_id", "embedding")

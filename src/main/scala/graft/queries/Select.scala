@@ -187,12 +187,55 @@ object Select {
   def kc1KcenterCoreset(s: SparkSession, d: String): DataFrame =
     kcenterGreedy(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
 
+  // ---- clb1: cluster-balanced prototype sampling ---------------------
+
+  /** clb1: diversity-balanced selection across embedding clusters —
+    * assign every vector to its nearest centroid (km1's exact
+    * integer-domain assignment, bit-reproducible), give each cluster
+    * a sampling quota ∝ sqrt(cluster size) (mix1's temperature
+    * discipline: sqrt is correctly rounded, DECIMAL normalizer), and
+    * keep each cluster's `quota` most-prototypical vectors (smallest
+    * dist2, id tiebreak). The cluster-balanced recipe that keeps a
+    * dominant mode from monopolizing a curation budget.
+    *
+    * Scale shape: assignment is a literal-centroid projection (no
+    * shuffle); quotas come from a k-row aggregate; the per-cluster
+    * rank runs the [[GlobalRank.prefixScan]] kernel over
+    * (cluster, dist2, id) — NOT a Window.partitionBy(cluster), whose
+    * k=8 hot partitions would each be a single task at corpus scale
+    * (ccnet1's argument, and the same fix).
+    */
+  def clb1ClusterBalanced(s: SparkSession, d: String): DataFrame = {
+    val (q, init) = Extensions.quantizedWithInit(s, d, k = 8)
+    val assigned = graft.similarity.Quantize.assignQ(q, "vec_id", init)
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_c"))
+    val wr = sizes.withColumn("wr9",
+      round(sqrt(col("n_c").cast("double")), 9))
+    val norm = wr.agg(
+      sum(col("wr9").cast("decimal(28,9)")).cast("double").as("sw"))
+    val quotas = wr.crossJoin(broadcast(norm))
+      .withColumn("quota", greatest(lit(1L),
+        round(lit(64.0) * col("wr9") / col("sw"), 0).cast("long")))
+      .select(col("cluster"), col("quota"))
+    val ranked = GlobalRank.prefixScan(assigned,
+      Seq(col("cluster"), col("dist2"), col("vec_id")), Nil, Some("r"))
+    val base = ranked.groupBy(col("cluster")).agg(min(col("r")).as("r0"))
+    ranked.join(broadcast(base), Seq("cluster"))
+      .join(broadcast(quotas), Seq("cluster"))
+      .withColumn("rk", col("r") - col("r0") + 1)
+      .filter(col("rk") <= col("quota"))
+      .select(col("cluster"), col("rk"), col("vec_id"), col("dist2"))
+  }
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir1_importance_weights" -> (dsir1ImportanceWeights _),
     "ccnet1_perplexity_buckets" -> (ccnet1PerplexityBuckets _),
-    "kc1_kcenter_coreset" -> (kc1KcenterCoreset _))
+    "kc1_kcenter_coreset" -> (kc1KcenterCoreset _),
+    "clb1_cluster_balanced" -> (clb1ClusterBalanced _))
 
   /** One k-center stage of the kc1 SQL dual (mmr1's unrolled-greedy
     * pattern): carry (ids, vs, ds) lists, append the argmax-by-
@@ -275,6 +318,43 @@ object Select {
                 round(CAST(sum(CAST(nll6 AS DECIMAL(18,6))) AS DOUBLE)
                   / count(*), 6) AS mean_nll6
          FROM ranked GROUP BY 1, 2""",
+    // assignment replay = km1's oracle (quantize, literal centroids,
+    // integer L2^2, ties to lowest cid); quotas = mix1's sqrt
+    // discipline; per-cluster rank = row_number over (dist2, vec_id)
+    "clb1_cluster_balanced" ->
+      """WITH mx AS (SELECT max(list_max(list_transform(
+                  CAST(embedding AS DOUBLE[]), x -> abs(x)))) / 127.0
+                  AS scale FROM embeddings),
+         qv AS (SELECT vec_id,
+                  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                       ELSE list_transform(v,
+                         x -> CAST(FLOOR(x / scale + 0.5) AS INT)) END AS qvec
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings) CROSS JOIN mx),
+         c AS (SELECT vec_id AS cid, qvec AS cvec FROM qv WHERE vec_id < 8),
+         d AS (SELECT qv.vec_id, c.cid,
+                 CAST(list_inner_product(qv.qvec, qv.qvec)
+                    - 2 * list_inner_product(qv.qvec, c.cvec)
+                    + list_inner_product(c.cvec, c.cvec) AS BIGINT) AS dist2
+               FROM qv CROSS JOIN c),
+         a AS (SELECT vec_id, CAST(cid AS INT) AS cluster, dist2
+               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist2, cid) AS rn FROM d)
+               WHERE rn = 1),
+         sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_c
+                FROM a GROUP BY cluster),
+         wr AS (SELECT cluster, n_c,
+                  round(sqrt(CAST(n_c AS DOUBLE)), 9) AS wr9 FROM sz),
+         nrm AS (SELECT CAST(sum(CAST(wr9 AS DECIMAL(28,9))) AS DOUBLE)
+                   AS sw FROM wr),
+         qt AS (SELECT cluster,
+                  greatest(CAST(1 AS BIGINT),
+                    CAST(round(64.0 * wr9 / sw, 0) AS BIGINT)) AS quota
+                FROM wr CROSS JOIN nrm),
+         r AS (SELECT a.*, row_number() OVER (PARTITION BY cluster
+                 ORDER BY dist2, vec_id) AS rk FROM a)
+         SELECT cluster, CAST(rk AS BIGINT) AS rk, vec_id, dist2
+         FROM r JOIN qt USING (cluster) WHERE rk <= quota""",
     "kc1_kcenter_coreset" ->
       ("""WITH v AS MATERIALIZED (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -92,6 +92,32 @@ class SelectSpec extends SparkSpec {
     }
   }
 
+  // ---- clb1 ----------------------------------------------------------
+
+  test("clb1 cluster-balanced sample: every cluster is represented, " +
+      "ranks are contiguous from 1, each cluster's picks are its " +
+      "closest vectors, and the result is deterministic across runs") {
+    val rows = Select.clb1ClusterBalanced(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCluster = rows.groupBy(_._1)
+    assert(byCluster.keySet == (0 until 8).toSet,
+      s"all 8 clusters must contribute: ${byCluster.keySet}")
+    byCluster.foreach { case (c, rs) =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq,
+        s"cluster $c ranks must be 1..n: $ranks")
+      // picks are ordered by (dist2, id): rank order == sort order
+      val sorted = rs.sortBy(r => (r._4, r._3)).map(_._2).toSeq
+      assert(sorted == sorted.sorted, s"cluster $c rank/dist mismatch")
+    }
+    // budget: quotas are round(64 * sqrt-share) with a min of 1, so
+    // the total lands near 64 (rounding can move it a few either way)
+    assert(rows.length >= 56 && rows.length <= 72, s"${rows.length}")
+    val again = Select.clb1ClusterBalanced(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSet == again.toSet)
+  }
+
   // ---- ccnet1 --------------------------------------------------------
 
   test("ccnet1 terciles: per source the three buckets partition the " +
