@@ -196,7 +196,8 @@ object Bench {
       "pipe2_training_prep", "hm1_hamming_topk", "km2_lloyd_q",
       "sem1_semdedup_q", "bpe1_train_merges", "cdc1_content_chunks",
       "pipe3_curation",
-      "x1_sql_cosine", "sk2_salted_join", "bf1_bloom_prune", "smp3_weighted_k")
+      "x1_sql_cosine", "sk2_salted_join", "bf1_bloom_prune", "smp3_weighted_k",
+      "dsir1_importance_weights", "clb1_cluster_balanced")
     val byName = results.toMap
     def r3(v: Double): String = f"$v%.3f"
     // machine-readable regression bands (tools/bench_bands.json,

@@ -101,7 +101,9 @@ object Plans {
       "dsir1_importance_weights" ->
         "DSIR weighting: V-row broadcast LLR table over one token scan, per-doc groupBy only",
       "ccnet1_perplexity_buckets" ->
-        "perplexity terciles: prefix-rank kernel over (source,nll), broadcast 20-row cut table")
+        "perplexity terciles: prefix-rank kernel over (source,nll), broadcast 20-row cut table",
+      "clb1_cluster_balanced" ->
+        "cluster-balanced sample: literal-centroid assignment, k-row quota broadcast, prefix-rank per cluster")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")
