@@ -52,7 +52,8 @@ object SparkEntry {
       graft.queries.Strat.queries ++
       graft.queries.Uplift.queries ++
       graft.queries.Curate.queries ++
-      graft.queries.Select.queries
+      graft.queries.Select.queries ++
+      graft.queries.Clean.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -93,5 +94,6 @@ object SparkEntry {
       graft.queries.Strat.oracles ++
       graft.queries.Uplift.oracles ++
       graft.queries.Curate.oracles ++
-      graft.queries.Select.oracles
+      graft.queries.Select.oracles ++
+      graft.queries.Clean.oracles
 }

@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-cleaning batch: winnowing fingerprint selection (the MOSS
+  * local-fingerprinting scheme — the guaranteed-coverage alternative
+  * to t4's stride sampling), paragraph-level keep-first exact dedup
+  * (the MassiveText/Gopher recipe, here over fixed word chunks since
+  * the synthetic corpus has no newlines), and the source-overlap
+  * matrix (shared distinct chunks per source pair — the contamination
+  * heat-map a curator reads before mixing sources).
+  *
+  * All three are EXACT and seed-free: the only hash is md5, which
+  * both engines compute identically over UTF-8, so every query here
+  * is fully two-engine checkable (unlike the seeded xxhash64 dd
+  * family, which carries recall gates instead).
+  */
+object Clean {
+
+  /** Winnowing gram length (chars) and window (grams): every window
+    * of W consecutive K-grams contributes >= 1 selected fingerprint
+    * (the coverage guarantee), expected density 2/(W+1).
+    */
+  private val K = 8
+  private val W = 4
+
+  /** Chunk size (words) for the paragraph-dedup family. */
+  private val CS = 10
+
+  /** Winnowing fingerprints (Schleimer, Schwarzik & Aiken, SIGMOD'03):
+    * per document, hash every K-char gram, slide a W-gram window, and
+    * select the window minimum — rightmost on hash ties (the "robust
+    * winnowing" rule), encoded by ordering on
+    * `md5(gram) || zeropad(1e8 - pos)` so the plain string MIN picks
+    * min-hash-then-max-pos. Output: one row per distinct selected
+    * (hash, pos).
+    *
+    * Scale shape: the whole selection runs INSIDE the row — the
+    * native [[graft.functions.WinnowExpressions]] expression does one
+    * monotonic-deque pass per document (O(G) digests + O(G) deque
+    * ops). Zero shuffles, zero state: 100 TB of documents winnow as a
+    * pure map over the corpus. Deliberately NOT a HOF composition:
+    * the precompute-the-key-array form gets its array inlined into
+    * the window lambda by CollapseProject, where the interpreted HOF
+    * path re-evaluates all G keys per window start — O(G²) digests,
+    * measured 255 s; even the inline-W-keys HOF form pays per-element
+    * expression-tree dispatch (45 s over 5k docs) where the native
+    * loop runs in ~1 s.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = K, w: Int = W): DataFrame =
+    docs.select(col(idCol).as("doc_id"), lower(trim(col(textCol))).as("s"))
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowExpressions
+          .winnow_keys(col("s"), k, w)).as("key"))
+      .select(col("doc_id"), substring(col("key"), 1, 32).as("h"),
+        (lit(100000000) - substring(col("key"), 33, 8).cast("int"))
+          .cast("long").as("pos"))
+
+  /** win1: per-document winnowing fingerprint profile — how many
+    * fingerprints were selected, how many distinct hashes, and how
+    * many of those hashes some OTHER document also selected (the
+    * MOSS similarity signal). Sharing uses nov1's one-shuffle trick:
+    * distinct (doc, h) pairs get the hash's doc-frequency from a
+    * window over the h partition — the stream shuffles once, no
+    * self-join build side.
+    */
+  def win1Winnowing(s: SparkSession, d: String): DataFrame = {
+    val fp = winnowFingerprints(Tables.documents(s, d), "doc_id", "text")
+    // ONE pass over the (expensive) winnow projection: roll selections
+    // up to (doc, h) counts, hang the hash's doc-frequency on each row
+    // from a window over the h partition, then roll up per doc. The
+    // two-branch aggregate-and-rejoin form evaluates the O(G·W)
+    // digest projection twice.
+    fp.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("n_sel"))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sel")).as("n_fp"),
+        count(lit(1)).as("n_hashes"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_fp"), col("n_hashes"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_hashes"), 6)
+          .cast("decimal(18,6)").cast("double").as("shared_frac"))
+  }
+
+  /** win2: the MOSS match step — near-dup pairs by winnowing
+    * fingerprint overlap. Distinct (doc, hash) selections are
+    * boilerplate-capped (hashes in more than `dfCap` docs are
+    * dropped, MOSS's "ignore fingerprints in too many submissions"),
+    * then self-joined on the hash; pairs sharing >= `minShared`
+    * hashes emit with an overlap score m / min(|A|, |B|). The
+    * EXACT-reproducible complement of the seeded sketch families:
+    * md5 winnowing is deterministic, so this near-dup detector is
+    * fully two-engine checkable where dd2-dd5 carry recall gates.
+    *
+    * Scale shape: the df cap is also the skew cap — each surviving
+    * hash contributes <= C(dfCap, 2) pairs, so the join output is
+    * linear in the corpus and no hot hash melts a partition. Both
+    * windows are partitioned (by h, then by doc); the self-join's
+    * two sides are the same deterministic subplan, so the exchange
+    * is planned once and reused.
+    */
+  def win2WinnowPairs(s: SparkSession, d: String,
+      dfCap: Int = 16, minShared: Int = 5): DataFrame = {
+    val fp = winnowFingerprints(Tables.documents(s, d), "doc_id", "text")
+    val dh = fp.select(col("doc_id"), col("h")).distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= dfCap)
+      .withColumn("nh",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    dh.as("a").join(dh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.nh").as("nh_a"), col("b.nh").as("nh_b"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= minShared)
+      .select(col("id_a"), col("id_b"), col("m"),
+        round(col("m").cast("double") / least(col("nh_a"), col("nh_b")), 6)
+          .cast("decimal(18,6)").cast("double").as("score"))
+  }
+
+  /** Fixed-size word chunks (pos 0-based, partial tail kept): the
+    * "paragraph" unit for the dedup/overlap family. Pure projection —
+    * the chunking itself never shuffles.
+    */
+  def chunkDocs(docs: DataFrame, cs: Int = CS): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), col("source"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("t")) - 1) / cs).cast("int")),
+          i => array_join(slice(col("t"), i * cs + 1, lit(cs)), " "))))
+      .withColumnRenamed("col", "chunk")
+
+  /** par1: corpus-wide keep-first chunk dedup (MassiveText's
+    * paragraph dedup): a chunk instance survives iff it is the FIRST
+    * occurrence of its text in (doc_id, pos) order; each document is
+    * reassembled from its surviving chunks. Two linear shuffles —
+    * chunk-keyed groupBy+join for the argmin owner, doc-keyed
+    * reassembly — and the argmin is a partial-aggregable
+    * `min(struct(doc_id, pos))`, so map-side combine bounds the
+    * chunk-key exchange by distinct-chunk count, not instance count.
+    * Production would key the first groupBy on xxhash64(chunk) to
+    * slim the shuffle; the literal text key here keeps the oracle
+    * cross-engine exact.
+    */
+  def par1ChunkDedup(s: SparkSession, d: String): DataFrame = {
+    val ch = chunkDocs(Tables.documents(s, d))
+    val keep = ch.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    ch.join(keep, Seq("chunk"))
+      .withColumn("kept", col("first.doc_id") === col("doc_id") &&
+        col("first.pos") === col("pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("kept"), struct(col("pos"), col("chunk"))))),
+          st => st.getField("chunk")), " ").as("cleaned"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_chunks"), 6)
+          .cast("decimal(18,6)").cast("double").as("kept_frac"),
+        col("cleaned"))
+  }
+
+  /** ovl1: source-overlap matrix — for every source pair, the number
+    * of distinct chunks both emit. The distinct (chunk, source)
+    * projection runs FIRST, so each chunk's join side is bounded by
+    * the source catalog: per-key join work is <= |sources|^2
+    * regardless of how often a boilerplate chunk repeats — the skew
+    * cap that makes this a linear corpus diagnostic, not a pair
+    * explosion. Output is upper-triangular (src_a < src_b), at most
+    * C(|sources|, 2) rows.
+    */
+  def ovl1SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val dcs = chunkDocs(Tables.documents(s, d))
+      .select(col("chunk"), col("source")).distinct()
+    dcs.as("a").join(dcs.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  // ---- registry ------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win1_winnowing" -> (win1Winnowing _),
+    "win2_winnow_pairs" -> ((s: SparkSession, d: String) =>
+      win2WinnowPairs(s, d)),
+    "par1_chunk_dedup" -> (par1ChunkDedup _),
+    "ovl1_source_overlap" -> (ovl1SourceOverlap _))
+
+  val oracles: Map[String, String] = Map(
+    "win1_winnowing" ->
+      """WITH s AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+         b AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g
+               FROM s WHERE length(s) - 7 >= 4),
+         k AS (SELECT doc_id, g,
+                 list_transform(range(1, g + 1),
+                   p -> md5(substr(s, CAST(p AS INT), 8)) ||
+                        lpad(CAST(100000000 - p AS VARCHAR), 8, '0')) AS keys
+               FROM b),
+         sel AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, g - 2),
+                     ws -> list_min(keys[ws:ws+3]))) AS sel
+                 FROM k),
+         fp AS (SELECT doc_id, substr(key, 1, 32) AS h
+                FROM (SELECT doc_id, unnest(sel) AS key FROM sel)),
+         dh AS (SELECT DISTINCT doc_id, h FROM fp),
+         f AS (SELECT h, count(*) AS n_docs FROM dh GROUP BY h),
+         sh AS (SELECT dh.doc_id, CAST(count(*) AS BIGINT) AS n_hashes,
+                  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared
+                FROM dh JOIN f USING (h) GROUP BY dh.doc_id)
+         SELECT sel.doc_id, CAST(len(sel.sel) AS BIGINT) AS n_fp,
+                sh.n_hashes, sh.n_shared,
+                CAST(CAST(round(CAST(sh.n_shared AS DOUBLE) / sh.n_hashes, 6)
+                  AS DECIMAL(18,6)) AS DOUBLE) AS shared_frac
+         FROM sel JOIN sh USING (doc_id)""",
+    "win2_winnow_pairs" ->
+      """WITH s AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+         b AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g
+               FROM s WHERE length(s) - 7 >= 4),
+         k AS (SELECT doc_id, g,
+                 list_transform(range(1, g + 1),
+                   p -> md5(substr(s, CAST(p AS INT), 8)) ||
+                        lpad(CAST(100000000 - p AS VARCHAR), 8, '0')) AS keys
+               FROM b),
+         sel AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, g - 2),
+                     ws -> list_min(keys[ws:ws+3]))) AS sel
+                 FROM k),
+         dh AS MATERIALIZED (
+           SELECT DISTINCT doc_id, substr(key, 1, 32) AS h
+           FROM (SELECT doc_id, unnest(sel) AS key FROM sel)),
+         f AS (SELECT h, count(*) AS df FROM dh GROUP BY h),
+         kept AS MATERIALIZED (
+           SELECT dh.doc_id, dh.h FROM dh JOIN f USING (h)
+           WHERE f.df <= 16),
+         n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nh
+               FROM kept GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS m
+                   FROM kept a JOIN kept b
+                     ON a.h = b.h AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, m,
+                CAST(CAST(round(CAST(m AS DOUBLE) / least(na.nh, nb.nh), 6)
+                  AS DECIMAL(18,6)) AS DOUBLE) AS score
+         FROM pairs
+         JOIN n na ON na.doc_id = id_a
+         JOIN n nb ON nb.doc_id = id_b
+         WHERE m >= 5""",
+    "par1_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS t
+               FROM documents),
+         nc AS (SELECT doc_id, t,
+                  CAST(ceil(len(t) / 10.0) AS INT) AS n FROM toks),
+         ch AS (SELECT doc_id, i AS pos,
+                  array_to_string(t[(i*10+1):(i*10+10)], ' ') AS chunk
+                FROM nc, unnest(range(0, n)) AS u(i)),
+         m AS (SELECT doc_id, pos, chunk,
+                 row_number() OVER (PARTITION BY chunk
+                   ORDER BY doc_id, pos) AS rk
+               FROM ch)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+                CAST(CAST(round(CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6)
+                  AS DECIMAL(18,6)) AS DOUBLE) AS kept_frac,
+                COALESCE(string_agg(CASE WHEN rk = 1 THEN chunk END,
+                  ' ' ORDER BY pos), '') AS cleaned
+         FROM m GROUP BY doc_id""",
+    "ovl1_source_overlap" ->
+      """WITH toks AS (SELECT doc_id, source,
+                 regexp_split_to_array(trim(text), '\s+') AS t
+               FROM documents),
+         nc AS (SELECT doc_id, source, t,
+                  CAST(ceil(len(t) / 10.0) AS INT) AS n FROM toks),
+         ch AS (SELECT doc_id, source,
+                  array_to_string(t[(i*10+1):(i*10+10)], ' ') AS chunk
+                FROM nc, unnest(range(0, n)) AS u(i)),
+         d AS (SELECT DISTINCT chunk, source FROM ch)
+         SELECT a.source AS src_a, b.source AS src_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM d a JOIN d b ON a.chunk = b.chunk AND a.source < b.source
+         GROUP BY 1, 2""")
+}

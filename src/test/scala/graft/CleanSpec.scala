@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Clean
+
+/** Corpus-cleaning batch: the winnowing coverage guarantee and tie
+  * rule, keep-first chunk-dedup laws, and the overlap matrix against
+  * a brute-force count.
+  */
+class CleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDF(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+
+  // ---- winnowing ----------------------------------------------------
+
+  test("winnowing: every window of w consecutive grams contains a " +
+      "selected position (the coverage guarantee), and selections " +
+      "are window minima") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = docsDF(Seq((1L, text, "s")))
+    val k = 8; val w = 4
+    val fp = Clean.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(2).toInt).toSet
+    val s = text.toLowerCase.trim
+    val g = s.length - (k - 1)
+    // brute-force reference: robust winnowing by (md5, -pos)
+    def key(p: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.substring(p - 1, p - 1 + k).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md + "%08d".format(100000000 - p)
+    }
+    val expected = (1 to g - (w - 1))
+      .map(ws => (ws until ws + w).minBy(key)).toSet
+    assert(fp == expected, s"got $fp expected $expected")
+    // coverage: each window start has a selected pos inside its window
+    (1 to g - (w - 1)).foreach { ws =>
+      assert(fp.exists(p => p >= ws && p < ws + w),
+        s"window at $ws uncovered")
+    }
+  }
+
+  test("winnowing: repeated grams resolve to the RIGHTMOST minimum " +
+      "(robust winnowing), so a periodic string selects stable " +
+      "positions") {
+    // 'abcdefgh' repeated: every gram at positions 1, 9, 17, ... is
+    // identical, so inside any window the rightmost copy wins
+    val docs = docsDF(Seq((1L, "abcdefgh" * 5, "s")))
+    val fp = Clean.winnowFingerprints(docs, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    // no selected (hash, pos) appears twice
+    assert(fp.length == fp.toSet.size)
+  }
+
+  test("win1: a planted duplicate pair shares hashes; a disjoint doc " +
+      "shares none") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = java.nio.file.Files.createTempDirectory("win1").toString
+    docsDF(Seq(
+      (1L, base, "s0"), (2L, base, "s1"),
+      (3L, "zq xv wu ts rp on ml kj ih gf ed cb az yx", "s2")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Clean.win1Winnowing(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L)._3 == out(1L)._2, "dup doc shares ALL its hashes")
+    assert(out(2L)._3 == out(2L)._2)
+    assert(out(3L)._3 == 0L, "disjoint doc shares none")
+  }
+
+  test("win2: a planted near-dup pair is detected with high overlap; " +
+      "the boilerplate df-cap silences a prefix shared by many docs") {
+    val dir = java.nio.file.Files.createTempDirectory("win2").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docsDF(Seq(
+      (1L, base, "s"), (2L, base + " nu", "s")) ++
+      (3L to 12L).map(i =>
+        (i, s"common boilerplate prefix q${i}a q${i}b q${i}c q${i}d", "s")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Clean.win2WinnowPairs(spark, dir, dfCap = 4, minShared = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("score"))).toMap
+    assert(pairs.keySet == Set((1L, 2L)),
+      s"expected only the planted pair, got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) > 0.8, s"score ${pairs((1L, 2L))}")
+  }
+
+  // ---- chunk dedup --------------------------------------------------
+
+  test("par1: kept instances are exactly one per distinct chunk, " +
+      "first occurrence wins, docs reassemble in position order") {
+    val dir = java.nio.file.Files.createTempDirectory("par1").toString
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val other = (11 to 20).map(i => s"w$i").mkString(" ")
+    val tail = "t1 t2 t3"
+    docsDF(Seq(
+      (1L, s"$ten $other", "s0"),      // both chunks first here
+      (2L, s"$other $ten $tail", "s1") // repeats both, owns the tail
+    )).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Clean.par1ChunkDedup(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    assert(out(1L) == ((2L, 2L, s"$ten $other")))
+    assert(out(2L) == ((3L, 1L, tail)))
+    // global law: total kept == distinct chunk count
+    val ch = Clean.chunkDocs(spark.read.parquet(s"$dir/documents.parquet"))
+    assert(out.values.map(_._2).sum ==
+      ch.select("chunk").distinct().count())
+  }
+
+  test("par1 on the sf0.001 corpus: kept totals equal distinct " +
+      "chunks; kept_frac in [0, 1]; fully-duplicated docs empty out") {
+    val d = "/root/testdata/sf0.001"
+    val out = Clean.par1ChunkDedup(spark, d)
+    val agg = out.agg(sum("n_kept"), sum("n_chunks")).head()
+    val distinctChunks =
+      Clean.chunkDocs(Tables.documents(spark, d))
+        .select("chunk").distinct().count()
+    assert(agg.getLong(0) == distinctChunks)
+    assert(out.filter(col("kept_frac") < 0 || col("kept_frac") > 1)
+      .count() == 0)
+    // a doc keeps nothing iff its reassembled text is empty
+    assert(out.filter((col("n_kept") === 0) =!= (col("cleaned") === ""))
+      .count() == 0)
+  }
+
+  // ---- source overlap -----------------------------------------------
+
+  test("ovl1: matches a brute-force distinct-chunk intersection and " +
+      "is strictly upper-triangular") {
+    val dir = java.nio.file.Files.createTempDirectory("ovl1").toString
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")
+    val c = (1 to 10).map(i => s"c$i").mkString(" ")
+    docsDF(Seq(
+      (1L, s"$a $b", "s0"), (2L, s"$b $c", "s1"), (3L, s"$a $c", "s2")
+    )).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Clean.ovl1SourceOverlap(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(rows == Map(("s0", "s1") -> 1L, ("s0", "s2") -> 1L,
+      ("s1", "s2") -> 1L))
+    assert(rows.keys.forall { case (x, y) => x < y })
+  }
+}
