@@ -148,6 +148,17 @@ object Clean {
     * slim the shuffle; the literal text key here keeps the oracle
     * cross-engine exact.
     */
+  /** The keep-first kernel: one surviving (doc_id, pos, chunk)
+    * instance per distinct chunk — the earliest in (doc_id, pos)
+    * order. Shared by par1 and the streaming dual's batch-parity
+    * test ([[graft.streaming.StreamingDedup.streamingChunkDedup]]).
+    */
+  def chunkKeepFirst(ch: DataFrame): DataFrame =
+    ch.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.pos").as("pos"), col("chunk"))
+
   def par1ChunkDedup(s: SparkSession, d: String): DataFrame = {
     val ch = chunkDocs(Tables.documents(s, d))
     val keep = ch.groupBy(col("chunk"))

@@ -139,6 +139,40 @@ object StreamingDedup {
       .drop(textCol)
   }
 
+  /** Streaming chunk-level keep-first dedup — the continuous face of
+    * par1's kernel ([[graft.queries.Clean.chunkKeepFirst]], the
+    * MassiveText paragraph dedup): arriving documents explode into
+    * fixed `cs`-word chunks (stateless projection), and a chunk
+    * instance survives iff its digest was not already seen within the
+    * watermark window. State is digests only (64 chars/chunk) behind
+    * the engine's `dropDuplicatesWithinWatermark` store, evicted as
+    * the watermark passes — the same retention contract, and the same
+    * first-arrival-vs-min(doc_id, pos) caveat, as
+    * [[streamingExactDedup]]: the two coincide for ordered
+    * single-partition ingest (StreamingSpec proves batch parity
+    * there); multi-partition ingest reconciles in the batch pass.
+    * Output: the surviving (id, pos, chunk) instances — a downstream
+    * per-doc reassembly is a plain windowless aggregate over them.
+    */
+  def streamingChunkDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cs: Int = 10,
+      delayMs: Long = 2 * 3600 * 1000L): DataFrame =
+    docs
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("ts"), col(idCol),
+        split(trim(col(textCol)), "\\s+").as("t"))
+      .select(col("ts"), col(idCol),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("t")) - 1) / cs).cast("int")),
+          i => array_join(slice(col("t"), i * cs + 1, lit(cs)), " "))))
+      .withColumnRenamed("col", "chunk")
+      .withColumn("chunk_hash", sha2(col("chunk"), 256))
+      .dropDuplicatesWithinWatermark("chunk_hash")
+      .select(col(idCol), col("pos"), col("chunk"))
+
   /** Auto-dispatching streaming decontamination — the streaming face
     * of [[graft.dedup.Dedup.contaminationScoresAuto]]: the SAME
     * estimate-then-choose (one pre-distinct pass over the STATIC eval

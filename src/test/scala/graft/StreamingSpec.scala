@@ -866,4 +866,33 @@ class StreamingSpec extends SparkSpec {
     assert(w2.forall(_._7), s"drifted window must trip: $w2")
     assert(w2.exists(r => r._2 == "fr" && r._3 == 0L))
   }
+
+  test("streaming chunk-level keep-first dedup equals the batch " +
+      "chunkKeepFirst kernel under ordered single-partition ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val real = Tables.documents(spark, sf)
+    val feed = real.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingDedup.streamingChunkDedup(
+      mem.toDS().toDF("ts", "doc_id", "text"), "doc_id", "text",
+      cs = 10, delayMs = 60000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_dedup_out")
+      .start()
+    try {
+      mem.addData(feed.map { case (id, t) => (ts(0), id, t) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("chunk_dedup_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val batch = graft.queries.Clean.chunkKeepFirst(
+      graft.queries.Clean.chunkDocs(real)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(streamed == batch)
+    // the corpus actually contains cross-doc repeated chunks, so the
+    // dedup is non-vacuous: fewer survivors than instances
+    val instances = graft.queries.Clean.chunkDocs(real).count()
+    assert(streamed.size < instances)
+  }
 }
