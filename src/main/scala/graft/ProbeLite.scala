@@ -1,0 +1,29 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ProbeLite {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.read.parquet(args(0))
+    // warm
+    graft.dedup.Dedup.exactJaccardPairs(
+      Tables.documents(spark, "/root/testdata/sf0.01"),
+      "doc_id", "text", threshold = 0.8).count()
+    val (t7, p7) = ScaleProbe.timeSec(graft.dedup.Dedup
+      .exactJaccardPairs(df, "doc_id", "text", threshold = 0.8).count())
+    val (t6, c6) = ScaleProbe.timeSec {
+      val pairs = graft.dedup.Dedup
+        .exactJaccardPairs(df, "doc_id", "text", threshold = 0.8)
+      graft.dedup.Dedup.nearDupClusters(df, "doc_id", pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+    }
+    println(f"dd7=$t7%.2f s ($p7 pairs)  dd6=$t6%.2f s ($c6 clusters)")
+    spark.stop()
+  }
+}

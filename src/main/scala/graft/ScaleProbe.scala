@@ -227,7 +227,24 @@ object ScaleProbe {
       System.err.println(
         f"[probe]   select dsir1=$tds%6.2fs ($nds rows) " +
           f"ccnet1=$tcc%6.2fs ($ncc rows)")
-      (name, n, t7, p7, t6, c6, cj, tp2, np2, tds, tcc)
+      // cleaning batch: win1 (per-row native winnow + one h-keyed
+      // shuffle — should track corpus volume linearly), win2 (the
+      // df-capped fingerprint self-join: the cap bounds per-hash pair
+      // fanout, so pair output must stay linear), par1 (two linear
+      // shuffles; the chunk-key exchange is bounded by distinct
+      // chunks). Super-linear drift here means a cap or a partial
+      // aggregate stopped doing its job.
+      val (tw1, nw1) = timeSec(
+        graft.queries.Clean.win1WinnowingOn(df).count())
+      val (tw2, nw2) = timeSec(
+        graft.queries.Clean.win2WinnowPairsOn(df).count())
+      val (tpar, npar) = timeSec(
+        graft.queries.Clean.par1ChunkDedupOn(df).count())
+      System.err.println(
+        f"[probe]   clean win1=$tw1%6.2fs ($nw1 rows) " +
+          f"win2=$tw2%6.2fs ($nw2 pairs) par1=$tpar%6.2fs ($npar rows)")
+      (name, n, t7, p7, t6, c6, cj, tp2, np2, tds, tcc,
+        (tw1, tw2, nw2, tpar))
     }
 
     // cacheVerifySets experiment (r7 advice #8): dd7 on the sf1
@@ -270,19 +287,35 @@ object ScaleProbe {
     System.err.println(
       f"[probe] skew30%% pipe1=$tp1s%7.2fs ($np1s rows, $p9s pairs@0.9) " +
         f"pipe2=$tp2s%7.2fs ($np2s rows)")
+    // win2 on the hot-template corpus: the 30% identical docs share
+    // ALL their fingerprint hashes, so each template hash has df ~
+    // 0.3n >> dfCap and the boilerplate cap silences the template
+    // ENTIRELY — the pair blow-up the seeded families absorb by
+    // salting, win2 absorbs by construction. Wall + pair count
+    // recorded to prove it.
+    val (tw2s, nw2s) = timeSec(
+      graft.queries.Clean.win2WinnowPairsOn(skewDf).count())
+    System.err.println(
+      f"[probe] skew30%% win2=$tw2s%7.2fs ($nw2s pairs)")
 
     val e7 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._3))))
     val e6 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._5))))
     val ep2 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._8))))
     val eds = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._10))))
     val ecc = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._11))))
+    val ew1 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._12._1))))
+    val ew2 = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._12._2))))
+    val epar = slope(rows.map(r => (math.log(r._2.toDouble), math.log(r._12._4))))
 
     val qs = rows.map {
-      case (name, n, t7, p7, t6, c6, cj, tp2, np2, tds, tcc) =>
+      case (name, n, t7, p7, t6, c6, cj, tp2, np2, tds, tcc,
+          (tw1, tw2, nw2, tpar)) =>
         s""""$name":{"n":$n,"dd7_sec":${f"$t7%.2f"},"dd7_pairs":$p7,""" +
           s""""dd6_sec":${f"$t6%.2f"},"dd6_clusters":$c6,$cj,""" +
           s""""pipe2_sec":${f"$tp2%.2f"},"pipe2_rows":$np2,""" +
-          s""""dsir1_sec":${f"$tds%.2f"},"ccnet1_sec":${f"$tcc%.2f"}}"""
+          s""""dsir1_sec":${f"$tds%.2f"},"ccnet1_sec":${f"$tcc%.2f"},""" +
+          s""""win1_sec":${f"$tw1%.2f"},"win2_sec":${f"$tw2%.2f"},""" +
+          s""""win2_pairs":$nw2,"par1_sec":${f"$tpar%.2f"}}"""
     }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"scale_probe","scales":$qs,""" +
@@ -291,10 +324,14 @@ object ScaleProbe {
       s""""dd6_sec":${f"$t6s%.2f"},"dd6_clusters":$c6s,""" +
       s""""pipe1_sec":${f"$tp1s%.2f"},"pipe1_rows":$np1s,""" +
       s""""pipe1_pairs09":$p9s,""" +
-      s""""pipe2_sec":${f"$tp2s%.2f"},"pipe2_rows":$np2s},""" +
+      s""""pipe2_sec":${f"$tp2s%.2f"},"pipe2_rows":$np2s,""" +
+      s""""win2_sec":${f"$tw2s%.2f"},"win2_pairs":$nw2s},""" +
       s""""dd7_exponent":${f"$e7%.3f"},"dd6_exponent":${f"$e6%.3f"},""" +
       s""""pipe2_exponent":${f"$ep2%.3f"},""" +
       s""""dsir1_exponent":${f"$eds%.3f"},""" +
-      s""""ccnet1_exponent":${f"$ecc%.3f"}}""")
+      s""""ccnet1_exponent":${f"$ecc%.3f"},""" +
+      s""""win1_exponent":${f"$ew1%.3f"},""" +
+      s""""win2_exponent":${f"$ew2%.3f"},""" +
+      s""""par1_exponent":${f"$epar%.3f"}}""")
   }
 }

@@ -69,8 +69,11 @@ object Clean {
     * window over the h partition — the stream shuffles once, no
     * self-join build side.
     */
-  def win1Winnowing(s: SparkSession, d: String): DataFrame = {
-    val fp = winnowFingerprints(Tables.documents(s, d), "doc_id", "text")
+  def win1Winnowing(s: SparkSession, d: String): DataFrame =
+    win1WinnowingOn(Tables.documents(s, d))
+
+  def win1WinnowingOn(docs: DataFrame): DataFrame = {
+    val fp = winnowFingerprints(docs, "doc_id", "text")
     // ONE pass over the (expensive) winnow projection: roll selections
     // up to (doc, h) counts, hang the hash's doc-frequency on each row
     // from a window over the h partition, then roll up per doc. The
@@ -105,8 +108,12 @@ object Clean {
     * is planned once and reused.
     */
   def win2WinnowPairs(s: SparkSession, d: String,
+      dfCap: Int = 16, minShared: Int = 5): DataFrame =
+    win2WinnowPairsOn(Tables.documents(s, d), dfCap, minShared)
+
+  def win2WinnowPairsOn(docs: DataFrame,
       dfCap: Int = 16, minShared: Int = 5): DataFrame = {
-    val fp = winnowFingerprints(Tables.documents(s, d), "doc_id", "text")
+    val fp = winnowFingerprints(docs, "doc_id", "text")
     val dh = fp.select(col("doc_id"), col("h")).distinct()
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= dfCap)
@@ -159,8 +166,11 @@ object Clean {
       .select(col("first.doc_id").as("doc_id"),
         col("first.pos").as("pos"), col("chunk"))
 
-  def par1ChunkDedup(s: SparkSession, d: String): DataFrame = {
-    val ch = chunkDocs(Tables.documents(s, d))
+  def par1ChunkDedup(s: SparkSession, d: String): DataFrame =
+    par1ChunkDedupOn(Tables.documents(s, d))
+
+  def par1ChunkDedupOn(docs: DataFrame): DataFrame = {
+    val ch = chunkDocs(docs)
     val keep = ch.groupBy(col("chunk"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     ch.join(keep, Seq("chunk"))

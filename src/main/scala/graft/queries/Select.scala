@@ -229,13 +229,87 @@ object Select {
       .select(col("cluster"), col("rk"), col("vec_id"), col("dist2"))
   }
 
+  // ---- rho1: excess-loss ("learnability") selection -------------------
+
+  /** rho1: excess-loss data selection (the RHO-1 recipe, reduced to
+    * in-plan LMs): score each document by how much a STRONGER model
+    * improves on a WEAKER one — here mean unigram NLL (t10's kernel)
+    * minus mean add-one-smoothed bigram NLL (t14's kernel). High
+    * excess = text whose structure a better model exploits (learnable
+    * prose); near-zero/negative = token soup the stronger model
+    * cannot compress — exactly the signal perplexity-ONLY filters
+    * (ccnet1) miss, because gibberish built from common words scores
+    * fine under the unigram LM alone. Top quarter per language
+    * selected by exact rank — the per-language rank comes from ONE
+    * [[GlobalRank.prefixScan]] over (lang, -excess, id), never a
+    * Window.partitionBy(lang) whose hottest language is a single
+    * task; quarter membership is integer arithmetic on the broadcast
+    * (first-rank, count) language table.
+    *
+    * Single-token documents have no bigram side and drop out (inner
+    * join), matching the SQL dual's JOIN semantics.
+    */
+  private[graft] def rhoExcessOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      split(lower(trim(col("text"))), "\\s+").as("t"))
+    val tk = toks.select(col("doc_id"), col("lang"),
+      explode(col("t")).as("token"))
+    val freq = tk.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val nTotal = broadcast(tk.agg(count(lit(1)).as("n_total")))
+    val uni = tk.join(broadcast(freq), "token")
+      .crossJoin(nTotal)
+      .withColumn("__lp",
+        round(-log(col("cnt").cast("double") / col("n_total")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg((sum(col("__lp")).cast("double") / count(lit(1))).as("nll1"))
+    val pairs = toks
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val pairCnt = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val w1Cnt = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+    val vocab = broadcast(toks
+      .select(explode(col("t")).as("token"))
+      .agg(count_distinct(col("token")).as("v")))
+    val bi = pairs
+      .join(broadcast(pairCnt), Seq("w1", "w2"))
+      .join(broadcast(w1Cnt), Seq("w1"))
+      .crossJoin(vocab)
+      .withColumn("__lp",
+        round(-log((col("n_pair") + 1).cast("double") /
+          (col("n_w1") + col("v"))), 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("__lp")).cast("double") / count(lit(1))).as("nll2"))
+    val ex = uni.join(bi, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        round(col("nll1") - col("nll2"), 6)
+          .cast("decimal(18,6)").cast("double").as("excess6"))
+    val ranked = GlobalRank.prefixScan(ex,
+      Seq(col("lang"), negate(col("excess6")), col("doc_id")),
+      Nil, Some("r"))
+    val langStats = ranked.groupBy(col("lang"))
+      .agg(min(col("r")).as("r0"), count(lit(1)).as("cnt"))
+    ranked.join(broadcast(langStats), Seq("lang"))
+      .withColumn("rk", col("r") - col("r0") + 1)
+      .select(col("doc_id"), col("lang"), col("excess6"),
+        col("rk"), expr("(rk - 1) * 4 div cnt = 0").as("selected"))
+  }
+
+  def rho1ExcessLoss(s: SparkSession, d: String): DataFrame =
+    rhoExcessOn(Tables.documents(s, d))
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir1_importance_weights" -> (dsir1ImportanceWeights _),
     "ccnet1_perplexity_buckets" -> (ccnet1PerplexityBuckets _),
     "kc1_kcenter_coreset" -> (kc1KcenterCoreset _),
-    "clb1_cluster_balanced" -> (clb1ClusterBalanced _))
+    "clb1_cluster_balanced" -> (clb1ClusterBalanced _),
+    "rho1_excess_loss" -> (rho1ExcessLoss _))
 
   /** One k-center stage of the kc1 SQL dual (mmr1's unrolled-greedy
     * pattern): carry (ids, vs, ds) lists, append the argmax-by-
@@ -257,6 +331,49 @@ object Select {
          QUALIFY row_number() OVER (ORDER BY d DESC, id) = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "rho1_excess_loss" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT doc_id, lang,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         tk AS MATERIALIZED (
+           SELECT doc_id, lang, unnest(t) AS token FROM toks),
+         freq AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+         tot AS (SELECT count(*) AS n_total FROM tk),
+         uni AS MATERIALIZED (
+           SELECT doc_id, any_value(lang) AS lang,
+                  CAST(SUM(CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total), 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS nll1
+           FROM tk JOIN freq USING (token) CROSS JOIN tot
+           GROUP BY doc_id),
+         pairs AS MATERIALIZED (
+           SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM toks, unnest(range(1, len(t))) AS u(i)),
+         pc AS (SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+         wc AS (SELECT w1, count(*) AS n_w1 FROM pairs GROUP BY 1),
+         v AS (SELECT count(DISTINCT token) AS v FROM tk),
+         bi AS MATERIALIZED (
+           SELECT p.doc_id,
+                  CAST(SUM(CAST(round(-ln(CAST(n_pair + 1 AS DOUBLE) /
+                    (n_w1 + v)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*) AS nll2
+           FROM pairs p JOIN pc USING (w1, w2) JOIN wc USING (w1), v
+           GROUP BY p.doc_id),
+         ex AS MATERIALIZED (
+           SELECT doc_id, lang,
+                  CAST(CAST(round(nll1 - nll2, 6) AS DECIMAL(18,6))
+                    AS DOUBLE) AS excess6
+           FROM uni JOIN bi USING (doc_id)),
+         r AS MATERIALIZED (
+           SELECT doc_id, lang, excess6,
+                  CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY excess6 DESC, doc_id) AS BIGINT) AS rk
+           FROM ex),
+         n AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+               FROM r GROUP BY lang)
+         SELECT doc_id, r.lang, excess6, rk,
+                ((rk - 1) * 4) // cnt = 0 AS selected
+         FROM r JOIN n ON r.lang = n.lang""",
     "dsir1_importance_weights" ->
       s"""WITH toks AS MATERIALIZED (
            SELECT doc_id, source, lang = 'en' AS is_t,

@@ -143,4 +143,47 @@ class SelectSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(rows.toSet == again.toSet)
   }
+
+  // ---- rho1: excess-loss selection ------------------------------------
+
+  test("rho1: structured (bigram-compressible) docs outscore " +
+      "same-unigram token soup and land in the selected quarter") {
+    // all 8 docs have IDENTICAL token counts (12 x, 12 y), so the
+    // unigram NLL is the same for every doc — the excess signal is
+    // carried ENTIRELY by bigram structure. Docs 1-2 alternate
+    // strictly (one dominant bigram each way); docs 3-8 mix in
+    // doubled letters (rarer bigrams -> higher bigram NLL -> lower
+    // excess).
+    val alt = Array.fill(12)("x y").mkString(" ")
+    def soup(seed: Int): String = {
+      val xs = List.fill(12)("x"); val ys = List.fill(12)("y")
+      // deterministic interleave that varies per doc: rotate the
+      // doubled-pair pattern by seed
+      val merged = (xs.grouped(2) zip ys.grouped(2))
+        .flatMap { case (a, b) => if (seed % 2 == 0) a ++ b else b ++ a }
+        .toList
+      (merged.drop(seed % 5) ++ merged.take(seed % 5)).mkString(" ")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("rho1").toString
+    ((1L to 2L).map(i => (i, alt, "en", "s")) ++
+      (3L to 8L).map(i => (i, soup(i.toInt), "en", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Select.rho1ExcessLoss(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.length == 8)
+    val byRank = out.sortBy(_._3)
+    // the two alternating docs take ranks 1-2 and exactly the top
+    // quarter (8/4 = 2) is selected
+    assert(byRank.take(2).map(_._1).toSet == Set(1L, 2L),
+      s"expected docs 1,2 on top, got ${byRank.toSeq}")
+    assert(out.count(_._4) == 2)
+    assert(out.filter(_._4).forall(_._3 <= 2))
+    // excess is strictly higher for the structured docs
+    val exTop = byRank.take(2).map(_._2).min
+    val exRest = byRank.drop(2).map(_._2).max
+    assert(exTop > exRest, s"structured $exTop must beat soup $exRest")
+  }
 }
