@@ -103,7 +103,13 @@ object Plans {
       "ccnet1_perplexity_buckets" ->
         "perplexity terciles: prefix-rank kernel over (source,nll), broadcast 20-row cut table",
       "clb1_cluster_balanced" ->
-        "cluster-balanced sample: literal-centroid assignment, k-row quota broadcast, prefix-rank per cluster")
+        "cluster-balanced sample: literal-centroid assignment, k-row quota broadcast, prefix-rank per cluster",
+      "win2_winnow_pairs" ->
+        "winnowing match: native per-row fingerprint expression, df-capped self-join, exchange reuse",
+      "par1_chunk_dedup" ->
+        "keep-first chunk dedup: partial-aggregable struct-min argmin, two linear shuffles",
+      "rho1_excess_loss" ->
+        "excess-loss selection: two LM aggregates joined per doc, prefix-rank per language")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")

@@ -207,6 +207,42 @@ object Clean {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  // ---- pipe4: clean -> select, composed -------------------------------
+
+  /** pipe4: the cleaning->selection slice of a training-data pipeline,
+    * composed end-to-end — par1's corpus-wide keep-first chunk dedup
+    * REASSEMBLES each document from its surviving chunks (docs that
+    * keep nothing drop out), then rho1's excess-loss scorer ranks the
+    * CLEANED corpus and selects the top learnability quarter per
+    * language. The LMs retrain on the cleaned text, so dedup feeds
+    * back into the selection statistics exactly as production
+    * pipelines chain them. One composed DuckDB dual (par1's CTE chain
+    * piped into the SAME rho chain the standalone rho1 oracle uses),
+    * so composition cannot drift from the pieces.
+    *
+    * Staging: the cleaned corpus is referenced by four downstream
+    * scans (unigram stream, bigram stream, vocabulary, join-back), so
+    * the phase boundary materializes once — [[Staging.Memory]] at
+    * gate scale, [[Staging.Parquet]] at 100 TB (the pipe1/pipe2
+    * contract; memory==parquet rows asserted in CleanSpec).
+    */
+  def pipe4CleanSelect(s: SparkSession, d: String): DataFrame =
+    pipe4CleanSelect(s, d, Staging.Memory)
+
+  def pipe4CleanSelect(
+      s: SparkSession, d: String, staging: Staging): DataFrame =
+    pipe4CleanSelectOn(Tables.documents(s, d), staging)
+
+  private[graft] def pipe4CleanSelectOn(
+      docs: DataFrame, staging: Staging): DataFrame = {
+    val cleaned = staging.stage(
+      par1ChunkDedupOn(docs).filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("cleaned").as("text"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      "pipe4_cleaned")
+    Select.rhoExcessOn(cleaned)
+  }
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,7 +250,9 @@ object Clean {
     "win2_winnow_pairs" -> ((s: SparkSession, d: String) =>
       win2WinnowPairs(s, d)),
     "par1_chunk_dedup" -> (par1ChunkDedup _),
-    "ovl1_source_overlap" -> (ovl1SourceOverlap _))
+    "ovl1_source_overlap" -> (ovl1SourceOverlap _),
+    "pipe4_clean_select" -> ((s: SparkSession, d: String) =>
+      pipe4CleanSelect(s, d)))
 
   val oracles: Map[String, String] = Map(
     "win1_winnowing" ->
@@ -299,6 +337,26 @@ object Clean {
                 COALESCE(string_agg(CASE WHEN rk = 1 THEN chunk END,
                   ' ' ORDER BY pos), '') AS cleaned
          FROM m GROUP BY doc_id""",
+    "pipe4_clean_select" ->
+      s"""WITH toksrc AS (SELECT doc_id, lang,
+                 regexp_split_to_array(trim(text), '\\s+') AS t0
+               FROM documents),
+         nc0 AS (SELECT doc_id, lang, t0,
+                  CAST(ceil(len(t0) / 10.0) AS INT) AS n FROM toksrc),
+         ch0 AS (SELECT doc_id, lang, i AS pos,
+                  array_to_string(t0[(i*10+1):(i*10+10)], ' ') AS chunk
+                FROM nc0, unnest(range(0, n)) AS u(i)),
+         m0 AS (SELECT doc_id, lang, pos, chunk,
+                 row_number() OVER (PARTITION BY chunk
+                   ORDER BY doc_id, pos) AS rk
+               FROM ch0),
+         cleaned AS MATERIALIZED (
+           SELECT doc_id, any_value(lang) AS lang,
+                  string_agg(CASE WHEN rk = 1 THEN chunk END,
+                    ' ' ORDER BY pos) AS text
+           FROM m0 GROUP BY doc_id
+           HAVING sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) > 0),
+         ${Select.rhoOracleChain("cleaned")}""",
     "ovl1_source_overlap" ->
       """WITH toks AS (SELECT doc_id, source,
                  regexp_split_to_array(trim(text), '\s+') AS t

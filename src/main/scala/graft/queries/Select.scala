@@ -330,12 +330,16 @@ object Select {
            FROM s${k - 1} s JOIN v c ON NOT list_contains(s.ids, c.vec_id))
          QUALIFY row_number() OVER (ORDER BY d DESC, id) = 1)"""
 
-  val oracles: Map[String, String] = Map(
-    "rho1_excess_loss" ->
-      """WITH toks AS MATERIALIZED (
+  /** The rho scoring/ranking CTE chain, parameterized on the CTE that
+    * provides (doc_id, lang, text) — reused verbatim by pipe4's
+    * composed dual so composition cannot drift from the standalone
+    * query.
+    */
+  private[queries] def rhoOracleChain(src: String): String =
+    s"""toks AS MATERIALIZED (
            SELECT doc_id, lang,
-                  regexp_split_to_array(lower(trim(text)), '\s+') AS t
-           FROM documents),
+                  regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+           FROM $src),
          tk AS MATERIALIZED (
            SELECT doc_id, lang, unnest(t) AS token FROM toks),
          freq AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
@@ -373,7 +377,10 @@ object Select {
                FROM r GROUP BY lang)
          SELECT doc_id, r.lang, excess6, rk,
                 ((rk - 1) * 4) // cnt = 0 AS selected
-         FROM r JOIN n ON r.lang = n.lang""",
+         FROM r JOIN n ON r.lang = n.lang"""
+
+  val oracles: Map[String, String] = Map(
+    "rho1_excess_loss" -> s"WITH ${rhoOracleChain("documents")}",
     "dsir1_importance_weights" ->
       s"""WITH toks AS MATERIALIZED (
            SELECT doc_id, source, lang = 'en' AS is_t,

@@ -129,6 +129,31 @@ class CleanSpec extends SparkSpec {
       .count() == 0)
   }
 
+  // ---- pipe4: composed clean -> select --------------------------------
+
+  test("pipe4: memory and parquet staging agree row-for-row; the " +
+      "selection quarter law holds per language on the cleaned corpus") {
+    val d = "/root/testdata/sf0.001"
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val mem = canon(Clean.pipe4CleanSelect(spark, d).collect())
+    val tmp = java.nio.file.Files.createTempDirectory("pipe4").toString
+    val par = canon(Clean.pipe4CleanSelect(spark, d,
+      graft.queries.Staging.Parquet(tmp)).collect())
+    assert(mem == par)
+    // ceil(cnt/4) selected per language, always >= 1
+    mem.groupBy(_._2).foreach { case (lang, rows) =>
+      val want = (rows.size + 3) / 4
+      assert(rows.count(_._5) == want,
+        s"$lang: ${rows.count(_._5)} selected of ${rows.size}")
+    }
+    // the dedup phase actually removed text: some cleaned doc is
+    // shorter than its raw form (the corpus has cross-doc chunks)
+    val kept = Clean.par1ChunkDedupOn(Tables.documents(spark, d))
+    assert(kept.filter(col("n_kept") < col("n_chunks")).count() > 0)
+  }
+
   // ---- source overlap -----------------------------------------------
 
   test("ovl1: matches a brute-force distinct-chunk intersection and " +
