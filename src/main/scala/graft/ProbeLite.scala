@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Isolated dd7/dd6 reading on an arbitrary documents parquet —
+  * the single-purpose recheck used to adjudicate a full ScaleProbe's
+  * heavy legs against host contention (run it alone, compare with
+  * /proc/loadavg; see BASELINE.md round-17 adjudication).
+  *
+  * Usage: tools/run.sh graft.ProbeLite <documents-parquet-dir>
+  */
 object ProbeLite {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
