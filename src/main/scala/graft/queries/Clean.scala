@@ -103,9 +103,13 @@ object Clean {
     * Scale shape: the df cap is also the skew cap — each surviving
     * hash contributes <= C(dfCap, 2) pairs, so the join output is
     * linear in the corpus and no hot hash melts a partition. Both
-    * windows are partitioned (by h, then by doc); the self-join's
-    * two sides are the same deterministic subplan, so the exchange
-    * is planned once and reused.
+    * windows are partitioned (by h, then by doc). The capped
+    * fingerprint frame materializes ONCE (eager localCheckpoint —
+    * the self-join would otherwise re-run the whole winnow +
+    * distinct + window chain per side: the r17 plan dump showed the
+    * broadcast side as a full recompute, ReuseExchange never fires
+    * across a BroadcastExchange/shuffle pair); at warehouse scale the
+    * same boundary goes through the parquet staging seam.
     */
   def win2WinnowPairs(s: SparkSession, d: String,
       dfCap: Int = 16, minShared: Int = 5): DataFrame =
@@ -119,6 +123,8 @@ object Clean {
       .filter(col("df") <= dfCap)
       .withColumn("nh",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("h"), col("nh"))
+      .localCheckpoint(true)
     dh.as("a").join(dh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
