@@ -105,7 +105,7 @@ object Plans {
       "clb1_cluster_balanced" ->
         "cluster-balanced sample: literal-centroid assignment, k-row quota broadcast, prefix-rank per cluster",
       "win2_winnow_pairs" ->
-        "winnowing match: native per-row fingerprint expression, df-capped self-join, exchange reuse",
+        "winnowing match: native per-row fingerprint expression, df-capped self-join over ONE checkpointed frame",
       "par1_chunk_dedup" ->
         "keep-first chunk dedup: partial-aggregable struct-min argmin, two linear shuffles",
       "rho1_excess_loss" ->
