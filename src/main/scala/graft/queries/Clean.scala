@@ -213,6 +213,71 @@ object Clean {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  // ---- heaps1: vocabulary-growth (Heaps' law) fit ----------------------
+
+  /** heaps1: Heaps'-law vocabulary growth over the corpus — V(n) ≈
+    * K·n^β, the diagnostic that sizes tokenizer vocabularies and
+    * predicts how much new text still grows the vocab. Docs are
+    * bucketed into 10 equal ranks by doc_id (the GlobalRank prefix
+    * kernel — never a global window over a row-scaling domain); each
+    * checkpoint b reports the CUMULATIVE token count and the
+    * cumulative distinct vocabulary (a token belongs to the bucket of
+    * its FIRST document, a partial-aggregable min, so "vocab so far"
+    * is a plain cumulative count — no distinct-per-prefix rescans).
+    * β comes from exact-decimal OLS on the 6-dp log-log checkpoints
+    * (the reg1/srk1 discipline), repeated on every row.
+    *
+    * Scale shape: one token scan; the min-per-token aggregate and the
+    * doc-rank join are the only row-scaling shuffles; cumulation and
+    * the fit run on the 10-row bucket table (a broadcast self-join,
+    * no window).
+    */
+  def heaps1VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"))
+    val ranked = graft.ops.GlobalRank.prefixScan(perDoc,
+        Seq(col("doc_id")), Nil, Some("r"))
+      .crossJoin(broadcast(perDoc.agg(count(lit(1)).as("nd"))))
+      .withColumn("bucket", expr("(r - 1) * 10 div nd"))
+      .select(col("doc_id"), col("nt"), col("bucket"))
+    val firstDoc = toks.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val vocabPerBucket = firstDoc.join(ranked.select("doc_id", "bucket"),
+        Seq("doc_id"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("v_new"))
+    // 10-row bucket table, materialized once: the cumulation self-join
+    // and the fit both reference it, and each lazy reference would
+    // otherwise re-run the whole token pipeline (the win2 lesson)
+    val bt = ranked.groupBy(col("bucket"))
+      .agg(sum(col("nt")).as("t_new"))
+      .join(vocabPerBucket, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("v_new"))
+      .localCheckpoint(true)
+    // cumulate + fit on the 10-row bucket table: broadcast self-join,
+    // then one OLS over the checkpoints (decimal sums, double division)
+    val cum = bt.as("a").join(broadcast(bt.as("b")),
+        col("b.bucket") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("b.t_new")).as("cum_tokens"),
+        sum(col("b.v_new")).as("cum_vocab"))
+      .withColumn("lx", round(log(col("cum_tokens").cast("double")), 6)
+        .cast("decimal(18,6)"))
+      .withColumn("ly", round(log(col("cum_vocab").cast("double")), 6)
+        .cast("decimal(18,6)"))
+    val fit = cum.agg(count(lit(1)).as("k"),
+      sum(col("lx")).cast("double").as("sx"),
+      sum(col("ly")).cast("double").as("sy"),
+      sum(col("lx") * col("ly")).cast("double").as("sxy"),
+      sum(col("lx") * col("lx")).cast("double").as("sxx"))
+    cum.crossJoin(broadcast(fit))
+      .select(col("bucket"), col("cum_tokens"), col("cum_vocab"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("beta6"))
+  }
+
   // ---- pipe4: clean -> select, composed -------------------------------
 
   /** pipe4: the cleaning->selection slice of a training-data pipeline,
@@ -258,7 +323,8 @@ object Clean {
     "par1_chunk_dedup" -> (par1ChunkDedup _),
     "ovl1_source_overlap" -> (ovl1SourceOverlap _),
     "pipe4_clean_select" -> ((s: SparkSession, d: String) =>
-      pipe4CleanSelect(s, d)))
+      pipe4CleanSelect(s, d)),
+    "heaps1_vocab_growth" -> (heaps1VocabGrowth _))
 
   val oracles: Map[String, String] = Map(
     "win1_winnowing" ->
@@ -287,6 +353,48 @@ object Clean {
                 CAST(CAST(round(CAST(sh.n_shared AS DOUBLE) / sh.n_hashes, 6)
                   AS DECIMAL(18,6)) AS DOUBLE) AS shared_frac
          FROM sel JOIN sh USING (doc_id)""",
+    "heaps1_vocab_growth" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                    AS token
+           FROM documents),
+         pd AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+         nd AS (SELECT count(*) AS nd FROM pd),
+         rk AS MATERIALIZED (
+           SELECT doc_id, nt,
+                  ((row_number() OVER (ORDER BY doc_id) - 1) * 10) // nd
+                    AS bucket
+           FROM pd CROSS JOIN nd),
+         fd AS (SELECT token, min(doc_id) AS doc_id FROM toks
+                GROUP BY token),
+         vb AS (SELECT bucket, count(*) AS v_new
+                FROM fd JOIN rk USING (doc_id) GROUP BY bucket),
+         bt AS MATERIALIZED (
+           SELECT rk.bucket, CAST(sum(nt) AS BIGINT) AS t_new,
+                  COALESCE(any_value(v_new), 0) AS v_new
+           FROM rk LEFT JOIN vb ON rk.bucket = vb.bucket
+           GROUP BY rk.bucket),
+         cum AS MATERIALIZED (
+           SELECT a.bucket,
+                  CAST(sum(b.t_new) AS BIGINT) AS cum_tokens,
+                  CAST(sum(b.v_new) AS BIGINT) AS cum_vocab,
+                  CAST(round(ln(CAST(sum(b.t_new) AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS lx,
+                  CAST(round(ln(CAST(sum(b.v_new) AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS ly
+           FROM bt a JOIN bt b ON b.bucket <= a.bucket
+           GROUP BY a.bucket),
+         fit AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(lx) AS DOUBLE) AS sx,
+                   CAST(sum(ly) AS DOUBLE) AS sy,
+                   CAST(sum(lx * ly) AS DOUBLE) AS sxy,
+                   CAST(sum(lx * lx) AS DOUBLE) AS sxx
+                 FROM cum)
+         SELECT bucket, cum_tokens, cum_vocab,
+                round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                  AS beta6
+         FROM cum CROSS JOIN fit""",
     "win2_winnow_pairs" ->
       """WITH s AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
          b AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g

@@ -129,6 +129,35 @@ class CleanSpec extends SparkSpec {
       .count() == 0)
   }
 
+  // ---- heaps1: vocabulary growth ---------------------------------------
+
+  test("heaps1: linear vocab growth fits beta ~ 1; a closed vocabulary " +
+      "fits beta = 0; checkpoints cumulate monotonically") {
+    // growth plant: each doc contributes 5 NEVER-SEEN words plus 5
+    // shared fillers -> V(d) = 5d + 5, n(d) = 10d -> beta -> 1
+    val dir = java.nio.file.Files.createTempDirectory("heaps1").toString
+    (1L to 100L).map { i =>
+      val fresh = (1 to 5).map(j => s"u${i}w$j").mkString(" ")
+      (i, s"$fresh the a of and or", "en", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Clean.heaps1VocabGrowth(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.length == 10)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    assert(rows.last._3 == 505L, s"V(100) = ${rows.last._3}")
+    val beta = rows.head._4
+    assert(beta > 0.85 && beta < 1.05, s"linear plant beta $beta")
+    // closed vocabulary: the real sf corpus reuses a fixed word list,
+    // so the fitted exponent is exactly 0 — the honest saturation answer
+    val flat = graft.queries.Clean.heaps1VocabGrowth(spark, sf)
+      .select(col("beta6")).head().getDouble(0)
+    assert(flat == 0.0)
+  }
+
   // ---- pipe4: composed clean -> select --------------------------------
 
   test("pipe4: memory and parquet staging agree row-for-row; the " +
