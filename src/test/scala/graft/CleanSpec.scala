@@ -129,6 +129,29 @@ class CleanSpec extends SparkSpec {
       .count() == 0)
   }
 
+  // ---- plan shapes -----------------------------------------------------
+
+  test("win2 plan: the pair join reads ONE checkpointed fingerprint " +
+      "frame — the winnow expression never evaluates twice; no " +
+      "nested-loop joins anywhere in the cleaning batch") {
+    val d = "/root/testdata/sf0.001"
+    val win2Plan = Clean.win2WinnowPairs(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(win2Plan.contains("ExistingRDD"),
+      "pair join must read the checkpointed frame")
+    assert(!win2Plan.contains("winnow_keys"),
+      "the winnow chain must not re-enter the join plan")
+    for (q <- Seq("win1_winnowing", "par1_chunk_dedup",
+        "ovl1_source_overlap", "heaps1_vocab_growth")) {
+      val p = SparkEntry.queries(q)(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") ||
+        q == "heaps1_vocab_growth", // heaps1's 1-row nd cross-join only
+        s"$q must not nested-loop join")
+      assert(!p.contains("CartesianProduct"), s"$q")
+    }
+  }
+
   // ---- heaps1: vocabulary growth ---------------------------------------
 
   test("heaps1: linear vocab growth fits beta ~ 1; a closed vocabulary " +
