@@ -173,6 +173,87 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("chunk_hash")
       .select(col(idCol), col("pos"), col("chunk"))
 
+  final case class FpEvent(ts: Timestamp, id: Long, h: String)
+  final case class FpBucket(ids: List[Long], dead: Boolean)
+  final case class SharedHash(id_a: Long, id_b: Long, h: String)
+
+  /** Streaming winnowing co-selection — the continuous face of win2's
+    * match step ([[graft.queries.Clean.win2WinnowPairsOn]]): arriving
+    * documents emit their distinct winnowing fingerprint hashes (the
+    * native [[graft.functions.WinnowExpressions]] expression — a
+    * stateless per-row map, bit-identical to batch), the stream keys
+    * by hash, and each bucket's state is just the member doc-id list.
+    * A new member emits one [[SharedHash]] event against every
+    * existing member; the downstream pair threshold (m >= minShared)
+    * is a plain grouped count over this slim event stream — the same
+    * division of labor as [[streamingMinhashPairs]]' pair sink,
+    * because Spark allows one stateful operator per chain.
+    *
+    * Boilerplate cap, PREFIX semantics (the one deliberate divergence
+    * from batch, documented): the batch df-cap drops a hash by its
+    * GLOBAL document frequency, which a stream cannot know without
+    * retraction. Here the first `dfCap` distinct members of a bucket
+    * count; the arrival that would exceed the cap TOMBSTONES the
+    * bucket (state drops to a boolean, no further emissions until the
+    * watermark evicts it). So a hot template is silenced after at
+    * most C(dfCap, 2) events per hash — the same per-hash emission
+    * bound the batch cap guarantees — but the prefix that arrived
+    * before the crossing has already flowed; a downstream reconciler
+    * (or the batch pass) drops pairs whose hash later crossed. On
+    * corpora where no bucket crosses the cap, the grouped event
+    * stream equals batch win2's pre-aggregation rows exactly
+    * (StreamingSpec proves both faces).
+    */
+  def streamingWinnowShared(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      dfCap: Int = 16,
+      delayMs: Long = 2 * 3600 * 1000L): Dataset[SharedHash] = {
+    import spark.implicits._
+    docs
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("ts"), col(idCol).cast("long").as("id"),
+        explode(array_distinct(transform(
+          graft.functions.WinnowExpressions.winnow_keys(
+            lower(trim(col(textCol))), k, w),
+          key => substring(key, 1, 32)))).as("h"))
+      .as[FpEvent]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[FpBucket, SharedHash](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (h: String, it: Iterator[FpEvent], state: GroupState[FpBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = it.toArray.sortBy(e => (e.ts.getTime, e.id))
+            var st = state.getOption.getOrElse(FpBucket(Nil, dead = false))
+            val out = collection.mutable.ArrayBuffer.empty[SharedHash]
+            arrivals.foreach { e =>
+              if (!st.dead && !st.ids.contains(e.id)) {
+                if (st.ids.sizeIs >= dfCap) st = FpBucket(Nil, dead = true)
+                else {
+                  st.ids.foreach { prev =>
+                    out += SharedHash(math.min(e.id, prev),
+                      math.max(e.id, prev), h)
+                  }
+                  st = st.copy(ids = e.id :: st.ids)
+                }
+              }
+            }
+            val maxTs = arrivals.iterator.map(_.ts.getTime).max
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + delayMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Auto-dispatching streaming decontamination — the streaming face
     * of [[graft.dedup.Dedup.contaminationScoresAuto]]: the SAME
     * estimate-then-choose (one pre-distinct pass over the STATIC eval

@@ -895,4 +895,67 @@ class StreamingSpec extends SparkSpec {
     val instances = graft.queries.Clean.chunkDocs(real).count()
     assert(streamed.size < instances)
   }
+
+  test("streaming winnowing co-selection equals batch win2's " +
+      "pre-aggregation rows when no bucket crosses the cap") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base + " nu"),
+      (3L, "one two three four five six seven eight nine ten more"),
+      (4L, "one two three four five six seven eight nine ten more or less"),
+      (5L, "zq xv wu ts rp on ml kj ih gf ed cb az yx"))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingDedup.streamingWinnowShared(
+      spark, mem.toDS().toDF("ts", "doc_id", "text"), "doc_id", "text",
+      dfCap = 50, delayMs = 60000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("winnow_shared_out")
+      .start()
+    try {
+      mem.addData(docs.map { case (id, t) => (ts(0), id, t) }
+        .toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedM = spark.table("winnow_shared_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).map { case (p, xs) => (p, xs.length.toLong) }
+    // batch dual at the same cap with minShared=1: (id_a, id_b, m)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("winshare").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.queries.Clean.win2WinnowPairs(spark, dir,
+        dfCap = 50, minShared = 1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(streamedM == batch, s"stream $streamedM vs batch $batch")
+    assert(batch.contains((1L, 2L)) && batch.contains((3L, 4L)))
+  }
+
+  test("streaming winnowing co-selection: a hot template tombstones " +
+      "its buckets — emissions per hash stay under C(dfCap, 2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val template = "the same boilerplate text repeated verbatim many times"
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingDedup.streamingWinnowShared(
+      spark, mem.toDS().toDF("ts", "doc_id", "text"), "doc_id", "text",
+      dfCap = 4, delayMs = 60000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("winnow_hot_out")
+      .start()
+    try {
+      mem.addData((1L to 30L).map(i => (ts(0), i, template))
+        .toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val perHash = spark.table("winnow_hot_out").collect()
+      .map(r => (r.getString(2), (r.getLong(0), r.getLong(1))))
+      .groupBy(_._1).map { case (_, xs) => xs.length }
+    assert(perHash.nonEmpty)
+    assert(perHash.forall(_ <= 6),
+      s"per-hash emissions must stay under C(4,2)=6: $perHash")
+  }
 }
