@@ -129,6 +129,49 @@ class CleanSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("winnowing property: on random small-alphabet strings (forcing " +
+      "repeated grams and hash ties) the native expression equals the " +
+      "brute-force reference and always satisfies coverage") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val k = 4; val w = 3
+    val gen = Gen.listOfN(40, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    def brute(s: String): Set[(String, Int)] = {
+      val g = s.length - (k - 1)
+      if (g < w) return Set.empty
+      def key(p: Int): String = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.substring(p - 1, p - 1 + k).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        md + "%08d".format(100000000 - p)
+      }
+      (1 to g - (w - 1)).map { ws =>
+        val p = (ws until ws + w).minBy(key)
+        (key(p).substring(0, 32), p)
+      }.toSet
+    }
+    val texts = (1 to 40).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.queries.Clean
+      .winnowFingerprints(df, "doc_id", "text", k, w)
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2).toInt)))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val expect = brute(t.toLowerCase.trim)
+      assert(got.getOrElse(i.toLong, Set.empty) == expect,
+        s"doc $i '$t'")
+      // coverage guarantee on the selected POSITIONS
+      val g = t.length - (k - 1)
+      val ps = expect.map(_._2)
+      (1 to g - (w - 1)).foreach { ws =>
+        assert(ps.exists(p => p >= ws && p < ws + w), s"doc $i window $ws")
+      }
+    }
+  }
+
   // ---- plan shapes -----------------------------------------------------
 
   test("win2 plan: the pair join reads ONE checkpointed fingerprint " +
