@@ -234,11 +234,84 @@ object Curate {
           .as("acc6"))
   }
 
+  // ---- mix4: UniMax epoch-capped waterfilling --------------------------
+
+  /** mix4: UniMax budget allocation (the epoch-capped waterfilling
+    * recipe for multilingual corpora): given a total token budget
+    * B = total div 3 and a repeat ceiling of E = 2 epochs, each
+    * language contributes at most cap = E·tokens; the budget
+    * waterfills — languages whose cap sits below the uniform share of
+    * the remaining budget are capped at it, the rest split what is
+    * left evenly. The point vs mix1/mix3's temperature flattening:
+    * no language is ever upsampled past E epochs, so low-resource
+    * languages cannot be memorization-repeated to meet a weight.
+    *
+    * Everything is INTEGER arithmetic (thresholds by integer
+    * division), so the fixed point is exact in both engines; the
+    * oracle unrolls the ≤|langs| waterfilling rounds as CTEs (the
+    * IRLS/kc unroll pattern) and the Spark side runs the identical
+    * loop on the collected language table — a BOUNDED collect
+    * (language catalog), the kc1 "driver holds only k rows" shape;
+    * the one row-scaling job is the token-count aggregate.
+    */
+  def mix4Unimax(s: SparkSession, d: String, epochs: Int = 1,
+      budgetNum: Int = 4, budgetDen: Int = 5, rounds: Int = 6): DataFrame = {
+    import s.implicits._
+    val la = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .as("tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // B = 4/5 of the corpus at E = 1: on this corpus's 40/15/15/15/15
+    // language split the minority languages cap at their single epoch
+    // and the majority takes the waterline — both waterfilling
+    // branches exercised (a binding flip on a future vintage changes
+    // VALUES identically in both engines, never the gate)
+    val budget = la.map(_._2).sum * budgetNum / budgetDen
+    val cap = la.map { case (l, t) => l -> epochs * t }.toMap
+    var capped = Set.empty[String]
+    for (_ <- 1 to rounds) {
+      val remaining = budget - capped.toSeq.map(cap).sum
+      val nu = la.length - capped.size
+      if (nu > 0) {
+        val t = remaining / nu
+        capped = capped ++ la.iterator.map(_._1)
+          .filterNot(capped).filter(l => cap(l) <= t)
+      }
+    }
+    val remaining = budget - capped.toSeq.map(cap).sum
+    val nu = la.length - capped.size
+    val share = if (nu == 0) 0L else remaining / nu
+    la.toSeq.map { case (l, t) =>
+      val isCapped = capped(l)
+      (l, t, cap(l), isCapped, if (isCapped) cap(l) else share)
+    }.toDF("lang", "tokens", "cap", "is_capped", "allocated")
+      .select(col("lang"), col("tokens"), col("cap"), col("is_capped"),
+        col("allocated"),
+        round(col("allocated").cast("double") /
+          col("tokens").cast("double"), 6)
+          .cast("decimal(18,6)").cast("double").as("epochs6"))
+  }
+
+  /** One waterfilling round of the mix4 SQL dual: threshold =
+    * remaining integer-div uncapped-count; languages at or below it
+    * join the capped set.
+    */
+  private def unimaxRound(prev: String, i: Int): String =
+    s"""s$i AS (SELECT b.b - COALESCE(sum(cap) FILTER (capped), 0)
+                  AS remaining,
+                count(*) FILTER (NOT capped) AS nu
+         FROM $prev CROSS JOIN b GROUP BY b.b),
+       r$i AS (SELECT lang, tokens, cap,
+                capped OR (nu > 0 AND cap <= remaining // nu) AS capped
+              FROM $prev CROSS JOIN s$i)"""
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snm1_sorted_neighborhood" -> (snm1SortedNeighborhood _),
     "mix1_mixture_weights" -> (mix1MixtureWeights _),
+    "mix4_unimax" -> ((s: SparkSession, d: String) => mix4Unimax(s, d)),
     "lrq1_logistic_quality" -> (lrq1LogisticQuality _))
 
   /** One Newton round of the lrq1 SQL dual: p$prev -> s$i -> p$i,
@@ -278,6 +351,36 @@ object Curate {
          FROM s$i)"""
 
   val oracles: Map[String, String] = Map(
+    "mix4_unimax" ->
+      s"""WITH la AS MATERIALIZED (
+           SELECT lang,
+                  CAST(sum(length(regexp_split_to_array(trim(text), '\\s+')))
+                    AS BIGINT) AS tokens
+           FROM documents GROUP BY lang),
+         b AS (SELECT CAST(sum(tokens) AS BIGINT) * 4 // 5 AS b FROM la),
+         r0 AS (SELECT lang, tokens, 1 * tokens AS cap, FALSE AS capped
+                FROM la),
+         ${unimaxRound("r0", 1)},
+         ${unimaxRound("r1", 2)},
+         ${unimaxRound("r2", 3)},
+         ${unimaxRound("r3", 4)},
+         ${unimaxRound("r4", 5)},
+         ${unimaxRound("r5", 6)},
+         sf AS (SELECT b.b - COALESCE(sum(cap) FILTER (capped), 0)
+                  AS remaining,
+                count(*) FILTER (NOT capped) AS nu
+              FROM r6 CROSS JOIN b GROUP BY b.b)
+         SELECT lang, tokens, CAST(cap AS BIGINT) AS cap,
+                capped AS is_capped,
+                CAST(CASE WHEN capped THEN cap
+                     WHEN nu = 0 THEN 0
+                     ELSE remaining // nu END AS BIGINT) AS allocated,
+                CAST(CAST(round(CAST(CASE WHEN capped THEN cap
+                       WHEN nu = 0 THEN 0
+                       ELSE remaining // nu END AS DOUBLE)
+                     / CAST(tokens AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS DOUBLE) AS epochs6
+         FROM r6 CROSS JOIN sf""",
     "snm1_sorted_neighborhood" ->
       """WITH t AS MATERIALIZED (
            SELECT doc_id, lower(trim(text)) AS s,

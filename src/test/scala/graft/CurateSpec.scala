@@ -105,4 +105,29 @@ class CurateSpec extends SparkSpec {
     assert(n > 0 && acc >= 0.0 && acc <= 1.0)
     assert(!r(0).getAs[Double]("b1_6").isNaN)
   }
+
+  test("mix4 UniMax: multi-round waterfilling — a mid-size language " +
+      "binds only after the first round's caps free budget; " +
+      "allocations exhaust the budget up to integer division") {
+    // tokens a=10, b=50, c=100; B = 160*3/4 = 120. Round 1: t=40
+    // binds only a; round 2: t=(120-10)/2=55 binds b; round 3: c
+    // takes the waterline 60. 10+50+60 = 120 exactly.
+    val dir = java.nio.file.Files.createTempDirectory("mix4").toString
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    Seq((1L, words(10), "aa"), (2L, words(50), "bb"), (3L, words(100), "cc"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curate.mix4Unimax(spark, dir, epochs = 1,
+        budgetNum = 3, budgetDen = 4).collect()
+      .map(r => r.getString(0) ->
+        (r.getBoolean(3), r.getLong(4), r.getAs[Double]("epochs6"))).toMap
+    assert(out("aa") == ((true, 10L, 1.0)))
+    assert(out("bb") == ((true, 50L, 1.0)))
+    assert(out("cc")._1 == false && out("cc")._2 == 60L)
+    assert(out.values.map(_._2).sum == 120L)
+    // no language ever exceeds its epoch ceiling
+    assert(out.values.forall(_._3 <= 1.0))
+  }
 }
