@@ -136,6 +136,16 @@ object Clean {
           .cast("decimal(18,6)").cast("double").as("score"))
   }
 
+  /** The chunk array of a word array `t`: fixed `cs`-word windows,
+    * partial tail kept. ONE definition shared by every batch chunker
+    * and the streaming dual — the chunk geometry is part of the
+    * batch==stream parity contract, so it must not fork.
+    */
+  def chunkArray(t: Column, cs: Int = CS): Column =
+    transform(
+      sequence(lit(0), floor((size(t) - 1) / cs).cast("int")),
+      i => array_join(slice(t, i * cs + 1, lit(cs)), " "))
+
   /** Fixed-size word chunks (pos 0-based, partial tail kept): the
     * "paragraph" unit for the dedup/overlap family. Pure projection —
     * the chunking itself never shuffles.
@@ -144,9 +154,7 @@ object Clean {
     docs.select(col("doc_id"), col("source"),
         split(trim(col("text")), "\\s+").as("t"))
       .select(col("doc_id"), col("source"),
-        posexplode(transform(
-          sequence(lit(0), floor((size(col("t")) - 1) / cs).cast("int")),
-          i => array_join(slice(col("t"), i * cs + 1, lit(cs)), " "))))
+        posexplode(chunkArray(col("t"), cs)))
       .withColumnRenamed("col", "chunk")
 
   /** par1: corpus-wide keep-first chunk dedup (MassiveText's
@@ -161,14 +169,22 @@ object Clean {
     * slim the shuffle; the literal text key here keeps the oracle
     * cross-engine exact.
     */
+  /** The argmin owner per distinct chunk — the SINGLE definition of
+    * the keep-first tiebreak (earliest (doc_id, pos)), used by both
+    * [[chunkKeepFirst]] and [[par1ChunkDedupOn]] so the rule cannot
+    * fork between the survivor projection and the per-doc rollup.
+    */
+  private def firstOwner(ch: DataFrame): DataFrame =
+    ch.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+
   /** The keep-first kernel: one surviving (doc_id, pos, chunk)
     * instance per distinct chunk — the earliest in (doc_id, pos)
     * order. Shared by par1 and the streaming dual's batch-parity
     * test ([[graft.streaming.StreamingDedup.streamingChunkDedup]]).
     */
   def chunkKeepFirst(ch: DataFrame): DataFrame =
-    ch.groupBy(col("chunk"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    firstOwner(ch)
       .select(col("first.doc_id").as("doc_id"),
         col("first.pos").as("pos"), col("chunk"))
 
@@ -177,9 +193,7 @@ object Clean {
 
   def par1ChunkDedupOn(docs: DataFrame): DataFrame = {
     val ch = chunkDocs(docs)
-    val keep = ch.groupBy(col("chunk"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    ch.join(keep, Seq("chunk"))
+    ch.join(firstOwner(ch), Seq("chunk"))
       .withColumn("kept", col("first.doc_id") === col("doc_id") &&
         col("first.pos") === col("pos"))
       .groupBy(col("doc_id"))
@@ -227,10 +241,13 @@ object Clean {
     * β comes from exact-decimal OLS on the 6-dp log-log checkpoints
     * (the reg1/srk1 discipline), repeated on every row.
     *
-    * Scale shape: one token scan; the min-per-token aggregate and the
-    * doc-rank join are the only row-scaling shuffles; cumulation and
-    * the fit run on the 10-row bucket table (a broadcast self-join,
-    * no window).
+    * Scale shape: two token scans (per-doc counts and per-token first
+    * documents group on different keys, so they cannot share one
+    * aggregate); the slim per-doc and per-doc-rank frames materialize
+    * once each (they feed two branches apiece — the win2 lesson:
+    * lazy re-references re-run the whole upstream chain); cumulation
+    * and the fit run on the 10-row bucket table (a broadcast
+    * self-join, no window).
     */
   def heaps1VocabGrowth(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -238,11 +255,13 @@ object Clean {
       explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
     val perDoc = toks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nt"))
+      .localCheckpoint(true)
     val ranked = graft.ops.GlobalRank.prefixScan(perDoc,
         Seq(col("doc_id")), Nil, Some("r"))
       .crossJoin(broadcast(perDoc.agg(count(lit(1)).as("nd"))))
       .withColumn("bucket", expr("(r - 1) * 10 div nd"))
       .select(col("doc_id"), col("nt"), col("bucket"))
+      .localCheckpoint(true)
     val firstDoc = toks.groupBy(col("token"))
       .agg(min(col("doc_id")).as("doc_id"))
     val vocabPerBucket = firstDoc.join(ranked.select("doc_id", "bucket"),

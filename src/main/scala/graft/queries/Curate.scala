@@ -238,7 +238,7 @@ object Curate {
 
   /** mix4: UniMax budget allocation (the epoch-capped waterfilling
     * recipe for multilingual corpora): given a total token budget
-    * B = total div 3 and a repeat ceiling of E = 2 epochs, each
+    * B = 4/5 of the corpus and a repeat ceiling of E = 1 epoch, each
     * language contributes at most cap = E·tokens; the budget
     * waterfills — languages whose cap sits below the uniform share of
     * the remaining budget are capped at it, the rest split what is

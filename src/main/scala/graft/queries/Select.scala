@@ -288,9 +288,15 @@ object Select {
       .select(col("doc_id"), col("lang"),
         round(col("nll1") - col("nll2"), 6)
           .cast("decimal(18,6)").cast("double").as("excess6"))
+    // the ranked frame feeds two branches (the language-stats
+    // aggregate and the outer join) and sits on top of the ENTIRE
+    // two-LM scoring pipeline — materialize once or every rho1/pipe4
+    // action retrains both LMs twice (the win2 recompute lesson;
+    // ReuseExchange does not fire across the broadcast/shuffle pair)
     val ranked = GlobalRank.prefixScan(ex,
-      Seq(col("lang"), negate(col("excess6")), col("doc_id")),
-      Nil, Some("r"))
+        Seq(col("lang"), negate(col("excess6")), col("doc_id")),
+        Nil, Some("r"))
+      .localCheckpoint(true)
     val langStats = ranked.groupBy(col("lang"))
       .agg(min(col("r")).as("r0"), count(lit(1)).as("cnt"))
     ranked.join(broadcast(langStats), Seq("lang"))

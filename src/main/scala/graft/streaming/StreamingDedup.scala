@@ -164,10 +164,9 @@ object StreamingDedup {
       .withWatermark("ts", s"$delayMs milliseconds")
       .select(col("ts"), col(idCol),
         split(trim(col(textCol)), "\\s+").as("t"))
+      // the SAME chunk geometry as the batch side — parity contract
       .select(col("ts"), col(idCol),
-        posexplode(transform(
-          sequence(lit(0), floor((size(col("t")) - 1) / cs).cast("int")),
-          i => array_join(slice(col("t"), i * cs + 1, lit(cs)), " "))))
+        posexplode(graft.queries.Clean.chunkArray(col("t"), cs)))
       .withColumnRenamed("col", "chunk")
       .withColumn("chunk_hash", sha2(col("chunk"), 256))
       .dropDuplicatesWithinWatermark("chunk_hash")
