@@ -530,6 +530,46 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Multi-benchmark decontamination: score every corpus document
+    * against S eval sets simultaneously. `evalSets` carries
+    * (setCol, textCol); each set's distinct grams are tagged with the
+    * set id and the union of tagged gram tables rides a single
+    * broadcast, so the whole eval SUITE costs two corpus gram passes
+    * (per-(doc, set) hits + per-doc totals) — vs S full passes for S
+    * separate [[contaminationScores]] runs. The broadcast grows with
+    * the eval suite (KB-to-MB scale); past the broadcast cap the
+    * bloom prefilter composes the same way. A gram shared by several
+    * sets counts toward each (the inner join fans out per matching
+    * set). Output: one row per (doc, set) WITH at least one hit —
+    * sparse by design; a doc absent for a set has contamination 0
+    * there.
+    */
+  def multiSetContaminationScores(
+      corpus: DataFrame,
+      evalSets: DataFrame,
+      idCol: String,
+      setCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    val evalGrams = evalSets
+      .select(col(setCol).as("__set"),
+        explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
+      .distinct()
+    val grams = corpus
+      .select(col(idCol),
+        explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
+    val totals = grams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    grams
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col(idCol), col("__set").as("eval_set"))
+      .agg(count(lit(1)).as("n_hits"))
+      .join(totals, Seq(idCol))
+      .select(col(idCol), col("eval_set"), col("n_grams"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams"))
+          .as("contamination"))
+  }
+
   /** Auto-dispatching decontamination: [[contaminationScores]] when
     * the eval side is safely broadcast-able, [[contaminationScoresBloom]]
     * when it is not — same result either way (the bloom path is

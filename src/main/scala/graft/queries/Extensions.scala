@@ -185,6 +185,27 @@ object Extensions {
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id",
       "embedding", threshold = 0.4, bits = 4, tables = 24)
 
+  /** dd18: single-suite decontamination against THREE eval sets at
+    * once ([[Dedup.multiSetContaminationScores]]): the three pmod
+    * slices stand in for three benchmarks; the whole suite costs two
+    * corpus gram passes instead of one full pass per benchmark —
+    * the shape a 100 TB pipeline actually runs (decontaminate against
+    * every eval set you ship, in one job). Sparse output: one row
+    * per (doc, set) with hits.
+    */
+  def dd18MultisetContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val evalSets = Seq(89, 97, 101).map { m =>
+      docs.filter(pmod(col("doc_id"), lit(m)) === 0)
+        .select(lit(s"mod$m").as("eval_set"), col("text"))
+    }.reduce(_.unionAll(_))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(89)) =!= 0 &&
+      pmod(col("doc_id"), lit(97)) =!= 0 &&
+      pmod(col("doc_id"), lit(101)) =!= 0)
+    Dedup.multiSetContaminationScores(corpus, evalSets,
+      "doc_id", "eval_set", "text", k = 3)
+  }
+
   /** Driver-visible containment check for the seeded-sketch dd4
     * family: dd4's verify phase is EXACT n-gram Jaccard, so every
     * emitted pair must lie inside the exact all-pairs truth set
@@ -1443,6 +1464,7 @@ object Extensions {
     "dd4_ngram_pairs" -> (dd4NgramPairs _),
     "dd5_embedding_neardup" -> (dd5EmbeddingNearDup _),
     "dd16_ngram_containment" -> (dd16NgramContainment _),
+    "dd18_multiset_contamination" -> (dd18MultisetContamination _),
     "dd17_embedding_containment" -> (dd17EmbeddingContainment _),
     "ann1_bruteforce" -> (ann1BruteForce _),
     "ann2_lsh" -> (ann2Lsh _),
@@ -1792,6 +1814,32 @@ object Extensions {
          FROM ch""",
     // word k-grams are plain strings in both engines — exact dual
     "dd8_contamination" -> contaminationOracle,
+    "dd18_multiset_contamination" ->
+      """WITH tok AS (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+               FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(
+                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 ELSE [array_to_string(ts, ' ')] END AS shs
+               FROM tok),
+         g AS (SELECT DISTINCT doc_id, unnest(shs) AS gram FROM sh),
+         eg AS (SELECT DISTINCT m.eval_set, g.gram
+                FROM g JOIN (VALUES (89, 'mod89'), (97, 'mod97'),
+                             (101, 'mod101')) AS m(modk, eval_set)
+                  ON g.doc_id % m.modk = 0),
+         corp AS (SELECT doc_id, gram FROM g
+                  WHERE doc_id % 89 <> 0 AND doc_id % 97 <> 0
+                    AND doc_id % 101 <> 0),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM corp
+                 GROUP BY doc_id),
+         hit AS (SELECT c.doc_id, e.eval_set, count(*) AS n_hits
+                 FROM corp c JOIN eg e ON c.gram = e.gram
+                 GROUP BY 1, 2)
+         SELECT h.doc_id, h.eval_set, t.n_grams, h.n_hits,
+                CAST(h.n_hits AS DOUBLE) / t.n_grams AS contamination
+         FROM hit h JOIN tot t ON h.doc_id = t.doc_id""",
     // dd9 is row-identical to dd8 by construction (no-false-negative
     // bloom + exact semi-join verify), so it shares the same dual
     "dd9_contamination_bloom" -> contaminationOracle,

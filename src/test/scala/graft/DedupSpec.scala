@@ -634,4 +634,33 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("multi-set contamination equals the per-set single runs " +
+      "(hits-filtered), one suite broadcast instead of S scans") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(89)) =!= 0 &&
+      pmod(col("doc_id"), lit(97)) =!= 0 &&
+      pmod(col("doc_id"), lit(101)) =!= 0)
+    val evalSets = Seq(89, 97, 101).map { m =>
+      docs.filter(pmod(col("doc_id"), lit(m)) === 0)
+        .select(lit(s"mod$m").as("eval_set"), col("text"))
+    }.reduce(_.unionAll(_))
+    val multi = Dedup.multiSetContaminationScores(corpus, evalSets,
+        "doc_id", "eval_set", "text", k = 3).collect()
+      .map(r => ((r.getString(1), r.getLong(0)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    Seq(89, 97, 101).foreach { m =>
+      val single = Dedup.contaminationScores(corpus,
+          docs.filter(pmod(col("doc_id"), lit(m)) === 0),
+          "doc_id", "text", k = 3)
+        .filter(col("n_hits") > 0).collect()
+        .map(r => ((s"mod$m", r.getLong(0)),
+          (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      val mine = multi.filter(_._1._1 == s"mod$m")
+      assert(mine == single, s"set mod$m diverges")
+      assert(single.nonEmpty, s"set mod$m must have hits on this corpus")
+    }
+  }
 }
