@@ -109,7 +109,9 @@ object Plans {
       "par1_chunk_dedup" ->
         "keep-first chunk dedup: partial-aggregable struct-min argmin, two linear shuffles",
       "rho1_excess_loss" ->
-        "excess-loss selection: two LM aggregates joined per doc, prefix-rank per language")
+        "excess-loss selection: two LM aggregates joined per doc, prefix-rank per language",
+      "dd18_multiset_contamination" ->
+        "multi-benchmark decontamination: one set-tagged gram broadcast, two corpus gram passes for the whole suite")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")
