@@ -18,10 +18,13 @@ object ProbeLite {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = spark.read.parquet(args(0))
-    // warm
+    // warm on the PROBED frame itself (a bounded slice through the
+    // same dd7 pipeline): compiles the same codegen, touches the same
+    // parquet footers, and works on any host — a hardcoded testdata
+    // path crashed elsewhere and left first-touch costs on the first
+    // timed leg because it warmed a different dataset
     graft.dedup.Dedup.exactJaccardPairs(
-      Tables.documents(spark, "/root/testdata/sf0.01"),
-      "doc_id", "text", threshold = 0.8).count()
+      df.limit(500), "doc_id", "text", threshold = 0.8).count()
     val (t7, p7) = ScaleProbe.timeSec(graft.dedup.Dedup
       .exactJaccardPairs(df, "doc_id", "text", threshold = 0.8).count())
     val (t6, c6) = ScaleProbe.timeSec {

@@ -74,6 +74,16 @@ object WinnowExpressions {
     val s = us.toString
     val g = s.length - k + 1
     if (g < w) return new GenericArrayData(Array.empty[Any])
+    // the position suffix encodes (100000000 - p) as 8 zero-padded
+    // digits so lexicographic key order breaks digest ties by LATEST
+    // position and Clean.winnowFingerprints can decode the position
+    // with substring(key,33,8). Past 1e8-1 grams the suffix goes
+    // negative/9-wide and both properties silently corrupt — fail
+    // loudly at the documented limit instead
+    if (g >= 100000000)
+      throw new IllegalArgumentException(
+        s"winnow_keys supports documents up to 1e8 grams; got $g " +
+          s"(doc length ${s.length}, k=$k)")
     val md = MessageDigest.getInstance("MD5")
     // 1-based keys; built once, O(G) digests
     val keys = new Array[String](g + 1)

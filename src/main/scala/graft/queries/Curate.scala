@@ -254,10 +254,60 @@ object Curate {
     * (language catalog), the kc1 "driver holds only k rows" shape;
     * the one row-scaling job is the token-count aggregate.
     */
+  /** The pure waterfilling kernel, factored out of [[mix4Unimax]] for
+    * direct testability: iterates to the FIXED POINT, not a fixed
+    * round count — each productive round caps >= 1 language, so
+    * convergence takes at most |langs| rounds. A fixed rounds=6 loop
+    * silently left should-be-capped languages uncapped on catalogs
+    * needing more binding rounds (a 10-round cascade exists with 11
+    * languages — CurateSpec), violating the no-upsampling invariant
+    * in a way the identically-unrolled oracle could not detect.
+    * Returns (lang, tokens, cap, is_capped, allocated) rows in
+    * catalog order.
+    */
+  private[graft] def unimaxAlloc(la: Seq[(String, Long)], epochs: Int,
+      budgetNum: Int, budgetDen: Int): Seq[(String, Long, Long, Boolean, Long)] = {
+    val budget = la.map(_._2).sum * budgetNum / budgetDen
+    val cap = la.map { case (l, t) => l -> epochs * t }.toMap
+    var capped = Set.empty[String]
+    var converged = false
+    var iter = 0
+    while (!converged && iter <= la.length) {
+      val remaining = budget - capped.toSeq.map(cap).sum
+      val nu = la.length - capped.size
+      val next =
+        if (nu > 0) {
+          val t = remaining / nu
+          capped ++ la.iterator.map(_._1)
+            .filterNot(capped).filter(l => cap(l) <= t)
+        } else capped
+      converged = next == capped
+      capped = next
+      iter += 1
+    }
+    // convergence is guaranteed within |langs|+1 rounds; assert it so
+    // a logic change that breaks the bound fails loudly, never silently
+    assert(converged,
+      s"unimax waterfilling did not converge in $iter rounds " +
+        s"(${la.length} languages)")
+    val remaining = budget - capped.toSeq.map(cap).sum
+    val nu = la.length - capped.size
+    val share = if (nu == 0) 0L else remaining / nu
+    la.map { case (l, t) =>
+      val isCapped = capped(l)
+      (l, t, cap(l), isCapped, if (isCapped) cap(l) else share)
+    }
+  }
+
   def mix4Unimax(s: SparkSession, d: String, epochs: Int = 1,
-      budgetNum: Int = 4, budgetDen: Int = 5, rounds: Int = 6): DataFrame = {
+      budgetNum: Int = 4, budgetDen: Int = 5): DataFrame =
+    mix4UnimaxOn(Tables.documents(s, d), epochs, budgetNum, budgetDen)
+
+  private[graft] def mix4UnimaxOn(docs: DataFrame, epochs: Int = 1,
+      budgetNum: Int = 4, budgetDen: Int = 5): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val la = Tables.documents(s, d)
+    val la = docs
       .groupBy(col("lang"))
       .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
         .as("tokens"))
@@ -267,31 +317,23 @@ object Curate {
     // and the majority takes the waterline — both waterfilling
     // branches exercised (a binding flip on a future vintage changes
     // VALUES identically in both engines, never the gate)
-    val budget = la.map(_._2).sum * budgetNum / budgetDen
-    val cap = la.map { case (l, t) => l -> epochs * t }.toMap
-    var capped = Set.empty[String]
-    for (_ <- 1 to rounds) {
-      val remaining = budget - capped.toSeq.map(cap).sum
-      val nu = la.length - capped.size
-      if (nu > 0) {
-        val t = remaining / nu
-        capped = capped ++ la.iterator.map(_._1)
-          .filterNot(capped).filter(l => cap(l) <= t)
-      }
-    }
-    val remaining = budget - capped.toSeq.map(cap).sum
-    val nu = la.length - capped.size
-    val share = if (nu == 0) 0L else remaining / nu
-    la.toSeq.map { case (l, t) =>
-      val isCapped = capped(l)
-      (l, t, cap(l), isCapped, if (isCapped) cap(l) else share)
-    }.toDF("lang", "tokens", "cap", "is_capped", "allocated")
+    unimaxAlloc(la.toSeq, epochs, budgetNum, budgetDen)
+      .toDF("lang", "tokens", "cap", "is_capped", "allocated")
       .select(col("lang"), col("tokens"), col("cap"), col("is_capped"),
         col("allocated"),
         round(col("allocated").cast("double") /
           col("tokens").cast("double"), 6)
           .cast("decimal(18,6)").cast("double").as("epochs6"))
   }
+
+  /** Oracle unroll depth for the mix4 dual. Rounds past the fixed
+    * point are no-ops (once no language sits at or below the
+    * threshold, the capped set is stable), so the dual is EXACT for
+    * any catalog of <= this many languages; the Scala side iterates
+    * to the true fixed point regardless. Testdata carries 5
+    * languages; 12 leaves headroom without measurable oracle cost.
+    */
+  private val UnimaxOracleRounds = 12
 
   /** One waterfilling round of the mix4 SQL dual: threshold =
     * remaining integer-div uncapped-count; languages at or below it
@@ -360,16 +402,12 @@ object Curate {
          b AS (SELECT CAST(sum(tokens) AS BIGINT) * 4 // 5 AS b FROM la),
          r0 AS (SELECT lang, tokens, 1 * tokens AS cap, FALSE AS capped
                 FROM la),
-         ${unimaxRound("r0", 1)},
-         ${unimaxRound("r1", 2)},
-         ${unimaxRound("r2", 3)},
-         ${unimaxRound("r3", 4)},
-         ${unimaxRound("r4", 5)},
-         ${unimaxRound("r5", 6)},
+         ${(1 to UnimaxOracleRounds)
+             .map(i => unimaxRound(s"r${i - 1}", i)).mkString(",\n         ")},
          sf AS (SELECT b.b - COALESCE(sum(cap) FILTER (capped), 0)
                   AS remaining,
                 count(*) FILTER (NOT capped) AS nu
-              FROM r6 CROSS JOIN b GROUP BY b.b)
+              FROM r$UnimaxOracleRounds CROSS JOIN b GROUP BY b.b)
          SELECT lang, tokens, CAST(cap AS BIGINT) AS cap,
                 capped AS is_capped,
                 CAST(CASE WHEN capped THEN cap
@@ -380,7 +418,7 @@ object Curate {
                        ELSE remaining // nu END AS DOUBLE)
                      / CAST(tokens AS DOUBLE), 6)
                   AS DECIMAL(18,6)) AS DOUBLE) AS epochs6
-         FROM r6 CROSS JOIN sf""",
+         FROM r$UnimaxOracleRounds CROSS JOIN sf""",
     "snm1_sorted_neighborhood" ->
       """WITH t AS MATERIALIZED (
            SELECT doc_id, lower(trim(text)) AS s,

@@ -42,6 +42,54 @@ class BenchBandsSpec extends AnyFunSuite {
       === None)
   }
 
+  test("retry rule: a contention flag is withdrawn when the hot " +
+      "retry lands back inside band; a real regression stands") {
+    val bands = Map("dd8_contamination" -> 7.97,
+      BenchBands.CanaryKey -> 0.09)
+    // r09 shape: dd8 measured 45.6 s under ~loadavg-20 contention
+    // (first-pass flag), then the host quiets and the in-run retry
+    // reads 4.3 s with a 0.1 canary — flag withdrawn
+    assert(!BenchBands.standsAfterRetry(bands, "dd8_contamination",
+      retrySec = 4.3, retryCanary = 0.1, runRef = 0.09))
+    // a planted real regression: the retry ALSO reads ~45 s on a
+    // quiet host (canary 0.1 -> scale ~1.1) — flag stands
+    assert(BenchBands.standsAfterRetry(bands, "dd8_contamination",
+      retrySec = 45.0, retryCanary = 0.1, runRef = 0.09))
+    // a retry under continued contention: canary 0.7 scales the
+    // ceiling ~7.8x to ~62 s, so a 45 s retry is STILL adjudicated
+    // load, not code — conservative by design; a standing flag
+    // requires the retry to exceed even the contention-scaled ceiling
+    assert(!BenchBands.standsAfterRetry(bands, "dd8_contamination",
+      retrySec = 45.0, retryCanary = 0.702, runRef = 0.09))
+    // unbanded queries never stand
+    assert(!BenchBands.standsAfterRetry(bands, "unbanded",
+      retrySec = 99.0, retryCanary = 0.1, runRef = 0.09))
+  }
+
+  test("vintage: parse round-trips the stamp; hash is stable and " +
+      "moves with file bytes") {
+    assert(BenchBands.parseVintage(
+      """{"a":[0,1],"__vintage":"ab12cd34ef56"}""")
+      === Some("ab12cd34ef56"))
+    assert(BenchBands.parseVintage("""{"a":[0,1]}""") === None)
+    val dir = java.nio.file.Files.createTempDirectory("vintage").toFile
+    try {
+      val f = new java.io.File(dir, "documents.parquet")
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+      val v1 = BenchBands.vintageHash(dir.getPath)
+      assert(v1.exists(_.length == 12))
+      assert(BenchBands.vintageHash(dir.getPath) === v1)
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3, 4))
+      assert(BenchBands.vintageHash(dir.getPath) !== v1)
+      // non-parquet entries are ignored; empty dirs have no vintage
+      val empty = java.nio.file.Files.createTempDirectory("v2").toFile
+      assert(BenchBands.vintageHash(empty.getPath) === None)
+      empty.delete()
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("r08 shape: a 4x mid-run excursion with a quiet run ref no " +
       "longer flags a query whose segment canary spiked with it") {
     // pca2's r08 reading: 17.52 s vs quiet 4.4-4.7; ceiling 8.87.

@@ -130,4 +130,38 @@ class CurateSpec extends SparkSpec {
     // no language ever exceeds its epoch ceiling
     assert(out.values.forall(_._3 <= 1.0))
   }
+
+  test("mix4 kernel converges to the true fixed point on a cascade " +
+      "catalog needing 10 binding rounds (the old rounds=6 loop left " +
+      "four languages over-allocated)") {
+    // constructed so exactly one language binds per round: each cap
+    // sits just above the previous round's threshold and below the
+    // budget the previous cap frees; the 10M filler never caps
+    val toks = Seq(1580987L, 2634980L, 2740379L, 2752090L, 2753554L,
+      2753763L, 2753798L, 2753804L, 2753805L, 2753806L, 10000000L)
+    val la = toks.zipWithIndex.map { case (t, i) => (f"l$i%02d", t) }
+    val rows = Curate.unimaxAlloc(la, epochs = 1,
+      budgetNum = 4, budgetDen = 5)
+    // the no-upsampling invariant: NO language is ever allocated past
+    // its epoch cap — the exact invariant a truncated loop violated
+    // (langs l06-l09 got the uncapped share 2813803 > their ~2753800
+    // caps when only 6 rounds ran)
+    rows.foreach { case (l, _, cap, _, alloc) =>
+      assert(alloc <= cap, s"$l allocated $alloc over cap $cap")
+    }
+    // it IS a fixed point: every uncapped language's cap strictly
+    // exceeds the final uniform share (else it should have capped)
+    val budget = toks.sum * 4 / 5
+    val cappedSum = rows.collect { case (_, _, c, true, _) => c }.sum
+    val nu = rows.count(!_._4)
+    val share = budget - cappedSum
+    rows.filter(!_._4).foreach { case (l, _, cap, _, _) =>
+      assert(cap > share / nu, s"$l uncapped but cap $cap <= share")
+    }
+    // all ten cascade languages cap; only the filler stays uncapped
+    assert(rows.count(_._4) == 10 && !rows.last._4)
+    // budget is exhausted up to integer division
+    val alloc = rows.map(_._5).sum
+    assert(alloc <= budget && budget - alloc < nu)
+  }
 }

@@ -10,8 +10,33 @@ via prose-table cross-reference.
 
 Usage: python3 tools/make_bands.py [quiet_bench.json] > tools/bench_bands.json
 """
+import hashlib
 import json
+import os
 import sys
+
+
+def vintage_hash(sf_dir: str):
+    """Testdata vintage hash — MUST stay in lockstep with the Scala
+    twin BenchBands.vintageHash: sha256 over sorted `name:bytes` lines
+    of the dir's *.parquet entries (recursive byte count), first 12
+    hex chars. Bench.scala compares the recorded value against the
+    live sf dir and marks vintage_stale runs (r08/r13 both burned
+    adjudication time on vintage-shift false flags)."""
+    def nbytes(p):
+        if os.path.isdir(p):
+            return sum(nbytes(os.path.join(p, f)) for f in os.listdir(p))
+        return os.path.getsize(p)
+    try:
+        entries = sorted(f for f in os.listdir(sf_dir)
+                         if f.endswith(".parquet"))
+        if not entries:
+            return None
+        payload = "\n".join(
+            f"{f}:{nbytes(os.path.join(sf_dir, f))}" for f in entries)
+        return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:12]
+    except OSError:
+        return None
 
 # multi-run prose bands from BASELINE.md (ceilings; seconds at sf0.1).
 # NOTE the testdata-vintage caveat: the driver REGENERATES the parquet
@@ -56,6 +81,11 @@ def main(path: str) -> None:
     # adjudicated variance/vintage)
     if full.get("canary_ref"):
         bands["__canary_ref"] = [0.0, full["canary_ref"]]
+    # vintage stamp: hash the sf dir the quiet run measured, so a
+    # later bench on regenerated testdata self-identifies as stale
+    v = vintage_hash(full.get("sf", "")) if full.get("sf") else None
+    if v:
+        bands["__vintage"] = v
     json.dump(bands, sys.stdout, indent=0, sort_keys=True)
     sys.stdout.write("\n")
 
