@@ -349,10 +349,24 @@ object Dedup {
       candidateThreshold: Double = 0.2): DataFrame = {
     val cands = minhashPairs(df, idCol, textCol,
       threshold = candidateThreshold)
-    // each doc's distinct-shingle set as a SORTED 64-BIT HASH array
-    // (fused native build, one loop) so the exact verify is the
-    // two-pointer merge scan — same kernel as [[exactJaccardPairs]];
-    // the string-array intersect re-hashed ~|set| strings per pair
+    exactJaccardScores(df, idCol, textCol, cands, n)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact char-n-gram-set Jaccard for an explicit (id_a, id_b)
+    * candidate frame — the shared verify kernel of the two-phase
+    * families (dd4's MinHash candidates, dd19's SimHash audit): each
+    * doc's distinct-shingle set as a SORTED 64-BIT HASH array (fused
+    * native build, one loop) so the per-pair score is the two-pointer
+    * merge scan — same kernel as [[exactJaccardPairs]]; the
+    * string-array intersect re-hashed ~|set| strings per pair.
+    */
+  def exactJaccardScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      n: Int = 3): DataFrame = {
     val sets = df.select(col(idCol),
       sort_array(transform(graft.functions.HashFunctions.char_ngram_set(
         lower(trim(col(textCol))), n), g0 => xxhash64(g0))).as("__sh"))
@@ -361,11 +375,10 @@ object Dedup {
         .sorted_intersect_count(col("__sh_a"), col("__sh_b")).cast("double")
       inter / (size(col("__sh_a")) + size(col("__sh_b")) - inter)
     }
-    cands
+    pairs.select(col("id_a"), col("id_b"))
       .join(sets.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), setJaccard.as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** EXACT Jaccard similarity self-join via prefix filtering (the

@@ -136,6 +136,50 @@ object Clean {
           .cast("decimal(18,6)").cast("double").as("score"))
   }
 
+  /** dd20: the TWO-TIER exact near-dup join — winnowing-fingerprint
+    * candidate generation (df-capped, the win2 machinery) in front of
+    * the exact trigram-Jaccard verify ([[graft.dedup.Dedup
+    * .exactJaccardScores]]'s merge-scan kernel). This is dd7's scale
+    * tier: the prefix-filter join's candidate volume grows
+    * super-linearly on template-dense corpora (measured 1.21 on the
+    * sf0.1→sf1rep decade), while winnow candidates are bounded —
+    * each surviving hash contributes <= C(dfCap, 2) pairs, so
+    * candidate volume is linear in the corpus by construction and
+    * the exact verify touches candidates only.
+    *
+    * Semantics: pairs sharing >= 1 boilerplate-capped winnow
+    * fingerprint AND exact char-trigram Jaccard >= threshold. The
+    * fingerprint gate is part of the operator's contract (shared-
+    * substring evidence of length >= w+k-1 = 11 chars; docs shorter
+    * than k+w-1 grams select nothing and never pair) — deterministic
+    * md5 winnowing, so the WHOLE two-tier pipeline is two-engine
+    * checkable, unlike the seeded sketch tiers. Hot-template pairs
+    * whose every fingerprint exceeds dfCap are silenced BY DESIGN
+    * (MOSS's rule; the df cap is the skew cap) — a curator who wants
+    * those exact pairs runs dd7 on the residue.
+    */
+  def tieredNearDupPairsOn(docs: DataFrame, threshold: Double = 0.8,
+      dfCap: Int = 16): DataFrame = {
+    val fp = winnowFingerprints(docs, "doc_id", "text")
+    // capped distinct (doc, hash) selections, materialized ONCE (the
+    // win2 lesson: the self-join would recompute the winnow chain per
+    // side); at warehouse scale this boundary is the parquet seam
+    val dh = fp.select(col("doc_id"), col("h")).distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= dfCap)
+      .select(col("doc_id"), col("h"))
+      .localCheckpoint(true)
+    val cands = dh.as("a").join(dh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    graft.dedup.Dedup.exactJaccardScores(docs, "doc_id", "text", cands)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def dd20TieredNearDup(s: SparkSession, d: String): DataFrame =
+    tieredNearDupPairsOn(Tables.documents(s, d))
+
   /** The chunk array of a word array `t`: fixed `cs`-word windows,
     * partial tail kept. ONE definition shared by every batch chunker
     * and the streaming dual — the chunk geometry is part of the
@@ -249,8 +293,10 @@ object Clean {
     * and the fit run on the 10-row bucket table (a broadcast
     * self-join, no window).
     */
-  def heaps1VocabGrowth(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def heaps1VocabGrowth(s: SparkSession, d: String): DataFrame =
+    heaps1VocabGrowthOn(Tables.documents(s, d))
+
+  private[graft] def heaps1VocabGrowthOn(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
     val perDoc = toks.groupBy(col("doc_id"))
@@ -343,9 +389,57 @@ object Clean {
     "ovl1_source_overlap" -> (ovl1SourceOverlap _),
     "pipe4_clean_select" -> ((s: SparkSession, d: String) =>
       pipe4CleanSelect(s, d)),
-    "heaps1_vocab_growth" -> (heaps1VocabGrowth _))
+    "heaps1_vocab_growth" -> (heaps1VocabGrowth _),
+    "dd20_tiered_neardup" -> (dd20TieredNearDup _))
 
   val oracles: Map[String, String] = Map(
+    // the two-tier join replayed end-to-end: win2's md5-winnow
+    // candidate CTEs (df-capped, minShared=1) feeding dd7's exact
+    // trigram-Jaccard verify — both engines divide the same exact
+    // ints, so the doubles are bit-identical
+    "dd20_tiered_neardup" ->
+      """WITH s AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+         b AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g
+               FROM s WHERE length(s) - 7 >= 4),
+         k AS (SELECT doc_id, g,
+                 list_transform(range(1, g + 1),
+                   p -> md5(substr(s, CAST(p AS INT), 8)) ||
+                        lpad(CAST(100000000 - p AS VARCHAR), 8, '0')) AS keys
+               FROM b),
+         sel AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, g - 2),
+                     ws -> list_min(keys[ws:ws+3]))) AS sel
+                 FROM k),
+         dh AS MATERIALIZED (
+           SELECT DISTINCT doc_id, substr(key, 1, 32) AS h
+           FROM (SELECT doc_id, unnest(sel) AS key FROM sel)),
+         f AS (SELECT h, count(*) AS df FROM dh GROUP BY h),
+         kept AS MATERIALIZED (
+           SELECT dh.doc_id, dh.h FROM dh JOIN f USING (h)
+           WHERE f.df <= 16),
+         cands AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM kept a JOIN kept b
+             ON a.h = b.h AND a.doc_id < b.doc_id),
+         t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+         gr AS MATERIALIZED (
+           SELECT DISTINCT doc_id, unnest(
+             CASE WHEN length(s) >= 3
+                  THEN list_transform(range(1, length(s) - 1),
+                                      i -> substr(s, CAST(i AS INT), 3))
+                  ELSE [s] END) AS gram
+           FROM t),
+         gs AS (SELECT doc_id, count(*) AS sz FROM gr GROUP BY doc_id),
+         ix AS (SELECT c.id_a, c.id_b, count(*) AS o
+                FROM cands c
+                JOIN gr a ON a.doc_id = c.id_a
+                JOIN gr b ON b.doc_id = c.id_b AND b.gram = a.gram
+                GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) AS jaccard
+         FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                 JOIN gs sb ON sb.doc_id = ix.id_b
+         WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8""",
     "win1_winnowing" ->
       """WITH s AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
          b AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g

@@ -193,8 +193,11 @@ object Extensions {
     * every eval set you ship, in one job). Sparse output: one row
     * per (doc, set) with hits.
     */
-  def dd18MultisetContamination(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def dd18MultisetContamination(s: SparkSession, d: String): DataFrame =
+    dd18MultisetContaminationOn(Tables.documents(s, d))
+
+  private[graft] def dd18MultisetContaminationOn(docs: DataFrame)
+      : DataFrame = {
     val evalSets = Seq(89, 97, 101).map { m =>
       docs.filter(pmod(col("doc_id"), lit(m)) === 0)
         .select(lit(s"mod$m").as("eval_set"), col("text"))
@@ -204,6 +207,21 @@ object Extensions {
       pmod(col("doc_id"), lit(101)) =!= 0)
     Dedup.multiSetContaminationScores(corpus, evalSets,
       "doc_id", "eval_set", "text", k = 3)
+  }
+
+  /** The S-separate-jobs baseline dd18 replaces: one
+    * [[Dedup.contaminationScores]] run per eval slice — used by the
+    * scale probe to put a wall number on the two-pass claim.
+    */
+  private[graft] def dd18SeparateRunsOn(docs: DataFrame): Seq[DataFrame] = {
+    val corpus = docs.filter(pmod(col("doc_id"), lit(89)) =!= 0 &&
+      pmod(col("doc_id"), lit(97)) =!= 0 &&
+      pmod(col("doc_id"), lit(101)) =!= 0)
+    Seq(89, 97, 101).map { m =>
+      Dedup.contaminationScores(corpus,
+        docs.filter(pmod(col("doc_id"), lit(m)) === 0),
+        "doc_id", "text", k = 3)
+    }
   }
 
   /** Driver-visible containment check for the seeded-sketch dd4
@@ -226,8 +244,7 @@ object Extensions {
     val docs = Tables.documents(s, d)
     val emitted = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       threshold = 0.8, candidateThreshold = 0.2)
-    val truth = Dedup.exactJaccardPairs(docs, "doc_id", "text",
-      threshold = 0.8)
+    val truth = TruthSets.exactJaccardPairs(s, d, threshold = 0.8)
     val violations = emitted.select(col("id_a"), col("id_b"))
       .join(truth.select(col("id_a"), col("id_b")),
         Seq("id_a", "id_b"), "left_anti")
@@ -260,6 +277,34 @@ object Extensions {
         round(Similarity.cosine(col("va"), col("vb")), 6).as("cos6"))
       .filter(col("cos6") >= 0.4)
     val violations = emitted.select(col("id_a"), col("id_b"))
+      .join(truth.select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_anti")
+    violations.agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("n_violations"), col("n_truth"))
+  }
+
+  /** dd3's twin of [[dd16NgramContainment]], closing the last
+    * sketch family without a driver-visible audit: every
+    * SimHash-emitted pair whose EXACT trigram Jaccard clears the dd7
+    * operating point (0.8) must lie inside the exact all-pairs truth
+    * set — the prefix-filter kernel guarantees recall, so a non-zero
+    * violation count means one of the two exact kernels (merge-scan
+    * scorer or prefix join) is broken. The Jaccard re-score uses the
+    * SAME sorted-hash merge-scan kernel dd4's verify runs
+    * ([[Dedup.exactJaccardScores]]); truth comes from the shared
+    * [[TruthSets]] materialization. n_truth is the cross-engine leg
+    * (DuckDB brute-forces the identical count); the seeded
+    * Hamming-recall number stays in DedupSpec (no second engine can
+    * replay xxhash64 simhash bits).
+    */
+  def dd19SimhashContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val emitted = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val strong = Dedup.exactJaccardScores(docs, "doc_id", "text", emitted)
+      .filter(col("jaccard") >= 0.8)
+    val truth = TruthSets.exactJaccardPairs(s, d, threshold = 0.8)
+    val violations = strong.select(col("id_a"), col("id_b"))
       .join(truth.select(col("id_a"), col("id_b")),
         Seq("id_a", "id_b"), "left_anti")
     violations.agg(count(lit(1)).as("n_violations"))
@@ -421,9 +466,12 @@ object Extensions {
     * centroids ([[Quantize.globalInt8]]).
     */
   private[queries] def quantizedWithInit(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Seq[(Int, Seq[Int])]) =
+    quantizedWithInitOn(Tables.embeddings(s, d), k)
+
+  private[graft] def quantizedWithInitOn(emb: DataFrame, k: Int)
       : (DataFrame, Seq[(Int, Seq[Int])]) = {
-    val (q, _) = Quantize.globalInt8(Tables.embeddings(s, d),
-      "vec_id", "embedding")
+    val (q, _) = Quantize.globalInt8(emb, "vec_id", "embedding")
     val init = q.filter(col("vec_id") < k)
       .orderBy(col("vec_id"))
       .collect()
@@ -1246,7 +1294,7 @@ object Extensions {
     */
   def dd6ClusterKeep(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8)
+    val pairs = TruthSets.exactJaccardPairs(s, d, threshold = 0.8)
     // component IS the canonical survivor id (min doc id of the
     // cluster, by ConnectedComponents' contract) — surface it as such
     Dedup.nearDupClusters(docs, "doc_id", pairs)
@@ -1374,9 +1422,10 @@ object Extensions {
     */
   def dd7ExactJaccard(s: SparkSession, d: String): DataFrame =
     // jaccard rides through unrounded: both engines divide the same
-    // exact ints, so the IEEE doubles are bit-identical
-    Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      threshold = 0.8)
+    // exact ints, so the IEEE doubles are bit-identical. Served from
+    // the shared [[TruthSets]] materialization (dd6/dd15/dd16/dd19
+    // consume the identical pair set).
+    TruthSets.exactJaccardPairs(s, d, threshold = 0.8)
 
   // ---- SQL surface: injected native functions (SURVEY §2.11) --------
 
@@ -1466,6 +1515,7 @@ object Extensions {
     "dd16_ngram_containment" -> (dd16NgramContainment _),
     "dd18_multiset_contamination" -> (dd18MultisetContamination _),
     "dd17_embedding_containment" -> (dd17EmbeddingContainment _),
+    "dd19_simhash_containment" -> (dd19SimhashContainment _),
     "ann1_bruteforce" -> (ann1BruteForce _),
     "ann2_lsh" -> (ann2Lsh _),
     "ann3_ivf" -> (ann3Ivf _),
@@ -1679,6 +1729,29 @@ object Extensions {
     // ran); n_truth is the cross-engine leg — DuckDB recomputes the
     // exact pair count independently
     "dd16_ngram_containment" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+         g AS (SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN length(s) >= 3
+                      THEN list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, CAST(i AS INT), 3))
+                      ELSE [s] END) AS gram
+               FROM t),
+         gs AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+         ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         truth AS (
+           SELECT id_a, id_b
+           FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                   JOIN gs sb ON sb.doc_id = ix.id_b
+           WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8)
+         SELECT CAST(0 AS BIGINT) AS n_violations,
+                CAST(count(*) AS BIGINT) AS n_truth FROM truth""",
+    // same containment shape for the SimHash family: n_violations is
+    // structurally 0 (emitted pairs re-scored with the exact kernel,
+    // anti-joined against the guaranteed-recall truth set); n_truth is
+    // the independent cross-engine recount
+    "dd19_simhash_containment" ->
       """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
          g AS (SELECT DISTINCT doc_id, unnest(
                  CASE WHEN length(s) >= 3

@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.Dedup
 
 /** Round-12 batch six: robust fitting and rank statistics — Huber
   * IRLS regression (the outlier-resistant upgrade of reg1's OLS),
@@ -132,11 +131,11 @@ object Fit {
   /** dd15: similarity histogram of the exact near-dup pairs at the
     * dd7 operating point — pairs per 0.05-wide Jaccard bucket in
     * [0.8, 1.0]. The threshold-sensitivity report a curator reads
-    * before moving the dedup knob; costs exactly one dd7 run.
+    * before moving the dedup knob; consumes the shared [[TruthSets]]
+    * pair set, so it costs ~nothing after any dd7-family query ran.
     */
   def dd15ThresholdSweep(s: SparkSession, d: String): DataFrame =
-    Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      threshold = 0.8)
+    TruthSets.exactJaccardPairs(s, d, threshold = 0.8)
       .groupBy(floor(col("jaccard") * 20).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("lo", col("bucket").cast("double") / 20)

@@ -205,8 +205,11 @@ object Select {
     * k=8 hot partitions would each be a single task at corpus scale
     * (ccnet1's argument, and the same fix).
     */
-  def clb1ClusterBalanced(s: SparkSession, d: String): DataFrame = {
-    val (q, init) = Extensions.quantizedWithInit(s, d, k = 8)
+  def clb1ClusterBalanced(s: SparkSession, d: String): DataFrame =
+    clb1ClusterBalancedOn(Tables.embeddings(s, d))
+
+  private[graft] def clb1ClusterBalancedOn(emb: DataFrame): DataFrame = {
+    val (q, init) = Extensions.quantizedWithInitOn(emb, k = 8)
     val assigned = graft.similarity.Quantize.assignQ(q, "vec_id", init)
       .select(col("vec_id"), col("cluster"), col("dist2"))
     val sizes = assigned.groupBy(col("cluster"))
@@ -250,13 +253,24 @@ object Select {
     * join), matching the SQL dual's JOIN semantics.
     */
   private[graft] def rhoExcessOn(docs: DataFrame): DataFrame = {
+    // toks feeds BOTH LM branches; pairs feeds three consumers
+    // (pairCnt, w1Cnt, the scoring join). Materialize each once — the
+    // win2 recompute lesson cited below applies here too, and without
+    // these seams every downstream branch re-tokenizes the corpus.
     val toks = docs.select(col("doc_id"), col("lang"),
       split(lower(trim(col("text"))), "\\s+").as("t"))
+      .localCheckpoint(true)
     val tk = toks.select(col("doc_id"), col("lang"),
       explode(col("t")).as("token"))
+    // freq/pairCnt/w1Cnt are distinct-vocab / distinct-bigram count
+    // tables that GROW with corpus size — no explicit broadcast hint;
+    // AQE decides broadcast-vs-shuffle from their measured size at
+    // runtime (small at test SFs, shuffled at 100 TB), the same
+    // regime-dispatch contaminationScoresAuto does by hand. Only the
+    // genuinely bounded frames (1-row totals) keep the hint.
     val freq = tk.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val nTotal = broadcast(tk.agg(count(lit(1)).as("n_total")))
-    val uni = tk.join(broadcast(freq), "token")
+    val uni = tk.join(freq, "token")
       .crossJoin(nTotal)
       .withColumn("__lp",
         round(-log(col("cnt").cast("double") / col("n_total")), 6)
@@ -269,15 +283,15 @@ object Select {
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
+      .localCheckpoint(true)
     val pairCnt = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_pair"))
     val w1Cnt = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
-    val vocab = broadcast(toks
-      .select(explode(col("t")).as("token"))
+    val vocab = broadcast(tk
       .agg(count_distinct(col("token")).as("v")))
     val bi = pairs
-      .join(broadcast(pairCnt), Seq("w1", "w2"))
-      .join(broadcast(w1Cnt), Seq("w1"))
+      .join(pairCnt, Seq("w1", "w2"))
+      .join(w1Cnt, Seq("w1"))
       .crossJoin(vocab)
       .withColumn("__lp",
         round(-log((col("n_pair") + 1).cast("double") /

@@ -90,6 +90,54 @@ class CleanSpec extends SparkSpec {
     assert(pairs((1L, 2L)) > 0.8, s"score ${pairs((1L, 2L))}")
   }
 
+  test("dd20 two-tier near-dup: the planted pair is found with dd7's " +
+      "exact jaccard, the hot template is silenced by the df cap, and " +
+      "every emission lies inside the exact truth set") {
+    val dir = java.nio.file.Files.createTempDirectory("dd20").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docsDF(Seq(
+      (1L, base, "s"), (2L, base + " nu", "s"),
+      (100L, "zq xv wu ts rp on ml kj ih gf ed cb az yx", "s")) ++
+      (3L to 40L).map(i => (i, "common boilerplate template body here", "s")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = Tables.documents(spark, dir)
+    val emitted = Clean.tieredNearDupPairsOn(docs, threshold = 0.8,
+      dfCap = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("jaccard"))).toMap
+    // the 38 identical template docs share EVERY fingerprint at df=38
+    // > 16 — silenced; only the planted pair survives
+    assert(emitted.keySet == Set((1L, 2L)),
+      s"expected only the planted pair, got ${emitted.keySet}")
+    val truth = graft.dedup.Dedup.exactJaccardPairs(
+      docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("jaccard"))).toMap
+    // containment + score identity: dd20 is dd7 restricted to
+    // fingerprint-evidenced pairs, never a different measure
+    emitted.foreach { case (k, j) =>
+      assert(truth.get(k).contains(j), s"pair $k: dd20 $j vs truth ${truth.get(k)}")
+    }
+    // and dd7 DOES see the template blow-up dd20 absorbs: C(38,2) pairs
+    assert(truth.size == 1 + 38 * 37 / 2, s"truth size ${truth.size}")
+  }
+
+  test("dd20 on the sf0.001 corpus: emissions are a subset of dd7's " +
+      "exact pair set with identical scores") {
+    val docs = Tables.documents(spark, sf)
+    val emitted = Clean.tieredNearDupPairsOn(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("jaccard"))).toMap
+    val truth = graft.dedup.Dedup.exactJaccardPairs(
+      docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("jaccard"))).toMap
+    emitted.foreach { case (k, j) =>
+      assert(truth.get(k).contains(j), s"pair $k not in truth or score differs")
+    }
+    assert(emitted.nonEmpty, "corpus fixture should contain near-dups")
+  }
+
   // ---- chunk dedup --------------------------------------------------
 
   test("par1: kept instances are exactly one per distinct chunk, " +

@@ -663,4 +663,21 @@ class DedupSpec extends SparkSpec {
       assert(single.nonEmpty, s"set mod$m must have hits on this corpus")
     }
   }
+
+  test("dd19 simhash containment: zero violations and the exact truth " +
+      "count on the sf0.001 corpus; TruthSets serves one cached frame") {
+    graft.queries.TruthSets.clear()
+    val row = graft.queries.Extensions
+      .dd19SimhashContainment(spark, sf).head()
+    assert(row.getLong(0) === 0L, "sketch emission escaped the truth set")
+    val truth = Dedup.exactJaccardPairs(
+      Tables.documents(spark, sf), "doc_id", "text", threshold = 0.8).count()
+    assert(row.getLong(1) === truth)
+    // the cache: a second consumer gets the SAME frame instance
+    val a = graft.queries.TruthSets.exactJaccardPairs(spark, sf)
+    val b = graft.queries.TruthSets.exactJaccardPairs(spark, sf)
+    assert(a eq b, "second lookup must hit the per-JVM cache")
+    assert(graft.queries.TruthSets.exactJaccardPairs(spark, sf, 0.9)
+      ne a, "different threshold must be a different truth set")
+  }
 }
