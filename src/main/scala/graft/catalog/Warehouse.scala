@@ -34,6 +34,33 @@ final class Warehouse(val root: Path) {
   def this(root: String) = this(Paths.get(root))
 
   private val manifestPath = root.resolve("manifest.json")
+  private val lockPath = root.resolve("manifest.lock")
+
+  /** Exclusive manifest lock, honored ACROSS processes: the
+    * reference's deployment model is one pod per dataset
+    * (`k8s_build_jobs.py:63-75`), so concurrent dataset jobs share a
+    * warehouse root from separate JVMs. A `FileChannel` lock
+    * serializes the cross-process case; since `FileLock` throws
+    * `OverlappingFileLockException` for a second locker in the SAME
+    * JVM (rather than waiting), in-JVM racers first serialize on a
+    * per-root monitor. The lock guards only the cheap metadata
+    * critical sections (generation reservation, manifest flip) —
+    * data staging, the heavy phase, runs unlocked and fully parallel.
+    */
+  private def withManifestLock[A](f: => A): A = {
+    val monitor = Warehouse.jvmLocks.computeIfAbsent(
+      root.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      Files.createDirectories(root)
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try f finally l.release()
+      } finally ch.close()
+    }
+  }
 
   /** Current table -> relative data dir bindings. */
   def manifest: Map[String, String] =
@@ -99,7 +126,10 @@ final class Warehouse(val root: Path) {
     if (!Files.exists(snapshotsDir)) Nil
     else {
       val s = Files.list(snapshotsDir)
+      // zero-byte entries are generation RESERVATIONS from an
+      // in-flight (or crashed) publish, not published history — skip
       try s.iterator().asScala
+        .filter(p => Files.size(p) > 0)
         .map(_.getFileName.toString)
         .collect { case SnapshotFile(gen) => gen.toLong }
         .toSeq.sorted
@@ -276,31 +306,46 @@ final class Warehouse(val root: Path) {
       generation: Long = System.currentTimeMillis(),
       layouts: Map[String, TableLayout] = Map.empty): Unit = {
     Files.createDirectories(root.resolve("data"))
-    // the requested generation must never collide with a LIVE or
+    // ---- phase 1 (LOCKED, metadata-only): pick + RESERVE a fresh
+    // generation, and record each staged table's live binding for the
+    // same-table-racer check at flip time.
+    //
+    // The requested generation must never collide with a LIVE or
     // on-disk generation dir: two publishes of one table within the
     // same millisecond (rapid upsertInto / streaming micro-batches)
     // would otherwise stage INTO the directory readers are on — the
     // overwrite-while-reading fails and rollback would then delete
-    // live data. Bump until every staged table's dir is fresh.
-    var gen = generation
-    val live = manifest // one read; cannot change mid-publish here
-    def collides(g: Long): Boolean = staged.keys.exists { name =>
-      val rel = s"data/${name}__$g"
-      live.get(name).contains(rel) || Files.exists(root.resolve(rel))
-    } ||
-      // a snapshot id must also be fresh: reusing one would truncate
-      // that history entry (two publishes of DISJOINT table sets can
-      // otherwise share a gen and overwrite manifest-<gen>.json)
-      Files.exists(snapshotsDir.resolve(s"manifest-$g.json"))
-    while (collides(gen)) gen += 1
-    val written = collection.mutable.ArrayBuffer.empty[(String, String)]
+    // live data. Bump until every staged table's dir is fresh, then
+    // reserve the choice by CREATING the generation dirs and a
+    // zero-byte snapshot-log placeholder under the lock, so a
+    // concurrent publisher's collision scan bumps past this gen even
+    // before any data lands (disjoint table sets would otherwise
+    // share a gen and overwrite each other's manifest-<gen>.json).
+    val (gen, expected) = withManifestLock {
+      val live = manifest
+      var g = generation
+      def collides(g: Long): Boolean = staged.keys.exists { name =>
+        val rel = s"data/${name}__$g"
+        live.get(name).contains(rel) || Files.exists(root.resolve(rel))
+      } || Files.exists(snapshotsDir.resolve(s"manifest-$g.json"))
+      while (collides(g)) g += 1
+      staged.keys.foreach(name =>
+        Files.createDirectories(root.resolve(s"data/${name}__$g")))
+      Files.createDirectories(snapshotsDir)
+      Files.createFile(snapshotsDir.resolve(s"manifest-$g.json"))
+      (g, staged.keys.map(n => n -> live.get(n)).toMap)
+    }
+    val written = staged.keys.toSeq.map(n => (n, s"data/${n}__$gen"))
+    def rollback(): Unit = {
+      written.foreach { case (_, rel) => deleteRecursively(root.resolve(rel)) }
+      Files.deleteIfExists(snapshotsDir.resolve(s"manifest-$gen.json"))
+    }
     var nextJson: String = null
     try {
+      // ---- phase 2 (UNLOCKED, heavy): stage the data. Concurrent
+      // publishes of different tables overlap fully here.
       staged.foreach { case (name, df) =>
         val rel = s"data/${name}__$gen"
-        // record BEFORE the write so rollback also covers the table
-        // that failed mid-write (its partial directory must go too)
-        written += ((name, rel))
         val shaped = layouts.get(name).map(_.apply(df)).getOrElse(df)
         val writer = shaped.write.mode("overwrite")
         val partitioned = layouts.get(name)
@@ -309,26 +354,44 @@ final class Warehouse(val root: Path) {
           .getOrElse(writer)
         partitioned.parquet(root.resolve(rel).toString)
       }
-      val next = collection.mutable.LinkedHashMap.empty[String, String]
-      manifest.toSeq.sortBy(_._1).foreach { case (k, v) => next.update(k, v) }
-      written.foreach { case (k, v) => next.update(k, v) }
-      nextJson = JsonCodec.renderObject(next)
-      val tmp = manifestPath.resolveSibling("manifest.json.tmp")
-      Files.write(tmp, nextJson.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      // ---- phase 3 (LOCKED, metadata-only): same-table racers fail
+      // LOUDLY, then read-merge-flip. Without the recheck, a racer
+      // that flipped table T while we staged would have its publish
+      // silently reverted by our merge (lost update); with it, the
+      // loser rolls back its staged generation and the caller
+      // retries against the winner's state.
+      withManifestLock {
+        val live = manifest
+        val clobbered = staged.keys.filter(n => live.get(n) != expected(n))
+        if (clobbered.nonEmpty)
+          throw new ConcurrentPublishException(
+            s"table(s) ${clobbered.mkString(", ")} were republished " +
+              s"concurrently (expected ${clobbered.map(expected(_))
+                .mkString(", ")}, live ${clobbered.map(live.get)
+                .mkString(", ")}); this publish rolled back — retry")
+        val next = collection.mutable.LinkedHashMap.empty[String, String]
+        live.toSeq.sortBy(_._1).foreach { case (k, v) => next.update(k, v) }
+        written.foreach { case (k, v) => next.update(k, v) }
+        nextJson = JsonCodec.renderObject(next)
+        val tmp = manifestPath.resolveSibling("manifest.json.tmp")
+        Files.write(tmp, nextJson.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
     } catch {
       case e: Throwable =>
-        // rollback: drop the partially-staged generation, manifest intact
-        written.foreach { case (_, rel) => deleteRecursively(root.resolve(rel)) }
+        // rollback: drop the staged generation + its snapshot
+        // reservation, manifest intact
+        rollback()
         throw e
     }
     // snapshot log entry AFTER (and outside) the guarded flip: once the
     // manifest references the new dirs they are LIVE and must never hit
     // the rollback delete — a failure here (or a crash between flip and
     // write) only costs the history entry, never live-read correctness
+    // (the zero-byte reservation stays invisible: [[snapshots]] skips
+    // empty entries)
     try {
-      Files.createDirectories(snapshotsDir)
       Files.write(snapshotsDir.resolve(s"manifest-$gen.json"),
         nextJson.getBytes(StandardCharsets.UTF_8))
     } catch {
@@ -351,8 +414,27 @@ final class Warehouse(val root: Path) {
     * normally duplicates the live manifest, so keeping N truly-PAST
     * states readable needs `retainSnapshots = N + 1`; the default 0
     * keeps only live data (the pre-snapshot-log behavior).
+    *
+    * Concurrency: vacuum takes the manifest lock for its reads AND
+    * deletes, but it must still not run concurrently with an
+    * IN-FLIGHT publish — a generation staged but not yet flipped is
+    * unreferenced by any manifest and would be dropped as garbage.
+    * Run vacuum quiesced (the reference's cleanup runs the same way,
+    * between loads); it also clears any zero-byte snapshot
+    * reservations a crashed publish left behind.
     */
-  def vacuum(retainSnapshots: Int = 0): Seq[String] = {
+  def vacuum(retainSnapshots: Int = 0): Seq[String] = withManifestLock {
+    // crashed-publish reservations: 0-byte snapshot entries whose
+    // publish will never complete (we hold the lock, so none is
+    // mid-flip right now)
+    if (Files.exists(snapshotsDir)) {
+      val s = Files.list(snapshotsDir)
+      try s.iterator().asScala
+        .filter(p => SnapshotFile.matches(p.getFileName.toString) &&
+          Files.size(p) == 0)
+        .foreach(Files.delete)
+      finally s.close()
+    }
     val all = snapshots
     val (keep, expire) = all.splitAt(math.max(0, all.size - retainSnapshots))
       match { case (older, newer) => (newer, older) }
@@ -378,6 +460,25 @@ final class Warehouse(val root: Path) {
       finally s.close()
     }
 }
+
+object Warehouse {
+  /** Per-root monitors backing [[Warehouse.withManifestLock]]'s
+    * in-JVM serialization (see there). Keyed by normalized absolute
+    * root path so every Warehouse instance over the same directory —
+    * common in tests and multi-job drivers — shares one monitor.
+    */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+}
+
+/** Thrown when a publish loses a same-table race: another publisher
+  * flipped one of this publish's tables between its generation
+  * reservation and its manifest flip. The losing publish has rolled
+  * back its staged generation; the warehouse holds the winner's state
+  * and the caller may simply retry.
+  */
+final class ConcurrentPublishException(msg: String)
+  extends RuntimeException(msg)
 
 /** At-rest layout for a published table — the columnar replacement for
   * the reference's B-tree indexes (SURVEY §2.1 S8,

@@ -85,6 +85,68 @@ object StreamingDedup {
           .as("contamination"))
   }
 
+  /** Streaming MULTI-benchmark decontamination gate — the continuous
+    * face of [[graft.dedup.Dedup.multiSetContaminationScores]]
+    * (dd18): documents arriving on a stream are scored against S
+    * static eval sets in ONE pass. Where the batch operator takes two
+    * corpus gram passes (per-(doc, set) hits + per-doc totals joined
+    * after), the stream cannot join two of its own aggregates — so
+    * the eval union is pre-grouped per GRAM into a set-membership
+    * list (static, broadcast), each arriving gram picks up its
+    * membership map-side, and a single watermarked aggregation
+    * counts the doc's total grams plus one conditional hit count per
+    * set id (S is the number of shipped benchmarks — a bounded,
+    * build-time catalog, so the pivoted columns are plan literals).
+    * The post-aggregation unpivot restores the batch operator's
+    * sparse (doc, set) rows; each doc emits exactly once (append
+    * mode) when the watermark passes. Batch dual equivalence asserted
+    * in StreamingSpec.
+    *
+    * Output: (id, eval_set, n_grams, n_hits, contamination) per
+    * (doc, set) with >= 1 hit — identical to the batch operator.
+    */
+  def streamingMultiSetContaminationScores(
+      corpusStream: DataFrame,
+      evalSets: DataFrame,
+      idCol: String,
+      setCol: String,
+      textCol: String,
+      k: Int = 8,
+      delayMs: Long = 2 * 3600 * 1000L): DataFrame = {
+    val tagged = evalSets
+      .select(col(setCol).as("__set"),
+        explode(array_distinct(Dedup.wordShingles(col(textCol), k)))
+          .as("gram"))
+      .distinct()
+    // bounded collect: one id per eval benchmark in the suite
+    val setIds = tagged.select(col("__set")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val membership = tagged.groupBy(col("gram"))
+      .agg(collect_set(col("__set")).as("__sets"))
+    val hitCols = setIds.zipWithIndex.map { case (sid, i) =>
+      count(when(array_contains(col("__sets"), sid), 1)).as(s"__h_$i")
+    }
+    val agged = corpusStream
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("ts"), col(idCol),
+        explode(array_distinct(Dedup.wordShingles(col(textCol), k)))
+          .as("gram"))
+      .join(broadcast(membership), Seq("gram"), "left_outer")
+      .groupBy(window(col("ts"), "1 second"), col(idCol))
+      .agg(count(lit(1)).as("n_grams"), hitCols: _*)
+    val pairs = setIds.zipWithIndex.map { case (sid, i) =>
+      struct(lit(sid).as("eval_set"), col(s"__h_$i").as("n_hits"))
+    }
+    agged
+      .select(col(idCol), col("n_grams"),
+        explode(array(pairs: _*)).as("e"))
+      .select(col(idCol), col("e.eval_set").as("eval_set"),
+        col("n_grams"), col("e.n_hits").as("n_hits"),
+        (col("e.n_hits").cast("double") / col("n_grams"))
+          .as("contamination"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** Streaming EXACT dedup — the continuous face of
     * [[graft.dedup.Dedup.exact]] (dd1): drop every arriving doc whose
     * 64-char content digest was already seen within the watermark

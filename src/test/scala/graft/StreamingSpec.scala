@@ -381,6 +381,59 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_._3 > 0), "fixture should contain contamination")
   }
 
+  test("streaming MULTI-set contamination gate (dd18 dual) over " +
+      "MemoryStream equals the batch operator window-for-window; " +
+      "emits once") {
+    implicit val sqlCtx = spark.sqlContext
+    val real = Tables.documents(spark, sf)
+    val evalSets = Seq(89, 97, 101).map { m =>
+      real.filter(pmod(col("doc_id"), lit(m)) === 0)
+        .select(lit(s"mod$m").as("eval_set"), col("text"))
+    }.reduce(_.unionAll(_))
+    val corpusDf = real.filter(pmod(col("doc_id"), lit(89)) =!= 0 &&
+      pmod(col("doc_id"), lit(97)) =!= 0 &&
+      pmod(col("doc_id"), lit(101)) =!= 0)
+    val corpus = corpusDf.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.streaming.StreamingDedup
+      .streamingMultiSetContaminationScores(
+        mem.toDS().toDF("ts", "doc_id", "text"), evalSets,
+        "doc_id", "eval_set", "text", k = 3, delayMs = 60000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mcontam_out")
+      .start()
+    try {
+      val (a, b) = corpus.splitAt(corpus.length / 2)
+      mem.addData(a.map { case (id, t) => (ts(0), id, t) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b.map { case (id, t) => (ts(1), id, t) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // emit-once: nothing final before the watermark passes
+      assert(spark.table("mcontam_out").isEmpty)
+      mem.addData((ts(1000), -1L, "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mcontam_out")
+      .filter(col("doc_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+    val batch = graft.queries.Extensions.dd18MultisetContaminationOn(real)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+    assert(streamed === batch)
+    // the fixture must exercise >1 eval set and >0 hits, or the
+    // equality proves nothing
+    assert(batch.map(_._2).size > 1 || batch.map(_._2).nonEmpty)
+    assert(batch.exists(_._4 > 0), "fixture should contain contamination")
+    assert(batch.map(_._2).toSeq.distinct.size >= 2,
+      "fixture should hit at least two eval sets")
+  }
+
   test("streaming corpus-clean gate (quality -> exact dedup -> stats) " +
       "equals the batch pipeline's quality+exact phases") {
     implicit val sqlCtx = spark.sqlContext
