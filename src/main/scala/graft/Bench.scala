@@ -191,6 +191,7 @@ object Bench {
       "d1_distinct_on", "e1_tumbling", "e3_session", "e4_interval_join",
       "g1_components", "hh1_heavy_hitters", "dd1_exact", "dd2_minhash_pairs",
       "dd5_embedding_neardup", "dd6_cluster_keep", "dd7_exact_jaccard",
+      "dd18_multiset_contamination", "dd20_tiered_neardup",
       "asof4_backward_chunked", "ann1_bruteforce",
       "ann3_ivf", "t1_tokens", "t9_tfidf", "u1_upsert", "pipe1_corpus_clean",
       "pipe2_training_prep", "hm1_hamming_topk", "km2_lloyd_q",
@@ -271,6 +272,13 @@ object Bench {
       .empty[String, (Double, Double)] // name -> (retrySec, retryCanary)
     val aboveBand = flagged.filter { k =>
       val c = canaryOnce()
+      // dd7 is the fronted query that PAYS the shared truth-set
+      // compute (TruthSets); its band includes that cost, so its
+      // retry must recompute, not read the cache — otherwise a real
+      // dd7 regression retries in cache-hit time and self-withdraws.
+      // The downstream consumers (dd6/dd15/dd16/dd19) are banded as
+      // cache hits, so their retries correctly keep the cache.
+      if (k == "dd7_exact_jaccard") graft.queries.TruthSets.clear()
       val t0 = System.nanoTime()
       try SparkEntry.queries(k)(spark, sfDir).count()
       catch { case e: Throwable =>
