@@ -180,6 +180,26 @@ object Clean {
   def dd20TieredNearDup(s: SparkSession, d: String): DataFrame =
     tieredNearDupPairsOn(Tables.documents(s, d))
 
+  /** dd21: cluster-keep at the SCALE tier — dd6's semantics (near-dup
+    * pairs as edges, connected components as duplicate clusters, min
+    * id survives) over [[tieredNearDupPairsOn]]'s two-tier pair set
+    * instead of the exact prefix-filter join. dd6's pair phase
+    * measured a 1.18 tail-decade exponent on the fixed-density
+    * replica (it rides dd7's candidate growth); this operator rides
+    * dd20's df-capped candidates (tail 0.17) into the same
+    * star-contraction CC kernel, so the WHOLE cluster pipeline stays
+    * ~linear. Deterministic md5 winnowing + exact verify + CC — the
+    * full pipeline replays in the oracle (recursive CTE), like dd6.
+    */
+  def dd21TieredClusterKeep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = tieredNearDupPairsOn(docs)
+    graft.dedup.Dedup.nearDupClusters(docs, "doc_id", pairs)
+      .groupBy(col("component").as("keep_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+  }
+
   /** The chunk array of a word array `t`: fixed `cs`-word windows,
     * partial tail kept. ONE definition shared by every batch chunker
     * and the streaming dual — the chunk geometry is part of the
@@ -390,7 +410,8 @@ object Clean {
     "pipe4_clean_select" -> ((s: SparkSession, d: String) =>
       pipe4CleanSelect(s, d)),
     "heaps1_vocab_growth" -> (heaps1VocabGrowth _),
-    "dd20_tiered_neardup" -> (dd20TieredNearDup _))
+    "dd20_tiered_neardup" -> (dd20TieredNearDup _),
+    "dd21_tiered_cluster_keep" -> (dd21TieredClusterKeep _))
 
   val oracles: Map[String, String] = Map(
     // the two-tier join replayed end-to-end: win2's md5-winnow
@@ -440,6 +461,65 @@ object Clean {
          FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
                  JOIN gs sb ON sb.doc_id = ix.id_b
          WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8""",
+    // dd20's candidate+verify CTEs feeding dd6's recursive-CTE
+    // connected components — the whole tiered cluster pipeline
+    // replayed end-to-end in the second engine
+    "dd21_tiered_cluster_keep" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, lower(trim(text)) AS s
+               FROM documents),
+         b AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g
+               FROM s WHERE length(s) - 7 >= 4),
+         k AS (SELECT doc_id, g,
+                 list_transform(range(1, g + 1),
+                   p -> md5(substr(s, CAST(p AS INT), 8)) ||
+                        lpad(CAST(100000000 - p AS VARCHAR), 8, '0')) AS keys
+               FROM b),
+         sel AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, g - 2),
+                     ws -> list_min(keys[ws:ws+3]))) AS sel
+                 FROM k),
+         dh AS MATERIALIZED (
+           SELECT DISTINCT doc_id, substr(key, 1, 32) AS h
+           FROM (SELECT doc_id, unnest(sel) AS key FROM sel)),
+         f AS (SELECT h, count(*) AS df FROM dh GROUP BY h),
+         kept AS MATERIALIZED (
+           SELECT dh.doc_id, dh.h FROM dh JOIN f USING (h)
+           WHERE f.df <= 16),
+         cands AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM kept a JOIN kept b
+             ON a.h = b.h AND a.doc_id < b.doc_id),
+         t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+         gr AS MATERIALIZED (
+           SELECT DISTINCT doc_id, unnest(
+             CASE WHEN length(s) >= 3
+                  THEN list_transform(range(1, length(s) - 1),
+                                      i -> substr(s, CAST(i AS INT), 3))
+                  ELSE [s] END) AS gram
+           FROM t),
+         gs AS (SELECT doc_id, count(*) AS sz FROM gr GROUP BY doc_id),
+         ix AS (SELECT c.id_a, c.id_b, count(*) AS o
+                FROM cands c
+                JOIN gr a ON a.doc_id = c.id_a
+                JOIN gr b ON b.doc_id = c.id_b AND b.gram = a.gram
+                GROUP BY 1, 2),
+         pairs AS MATERIALIZED (
+           SELECT id_a, id_b
+           FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                   JOIN gs sb ON sb.doc_id = ix.id_b
+           WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+                   SELECT src, dst FROM edges
+                   UNION
+                   SELECT r.src, e.dst FROM reach r
+                   JOIN edges e ON r.dst = e.src WHERE r.src <> e.dst),
+         comp AS (SELECT src AS node, least(src, min(dst)) AS component
+                  FROM reach GROUP BY src)
+         SELECT CAST(component AS BIGINT) AS keep_id,
+                count(*) AS n_members
+         FROM comp GROUP BY component HAVING count(*) > 1""",
     "win1_winnowing" ->
       """WITH s AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
          b AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g

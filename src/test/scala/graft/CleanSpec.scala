@@ -138,6 +138,27 @@ class CleanSpec extends SparkSpec {
     assert(emitted.nonEmpty, "corpus fixture should contain near-dups")
   }
 
+  test("dd21 tiered cluster-keep: the planted pair forms one cluster " +
+      "with min-id survivor; the hot-template mega-cluster is absent " +
+      "(df-capped), where dd6 would emit it") {
+    val dir = java.nio.file.Files.createTempDirectory("dd21").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docsDF(Seq(
+      (1L, base, "s"), (2L, base + " nu", "s"),
+      (100L, "zq xv wu ts rp on ml kj ih gf ed cb az yx", "s")) ++
+      (3L to 40L).map(i => (i, "common boilerplate template body here", "s")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Clean.dd21TieredClusterKeep(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L),
+      s"expected only the planted cluster, got $out")
+    // the exact-tier dd6 on the same corpus DOES emit the template
+    // mega-cluster — the tiers differ exactly where the df cap bites
+    val dd6 = graft.queries.Extensions.dd6ClusterKeep(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dd6 === Map(1L -> 2L, 3L -> 38L), s"dd6 got $dd6")
+  }
+
   // ---- chunk dedup --------------------------------------------------
 
   test("par1: kept instances are exactly one per distinct chunk, " +
