@@ -272,13 +272,15 @@ object Bench {
       .empty[String, (Double, Double)] // name -> (retrySec, retryCanary)
     val aboveBand = flagged.filter { k =>
       val c = canaryOnce()
-      // dd7 is the fronted query that PAYS the shared truth-set
-      // compute (TruthSets); its band includes that cost, so its
-      // retry must recompute, not read the cache — otherwise a real
-      // dd7 regression retries in cache-hit time and self-withdraws.
-      // The downstream consumers (dd6/dd15/dd16/dd19) are banded as
-      // cache hits, so their retries correctly keep the cache.
-      if (k == "dd7_exact_jaccard") graft.queries.TruthSets.clear()
+      // dd7 and dd20 are the queries that PAY their shared truth-set
+      // computes (TruthSets exact + tiered); their bands include that
+      // cost, so their retries must recompute, not read the cache —
+      // otherwise a real regression retries in cache-hit time and
+      // self-withdraws. The downstream consumers (dd6/dd15/dd16/dd19,
+      // dd21) are banded as cache hits, so their retries correctly
+      // keep the cache.
+      if (k == "dd7_exact_jaccard" || k == "dd20_tiered_neardup")
+        graft.queries.TruthSets.clear()
       val t0 = System.nanoTime()
       try SparkEntry.queries(k)(spark, sfDir).count()
       catch { case e: Throwable =>

@@ -178,7 +178,7 @@ object Clean {
   }
 
   def dd20TieredNearDup(s: SparkSession, d: String): DataFrame =
-    tieredNearDupPairsOn(Tables.documents(s, d))
+    TruthSets.tieredNearDupPairs(s, d)
 
   /** dd21: cluster-keep at the SCALE tier — dd6's semantics (near-dup
     * pairs as edges, connected components as duplicate clusters, min
@@ -193,7 +193,7 @@ object Clean {
     */
   def dd21TieredClusterKeep(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = tieredNearDupPairsOn(docs)
+    val pairs = TruthSets.tieredNearDupPairs(s, d)
     graft.dedup.Dedup.nearDupClusters(docs, "doc_id", pairs)
       .groupBy(col("component").as("keep_id"))
       .agg(count(lit(1)).as("n_members"))

@@ -56,6 +56,28 @@ object TruthSets {
     }
   }
 
+  /** The two-tier winnow->exact pair set ([[Clean
+    * .tieredNearDupPairsOn]]) — dd20 (the pairs) and dd21 (cluster
+    * keep) consume the identical frame; same caching contract as
+    * [[exactJaccardPairs]].
+    */
+  def tieredNearDupPairs(s: SparkSession, d: String,
+      threshold: Double = 0.8, dfCap: Int = 16): DataFrame = {
+    val key = (s"tiered:$dfCap:$d", threshold)
+    val hit = cache.get(key)
+    val valid = hit != null &&
+      (hit.sparkSession.sparkContext eq s.sparkContext) &&
+      !s.sparkContext.isStopped
+    if (valid) hit
+    else {
+      val fresh = Clean.tieredNearDupPairsOn(
+          Tables.documents(s, d), threshold, dfCap)
+        .localCheckpoint(true)
+      cache.put(key, fresh)
+      fresh
+    }
+  }
+
   /** Test hook: drop all cached truth sets. */
   private[graft] def clear(): Unit = cache.clear()
 }
