@@ -269,30 +269,58 @@ object Bench {
     // `value`/`value_quiet` (first-pass totals stay comparable across
     // rounds) and their canary readings do not join the segment series.
     val retryInfo = collection.mutable.LinkedHashMap
-      .empty[String, (Double, Double)] // name -> (retrySec, retryCanary)
+      .empty[String, (Double, Double, Boolean)] // name -> (retrySec, retryCanary, failed)
     val aboveBand = flagged.filter { k =>
       val c = canaryOnce()
       // dd7 and dd20 are the queries that PAY their shared truth-set
       // computes (TruthSets exact + tiered); their bands include that
       // cost, so their retries must recompute, not read the cache —
       // otherwise a real regression retries in cache-hit time and
-      // self-withdraws. The downstream consumers (dd6/dd15/dd16/dd19,
-      // dd21) are banded as cache hits, so their retries correctly
-      // keep the cache.
-      if (k == "dd7_exact_jaccard" || k == "dd20_tiered_neardup")
-        graft.queries.TruthSets.clear()
+      // self-withdraws. Invalidation is PER FAMILY, not clear():
+      // wiping the whole cache on dd7's retry would force a
+      // later-retried dd20/dd21 to recompute the tiered pair set
+      // against its cache-hit band and falsely STAND (and vice
+      // versa). The downstream consumers (dd6/dd15/dd16/dd19, dd21)
+      // are banded as cache hits, so their retries keep the cache.
+      if (k == "dd7_exact_jaccard")
+        graft.queries.TruthSets.invalidateExact()
+      if (k == "dd20_tiered_neardup")
+        graft.queries.TruthSets.invalidateTiered()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(k)(spark, sfDir).count()
+      val failed = try { SparkEntry.queries(k)(spark, sfDir).count(); false }
       catch { case e: Throwable =>
         System.err.println(s"[bench] RETRY $k FAILED: ${e.getMessage}")
+        true
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      retryInfo(k) = (sec, c)
-      val stands = BenchBands.standsAfterRetry(bandHi, k, sec, c, canaryRef)
+      retryInfo(k) = (sec, c, failed)
+      // a crashed retry is NOT evidence of health: its time-to-failure
+      // is truncated (an OOM from a real regression can "finish" fast),
+      // so the flag STANDS and the failure is recorded as its own
+      // state instead of adjudicating from the truncated timing
+      val stands = failed ||
+        BenchBands.standsAfterRetry(bandHi, k, sec, c, canaryRef)
       System.err.println(f"[bench] RETRY $k%-28s $sec%8.2f s (canary " +
-        f"$c%.3f) — flag ${if (stands) "STANDS" else "withdrawn"}")
+        f"$c%.3f) — flag ${
+          if (failed) "STANDS (retry_failed)"
+          else if (stands) "STANDS" else "withdrawn"}")
       stands
     }
+    // adjudication-aware headline: the first-pass total with each
+    // WITHDRAWN flag's contended first-pass seconds replaced by its
+    // clean retry reading. `value` keeps the raw first-pass total for
+    // cross-round continuity; consumers comparing totals should read
+    // value_adjudicated — r10 shipped 814.8 s raw while its own
+    // retries proved ~0 regressions, and every cross-round comparison
+    // silently read 39% contention as a regression. Standing flags
+    // (including retry_failed) keep their first-pass reading: the
+    // slowdown is not adjudicated away.
+    val withdrawnRetrySec: Map[String, Double] = retryInfo.collect {
+      case (k, (sec, _, failed)) if !failed && !aboveBand.contains(k) =>
+        k -> sec
+    }.toMap
+    val valueAdjudicated =
+      BenchBands.adjudicatedTotal(results, withdrawnRetrySec)
     // vintage check: the bands file records the testdata vintage it
     // was generated against; a differing live vintage means per-query
     // costs may have shifted with corpus density, not code — mark the
@@ -331,7 +359,9 @@ object Bench {
       aboveBand.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
-        s""""value_quiet":${r3(quiet)},"n_stalled":${stalled.size},""" +
+        s""""value_quiet":${r3(quiet)},""" +
+        s""""value_adjudicated":${r3(valueAdjudicated)},""" +
+        s""""n_stalled":${stalled.size},""" +
         s""""canary":$canaryJson,"stalled":$stalledJson,""" +
         s""""n_above_band":${aboveBand.size},"above_band":$aboveJson,""" +
         s""""n_flagged":${flagged.size},"vintage_stale":$vintageStale,""" +
@@ -350,14 +380,17 @@ object Bench {
             ",\"band_scale\":" + r3(bandScale(k)) +
             ",\"above_band\":" + aboveBand.contains(k))
           .getOrElse("") +
-        retryInfo.get(k).map { case (rs, rc) =>
+        retryInfo.get(k).map { case (rs, rc, rf) =>
           ",\"flagged\":true,\"retry_sec\":" + r3(rs) +
-            ",\"retry_canary\":" + r3(rc)
+            ",\"retry_canary\":" + r3(rc) +
+            ",\"retry_failed\":" + rf
         }.getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},""" +
-        s""""value_quiet":${r3(quiet)},"n_stalled":${stalled.size},""" +
+        s""""value_quiet":${r3(quiet)},""" +
+        s""""value_adjudicated":${r3(valueAdjudicated)},""" +
+        s""""n_stalled":${stalled.size},""" +
         s""""n_above_band":${aboveBand.size},""" +
         s""""above_band":${aboveBand.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""n_flagged":${flagged.size},""" +

@@ -160,6 +160,18 @@ object ScaleProbe {
         .groupBy(col("component")).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).count()
     }
+    // dd21 standalone (NO TruthSets cache — the leg must pay the full
+    // two-tier pair compute, exactly as dd6's leg pays dd7's): the
+    // tiered cluster pipeline end-to-end, winnow-capped candidates ->
+    // exact verify -> star-contraction CC. This is the committed
+    // answer to dd6's 1.18 tail decade, so the leg runs side-by-side
+    // with dd6 at every scale.
+    def dd21(df: DataFrame): Long = {
+      val pairs = graft.queries.Clean.tieredNearDupPairsOn(df)
+      graft.dedup.Dedup.nearDupClusters(df, "doc_id", pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).count()
+    }
 
     /** Decontamination at scale: times the broadcast (dd8) and
       * bloom-pruned (dd9) paths on the same pmod-97 split, and counts
@@ -209,6 +221,55 @@ object ScaleProbe {
         spark, df, graft.queries.Staging.Parquet(stageDir)).count()
     }
 
+    /** pipe2 decomposed (r10 verdict ask #5): each stage timed in
+      * isolation with EVERY inter-stage boundary through the parquet
+      * staging seam, so the composed pipeline's near-linear tail
+      * (0.926, 203.6 s at sf1rep) is ATTRIBUTED to a stage instead of
+      * smeared. Stage totals exceed the composed wall slightly (two
+      * extra stage writes the composed plan fuses through); the
+      * per-stage EXPONENTS are the payload, the absolute seconds are
+      * the attribution.
+      */
+    def pipe2Stages(df: DataFrame, name: String): Seq[(String, Double)] = {
+      val stageDir = java.nio.file.Files
+        .createTempDirectory(s"graft-probe-p2s-$name").toString
+      val staging = graft.queries.Staging.Parquet(stageDir)
+      val corpus = df.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val eval_ = df.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val (tDecon, clean) = timeSec {
+        val scores = graft.dedup.Dedup.contaminationScores(
+          corpus, eval_, "doc_id", "text", k = 3)
+        staging.stage(
+          corpus.join(scores.filter(col("contamination") > 0.2)
+            .select("doc_id"), Seq("doc_id"), "left_anti"),
+          "p2s_clean")
+      }
+      val (tDedup, kept) = timeSec {
+        val pairs = graft.dedup.Dedup.exactJaccardPairs(
+          clean, "doc_id", "text", threshold = 0.8)
+        staging.stage(
+          graft.dedup.Dedup.keepAfterPairs(clean, "doc_id", pairs),
+          "p2s_kept")
+      }
+      val (tChunk, chunks) = timeSec {
+        staging.stage(graft.export.Packing.chunkDocuments(
+          kept, "doc_id", "text", maxTokens = 16, overlap = 4),
+          "p2s_chunks")
+      }
+      val (tPack, _) = timeSec {
+        val units = chunks.select(
+          (col("doc_id") * lit(1048576L) + col("chunk_id")).as("cid"),
+          col("n_chunk_tokens"))
+        graft.export.Packing.packSequences(units, "cid", "n_chunk_tokens",
+          budget = 512L).count()
+      }
+      System.err.println(
+        f"[probe]   pipe2 stages decon=$tDecon%6.2fs dedup=$tDedup%6.2fs " +
+          f"chunk=$tChunk%6.2fs pack=$tPack%6.2fs")
+      Seq("pipe2_decon_sec" -> tDecon, "pipe2_dedup_sec" -> tDedup,
+        "pipe2_chunk_sec" -> tChunk, "pipe2_pack_sec" -> tPack)
+    }
+
     val scales: Seq[(String, DataFrame)] = Seq(
       "sf0.01" -> Tables.documents(spark, s"$root/sf0.01"),
       "sf0.1" -> Tables.documents(spark, s"$root/sf0.1"),
@@ -245,6 +306,14 @@ object ScaleProbe {
           graft.queries.Clean.tieredNearDupPairsOn(df).count())
         System.err.println(
           f"[probe]   dd20 two-tier ${secs("dd20_sec")}%7.2fs ($p20 pairs)")
+        // dd21 side-by-side with dd6 (above): same cluster semantics,
+        // tiered pair tier — the exponent pair that grades whether the
+        // WHOLE cluster pipeline stays ~linear where dd6 rides dd7's
+        // super-linear candidate growth
+        val c21 = leg("dd21_sec", "dd21_clusters")(dd21(df))
+        System.err.println(
+          f"[probe]   dd21 tiered cluster-keep ${secs("dd21_sec")}%7.2fs " +
+            f"($c21 clusters; dd6 same scale ${secs("dd6_sec")}%7.2fs)")
         contam(df).foreach {
           case (k, v: Double) => secs(k) = v
           case (k, v: Long) => cnts(k) = v
@@ -266,6 +335,7 @@ object ScaleProbe {
         System.err.println(
           f"[probe]   pipe2 composed (parquet-staged) " +
             f"${secs("pipe2_sec")}%7.2fs (${cnts("pipe2_rows")} rows)")
+        pipe2Stages(df, name).foreach { case (k, v) => secs(k) = v }
         // selection batch: dsir1 (broadcast-LLR fold) and ccnet1
         // (GlobalRank tercile) — both should track the token volume
         // near-linearly; a super-linear drift here means the rank
@@ -364,6 +434,14 @@ object ScaleProbe {
       graft.queries.Clean.tieredNearDupPairsOn(skewDf).count())
     System.err.println(
       f"[probe] skew30%% dd20=$t20s%7.2fs ($p20s pairs)")
+    // dd21 on the hot-template corpus, next to dd6's skew leg above:
+    // the cluster pipeline must inherit dd20's df-cap immunity (the
+    // template's fingerprints all exceed dfCap, so its ~1M exact pairs
+    // never reach the CC kernel)
+    val (t21s, c21s) = timeSec(dd21(skewDf))
+    System.err.println(
+      f"[probe] skew30%% dd21=$t21s%7.2fs ($c21s clusters; " +
+        f"dd6 same corpus $t6s%7.2fs)")
 
     // ---- embedding-table legs (kc1 k-center, clb1 cluster-balance):
     // both are O(k*n) literal-centroid scans with k-row driver state
@@ -435,7 +513,8 @@ object ScaleProbe {
       s""""pipe1_pairs09":$p9s,""" +
       s""""pipe2_sec":${f"$tp2s%.2f"},"pipe2_rows":$np2s,""" +
       s""""win2_sec":${f"$tw2s%.2f"},"win2_pairs":$nw2s,""" +
-      s""""dd20_sec":${f"$t20s%.2f"},"dd20_pairs":$p20s},""" +
+      s""""dd20_sec":${f"$t20s%.2f"},"dd20_pairs":$p20s,""" +
+      s""""dd21_sec":${f"$t21s%.2f"},"dd21_clusters":$c21s},""" +
       expJson(rows.map(r => (r._2, r._3))) + "," +
       expJson(embRows.map(r => (r._2, r._3))) + "}")
   }

@@ -102,4 +102,30 @@ class BenchBandsSpec extends AnyFunSuite {
     val tight = 8.87 * BenchBands.scale(0.11, 0.108, Some(0.12))
     assert(tight < 9.0)
   }
+
+  test("adjudicatedTotal substitutes ONLY withdrawn flags' retry " +
+      "readings; standing and retry-failed flags keep first-pass") {
+    // r10 shape (real readings): pipe4 189.7 s contended first pass,
+    // retry 1.7 s withdrawn; pk1 28.0 -> 1.62 withdrawn; a standing
+    // flag (hypothetical real regression) and an unflagged query
+    // keep their first-pass seconds
+    val firstPass = Seq(
+      "pipe4_clean_select" -> 189.7,
+      "pk1_sequence_pack" -> 28.0,
+      "real_regression" -> 45.0, // flagged, retry ALSO slow: stands
+      "retry_crashed" -> 30.0,   // flagged, retry threw: stands
+      "q0_flagship_bldgs" -> 0.54)
+    // only withdrawn flags enter the substitution map — the caller
+    // (Bench) excludes standing and retry_failed entries
+    val withdrawn = Map(
+      "pipe4_clean_select" -> 1.7,
+      "pk1_sequence_pack" -> 1.62)
+    val adj = BenchBands.adjudicatedTotal(firstPass, withdrawn)
+    assert(math.abs(adj - (1.7 + 1.62 + 45.0 + 30.0 + 0.54)) < 1e-9)
+    // raw total untouched by construction (separate sum)
+    assert(math.abs(firstPass.map(_._2).sum - 293.24) < 1e-9)
+    // no withdrawals -> identical to the raw total
+    assert(math.abs(BenchBands.adjudicatedTotal(firstPass, Map.empty)
+      - 293.24) < 1e-9)
+  }
 }

@@ -680,4 +680,45 @@ class DedupSpec extends SparkSpec {
     assert(graft.queries.TruthSets.exactJaccardPairs(spark, sf, 0.9)
       ne a, "different threshold must be a different truth set")
   }
+
+  test("dd22 fuzzy containment: zero violations and the exact CROSS-pair " +
+      "truth count (mod-5 split) on the sf0.001 corpus") {
+    val row = graft.queries.Extensions
+      .dd22FuzzyContainment(spark, sf).head()
+    assert(row.getLong(0) === 0L, "fuzzy hits re-scored >= 0.8 escaped " +
+      "the exact truth set")
+    // independent recount: all-pairs truth restricted to pairs
+    // straddling the corpus/eval split
+    val truth = Dedup.exactJaccardPairs(
+        Tables.documents(spark, sf), "doc_id", "text", threshold = 0.8)
+      .filter((pmod(col("id_a"), lit(5)) === 0) =!=
+        (pmod(col("id_b"), lit(5)) === 0))
+      .count()
+    assert(row.getLong(1) === truth)
+    assert(truth > 0, "fixture must contain cross-split near-dup pairs " +
+      "or the audit proves nothing")
+  }
+
+  test("ann7 recall audit: every method clears its pooled DedupSpec " +
+      "floor and the truth legs recount independently") {
+    val rows = graft.queries.Extensions.ann7RecallAudit(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.map(_._1).toSeq === Seq("ivf", "lsh", "pq"))
+    assert(rows.forall(_._5), s"a method missed its recall floor: " +
+      rows.filterNot(_._5).map(_._1).mkString(","))
+    assert(rows.forall(_._2 === 40L)) // 4 queries x top-10
+    assert(rows.map(_._4).toSeq === Seq(16L, 20L, 32L))
+    // truth checksum == per-query brute force, recomputed independently
+    val emb = Tables.embeddings(spark, sf)
+    val qids = Seq(0L, 1L, 2L, 3L)
+    val corpus = emb.filter(!col("vec_id").isin(qids: _*))
+    val idSum = qids.map { qid =>
+      val q = emb.filter(col("vec_id") === qid)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+        .agg(sum(col("vec_id"))).head().getLong(0)
+    }.sum
+    assert(rows.head._3 === idSum)
+  }
 }
