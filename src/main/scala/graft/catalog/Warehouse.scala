@@ -341,6 +341,12 @@ final class Warehouse(val root: Path) {
       Files.deleteIfExists(snapshotsDir.resolve(s"manifest-$gen.json"))
     }
     var nextJson: String = null
+    // set as the LAST statement of the guarded flip: once the manifest
+    // ATOMIC_MOVE has landed, the staged dirs are LIVE — a Throwable
+    // raised after that point (e.g. lock release/channel close failing
+    // in withManifestLock's finally) must NOT trigger rollback(), which
+    // would delete generation dirs the live manifest now references
+    var flipped = false
     try {
       // ---- phase 2 (UNLOCKED, heavy): stage the data. Concurrent
       // publishes of different tables overlap fully here.
@@ -377,12 +383,15 @@ final class Warehouse(val root: Path) {
         Files.write(tmp, nextJson.getBytes(StandardCharsets.UTF_8))
         Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
+        flipped = true
       }
     } catch {
       case e: Throwable =>
         // rollback: drop the staged generation + its snapshot
-        // reservation, manifest intact
-        rollback()
+        // reservation, manifest intact — UNLESS the flip already
+        // landed (see `flipped`): then the dirs are live data and the
+        // failure was post-publish housekeeping
+        if (!flipped) rollback()
         throw e
     }
     // snapshot log entry AFTER (and outside) the guarded flip: once the

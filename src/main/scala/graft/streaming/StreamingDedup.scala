@@ -102,6 +102,17 @@ object StreamingDedup {
     * mode) when the watermark passes. Batch dual equivalence asserted
     * in StreamingSpec.
     *
+    * Duplicate deliveries: an at-least-once source may hand the same
+    * document to the stream twice (possibly with different ingest
+    * timestamps). Without protection each delivery would seed its own
+    * (window, doc) group and emit its own partial row — so arrivals
+    * are deduplicated BY DOC ID against the watermark-bounded state
+    * store before the gram explode (`dropDuplicatesWithinWatermark`):
+    * the first arrival wins and later re-deliveries are dropped,
+    * keeping the emit-exactly-once contract under redelivery. State
+    * is one id per doc inside the watermark — the same retention
+    * contract as [[streamingExactDedup]]'s digest state.
+    *
     * Output: (id, eval_set, n_grams, n_hits, contamination) per
     * (doc, set) with >= 1 hit — identical to the batch operator.
     */
@@ -128,6 +139,7 @@ object StreamingDedup {
     }
     val agged = corpusStream
       .withWatermark("ts", s"$delayMs milliseconds")
+      .dropDuplicatesWithinWatermark(idCol)
       .select(col("ts"), col(idCol),
         explode(array_distinct(Dedup.wordShingles(col(textCol), k)))
           .as("gram"))

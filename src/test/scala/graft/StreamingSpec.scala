@@ -407,6 +407,13 @@ class StreamingSpec extends SparkSpec {
       val (a, b) = corpus.splitAt(corpus.length / 2)
       mem.addData(a.map { case (id, t) => (ts(0), id, t) }.toIndexedSeq: _*)
       q.processAllAvailable()
+      // at-least-once redelivery: every 4th doc of the first half
+      // arrives AGAIN, at a different timestamp — the id-keyed
+      // watermark dedup must drop these or each would emit its own
+      // partial (window, doc) row and break batch equality
+      mem.addData(a.filter(_._1 % 4 == 0)
+        .map { case (id, t) => (ts(1), id, t) }.toIndexedSeq: _*)
+      q.processAllAvailable()
       mem.addData(b.map { case (id, t) => (ts(1), id, t) }.toIndexedSeq: _*)
       q.processAllAvailable()
       // emit-once: nothing final before the watermark passes

@@ -284,4 +284,124 @@ class WarehouseSpec extends SparkSpec {
     System.err.println(
       s"[race] same-table: $wins wins, $losses loud losses over 100 rounds")
   }
+
+  test("CROSS-PROCESS publish races: a forked JVM racing " +
+      "publishAtomically over the same root — different-table rounds " +
+      "both land, same-table rounds have one winner and loud losers") {
+    // the in-JVM races above never contend the FileChannel lock (the
+    // per-root monitor serializes first); the reference's actual
+    // deployment is one pod per dataset — SEPARATE JVMs — so this is
+    // the path production exercises. 20+20 rounds against a child
+    // process, wall-clock-synchronized starts for genuine overlap.
+    val wh = freshWh()
+    val sync = Files.createTempDirectory("graft-xproc-sync")
+    val rounds = 20
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ opens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.CrossProcessPublisherMain",
+      wh.root.toString, sync.toString, rounds.toString)).asJava
+    val proc = new ProcessBuilder(cmd).redirectErrorStream(true).start()
+    // drain child output on a daemon thread (a full pipe would block
+    // the child); keep the tail for failure diagnostics
+    val childLog = new java.lang.StringBuilder
+    val drainer = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = r.readLine()
+      while (line != null) {
+        childLog.synchronized {
+          childLog.append(line).append('\n')
+          if (childLog.length > 8000)
+            childLog.delete(0, childLog.length - 8000)
+        }
+        line = r.readLine()
+      }
+    })
+    drainer.setDaemon(true); drainer.start()
+    def childTail = childLog.synchronized(childLog.toString)
+    def waitForDone(name: String): String = {
+      val p = sync.resolve(name)
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!Files.exists(p)) {
+        assert(proc.isAlive, s"child JVM died before $name; tail:\n$childTail")
+        assert(System.currentTimeMillis() < deadline,
+          s"timed out waiting for $name; tail:\n$childTail")
+        Thread.sleep(2)
+      }
+      new String(Files.readAllBytes(p)).trim
+    }
+    def go(name: String): Unit = {
+      val start = System.currentTimeMillis() + 250
+      // temp + ATOMIC_MOVE: the child polls on existence, and a bare
+      // write would let it read the file empty between create and
+      // content (observed flake on the done files)
+      val tmp = sync.resolve(s"$name.tmp")
+      Files.write(tmp, start.toString.getBytes)
+      Files.move(tmp, sync.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      while (System.currentTimeMillis() < start) {} // same spin as child
+    }
+    try {
+      // phase A: different tables, colliding requested generations
+      for (i <- 1 to rounds) {
+        go(s"go-diff-$i")
+        wh.publishAtomically(Map("pa" -> Seq(i).toDF("v")),
+          generation = i * 10L)
+        assert(waitForDone(s"done-diff-child-$i") === "ok",
+          s"round $i: child publish failed; tail:\n$childTail")
+        assert(wh.table(spark, "pa").as[Int].head() === i, s"round $i")
+        assert(wh.table(spark, "pb").as[Int].head() === i, s"round $i")
+      }
+      // phase B: same table
+      wh.publishAtomically(Map("t" -> Seq(0).toDF("v")))
+      var wins, losses = 0
+      for (i <- 1 to rounds) {
+        go(s"go-same-$i")
+        val mine: Option[Int] =
+          try { wh.publishAtomically(Map("t" -> Seq(i).toDF("v"))); Some(i) }
+          catch { case _: graft.catalog.ConcurrentPublishException => None }
+        val theirs = waitForDone(s"done-same-child-$i")
+        assert(theirs == "race" || theirs.startsWith("ok:"),
+          s"round $i: child failed un-loudly: $theirs; tail:\n$childTail")
+        val winners = mine.toSeq ++
+          (if (theirs.startsWith("ok:")) Seq(theirs.drop(3).toInt) else Nil)
+        assert(winners.nonEmpty, s"round $i: both racers lost")
+        val live = wh.table(spark, "t").as[Int].head()
+        assert(winners.contains(live),
+          s"round $i: live value $live not among winners $winners")
+        wins += winners.size
+        losses += 2 - winners.size
+      }
+      System.err.println(s"[race] cross-process same-table: $wins wins, " +
+        s"$losses loud losses over $rounds rounds")
+      // rollback hygiene across BOTH processes: every surviving
+      // generation dir is referenced by the live manifest or a snapshot
+      val referenced = (wh.manifest.values ++
+        wh.snapshots.flatMap(g => wh.manifestAt(g).values)).toSet
+      val dirs = Files.list(wh.root.resolve("data"))
+      try dirs.iterator().asScala.foreach { p =>
+        assert(referenced.contains(s"data/${p.getFileName}"),
+          s"orphaned generation dir: ${p.getFileName}")
+      } finally dirs.close()
+      assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) &&
+        proc.exitValue() === 0,
+        s"child exit ${if (proc.isAlive) "hung" else proc.exitValue().toString}; " +
+          s"tail:\n$childTail")
+    } finally {
+      proc.destroyForcibly()
+    }
+  }
 }
