@@ -465,4 +465,72 @@ object StreamingDedup {
           }
       }
   }
+
+  /** Streaming face of dd20's tiered near-dup join
+    * ([[graft.queries.Clean.tieredNearDupPairsOn]]): winnow-capped
+    * candidate pairs stream out of [[streamingWinnowShared]]
+    * (identical fingerprints to batch — same native winnow
+    * expression, same 32-hex hash prefix), and each micro-batch
+    * verifies ONLY its fresh candidates with the exact merge-scan
+    * trigram-Jaccard kernel against the corpus store, appending
+    * survivors to `outDir/pairs`.
+    *
+    * Why the verify is a micro-batch join, not a second stateful
+    * operator: exact verification needs BOTH documents' full texts,
+    * and holding every seen text in stream state reproduces the
+    * corpus inside the state store. The scale-correct shape is the
+    * one production runs anyway — candidates (slim (id_a, id_b)
+    * events, df-capped so linear in the corpus) join the ingested
+    * corpus's durable store per trigger. `corpus` here is that store;
+    * at 100 TB it is the append-only ingest table, and the verify
+    * join prunes to the candidate ids (two semi-joined scans per
+    * trigger, never all-pairs).
+    *
+    * Emit-once: candidates are deduped within the batch and
+    * anti-joined against the already-published pair store, so a pair
+    * re-surfacing via a second shared fingerprint (same or later
+    * batch) never re-emits. A REJECTED pair that resurfaces is
+    * re-verified (deterministic kernel, same verdict) — wasted work
+    * bounded by candidate multiplicity, never wrong output.
+    *
+    * Batch==stream: on corpora where no fingerprint bucket crosses
+    * `dfCap`, the candidate set equals batch dd20's (the prefix-cap
+    * divergence documented on [[streamingWinnowShared]] never
+    * engages) and the verify kernel is the same expression tree, so
+    * the published pair set equals [[graft.queries.Clean
+    * .tieredNearDupPairsOn]] row-for-row (StreamingSpec proves it;
+    * the over-cap regime inherits streamingWinnowShared's documented
+    * prefix semantics).
+    */
+  def streamingTieredNearDup(
+      spark: SparkSession,
+      docsStream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      threshold: Double = 0.8,
+      dfCap: Int = 16,
+      delayMs: Long = 2 * 3600 * 1000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SharedHash] = {
+    val pairsDir = s"$outDir/pairs"
+    streamingWinnowShared(spark, docsStream, idCol, textCol,
+        dfCap = dfCap, delayMs = delayMs)
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: Dataset[SharedHash], _: Long) =>
+        val cands = batch.toDF()
+          .select(col("id_a"), col("id_b")).distinct()
+        val prior =
+          try Some(spark.read.parquet(pairsDir)
+            .select(col("id_a"), col("id_b")))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val fresh = prior
+          .map(p => cands.join(p, Seq("id_a", "id_b"), "left_anti"))
+          .getOrElse(cands)
+        Dedup.exactJaccardScores(corpus, idCol, textCol, fresh)
+          .filter(col("jaccard") >= threshold)
+          .write.mode("append").parquet(pairsDir)
+      }
+  }
 }

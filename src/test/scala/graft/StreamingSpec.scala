@@ -995,6 +995,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch.contains((1L, 2L)) && batch.contains((3L, 4L)))
   }
 
+  test("streaming tiered near-dup (dd20 dual): micro-batch exact " +
+      "verify over winnow candidates equals batch pair-for-pair and " +
+      "emits each pair once across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val real = Tables.documents(spark, sf)
+    val feed = real.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val out = java.nio.file.Files
+      .createTempDirectory("tiered-stream").toString
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    // dfCap 50: no bucket on this corpus crosses it, so the
+    // prefix-cap divergence never engages and batch equality is exact
+    val q = graft.streaming.StreamingDedup.streamingTieredNearDup(
+        spark, mem.toDS().toDF("ts", "doc_id", "text"), real,
+        "doc_id", "text", out, threshold = 0.8, dfCap = 50,
+        delayMs = 60000L)
+      .start()
+    try {
+      // two triggers: candidate pairs WITHIN batch 1 re-surface via
+      // new shared fingerprints in batch 2 — the anti-join against
+      // the published store must silence the re-emission
+      val (a, b) = feed.splitAt(feed.length / 2)
+      mem.addData(a.map { case (id, t) => (ts(0), id, t) }
+        .toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b.map { case (id, t) => (ts(1), id, t) }
+        .toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedRows = spark.read.parquet(s"$out/pairs")
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val streamed = streamedRows.toSet
+    // emit-once: no pair appears twice in the published store
+    assert(streamedRows.length === streamed.size,
+      "a pair was re-emitted across triggers")
+    val batch = graft.queries.Clean
+      .tieredNearDupPairsOn(real, threshold = 0.8, dfCap = 50)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture must contain tiered near-dup pairs")
+  }
+
   test("streaming winnowing co-selection: a hot template tombstones " +
       "its buckets — emissions per hash stay under C(dfCap, 2)") {
     implicit val sqlCtx = spark.sqlContext
