@@ -336,6 +336,19 @@ object ScaleProbe {
           f"[probe]   pipe2 composed (parquet-staged) " +
             f"${secs("pipe2_sec")}%7.2fs (${cnts("pipe2_rows")} rows)")
         pipe2Stages(df, name).foreach { case (k, v) => secs(k) = v }
+        // pipe5 = pipe2 with the dominant stage (the exact near-dup
+        // join, 146.5 of 164 s at sf1rep per the stage decomposition)
+        // swapped for the tiered gate — side-by-side so the scale-path
+        // improvement is a wall number, not an inference
+        val n5 = leg("pipe5_sec", "pipe5_rows") {
+          val stageDir = java.nio.file.Files
+            .createTempDirectory(s"graft-probe-p5-$name").toString
+          graft.queries.Extensions.pipe5TieredPrepOn(
+            spark, df, graft.queries.Staging.Parquet(stageDir)).count()
+        }
+        System.err.println(
+          f"[probe]   pipe5 tiered composed ${secs("pipe5_sec")}%7.2fs " +
+            f"($n5 rows; pipe2 same scale ${secs("pipe2_sec")}%7.2fs)")
         // selection batch: dsir1 (broadcast-LLR fold) and ccnet1
         // (GlobalRank tercile) — both should track the token volume
         // near-linearly; a super-linear drift here means the rank

@@ -64,6 +64,55 @@ class ExportSpec extends SparkSpec {
     val par1 = canonPipe2(Extensions.pipe1CorpusClean(spark, sf,
       Staging.Parquet(stageDir)))
     assert(par1 === mem1)
+    val mem5 = canonPipe2(Extensions.pipe5TieredPrep(spark, sf))
+    val par5 = canonPipe2(Extensions.pipe5TieredPrep(spark, sf,
+      Staging.Parquet(stageDir)))
+    assert(par5 === mem5)
+    assert(mem5.nonEmpty)
+  }
+
+  test("pipe5 tiered prep: the tiered removal set is a SUBSET of " +
+      "pipe2's exact removals and the pack replays over the " +
+      "independently recomputed kept set") {
+    import graft.queries.{Clean, Extensions, Staging}
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sf)
+    // recompute the shared decontamination stage once
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val eval_ = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val scores = Dedup.contaminationScores(
+      corpus, eval_, "doc_id", "text", k = 3)
+    val clean = corpus.join(
+        scores.filter(col("contamination") > 0.2).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val tiered = Clean.tieredNearDupPairsOn(clean)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.exactJaccardPairs(clean, "doc_id", "text",
+        threshold = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the tiered gate only ever MISSES pairs (the df-cap rule); it
+    // must never invent one — so pipe5 keeps a superset of pipe2's
+    // docs and its removals are a subset
+    assert(tiered.subsetOf(exact),
+      s"tiered pairs outside the exact truth: ${tiered -- exact}")
+    assert(tiered.nonEmpty, "fixture must produce tiered pairs")
+    // pipe5's packed output equals packing the recomputed kept set
+    val kept = Dedup.keepAfterPairs(clean, "doc_id",
+      Clean.tieredNearDupPairsOn(clean))
+    val chunks = graft.export.Packing.chunkDocuments(
+      kept, "doc_id", "text", maxTokens = 16, overlap = 4)
+    val units = chunks.select(
+      (col("doc_id") * lit(1048576L) + col("chunk_id")).as("cid"),
+      col("n_chunk_tokens"))
+    val expect = graft.export.Packing.packSequences(
+        units, "cid", "n_chunk_tokens", budget = 512L)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val got = Extensions.pipe5TieredPrepOn(spark, docs, Staging.Memory)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(got === expect)
   }
 
   test("JSONL shard export round-trips through the declared-schema source") {
