@@ -455,6 +455,16 @@ object ScaleProbe {
     System.err.println(
       f"[probe] skew30%% dd21=$t21s%7.2fs ($c21s clusters; " +
         f"dd6 same corpus $t6s%7.2fs)")
+    // pipe5 on the hot-template corpus, beside pipe2's skew leg: the
+    // composed scale tier must inherit the df-cap immunity end-to-end
+    val (tp5s, np5s) = timeSec {
+      val stageDir = java.nio.file.Files
+        .createTempDirectory("graft-probe-p5-skew").toString
+      graft.queries.Extensions.pipe5TieredPrepOn(
+        spark, skewDf, graft.queries.Staging.Parquet(stageDir)).count()
+    }
+    System.err.println(
+      f"[probe] skew30%% pipe5=$tp5s%7.2fs ($np5s rows; pipe2 $tp2s%7.2fs)")
 
     // ---- embedding-table legs (kc1 k-center, clb1 cluster-balance):
     // both are O(k*n) literal-centroid scans with k-row driver state
@@ -527,7 +537,8 @@ object ScaleProbe {
       s""""pipe2_sec":${f"$tp2s%.2f"},"pipe2_rows":$np2s,""" +
       s""""win2_sec":${f"$tw2s%.2f"},"win2_pairs":$nw2s,""" +
       s""""dd20_sec":${f"$t20s%.2f"},"dd20_pairs":$p20s,""" +
-      s""""dd21_sec":${f"$t21s%.2f"},"dd21_clusters":$c21s},""" +
+      s""""dd21_sec":${f"$t21s%.2f"},"dd21_clusters":$c21s,""" +
+      s""""pipe5_sec":${f"$tp5s%.2f"},"pipe5_rows":$np5s},""" +
       expJson(rows.map(r => (r._2, r._3))) + "," +
       expJson(embRows.map(r => (r._2, r._3))) + "}")
   }
