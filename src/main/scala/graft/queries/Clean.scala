@@ -191,6 +191,66 @@ object Clean {
     * ~linear. Deterministic md5 winnowing + exact verify + CC — the
     * full pipeline replays in the oracle (recursive CTE), like dd6.
     */
+  /** dd23: INCREMENTAL tiered near-dup — the daily-ingest shape: a
+    * NEW batch screened against the EXISTING corpus without ever
+    * re-running all-pairs on the corpus. Candidate generation is
+    * dd20's machinery split two-table: each side contributes its
+    * capped distinct (doc, fingerprint) selections, the df cap
+    * applies to the COMBINED document frequency (a hash hot across
+    * base+fresh is boilerplate for the union, exactly as a batch
+    * rerun over base∪fresh would see it), and only CROSS-side hash
+    * matches become candidates — base×base pairs (already
+    * adjudicated by the last full pass) and fresh×fresh pairs
+    * (handled by the intra-batch dd20 on the new slice) never enter
+    * the join. The exact merge-scan verify then scores candidates
+    * only.
+    *
+    * 100 TB shape: the base side's capped selections are the
+    * PERSISTED fingerprint index (computed once per full pass,
+    * stored partitioned by h); each ingest computes fresh
+    * fingerprints only — work per batch is O(batch + matches), not
+    * O(corpus). The base-side df contribution comes from the stored
+    * index; the streaming face of the same contract is
+    * [[graft.streaming.StreamingDedup.streamingTieredNearDup]].
+    *
+    * Deterministic md5 winnow + exact Jaccard, so the whole
+    * incremental gate is two-engine checkable. Output: one row per
+    * (id_base, id_new) with exact trigram Jaccard >= threshold —
+    * the rows an ingest pipeline uses to drop or link fresh docs.
+    */
+  def incrementalTieredPairsOn(base: DataFrame, fresh: DataFrame,
+      threshold: Double = 0.8, dfCap: Int = 16): DataFrame = {
+    def sideSel(df: DataFrame, side: Int): DataFrame =
+      winnowFingerprints(df, "doc_id", "text")
+        .select(col("doc_id"), col("h")).distinct()
+        .withColumn("side", lit(side))
+    // combined-df cap, materialized ONCE (both candidate branches and
+    // the window chain would otherwise recompute per consumer)
+    val dh = sideSel(base, 0).unionAll(sideSel(fresh, 1))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= dfCap)
+      .select(col("doc_id"), col("h"), col("side"))
+      .localCheckpoint(true)
+    val cands = dh.filter(col("side") === 0).as("b")
+      .join(dh.filter(col("side") === 1).as("f"), col("b.h") === col("f.h"))
+      .select(col("b.doc_id").as("id_a"), col("f.doc_id").as("id_b"))
+      .distinct()
+    graft.dedup.Dedup
+      .exactJaccardScores(base.unionByName(fresh), "doc_id", "text", cands)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("id_base"), col("id_b").as("id_new"),
+        col("jaccard"))
+  }
+
+  def dd23IncrementalNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // mod-7 split (the dd10 lesson: the planted near-dup twins sit at
+    // id distances that a 1-in-97 slice never straddles)
+    incrementalTieredPairsOn(
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0))
+  }
+
   def dd21TieredClusterKeep(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val pairs = TruthSets.tieredNearDupPairs(s, d)
@@ -411,7 +471,8 @@ object Clean {
       pipe4CleanSelect(s, d)),
     "heaps1_vocab_growth" -> (heaps1VocabGrowth _),
     "dd20_tiered_neardup" -> (dd20TieredNearDup _),
-    "dd21_tiered_cluster_keep" -> (dd21TieredClusterKeep _))
+    "dd21_tiered_cluster_keep" -> (dd21TieredClusterKeep _),
+    "dd23_incremental_neardup" -> (dd23IncrementalNeardup _))
 
   val oracles: Map[String, String] = Map(
     // the two-tier join replayed end-to-end: win2's md5-winnow
@@ -457,6 +518,54 @@ object Clean {
                 JOIN gr b ON b.doc_id = c.id_b AND b.gram = a.gram
                 GROUP BY 1, 2)
          SELECT id_a, id_b,
+                CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) AS jaccard
+         FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                 JOIN gs sb ON sb.doc_id = ix.id_b
+         WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8""",
+    // dd20's candidate CTEs split two-table: sides tagged, df capped
+    // on the COMBINED frequency, only cross-side hash matches become
+    // candidates, exact verify replays verbatim
+    "dd23_incremental_neardup" ->
+      """WITH s AS (SELECT doc_id, lower(trim(text)) AS s,
+                  CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS side
+               FROM documents),
+         b AS (SELECT doc_id, side, s, CAST(length(s) - 7 AS INT) AS g
+               FROM s WHERE length(s) - 7 >= 4),
+         k AS (SELECT doc_id, side, g,
+                 list_transform(range(1, g + 1),
+                   p -> md5(substr(s, CAST(p AS INT), 8)) ||
+                        lpad(CAST(100000000 - p AS VARCHAR), 8, '0')) AS keys
+               FROM b),
+         sel AS (SELECT doc_id, side,
+                   list_distinct(list_transform(range(1, g - 2),
+                     ws -> list_min(keys[ws:ws+3]))) AS sel
+                 FROM k),
+         dh AS MATERIALIZED (
+           SELECT DISTINCT doc_id, side, substr(key, 1, 32) AS h
+           FROM (SELECT doc_id, side, unnest(sel) AS key FROM sel)),
+         f AS (SELECT h, count(*) AS df FROM dh GROUP BY h),
+         kept AS MATERIALIZED (
+           SELECT dh.doc_id, dh.side, dh.h FROM dh JOIN f USING (h)
+           WHERE f.df <= 16),
+         cands AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM kept a JOIN kept b
+             ON a.h = b.h AND a.side = 0 AND b.side = 1),
+         t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+         gr AS MATERIALIZED (
+           SELECT DISTINCT doc_id, unnest(
+             CASE WHEN length(s) >= 3
+                  THEN list_transform(range(1, length(s) - 1),
+                                      i -> substr(s, CAST(i AS INT), 3))
+                  ELSE [s] END) AS gram
+           FROM t),
+         gs AS (SELECT doc_id, count(*) AS sz FROM gr GROUP BY doc_id),
+         ix AS (SELECT c.id_a, c.id_b, count(*) AS o
+                FROM cands c
+                JOIN gr a ON a.doc_id = c.id_a
+                JOIN gr b ON b.doc_id = c.id_b AND b.gram = a.gram
+                GROUP BY 1, 2)
+         SELECT id_a AS id_base, id_b AS id_new,
                 CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) AS jaccard
          FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
                  JOIN gs sb ON sb.doc_id = ix.id_b

@@ -318,6 +318,30 @@ class CleanSpec extends SparkSpec {
     assert(kept.filter(col("n_kept") < col("n_chunks")).count() > 0)
   }
 
+  test("dd23 incremental near-dup == the cross-side subset of a full " +
+      "dd20 rerun over base ∪ fresh (same combined-df cap), and finds " +
+      "cross-split pairs on the real corpus") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val inc = Clean.incrementalTieredPairsOn(base, fresh)
+      .collect()
+      .map(r => (Set(r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the full-batch run over the SAME union sees the SAME combined
+    // document frequencies, so its cross-side pairs must match the
+    // incremental gate's output exactly — pair set AND scores
+    val full = Clean.tieredNearDupPairsOn(docs)
+      .collect()
+      .filter(r => (r.getLong(0) % 7 == 0) != (r.getLong(1) % 7 == 0))
+      .map(r => (Set(r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(inc === full)
+    assert(inc.nonEmpty, "fixture must contain cross-split near-dups")
+    // orientation contract: id_base never from the fresh slice
+    Clean.incrementalTieredPairsOn(base, fresh).collect().foreach { r =>
+      assert(r.getLong(0) % 7 != 0 && r.getLong(1) % 7 == 0)
+    }
+  }
+
   // ---- source overlap -----------------------------------------------
 
   test("ovl1: matches a brute-force distinct-chunk intersection and " +
