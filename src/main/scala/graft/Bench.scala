@@ -200,7 +200,7 @@ object Bench {
       "x1_sql_cosine", "sk2_salted_join", "bf1_bloom_prune", "smp3_weighted_k",
       "dsir1_importance_weights", "clb1_cluster_balanced",
       "win2_winnow_pairs", "par1_chunk_dedup", "rho1_excess_loss",
-      "pipe4_clean_select", "pipe5_tiered_prep")
+      "pipe4_clean_select", "pipe5_tiered_prep", "dd23_incremental_neardup")
     val byName = results.toMap
     def r3(v: Double): String = f"$v%.3f"
     // machine-readable regression bands (tools/bench_bands.json,

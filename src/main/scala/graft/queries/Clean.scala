@@ -218,19 +218,27 @@ object Clean {
     * (id_base, id_new) with exact trigram Jaccard >= threshold —
     * the rows an ingest pipeline uses to drop or link fresh docs.
     */
-  def incrementalTieredPairsOn(base: DataFrame, fresh: DataFrame,
-      threshold: Double = 0.8, dfCap: Int = 16): DataFrame = {
+  /** Side-tagged capped (doc, fingerprint) selections under the
+    * COMBINED document-frequency cap, materialized once — shared by
+    * [[incrementalTieredPairsOn]] (cross candidates) and
+    * [[incrementalClusterUpdateOn]] (cross + intra-fresh candidates).
+    */
+  private def sidedCappedSelections(base: DataFrame, fresh: DataFrame,
+      dfCap: Int): DataFrame = {
     def sideSel(df: DataFrame, side: Int): DataFrame =
       winnowFingerprints(df, "doc_id", "text")
         .select(col("doc_id"), col("h")).distinct()
         .withColumn("side", lit(side))
-    // combined-df cap, materialized ONCE (both candidate branches and
-    // the window chain would otherwise recompute per consumer)
-    val dh = sideSel(base, 0).unionAll(sideSel(fresh, 1))
+    sideSel(base, 0).unionAll(sideSel(fresh, 1))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= dfCap)
       .select(col("doc_id"), col("h"), col("side"))
       .localCheckpoint(true)
+  }
+
+  def incrementalTieredPairsOn(base: DataFrame, fresh: DataFrame,
+      threshold: Double = 0.8, dfCap: Int = 16): DataFrame = {
+    val dh = sidedCappedSelections(base, fresh, dfCap)
     val cands = dh.filter(col("side") === 0).as("b")
       .join(dh.filter(col("side") === 1).as("f"), col("b.h") === col("f.h"))
       .select(col("b.doc_id").as("id_a"), col("f.doc_id").as("id_b"))
@@ -240,6 +248,74 @@ object Clean {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("id_base"), col("id_b").as("id_new"),
         col("jaccard"))
+  }
+
+  /** dd24: INCREMENTAL cluster maintenance — dd23's companion that
+    * folds a new batch into the EXISTING duplicate clusters without
+    * re-running connected components on the corpus graph. The base
+    * side's assignment (doc -> min-id component, the last full dd21
+    * pass) is CONTRACTED to super-nodes: each cross edge attaches a
+    * fresh doc to its base doc's COMPONENT id, intra-fresh edges
+    * connect fresh docs directly, and CC runs on this contracted
+    * graph only — nodes are components-touched + fresh docs, i.e.
+    * O(matches + batch), never O(corpus). Contraction preserves CC
+    * exactly (a component id IS the min doc id of its cluster, so
+    * min over merged super-nodes is the global min — CleanSpec
+    * proves equality with CC over the raw edge union).
+    *
+    * Incremental semantics, documented: base-base pairs come from
+    * the LAST full pass (base-only dfs) and clusters never unmerge —
+    * a hash pushed over the cap by the new batch silences FUTURE
+    * candidates but does not retract old edges; new-edge candidates
+    * (cross and intra-fresh) use the combined df, exactly what the
+    * persisted fingerprint index would hold after the ingest.
+    *
+    * Output: (new_id, cluster_id) for every fresh doc with at least
+    * one verified near-dup edge — the rows an ingest pipeline uses
+    * to route new docs into existing clusters (cluster_id < new_id
+    * means "joined an existing or smaller-id cluster").
+    */
+  def incrementalClusterUpdateOn(base: DataFrame, fresh: DataFrame,
+      threshold: Double = 0.8, dfCap: Int = 16): DataFrame = {
+    // the last full pass over base: doc -> component (min id; self if
+    // unpaired)
+    val basePairs = tieredNearDupPairsOn(base, threshold, dfCap)
+    val baseAssign = graft.dedup.Dedup
+      .nearDupClusters(base, "doc_id", basePairs)
+    val dh = sidedCappedSelections(base, fresh, dfCap)
+    val crossCands = dh.filter(col("side") === 0).as("b")
+      .join(dh.filter(col("side") === 1).as("f"), col("b.h") === col("f.h"))
+      .select(col("b.doc_id").as("id_a"), col("f.doc_id").as("id_b"),
+        lit(true).as("cross"))
+    val freshCands = dh.filter(col("side") === 1).as("x")
+      .join(dh.filter(col("side") === 1).as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(false).as("cross"))
+    val cands = crossCands.unionAll(freshCands).distinct()
+    val verified = graft.dedup.Dedup
+      .exactJaccardScores(base.unionByName(fresh), "doc_id", "text",
+        cands.select(col("id_a"), col("id_b")))
+      .filter(col("jaccard") >= threshold)
+      .join(cands, Seq("id_a", "id_b"))
+    // contract: base endpoints ride in as their component super-node
+    val edges = verified.filter(col("cross"))
+      .join(baseAssign.withColumnRenamed("node", "id_a"), Seq("id_a"),
+        "left_outer")
+      .select(coalesce(col("component"), col("id_a")).as("src"),
+        col("id_b").as("dst"))
+      .unionAll(verified.filter(!col("cross"))
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+    val cc = graft.graph.ConnectedComponents.run(edges, "src", "dst")
+    cc.join(fresh.select(col("doc_id").as("node")), Seq("node"))
+      .select(col("node").as("new_id"), col("component").as("cluster_id"))
+  }
+
+  def dd24IncrementalClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incrementalClusterUpdateOn(
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0))
   }
 
   def dd23IncrementalNeardup(s: SparkSession, d: String): DataFrame = {
@@ -472,7 +548,8 @@ object Clean {
     "heaps1_vocab_growth" -> (heaps1VocabGrowth _),
     "dd20_tiered_neardup" -> (dd20TieredNearDup _),
     "dd21_tiered_cluster_keep" -> (dd21TieredClusterKeep _),
-    "dd23_incremental_neardup" -> (dd23IncrementalNeardup _))
+    "dd23_incremental_neardup" -> (dd23IncrementalNeardup _),
+    "dd24_incremental_clusters" -> (dd24IncrementalClusters _))
 
   val oracles: Map[String, String] = Map(
     // the two-tier join replayed end-to-end: win2's md5-winnow
@@ -570,6 +647,107 @@ object Clean {
          FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
                  JOIN gs sb ON sb.doc_id = ix.id_b
          WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8""",
+    // the incremental cluster update replayed end-to-end: base-only
+    // capped pairs -> base CC (first recursive CTE) -> contracted
+    // graph (cross edges enter at the base COMPONENT id, intra-fresh
+    // edges direct) -> final CC (second recursive CTE) -> fresh rows
+    "dd24_incremental_clusters" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, lower(trim(text)) AS s,
+                  CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS side
+               FROM documents),
+         b AS (SELECT doc_id, side, s, CAST(length(s) - 7 AS INT) AS g
+               FROM s WHERE length(s) - 7 >= 4),
+         k AS (SELECT doc_id, side, g,
+                 list_transform(range(1, g + 1),
+                   p -> md5(substr(s, CAST(p AS INT), 8)) ||
+                        lpad(CAST(100000000 - p AS VARCHAR), 8, '0')) AS keys
+               FROM b),
+         sel AS (SELECT doc_id, side,
+                   list_distinct(list_transform(range(1, g - 2),
+                     ws -> list_min(keys[ws:ws+3]))) AS sel
+                 FROM k),
+         dh AS MATERIALIZED (
+           SELECT DISTINCT doc_id, side, substr(key, 1, 32) AS h
+           FROM (SELECT doc_id, side, unnest(sel) AS key FROM sel)),
+         fb AS (SELECT h, count(*) AS df FROM dh WHERE side = 0 GROUP BY h),
+         keptb AS MATERIALIZED (
+           SELECT dh.doc_id, dh.h FROM dh JOIN fb USING (h)
+           WHERE dh.side = 0 AND fb.df <= 16),
+         candsb AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM keptb a JOIN keptb b
+             ON a.h = b.h AND a.doc_id < b.doc_id),
+         fc AS (SELECT h, count(*) AS df FROM dh GROUP BY h),
+         keptc AS MATERIALIZED (
+           SELECT dh.doc_id, dh.side, dh.h FROM dh JOIN fc USING (h)
+           WHERE fc.df <= 16),
+         candsn AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  TRUE AS cross_edge
+           FROM keptc a JOIN keptc b
+             ON a.h = b.h AND a.side = 0 AND b.side = 1
+           UNION
+           SELECT DISTINCT a.doc_id, b.doc_id, FALSE
+           FROM keptc a JOIN keptc b
+             ON a.h = b.h AND a.side = 1 AND b.side = 1
+               AND a.doc_id < b.doc_id),
+         t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+         gr AS MATERIALIZED (
+           SELECT DISTINCT doc_id, unnest(
+             CASE WHEN length(s) >= 3
+                  THEN list_transform(range(1, length(s) - 1),
+                                      i -> substr(s, CAST(i AS INT), 3))
+                  ELSE [s] END) AS gram
+           FROM t),
+         gs AS (SELECT doc_id, count(*) AS sz FROM gr GROUP BY doc_id),
+         ixb AS (SELECT c.id_a, c.id_b, count(*) AS o
+                FROM candsb c
+                JOIN gr a ON a.doc_id = c.id_a
+                JOIN gr b ON b.doc_id = c.id_b AND b.gram = a.gram
+                GROUP BY 1, 2),
+         pairsb AS MATERIALIZED (
+           SELECT id_a, id_b
+           FROM ixb JOIN gs sa ON sa.doc_id = ixb.id_a
+                    JOIN gs sb ON sb.doc_id = ixb.id_b
+           WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
+         edgesb AS (SELECT id_a AS src, id_b AS dst FROM pairsb
+                    UNION SELECT id_b, id_a FROM pairsb),
+         reachb(src, dst) AS (
+                    SELECT src, dst FROM edgesb
+                    UNION
+                    SELECT r.src, e.dst FROM reachb r
+                    JOIN edgesb e ON r.dst = e.src WHERE r.src <> e.dst),
+         compb AS (SELECT src AS node, least(src, min(dst)) AS component
+                   FROM reachb GROUP BY src),
+         ixn AS (SELECT c.id_a, c.id_b, c.cross_edge, count(*) AS o
+                FROM candsn c
+                JOIN gr a ON a.doc_id = c.id_a
+                JOIN gr b ON b.doc_id = c.id_b AND b.gram = a.gram
+                GROUP BY 1, 2, 3),
+         pairsn AS MATERIALIZED (
+           SELECT id_a, id_b, cross_edge
+           FROM ixn JOIN gs sa ON sa.doc_id = ixn.id_a
+                    JOIN gs sb ON sb.doc_id = ixn.id_b
+           WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
+         en0 AS (SELECT CASE WHEN p.cross_edge
+                        THEN COALESCE(cb.component, p.id_a)
+                        ELSE p.id_a END AS src,
+                        p.id_b AS dst
+                 FROM pairsn p
+                 LEFT JOIN compb cb
+                   ON cb.node = p.id_a AND p.cross_edge),
+         edgesn AS (SELECT src, dst FROM en0
+                    UNION SELECT dst, src FROM en0),
+         reachn(src, dst) AS (
+                    SELECT src, dst FROM edgesn
+                    UNION
+                    SELECT r.src, e.dst FROM reachn r
+                    JOIN edgesn e ON r.dst = e.src WHERE r.src <> e.dst),
+         compn AS (SELECT src AS node, least(src, min(dst)) AS component
+                   FROM reachn GROUP BY src)
+         SELECT CAST(node AS BIGINT) AS new_id,
+                CAST(component AS BIGINT) AS cluster_id
+         FROM compn WHERE node % 7 = 0""",
     // dd20's candidate+verify CTEs feeding dd6's recursive-CTE
     // connected components — the whole tiered cluster pipeline
     // replayed end-to-end in the second engine

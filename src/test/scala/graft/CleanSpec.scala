@@ -342,6 +342,39 @@ class CleanSpec extends SparkSpec {
     }
   }
 
+  test("dd24 incremental clusters: super-node contraction == CC over " +
+      "the raw edge union, restricted to fresh docs") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val inc = Clean.incrementalClusterUpdateOn(base, fresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // reference: CC over the RAW edges the incremental contract
+    // defines — base pairs from the base-only pass, cross and
+    // intra-fresh pairs under the combined cap — with no contraction
+    val basePairs = Clean.tieredNearDupPairsOn(base)
+      .select(col("id_a"), col("id_b"))
+    val cross = Clean.incrementalTieredPairsOn(base, fresh)
+      .select(col("id_base").as("id_a"), col("id_new").as("id_b"))
+    // intra-fresh pairs under the combined df: the full-union tiered
+    // pairs restricted to fresh-fresh (combined df == union df)
+    val freshPairs = Clean.tieredNearDupPairsOn(docs)
+      .filter(pmod(col("id_a"), lit(7)) === 0 &&
+        pmod(col("id_b"), lit(7)) === 0)
+      .select(col("id_a"), col("id_b"))
+    val raw = graft.graph.ConnectedComponents.run(
+        basePairs.unionAll(cross).unionAll(freshPairs), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rawFresh = raw.filter(_._1 % 7 == 0)
+    assert(inc === rawFresh,
+      s"contracted ${inc.toSeq.sorted} vs raw ${rawFresh.toSeq.sorted}")
+    assert(inc.nonEmpty, "fixture must route fresh docs into clusters")
+    // at least one fresh doc must join an EXISTING (base) cluster —
+    // the operation's whole point
+    assert(inc.exists { case (n, c) => c % 7 != 0 && c < n },
+      "no fresh doc merged into a base cluster on this fixture")
+  }
+
   // ---- source overlap -----------------------------------------------
 
   test("ovl1: matches a brute-force distinct-chunk intersection and " +
