@@ -314,6 +314,32 @@ object ScaleProbe {
         System.err.println(
           f"[probe]   dd21 tiered cluster-keep ${secs("dd21_sec")}%7.2fs " +
             f"($c21 clusters; dd6 same scale ${secs("dd6_sec")}%7.2fs)")
+        // incremental-ingest legs (dd23/dd24 persisted-index forms):
+        // fresh = a FIXED ~500-doc batch (sf0.01, ids offset past any
+        // corpus), base = this scale's corpus. The last-full-pass
+        // artifacts (index + assignment) are built OUTSIDE the timed
+        // window — production reads them from the warehouse — so the
+        // timed walls are the ingest phase alone, which must track
+        // the batch + matches (plus one narrow index groupBy), not
+        // the corpus text volume.
+        val freshBatch = Tables.documents(spark, s"$root/sf0.01")
+          .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+            col("lang"), col("source"), col("text"), col("n_chars"))
+          .localCheckpoint(true)
+        val baseIdx = graft.queries.Clean.winnowIndexOf(df)
+          .localCheckpoint(true)
+        val baseAssign = graft.dedup.Dedup.nearDupClusters(df, "doc_id",
+            graft.queries.Clean.tieredNearDupPairsOn(df))
+          .localCheckpoint(true)
+        val p23 = leg("dd23i_sec", "dd23i_pairs")(
+          graft.queries.Clean.incrementalTieredPairsFrom(
+            baseIdx, df, freshBatch).count())
+        val c24 = leg("dd24i_sec", "dd24i_rows")(
+          graft.queries.Clean.incrementalClusterUpdateFrom(
+            baseIdx, baseAssign, df, freshBatch).count())
+        System.err.println(
+          f"[probe]   incremental ingest dd23i=${secs("dd23i_sec")}%6.2fs " +
+            f"($p23 pairs) dd24i=${secs("dd24i_sec")}%6.2fs ($c24 rows)")
         contam(df).foreach {
           case (k, v: Double) => secs(k) = v
           case (k, v: Long) => cnts(k) = v

@@ -250,6 +250,99 @@ object Clean {
         col("jaccard"))
   }
 
+  /** The fingerprint index the full pass persists: distinct
+    * (doc_id, h) winnow selections — [[incrementalTieredPairsFrom]]'s
+    * first argument. At warehouse scale this is a parquet table
+    * partitioned/bucketed by h; here it is the frame the caller
+    * stages.
+    */
+  def winnowIndexOf(docs: DataFrame): DataFrame =
+    winnowFingerprints(docs, "doc_id", "text")
+      .select(col("doc_id"), col("h")).distinct()
+
+  /** The PERSISTED-INDEX form of [[incrementalTieredPairsOn]] — what
+    * an ingest actually runs: `baseIndex` is the stored winnow index
+    * of the corpus (built once by the last full pass, never
+    * recomputed here), so per-ingest work touches (a) the fresh
+    * batch's texts, (b) the index (narrow (doc_id, h) rows — the
+    * per-hash dfs are one groupBy over it, no corpus TEXT scan), and
+    * (c) base texts ONLY for candidate docs (the verify join prunes
+    * the corpus scan to matched ids). Result is IDENTICAL to the
+    * two-frame form — CleanSpec asserts it — because the combined
+    * per-hash df is the same number either way.
+    */
+  def incrementalTieredPairsFrom(baseIndex: DataFrame, baseDocs: DataFrame,
+      fresh: DataFrame, threshold: Double = 0.8,
+      dfCap: Int = 16): DataFrame = {
+    val (cands, _) = indexCandidates(baseIndex, fresh, dfCap)
+    graft.dedup.Dedup
+      .exactJaccardScores(baseDocs.unionByName(fresh), "doc_id", "text",
+        cands.select(col("id_a"), col("id_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("id_base"), col("id_b").as("id_new"),
+        col("jaccard"))
+  }
+
+  /** Candidate generation against a stored index: combined per-hash
+    * df = index df + batch df, cap applied to the sum; returns
+    * (cross candidates tagged `cross`, plus intra-fresh candidates)
+    * and the fresh selection frame (reused by callers). The fresh
+    * selections materialize once — three consumers (df count, cross
+    * join, intra-fresh self-join).
+    */
+  private def indexCandidates(baseIndex: DataFrame, fresh: DataFrame,
+      dfCap: Int): (DataFrame, DataFrame) = {
+    val fi = winnowIndexOf(fresh).localCheckpoint(true)
+    val okH = baseIndex.groupBy(col("h")).agg(count(lit(1)).as("df_b"))
+      .join(fi.groupBy(col("h")).agg(count(lit(1)).as("df_f")),
+        Seq("h"), "full_outer")
+      .select(col("h"),
+        (coalesce(col("df_b"), lit(0L)) + coalesce(col("df_f"), lit(0L)))
+          .as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("h"))
+    val cappedBase = baseIndex.join(okH, Seq("h"))
+    val cappedFresh = fi.join(okH, Seq("h"))
+    val cross = cappedBase.select(col("doc_id").as("id_a"), col("h"))
+      .join(cappedFresh.select(col("doc_id").as("id_b"), col("h")),
+        Seq("h"))
+      .select(col("id_a"), col("id_b"), lit(true).as("cross"))
+    val intra = cappedFresh.as("x")
+      .join(cappedFresh.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(false).as("cross"))
+    (cross.unionAll(intra).distinct(), fi)
+  }
+
+  /** The PERSISTED-INDEX form of [[incrementalClusterUpdateOn]]:
+    * `baseAssign` is the stored (node, component) assignment from the
+    * last full pass and `baseIndex` its fingerprint index — neither
+    * is recomputed, so the update's work is O(batch + matches) plus
+    * the candidate-pruned base-text fetch. Identical output to the
+    * two-frame form (CleanSpec).
+    */
+  def incrementalClusterUpdateFrom(baseIndex: DataFrame,
+      baseAssign: DataFrame, baseDocs: DataFrame, fresh: DataFrame,
+      threshold: Double = 0.8, dfCap: Int = 16): DataFrame = {
+    val (cands, _) = indexCandidates(baseIndex, fresh, dfCap)
+    val verified = graft.dedup.Dedup
+      .exactJaccardScores(baseDocs.unionByName(fresh), "doc_id", "text",
+        cands.select(col("id_a"), col("id_b")))
+      .filter(col("jaccard") >= threshold)
+      .join(cands, Seq("id_a", "id_b"))
+    val edges = verified.filter(col("cross"))
+      .join(baseAssign.withColumnRenamed("node", "id_a"), Seq("id_a"),
+        "left_outer")
+      .select(coalesce(col("component"), col("id_a")).as("src"),
+        col("id_b").as("dst"))
+      .unionAll(verified.filter(!col("cross"))
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+    val cc = graft.graph.ConnectedComponents.run(edges, "src", "dst")
+    cc.join(fresh.select(col("doc_id").as("node")), Seq("node"))
+      .select(col("node").as("new_id"), col("component").as("cluster_id"))
+  }
+
   /** dd24: INCREMENTAL cluster maintenance — dd23's companion that
     * folds a new batch into the EXISTING duplicate clusters without
     * re-running connected components on the corpus graph. The base
@@ -277,38 +370,15 @@ object Clean {
     */
   def incrementalClusterUpdateOn(base: DataFrame, fresh: DataFrame,
       threshold: Double = 0.8, dfCap: Int = 16): DataFrame = {
-    // the last full pass over base: doc -> component (min id; self if
-    // unpaired)
+    // build what the last full pass would have persisted — the
+    // fingerprint index and the doc -> component assignment — then
+    // run the ingest-time update against them
     val basePairs = tieredNearDupPairsOn(base, threshold, dfCap)
     val baseAssign = graft.dedup.Dedup
       .nearDupClusters(base, "doc_id", basePairs)
-    val dh = sidedCappedSelections(base, fresh, dfCap)
-    val crossCands = dh.filter(col("side") === 0).as("b")
-      .join(dh.filter(col("side") === 1).as("f"), col("b.h") === col("f.h"))
-      .select(col("b.doc_id").as("id_a"), col("f.doc_id").as("id_b"),
-        lit(true).as("cross"))
-    val freshCands = dh.filter(col("side") === 1).as("x")
-      .join(dh.filter(col("side") === 1).as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        lit(false).as("cross"))
-    val cands = crossCands.unionAll(freshCands).distinct()
-    val verified = graft.dedup.Dedup
-      .exactJaccardScores(base.unionByName(fresh), "doc_id", "text",
-        cands.select(col("id_a"), col("id_b")))
-      .filter(col("jaccard") >= threshold)
-      .join(cands, Seq("id_a", "id_b"))
-    // contract: base endpoints ride in as their component super-node
-    val edges = verified.filter(col("cross"))
-      .join(baseAssign.withColumnRenamed("node", "id_a"), Seq("id_a"),
-        "left_outer")
-      .select(coalesce(col("component"), col("id_a")).as("src"),
-        col("id_b").as("dst"))
-      .unionAll(verified.filter(!col("cross"))
-        .select(col("id_a").as("src"), col("id_b").as("dst")))
-    val cc = graft.graph.ConnectedComponents.run(edges, "src", "dst")
-    cc.join(fresh.select(col("doc_id").as("node")), Seq("node"))
-      .select(col("node").as("new_id"), col("component").as("cluster_id"))
+    incrementalClusterUpdateFrom(
+      winnowIndexOf(base).localCheckpoint(true), baseAssign,
+      base, fresh, threshold, dfCap)
   }
 
   def dd24IncrementalClusters(s: SparkSession, d: String): DataFrame = {

@@ -375,6 +375,28 @@ class CleanSpec extends SparkSpec {
       "no fresh doc merged into a base cluster on this fixture")
   }
 
+  test("persisted-index forms == two-frame forms: the stored winnow " +
+      "index reproduces the combined-df candidates exactly") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // two INDEPENDENT constructions of the combined-df cap — the
+    // window-over-union form and the stored-index df-sum form — must
+    // agree pair-for-pair, score-for-score
+    val idx = Clean.winnowIndexOf(base).localCheckpoint(true)
+    assert(canon(Clean.incrementalTieredPairsFrom(idx, base, fresh))
+      === canon(Clean.incrementalTieredPairsOn(base, fresh)))
+    // and the cluster update from stored artifacts == the from-scratch
+    // form (which itself == raw CC, proven above)
+    val baseAssign = graft.dedup.Dedup.nearDupClusters(
+      base, "doc_id", Clean.tieredNearDupPairsOn(base))
+    assert(canon(Clean.incrementalClusterUpdateFrom(
+        idx, baseAssign, base, fresh))
+      === canon(Clean.incrementalClusterUpdateOn(base, fresh)))
+  }
+
   // ---- source overlap -----------------------------------------------
 
   test("ovl1: matches a brute-force distinct-chunk intersection and " +
