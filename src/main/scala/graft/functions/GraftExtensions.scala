@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         guarded(name, builder)))
     }
     e.injectOptimizerRule(_ => graft.plans.PruneFrameBytes)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -199,5 +200,7 @@ object GraftExtensions {
     }
     org.apache.spark.sql.graftshim.ColumnBridge
       .addOptimizerRule(spark, graft.plans.PruneFrameBytes)
+    org.apache.spark.sql.graftshim.ColumnBridge
+      .addPlannerStrategy(spark, graft.plans.AsOfJoinStrategy)
   }
 }

@@ -72,6 +72,67 @@ object AsOfJoin {
     asofScan(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
       forward = true)
 
+  // ---- physical-operator variants (graft.plans.AsOfJoinExec) --------
+
+  /** Backward as-of through the CUSTOM CATALYST OPERATOR
+    * ([[graft.plans.AsOfJoinNode]] → `AsOfJoinExec`): identical
+    * semantics and output shape to [[asofJoinBackward]] (AsOfExecSpec
+    * property-checks them against each other), but the exchange and
+    * sort are DECLARED (`requiredChildDistribution`/`Ordering`)
+    * rather than hand-inserted — inputs already bucketed or
+    * repartitioned by the key join with zero added shuffle, and the
+    * planner/AQE keep control of the exchanges they do insert.
+    */
+  def asofJoinBackwardExec(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame =
+    asofExecPlan(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
+      forward = false)
+
+  /** Forward mirror of [[asofJoinBackwardExec]]. */
+  def asofJoinForwardExec(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame =
+    asofExecPlan(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
+      forward = true)
+
+  private def asofExecPlan(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTiebreak: Seq[String],
+      forward: Boolean): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val spark = left.sparkSession
+    ColumnBridge.addPlannerStrategy(spark, graft.plans.AsOfJoinStrategy)
+    val lPlan = ColumnBridge.analyzed(left)
+    // self-join safety: re-aliasing every right column mints fresh
+    // exprIds, so left/right never share attributes in the node
+    val rPlan = ColumnBridge.analyzed(
+      right.select(right.columns.map(c => col(c).as(c)): _*))
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String, side: String) =
+      p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"asofJoinExec: no column '$name' on the $side side " +
+          s"(have: ${p.output.map(_.name).mkString(", ")})"))
+    ColumnBridge.ofRows(spark, graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, keyCol, "left"), attr(rPlan, keyCol, "right"),
+      attr(lPlan, leftTsCol, "left"), attr(rPlan, rightTsCol, "right"),
+      forward,
+      rightTiebreak.map(attr(rPlan, _, "right"))))
+  }
+
   /** Shared one-shuffle merge scan. `forward = true` sweeps time
     * DESCENDING, so "last seen right" is the earliest right at-or-after
     * the left row — the exact mirror of the backward carry.

@@ -1389,6 +1389,24 @@ object Extensions {
     graft.ops.AsOfJoin.asofJoinForward(left, right, "user_id", "ts", "ts")
   }
 
+  /** Backward as-of through the CUSTOM CATALYST PHYSICAL OPERATOR
+    * ([[graft.plans.AsOfJoinExec]]): identical semantics to
+    * [[asof1Backward]] (same DuckDB ASOF oracle), but the exchange and
+    * sort are declared via requiredChildDistribution/Ordering, so
+    * pre-partitioned or bucketed inputs join with zero added shuffle
+    * (AsOfExecSpec proves it on the plan).
+    */
+  def asof6ExecBackward(s: SparkSession, d: String): DataFrame = {
+    val (left, right) = asofSides(s, d)
+    graft.ops.AsOfJoin.asofJoinBackwardExec(left, right, "user_id", "ts", "ts")
+  }
+
+  /** Forward mirror of [[asof6ExecBackward]] (same oracle as asof2). */
+  def asof7ExecForward(s: SparkSession, d: String): DataFrame = {
+    val (left, right) = asofSides(s, d)
+    graft.ops.AsOfJoin.asofJoinForwardExec(left, right, "user_id", "ts", "ts")
+  }
+
   /** Nearest-in-time signup value (ties -> backward). Oracle composes
     * DuckDB's backward + forward ASOF and picks per-row by distance.
     */
@@ -1709,6 +1727,8 @@ object Extensions {
     "asof3_nearest" -> (asof3Nearest _),
     "asof4_backward_chunked" -> (asof4BackwardChunked _),
     "asof5_nearest_chunked" -> (asof5NearestChunked _),
+    "asof6_exec_backward" -> (asof6ExecBackward _),
+    "asof7_exec_forward" -> (asof7ExecForward _),
     "pipe1_corpus_clean" -> ((s, d) => pipe1CorpusClean(s, d)),
     "pipe2_training_prep" -> ((s, d) => pipe2TrainingPrep(s, d)),
     "pipe5_tiered_prep" -> ((s, d) => pipe5TieredPrep(s, d)),
@@ -1766,6 +1786,18 @@ object Extensions {
        SELECT l.event_id, l.ts, l.user_id, l.event_type, r.signup_value
        FROM events l ASOF LEFT JOIN r
          ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+  private val asofForwardOracle: String =
+    """WITH r AS (
+         SELECT user_id, ts, signup_value FROM (
+           SELECT user_id, ts, value AS signup_value,
+                  row_number() OVER (PARTITION BY user_id, ts
+                    ORDER BY value DESC) AS rn
+           FROM events WHERE event_type = 'signup')
+         WHERE rn = 1)
+       SELECT l.event_id, l.ts, l.user_id, l.event_type, r.signup_value
+       FROM events l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND l.ts <= r.ts"""
 
   private val contaminationOracle: String =
     """WITH tok AS (SELECT doc_id,
@@ -2656,17 +2688,10 @@ object Extensions {
     "asof1_backward" -> asofBackwardOracle,
     // identical semantics, skew-proof execution — same oracle
     "asof4_backward_chunked" -> asofBackwardOracle,
-    "asof2_forward" ->
-      """WITH r AS (
-           SELECT user_id, ts, signup_value FROM (
-             SELECT user_id, ts, value AS signup_value,
-                    row_number() OVER (PARTITION BY user_id, ts
-                      ORDER BY value DESC) AS rn
-             FROM events WHERE event_type = 'signup')
-           WHERE rn = 1)
-         SELECT l.event_id, l.ts, l.user_id, l.event_type, r.signup_value
-         FROM events l ASOF LEFT JOIN r
-           ON l.user_id = r.user_id AND l.ts <= r.ts""",
+    // identical semantics, custom Catalyst physical operator — same oracles
+    "asof6_exec_backward" -> asofBackwardOracle,
+    "asof7_exec_forward" -> asofForwardOracle,
+    "asof2_forward" -> asofForwardOracle,
     "asof3_nearest" -> asofNearestOracle,
     // identical semantics, skew-proof execution — same oracle
     "asof5_nearest_chunked" -> asofNearestOracle,

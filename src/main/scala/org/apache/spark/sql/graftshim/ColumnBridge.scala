@@ -38,6 +38,40 @@ object ColumnBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Wrap a (resolved) logical plan as a DataFrame — the entry point
+    * for library-defined logical operators (graft.plans.AsOfJoinNode)
+    * into the Dataset API. `Dataset.ofRows` is `private[sql]`, hence
+    * the shim.
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (resolved attributes for
+    * constructing library-defined logical operators over it).
+    */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+
+  /** Install a planner strategy on an EXISTING session (builder-time
+    * path: `SparkSessionExtensions.injectPlannerStrategy`) — idempotent
+    * by strategy identity, via Spark's sanctioned runtime hook
+    * (`experimentalMethods.extraStrategies`).
+    */
+  def addPlannerStrategy(
+      spark: org.apache.spark.sql.SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val em = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.experimentalMethods
+    if (!em.extraStrategies.contains(strategy))
+      em.extraStrategies = em.extraStrategies :+ strategy
+  }
+
   /** Install an optimizer rule on an EXISTING session (builder-time
     * path: `SparkSessionExtensions.injectOptimizerRule`) — idempotent
     * by rule identity, Spark's sanctioned runtime hook

@@ -1,0 +1,210 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.BucketedCatalog
+import graft.ops.AsOfJoin
+
+/** The custom Catalyst as-of operator (graft.plans.AsOfJoinNode /
+  * AsOfJoinStrategy / AsOfJoinExec): semantics proven equal to the
+  * mapPartitions merge scan on fixtures, nulls, ties, and randomized
+  * data; the PHYSICAL value proven on the plan — exchanges appear
+  * only where the child layout doesn't already satisfy the declared
+  * distribution (repartitioned and bucketed inputs join with zero
+  * added shuffle).
+  */
+class AsOfExecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+  test("backward exec: fixture semantics match the merge scan") {
+    val left = Seq(
+      (1L, "u1", ts(0)), (2L, "u1", ts(5)), (3L, "u1", ts(7)),
+      (4L, "u1", ts(12)), (5L, "u2", ts(6))
+    ).toDF("event_id", "user", "ts")
+    val right = Seq(
+      ("u1", ts(5), 100.0), ("u1", ts(10), 200.0),
+      ("u2", ts(2), 50.0), ("u3", ts(0), 9.0)
+    ).toDF("user", "ts", "quote")
+
+    val exec = AsOfJoin.asofJoinBackwardExec(left, right, "user", "ts", "ts")
+    val scan = AsOfJoin.asofJoinBackward(left, right, "user", "ts", "ts")
+    assert(exec.schema.fieldNames.toSeq ===
+      Seq("event_id", "user", "ts", "quote"))
+    assert(rows(exec) === rows(scan))
+    val out = exec.orderBy("event_id").collect()
+    assert(out.map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getDouble(3)))
+      .toSeq === Seq(
+      (1L, null), (2L, 100.0), (3L, 100.0), (4L, 200.0), (5L, 50.0)))
+  }
+
+  test("forward exec: earliest right at-or-after, equal to the scan") {
+    val left = Seq((1L, "u", ts(0)), (2L, "u", ts(5)), (3L, "u", ts(11)))
+      .toDF("id", "user", "ts")
+    val right = Seq(("u", ts(5), 1.0), ("u", ts(10), 2.0))
+      .toDF("user", "ts", "v")
+    val exec = AsOfJoin.asofJoinForwardExec(left, right, "user", "ts", "ts")
+    val scan = AsOfJoin.asofJoinForward(left, right, "user", "ts", "ts")
+    assert(rows(exec) === rows(scan))
+    val byId = exec.orderBy("id").collect()
+      .map(r => if (r.isNullAt(3)) null else r.getDouble(3)).toSeq
+    assert(byId === Seq(1.0, 1.0, null))
+  }
+
+  test("tiebreak pins the winner at equal (key, ts) — both directions") {
+    val left = Seq((1L, "u", ts(5))).toDF("id", "user", "ts")
+    val right = Seq(("u", ts(5), 1.0), ("u", ts(5), 9.0)).toDF("user", "ts", "v")
+    val b = AsOfJoin.asofJoinBackwardExec(left, right, "user", "ts", "ts",
+      rightTiebreak = Seq("v"))
+    assert(b.head().getDouble(3) === 9.0) // last in (ts, v) order
+    val f = AsOfJoin.asofJoinForwardExec(left, right, "user", "ts", "ts",
+      rightTiebreak = Seq("v"))
+    assert(f.head().getDouble(3) === 1.0) // first in (ts, v) order
+  }
+
+  test("null keys and null timestamps never match") {
+    val left = Seq(
+      (1L, Option("u"), Option(ts(5))),
+      (2L, Option.empty[String], Option(ts(5))), // null key
+      (3L, Option("u"), Option.empty[Timestamp]) // null ts
+    ).toDF("id", "user", "ts")
+    val right = Seq(
+      (Option("u"), Option(ts(1)), 1.0),
+      (Option.empty[String], Option(ts(0)), 666.0), // null-key right: dropped
+      (Option("u"), Option.empty[Timestamp], 667.0) // null-ts right: dropped
+    ).toDF("user", "ts", "v")
+    for (dir <- Seq("b", "f")) {
+      val exec =
+        if (dir == "b") AsOfJoin.asofJoinBackwardExec(left, right, "user", "ts", "ts")
+        else AsOfJoin.asofJoinForwardExec(left, right, "user", "ts", "ts")
+      val got = exec.orderBy("id").collect()
+        .map(r => if (r.isNullAt(3)) null else r.getDouble(3)).toSeq
+      val want = if (dir == "b") Seq(1.0, null, null) else Seq(null, null, null)
+      assert(got === want, s"direction=$dir")
+      assert(!got.contains(666.0) && !got.contains(667.0))
+    }
+  }
+
+  test("randomized: exec == scan on both directions (nulls, dup ts, skew)") {
+    val rnd = new scala.util.Random(4242)
+    def mkTs(): Option[Timestamp] =
+      if (rnd.nextInt(20) == 0) None else Some(ts(rnd.nextInt(40)))
+    def mkKey(): Option[String] =
+      if (rnd.nextInt(15) == 0) None
+      else Some("k" + rnd.nextInt(6)) // few keys -> heavy per-key timelines
+    val left = Seq.tabulate(400)(i => (i.toLong, mkKey(), mkTs()))
+      .toDF("id", "k", "ts")
+    val right = Seq.tabulate(300)(i => (mkKey(), mkTs(), i.toDouble))
+      .toDF("k", "ts", "payload")
+    // dedup per (k, ts) so both impls see a deterministic winner
+    val r1 = right.groupBy("k", "ts").agg(max("payload").as("payload"))
+
+    val eb = AsOfJoin.asofJoinBackwardExec(left, r1, "k", "ts", "ts")
+    val sb = AsOfJoin.asofJoinBackward(left, r1, "k", "ts", "ts")
+    assert(rows(eb) === rows(sb), "backward")
+    val ef = AsOfJoin.asofJoinForwardExec(left, r1, "k", "ts", "ts")
+    val sf2 = AsOfJoin.asofJoinForward(left, r1, "k", "ts", "ts")
+    assert(rows(ef) === rows(sf2), "forward")
+  }
+
+  test("self-join: same frame on both sides (fresh right exprIds)") {
+    val ev = Seq((1L, "u", ts(1), 1.0), (2L, "u", ts(3), 2.0))
+      .toDF("id", "user", "ts", "v")
+    val out = AsOfJoin.asofJoinBackwardExec(
+      ev.select("id", "user", "ts"),
+      ev.select(col("user"), col("ts"), col("v").as("prior_v")),
+      "user", "ts", "ts")
+    assert(out.orderBy("id").collect().map(_.getDouble(3)).toSeq ===
+      Seq(1.0, 2.0))
+  }
+
+  test("plan: AsOfJoinExec present; raw inputs get exactly the two " +
+    "planner-inserted exchanges") {
+    val left = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val right = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("sv"))
+    val joined = AsOfJoin.asofJoinBackwardExec(left, right, "user_id", "ts", "ts")
+    joined.collect()
+    // AQE's toString carries both the final and the initial plan;
+    // count exchanges in the final section only
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("AsOfJoin"), plan)
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(plan).size === 2, plan)
+  }
+
+  test("plan: pre-repartitioned inputs are REUSED — zero " +
+    "planner-inserted exchanges") {
+    val ev = Tables.events(spark, sf)
+    val left = ev.select(col("event_id"), col("ts"), col("user_id"))
+      .repartition(4, col("user_id"))
+    val right = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("sv"))
+      .repartition(4, col("user_id"))
+    val joined = AsOfJoin.asofJoinBackwardExec(left, right, "user_id", "ts", "ts")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("ENSURE_REQUIREMENTS"),
+      s"declared distribution should reuse the user's partitioning:\n$plan")
+    // semantics unchanged by the layout
+    val base = AsOfJoin.asofJoinBackward(
+      ev.select(col("event_id"), col("ts"), col("user_id")),
+      ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("sv")),
+      "user_id", "ts", "ts")
+    assert(rows(joined) === rows(base))
+  }
+
+  test("plan: bucketed tables as-of join with ZERO exchanges") {
+    val cat = new BucketedCatalog(spark, "graft_test")
+    val ev = Tables.events(spark, sf)
+    val left = ev.select(col("event_id"), col("ts"), col("user_id"))
+    val right = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("sv"))
+    cat.publishBucketed("b_asof_l", left, Seq("user_id"), 4,
+      Seq("user_id", "ts"))
+    cat.publishBucketed("b_asof_r", right, Seq("user_id"), 4,
+      Seq("user_id", "ts"))
+    try {
+      val joined = AsOfJoin.asofJoinBackwardExec(
+        cat.table("b_asof_l"), cat.table("b_asof_r"), "user_id", "ts", "ts")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed as-of should not shuffle either side:\n$plan")
+      // row-identical to the scan implementation on unbucketed reads
+      assert(rows(joined) ===
+        rows(AsOfJoin.asofJoinBackward(left, right, "user_id", "ts", "ts")))
+    } finally {
+      cat.drop("b_asof_l"); cat.drop("b_asof_r")
+    }
+  }
+
+  test("sf0.001 events: exec matches scan on the driver-query shape") {
+    val ev = Tables.events(spark, sf)
+    val left = ev.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"))
+    val right = {
+      import graft.ops.Ops._
+      ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+        .distinctOn(Seq(col("user_id"), col("ts")),
+          Seq(col("signup_value").desc))
+    }
+    assert(rows(AsOfJoin.asofJoinBackwardExec(left, right, "user_id", "ts", "ts"))
+      === rows(AsOfJoin.asofJoinBackward(left, right, "user_id", "ts", "ts")))
+    assert(rows(AsOfJoin.asofJoinForwardExec(left, right, "user_id", "ts", "ts"))
+      === rows(AsOfJoin.asofJoinForward(left, right, "user_id", "ts", "ts")))
+  }
+}
