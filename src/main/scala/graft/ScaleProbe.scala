@@ -527,6 +527,55 @@ object ScaleProbe {
         "kc1_sec" -> tkc, "clb1_sec" -> tclb))
     }
 
+    // ---- as-of join legs (asof scan vs the custom Catalyst physical
+    // operator): both are shuffle(left+right) + in-partition sort +
+    // one linear merge, so the expected exponent is ~linear in rows;
+    // the exec should sit AT OR BELOW the scan at every scale (same
+    // exchange volume, but no Row codec across an RDD boundary and no
+    // union re-layout). The replica multiplies USERS (user_id offset),
+    // not timeline length, so per-key density — the merge scan's
+    // state cost — is fixed, matching how a 100 TB event corpus grows.
+    val asofReplicaDir = sys.env.getOrElse("SPARK_GRAFT_ASOF_REPLICA_DIR",
+      "/tmp/graft_asof10x_replica_v1")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(asofReplicaDir, "_SUCCESS"))) {
+      val e01 = Tables.events(spark, s"$root/sf0.1")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      (0 until 10).map { k =>
+        e01.select((col("event_id") * 10 + lit(k)).as("event_id"),
+          col("ts"), (col("user_id") * 10 + lit(k)).as("user_id"),
+          col("event_type"), col("value"))
+      }.reduce(_.unionAll(_))
+        .repartition(32)
+        .write.mode("overwrite").parquet(asofReplicaDir)
+    }
+    def asofSidesOf(ev: DataFrame): (DataFrame, DataFrame) = {
+      import graft.ops.Ops._
+      (ev.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type")),
+        ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+          .distinctOn(Seq(col("user_id"), col("ts")),
+            Seq(col("signup_value").desc)))
+    }
+    val asofScales: Seq[(String, DataFrame)] = Seq(
+      "sf0.01" -> Tables.events(spark, s"$root/sf0.01"),
+      "sf0.1" -> Tables.events(spark, s"$root/sf0.1"),
+      "asof10x" -> spark.read.parquet(asofReplicaDir))
+    val asofRows = asofScales.map { case (name, ev) =>
+      val n = ev.count()
+      val (l, r) = asofSidesOf(ev)
+      val (tScan, _) = timeSec(graft.ops.AsOfJoin
+        .asofJoinBackward(l, r, "user_id", "ts", "ts").count())
+      val (tExec, _) = timeSec(graft.ops.AsOfJoin
+        .asofJoinBackwardExec(l, r, "user_id", "ts", "ts").count())
+      System.err.println(
+        f"[probe] asof $name%-7s n=$n%7d scan=$tScan%6.2fs exec=$tExec%6.2fs")
+      (name, n, scala.collection.immutable.SeqMap(
+        "asof_scan_sec" -> tScan, "asof_exec_sec" -> tExec))
+    }
+
     // generic exponent pass: every *_sec family gets the endpoint fit
     // AND the per-decade slopes (r09 verdict: commit both — the
     // endpoint fit alone hid dd7's 1.21 tail behind the sf0.01 floor)
@@ -552,9 +601,14 @@ object ScaleProbe {
       val sj = secs.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
       s""""$name":""" + sj.mkString("{\"n\":" + n + ",", ",", "}")
     }.mkString("{", ",", "}")
+    val aj = asofRows.map { case (name, n, secs) =>
+      val sj = secs.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
+      s""""$name":""" + sj.mkString("{\"n\":" + n + ",", ",", "}")
+    }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"scale_probe","scales":$qs,""" +
       s""""emb_scales":$ej,""" +
+      s""""asof_scales":$aj,""" +
       s""""dd7_cached_sf1rep_sec":${f"$t7c%.2f"},""" +
       s""""skew":{"n":$nSkew,"dd7_sec":${f"$t7s%.2f"},"dd7_pairs":$p7s,""" +
       s""""dd6_sec":${f"$t6s%.2f"},"dd6_clusters":$c6s,""" +
@@ -566,6 +620,7 @@ object ScaleProbe {
       s""""dd21_sec":${f"$t21s%.2f"},"dd21_clusters":$c21s,""" +
       s""""pipe5_sec":${f"$tp5s%.2f"},"pipe5_rows":$np5s},""" +
       expJson(rows.map(r => (r._2, r._3))) + "," +
-      expJson(embRows.map(r => (r._2, r._3))) + "}")
+      expJson(embRows.map(r => (r._2, r._3))) + "," +
+      expJson(asofRows.map(r => (r._2, r._3))) + "}")
   }
 }

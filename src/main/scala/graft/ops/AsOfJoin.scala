@@ -91,7 +91,7 @@ object AsOfJoin {
       rightTsCol: String,
       rightTiebreak: Seq[String] = Nil): DataFrame =
     asofExecPlan(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
-      forward = false)
+      graft.plans.AsOfDir.Backward)
 
   /** Forward mirror of [[asofJoinBackwardExec]]. */
   def asofJoinForwardExec(
@@ -102,7 +102,22 @@ object AsOfJoin {
       rightTsCol: String,
       rightTiebreak: Seq[String] = Nil): DataFrame =
     asofExecPlan(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
-      forward = true)
+      graft.plans.AsOfDir.Forward)
+
+  /** Nearest-in-time through the custom operator (ties -> backward).
+    * In the two-iterator merge the forward candidate is FREE — it's
+    * the right stream's lookahead row — where [[asofJoinNearest]]'s
+    * single-stream scan buffers lefts between consecutive rights.
+    */
+  def asofJoinNearestExec(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame =
+    asofExecPlan(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
+      graft.plans.AsOfDir.Nearest)
 
   private def asofExecPlan(
       left: DataFrame,
@@ -111,7 +126,7 @@ object AsOfJoin {
       leftTsCol: String,
       rightTsCol: String,
       rightTiebreak: Seq[String],
-      forward: Boolean): DataFrame = {
+      dir: graft.plans.AsOfDir): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val spark = left.sparkSession
     ColumnBridge.addPlannerStrategy(spark, graft.plans.AsOfJoinStrategy)
@@ -125,11 +140,17 @@ object AsOfJoin {
       p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"asofJoinExec: no column '$name' on the $side side " +
           s"(have: ${p.output.map(_.name).mkString(", ")})"))
+    val (lk, rk) = (attr(lPlan, keyCol, "left"), attr(rPlan, keyCol, "right"))
+    val (lt, rt) =
+      (attr(lPlan, leftTsCol, "left"), attr(rPlan, rightTsCol, "right"))
+    // the merge comparator reads (key, ts) pairs from BOTH sides with
+    // one ordering — the types must agree exactly (cast upstream)
+    require(lk.dataType == rk.dataType,
+      s"asofJoinExec: key type mismatch ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"asofJoinExec: ts type mismatch ${lt.dataType} vs ${rt.dataType}")
     ColumnBridge.ofRows(spark, graft.plans.AsOfJoinNode(
-      lPlan, rPlan,
-      attr(lPlan, keyCol, "left"), attr(rPlan, keyCol, "right"),
-      attr(lPlan, leftTsCol, "left"), attr(rPlan, rightTsCol, "right"),
-      forward,
+      lPlan, rPlan, lk, rk, lt, rt, dir,
       rightTiebreak.map(attr(rPlan, _, "right"))))
   }
 

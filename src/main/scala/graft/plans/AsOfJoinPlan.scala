@@ -10,6 +10,22 @@ import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.{
+  DataType, DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+
+/** As-of join direction. `Nearest` picks whichever of the
+  * latest-at-or-before / earliest-at-after right is closer in time
+  * (ties -> backward) — in the two-iterator merge it costs nothing
+  * extra: the right stream's lookahead row IS the next-future
+  * candidate, where the single-stream scan implementation has to
+  * buffer lefts between consecutive rights.
+  */
+sealed trait AsOfDir extends Serializable
+object AsOfDir {
+  case object Backward extends AsOfDir
+  case object Forward extends AsOfDir
+  case object Nearest extends AsOfDir
+}
 
 /** As-of join as a first-class Catalyst operator: logical node +
   * planner strategy + physical plan (the preference-(c) tier of the
@@ -33,22 +49,22 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * `mapPartitions` scan deserializes every field), and AQE can still
   * re-plan the exchanges it did insert.
   *
-  * Semantics (identical to `AsOfJoin.asofJoinBackward`/`Forward`,
+  * Semantics (identical to the `AsOfJoin.asofJoin*` scan variants,
   * property-checked against them in AsOfExecSpec):
   *  - backward: LATEST right with rightTs <= leftTs, per key
   *  - forward:  EARLIEST right with rightTs >= leftTs, per key
+  *  - nearest:  the closer of the two; ties -> backward
   *  - left outer; NULL keys and NULL timestamps never match
   *  - right rows tie-break last-in-(ts, tiebreaks) for backward,
   *    first for forward
   *
   * Algorithm: both children hash-clustered on the key and sorted by
   * (key, ts `dir`) where `dir` flips for forward — then ONE linear
-  * merge per partition carrying the last-seen valid right payload,
-  * exactly a sort-merge join's cost with an O(1)-state scan instead
-  * of buffered key groups. `nearest` stays on the scan/chunked
-  * implementations (it must buffer lefts between two consecutive
-  * rights, a different state shape), as do the skew-chunked variants
-  * (they re-key the exchange itself).
+  * merge per partition carrying the last-seen valid right payload
+  * (for nearest, the right lookahead row doubles as the forward
+  * candidate), exactly a sort-merge join's cost with an O(1)-state
+  * scan instead of buffered key groups. The skew-chunked variants
+  * stay on the scan implementation (they re-key the exchange itself).
   */
 case class AsOfJoinNode(
     left: LogicalPlan,
@@ -57,7 +73,7 @@ case class AsOfJoinNode(
     rightKey: Attribute,
     leftTs: Attribute,
     rightTs: Attribute,
-    forward: Boolean,
+    dir: AsOfDir,
     rightTiebreaks: Seq[Attribute]) extends BinaryNode {
 
   /** Left columns, then the right payload (right minus key/ts),
@@ -83,7 +99,7 @@ case class AsOfJoinNode(
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
-      AsOfJoinExec(n.leftKey, n.rightKey, n.leftTs, n.rightTs, n.forward,
+      AsOfJoinExec(n.leftKey, n.rightKey, n.leftTs, n.rightTs, n.dir,
         n.rightTiebreaks, planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
@@ -94,7 +110,7 @@ case class AsOfJoinExec(
     rightKey: Attribute,
     leftTs: Attribute,
     rightTs: Attribute,
-    forward: Boolean,
+    dir: AsOfDir,
     rightTiebreaks: Seq[Attribute],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
@@ -119,8 +135,12 @@ case class AsOfJoinExec(
   /** Forward sweeps time DESCENDING (so "last seen right" is the
     * earliest at-or-after), with the matching default null ordering
     * (Descending => NullsLast) mirrored by the merge comparator.
+    * Backward and nearest sweep ascending.
     */
-  private def tsDir = if (forward) Descending else Ascending
+  private def tsDir = dir match {
+    case AsOfDir.Forward => Descending
+    case _ => Ascending
+  }
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, tsDir)),
@@ -139,6 +159,21 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** Epoch-micros reader for the nearest distance test — matches the
+    * scan implementation's `toMicros` (external types) over the
+    * INTERNAL representations (TimestampType stores Long micros,
+    * DateType stores Int days).
+    */
+  private def microsReader(dt: DataType): (InternalRow, Int) => Long =
+    dt match {
+      case TimestampType | TimestampNTZType => (r, i) => r.getLong(i)
+      case DateType => (r, i) => r.getInt(i) * 86400L * 1000000L
+      case LongType => (r, i) => r.getLong(i)
+      case IntegerType => (r, i) => r.getInt(i).toLong
+      case other => throw new IllegalArgumentException(
+        s"asofJoinNearestExec: unsupported ts type $other")
+    }
+
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
@@ -147,7 +182,10 @@ case class AsOfJoinExec(
     val outAttrs = output
     val lKey = leftKey; val rKey = rightKey
     val lTs = leftTs; val rTs = rightTs
-    val dir = tsDir
+    val sweep = tsDir
+    val nearest = dir == AsOfDir.Nearest
+    val micros: (InternalRow, Int) => Long =
+      if (nearest) microsReader(lTs.dataType) else null
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // (key, ts) pair projections — two instances, two buffers, so a
@@ -160,7 +198,8 @@ case class AsOfJoinExec(
       // requiredChildOrdering (incl. null ordering), over pair rows
       val pairOrd = RowOrdering.create(Seq(
         SortOrder(BoundReference(0, lKey.dataType, nullable = true), Ascending),
-        SortOrder(BoundReference(1, lTs.dataType, nullable = true), dir)), Nil)
+        SortOrder(BoundReference(1, lTs.dataType, nullable = true), sweep)),
+        Nil)
       val keyOrd = RowOrdering.create(Seq(
         SortOrder(BoundReference(0, lKey.dataType, nullable = true), Ascending)),
         Nil)
@@ -187,11 +226,31 @@ case class AsOfJoinExec(
           rHead = if (rIter.hasNext) rIter.next() else null
           rPair = if (rHead != null) rPairProj(rHead) else null
         }
-        val matched = carryPair != null &&
-          !lPair.isNullAt(0) && !lPair.isNullAt(1) &&
+        val lValid = !lPair.isNullAt(0) && !lPair.isNullAt(1)
+        val hasCarry = lValid && carryPair != null &&
           keyOrd.compare(carryPair, lPair) == 0
         numOutputRows += 1
-        resultProj(joined(l, if (matched) carryPayload else nullPayload))
+        val payload =
+          if (!nearest) { if (hasCarry) carryPayload else nullPayload }
+          else {
+            // nearest: the un-consumed right lookahead IS the forward
+            // candidate — first right strictly after (key asc, ts asc,
+            // tiebreaks asc), so multiple rights at the same future ts
+            // resolve to the tiebreak-FIRST one, mirroring forward
+            val hasFwd = lValid && rPair != null &&
+              !rPair.isNullAt(0) && !rPair.isNullAt(1) &&
+              keyOrd.compare(rPair, lPair) == 0
+            if (hasCarry && hasFwd) {
+              val lT = micros(lPair, 1)
+              // tie -> backward
+              if (lT - micros(carryPair, 1) <= micros(rPair, 1) - lT)
+                carryPayload
+              else payloadProj(rHead)
+            } else if (hasCarry) carryPayload
+            else if (hasFwd) payloadProj(rHead)
+            else nullPayload
+          }
+        resultProj(joined(l, payload))
       }
     }
   }

@@ -1407,6 +1407,15 @@ object Extensions {
     graft.ops.AsOfJoin.asofJoinForwardExec(left, right, "user_id", "ts", "ts")
   }
 
+  /** Nearest mirror through the custom operator (same composed oracle
+    * as asof3) — the forward candidate rides the right iterator's
+    * lookahead, no left buffering.
+    */
+  def asof8ExecNearest(s: SparkSession, d: String): DataFrame = {
+    val (left, right) = asofSides(s, d)
+    graft.ops.AsOfJoin.asofJoinNearestExec(left, right, "user_id", "ts", "ts")
+  }
+
   /** Nearest-in-time signup value (ties -> backward). Oracle composes
     * DuckDB's backward + forward ASOF and picks per-row by distance.
     */
@@ -1729,6 +1738,7 @@ object Extensions {
     "asof5_nearest_chunked" -> (asof5NearestChunked _),
     "asof6_exec_backward" -> (asof6ExecBackward _),
     "asof7_exec_forward" -> (asof7ExecForward _),
+    "asof8_exec_nearest" -> (asof8ExecNearest _),
     "pipe1_corpus_clean" -> ((s, d) => pipe1CorpusClean(s, d)),
     "pipe2_training_prep" -> ((s, d) => pipe2TrainingPrep(s, d)),
     "pipe5_tiered_prep" -> ((s, d) => pipe5TieredPrep(s, d)),
@@ -2691,6 +2701,7 @@ object Extensions {
     // identical semantics, custom Catalyst physical operator — same oracles
     "asof6_exec_backward" -> asofBackwardOracle,
     "asof7_exec_forward" -> asofForwardOracle,
+    "asof8_exec_nearest" -> asofNearestOracle,
     "asof2_forward" -> asofForwardOracle,
     "asof3_nearest" -> asofNearestOracle,
     // identical semantics, skew-proof execution — same oracle

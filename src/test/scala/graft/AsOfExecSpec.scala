@@ -114,6 +114,48 @@ class AsOfExecSpec extends SparkSpec {
     assert(rows(ef) === rows(sf2), "forward")
   }
 
+  test("nearest exec: closer side wins, tie -> backward, equal to scan") {
+    val left = Seq(
+      (1L, "u", ts(4)),  // back@0 dist 4, fwd@5 dist 1 -> fwd
+      (2L, "u", ts(1)),  // back@0 dist 1, fwd@5 dist 4 -> back
+      (3L, "u", ts(10)), // back@5 dist 5, fwd@15 dist 5 -> tie -> back
+      (4L, "u", ts(20)), // back@15 dist 5, no fwd -> back
+      (5L, "v", ts(3))   // no rights for v -> null
+    ).toDF("id", "user", "ts")
+    val right = Seq(
+      ("u", ts(0), 10.0), ("u", ts(5), 20.0), ("u", ts(15), 30.0)
+    ).toDF("user", "ts", "v")
+    val exec = AsOfJoin.asofJoinNearestExec(left, right, "user", "ts", "ts")
+    val scan = AsOfJoin.asofJoinNearest(left, right, "user", "ts", "ts")
+    assert(rows(exec) === rows(scan))
+    val got = exec.orderBy("id").collect()
+      .map(r => if (r.isNullAt(3)) null else r.getDouble(3)).toSeq
+    assert(got === Seq(20.0, 10.0, 20.0, 30.0, null))
+  }
+
+  test("nearest exec: left before first right takes the forward side") {
+    val left = Seq((1L, "u", ts(0))).toDF("id", "user", "ts")
+    val right = Seq(("u", ts(7), 1.5)).toDF("user", "ts", "v")
+    val out = AsOfJoin.asofJoinNearestExec(left, right, "user", "ts", "ts")
+    assert(out.head().getDouble(3) === 1.5)
+  }
+
+  test("randomized nearest: exec == scan (nulls, dup ts, dense keys)") {
+    val rnd = new scala.util.Random(777)
+    def mkTs(): Option[Timestamp] =
+      if (rnd.nextInt(20) == 0) None else Some(ts(rnd.nextInt(40)))
+    def mkKey(): Option[String] =
+      if (rnd.nextInt(15) == 0) None else Some("k" + rnd.nextInt(6))
+    val left = Seq.tabulate(400)(i => (i.toLong, mkKey(), mkTs()))
+      .toDF("id", "k", "ts")
+    val right = Seq.tabulate(300)(i => (mkKey(), mkTs(), i.toDouble))
+      .toDF("k", "ts", "payload")
+      .groupBy("k", "ts").agg(max("payload").as("payload"))
+    val e = AsOfJoin.asofJoinNearestExec(left, right, "k", "ts", "ts")
+    val s = AsOfJoin.asofJoinNearest(left, right, "k", "ts", "ts")
+    assert(rows(e) === rows(s))
+  }
+
   test("self-join: same frame on both sides (fresh right exprIds)") {
     val ev = Seq((1L, "u", ts(1), 1.0), (2L, "u", ts(3), 2.0))
       .toDF("id", "user", "ts", "v")
@@ -206,5 +248,7 @@ class AsOfExecSpec extends SparkSpec {
       === rows(AsOfJoin.asofJoinBackward(left, right, "user_id", "ts", "ts")))
     assert(rows(AsOfJoin.asofJoinForwardExec(left, right, "user_id", "ts", "ts"))
       === rows(AsOfJoin.asofJoinForward(left, right, "user_id", "ts", "ts")))
+    assert(rows(AsOfJoin.asofJoinNearestExec(left, right, "user_id", "ts", "ts"))
+      === rows(AsOfJoin.asofJoinNearest(left, right, "user_id", "ts", "ts")))
   }
 }
