@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.AsOfJoin
+import graft.plans.AsOfDir
+
+/** Streaming face of the as-of join: arriving left rows (an event
+  * stream) are enriched per micro-batch with the nearest-in-time row
+  * of a STATIC right table (reference/version data) through the
+  * custom physical operator (`graft.plans.AsOfJoinExec`).
+  *
+  * Why this is exactly batch==stream: the right side is static and a
+  * left row's match depends only on that row's (key, ts) — no
+  * cross-row state — so the result is independent of micro-batch
+  * boundaries, arrival order, and trigger count. StreamingSpec
+  * asserts set equality with the batch operator over an arbitrary
+  * trigger split.
+  *
+  * Scale shape: the per-batch cost must be O(batch), not O(right).
+  * That is precisely what the exec's DECLARED distribution buys:
+  * pre-partition the static side by the key ONCE
+  * ([[prepareStaticSide]]) and every micro-batch's plan inserts an
+  * exchange only on the (small) arriving batch — the persisted
+  * right's `HashPartitioning` already satisfies the operator's
+  * `ClusteredDistribution`, so the 100 TB side is never reshuffled
+  * (AsOfExecSpec/StreamingSpec assert the single-exchange plan). The
+  * mapPartitions scan variant cannot express this: its union+
+  * repartition re-shuffles BOTH sides every batch.
+  */
+object StreamingAsOf {
+
+  /** Hash-partition and persist the static right side once, so every
+    * micro-batch join reuses its layout (zero exchange on this side).
+    * `numPartitions` pins the layout; arriving batches are shuffled
+    * TO it.
+    */
+  def prepareStaticSide(
+      right: DataFrame, keyCol: String, numPartitions: Int): DataFrame = {
+    val r = right.repartition(numPartitions, col(keyCol)).persist()
+    r.count() // materialize: the layout is paid here, once
+    r
+  }
+
+  /** Start the enrichment stream: each arriving micro-batch as-of
+    * joins the static right and appends to `outDir/rows` (exactly-once
+    * via the checkpoint + idempotent parquet append of the foreachBatch
+    * contract).
+    */
+  def streamingAsOfEnrich(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      outDir: String,
+      dir: AsOfDir = AsOfDir.Backward): StreamingQuery =
+    left.writeStream
+      .option("checkpointLocation", s"$outDir/_chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        joinBatch(batch, right, keyCol, leftTsCol, rightTsCol, dir)
+          .write.mode("append").parquet(s"$outDir/rows")
+        ()
+      }
+      .start()
+
+  /** The per-batch join — exposed so the spec can assert the
+    * single-exchange plan shape on a representative batch.
+    */
+  def joinBatch(
+      batch: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      dir: AsOfDir): DataFrame = dir match {
+    case AsOfDir.Backward =>
+      AsOfJoin.asofJoinBackwardExec(batch, right, keyCol, leftTsCol, rightTsCol)
+    case AsOfDir.Forward =>
+      AsOfJoin.asofJoinForwardExec(batch, right, keyCol, leftTsCol, rightTsCol)
+    case AsOfDir.Nearest =>
+      AsOfJoin.asofJoinNearestExec(batch, right, keyCol, leftTsCol, rightTsCol)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsOfJoin
+import graft.plans.AsOfDir
+import graft.streaming.StreamingAsOf
+
+/** Streaming as-of enrichment (stream-static through the custom
+  * physical operator): batch==stream over arbitrary trigger splits,
+  * and the per-batch plan shuffles ONLY the arriving batch — the
+  * pre-partitioned static side is reused (single-exchange plan).
+  */
+class StreamingAsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  private def sides() = {
+    import graft.ops.Ops._
+    val ev = Tables.events(spark, sf)
+    val left = ev.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"))
+    val right = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+      .distinctOn(Seq(col("user_id"), col("ts")),
+        Seq(col("signup_value").desc))
+    (left, right)
+  }
+
+  test("stream-static as-of: arbitrary trigger split equals the batch " +
+      "operator row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val (left, right) = sides()
+    val prepared = StreamingAsOf.prepareStaticSide(right, "user_id", 4)
+    val out = java.nio.file.Files
+      .createTempDirectory("asof-stream").toString
+    val feed = left.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = StreamingAsOf.streamingAsOfEnrich(
+      spark, mem.toDS().toDF("event_id", "ts", "user_id", "event_type"),
+      prepared, "user_id", "ts", "ts", out, AsOfDir.Backward)
+    try {
+      // adversarial split: NOT time-ordered — interleaved halves, so a
+      // left row's match often lives "in the future" of its trigger
+      val (a, b) = feed.zipWithIndex.partition(_._2 % 2 == 0)
+      mem.addData(a.map(_._1).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b.map(_._1).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val streamed = canon(spark.read.parquet(s"$out/rows"))
+    val batch = canon(AsOfJoin.asofJoinBackwardExec(
+      left, right, "user_id", "ts", "ts"))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    prepared.unpersist()
+  }
+
+  test("per-batch plan shuffles only the arriving batch: single " +
+      "ENSURE_REQUIREMENTS exchange, persisted right reused") {
+    val (left, right) = sides()
+    val prepared = StreamingAsOf.prepareStaticSide(right, "user_id", 4)
+    try {
+      // a representative micro-batch: a pushed-down filter, no extra
+      // exchange of its own (limit() would plant a SinglePartition one)
+      val batch = left.filter(pmod(col("event_id"), lit(50)) === 0)
+      val joined = StreamingAsOf.joinBatch(
+        batch, prepared, "user_id", "ts", "ts", AsOfDir.Backward)
+      joined.collect()
+      // count exchanges in the final plan ABOVE the cached relation —
+      // the InMemoryRelation string embeds its own historical build
+      // plan (incl. the exchanges paid ONCE at prepare time)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+        .split("InMemoryRelation").head
+      assert(plan.contains("AsOfJoin"), plan)
+      assert("ENSURE_REQUIREMENTS".r.findAllIn(plan).size === 1,
+        s"static side must not reshuffle per batch:\n$plan")
+      assert(plan.contains("InMemoryTableScan"), plan)
+    } finally prepared.unpersist()
+  }
+
+  test("nearest direction streams identically (per-row independence)") {
+    implicit val sqlCtx = spark.sqlContext
+    val (left0, right) = sides()
+    val left = left0.limit(500)
+    val prepared = StreamingAsOf.prepareStaticSide(right, "user_id", 4)
+    val out = java.nio.file.Files
+      .createTempDirectory("asof-stream-nearest").toString
+    val feed = left.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = StreamingAsOf.streamingAsOfEnrich(
+      spark, mem.toDS().toDF("event_id", "ts", "user_id", "event_type"),
+      prepared, "user_id", "ts", "ts", out, AsOfDir.Nearest)
+    try {
+      val (a, b) = feed.splitAt(feed.length / 3)
+      mem.addData(a.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(canon(spark.read.parquet(s"$out/rows")) ===
+      canon(AsOfJoin.asofJoinNearest(left, right, "user_id", "ts", "ts")))
+    prepared.unpersist()
+  }
+}
