@@ -53,6 +53,42 @@ object Stats {
           .cast("double").as("acctbal_at_order"))
   }
 
+  /** The SAME SCD2 point-in-time lookup as [[u5Scd2Lookup]] (same
+    * DuckDB oracle), re-expressed as a backward AS-OF join through the
+    * custom physical operator: when versions tile the timeline
+    * contiguously (scd2Merge closes each old version exactly where the
+    * next opens), "the version valid at t" IS "the latest version with
+    * valid_from <= t" — no validity-window residual needed, and the
+    * exec's declared distribution lets a pre-bucketed dimension serve
+    * the lookup with zero added shuffle. The as-of is left outer where
+    * u5's window join is inner; orders predating the first version
+    * (o_orderdate < 1994) carry a null payload and are filtered, which
+    * is exactly the rows u5's `>= valid_from` drops.
+    */
+  def u6Scd2Asof(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      .withColumn("valid_from", expr("TIMESTAMP '1994-01-01 00:00:00'"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val delta = Tables.customer(s, d)
+      .filter(col("c_nationkey") < 5)
+      .select(col("c_custkey"), (col("c_acctbal") * 1.1).as("c_acctbal"),
+        col("c_nationkey"))
+    val dim = graft.ops.Ops.scd2Merge(base, delta, Seq("c_custkey"),
+      "valid_from", "valid_to", expr("TIMESTAMP '1998-01-01 00:00:00'"))
+    val left = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderdate").cast("timestamp").as("__ts"))
+    val right = dim.select(col("c_custkey").as("o_custkey"),
+      col("valid_from").as("__ts"), col("c_acctbal"))
+    graft.ops.AsOfJoin
+      .asofJoinBackwardExec(left, right, "o_custkey", "__ts", "__ts")
+      .filter(col("c_acctbal").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(col("c_acctbal").cast("decimal(18,4)"), 2)
+          .cast("double").as("acctbal_at_order"))
+  }
+
   // ---- cor1: Pearson correlation matrix ------------------------------
 
   /** Pairwise Pearson correlations among four lineitem measures from
@@ -174,30 +210,35 @@ object Stats {
 
   // ---- registry ------------------------------------------------------
 
+  private val scd2LookupOracle: String =
+    """WITH dim AS (
+         SELECT c_custkey, c_acctbal,
+                TIMESTAMP '1994-01-01 00:00:00' AS valid_from,
+                CASE WHEN c_nationkey < 5
+                     THEN TIMESTAMP '1998-01-01 00:00:00' END AS valid_to
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, c_acctbal * 1.1,
+                TIMESTAMP '1998-01-01 00:00:00', NULL
+         FROM customer WHERE c_nationkey < 5)
+       SELECT o_orderkey, o_custkey, o_orderdate,
+              CAST(round(CAST(c_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE)
+                AS acctbal_at_order
+       FROM orders JOIN dim ON o_custkey = c_custkey
+         AND o_orderdate >= valid_from
+         AND (valid_to IS NULL OR o_orderdate < valid_to)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u5_scd2_lookup" -> (u5Scd2Lookup _),
+    "u6_scd2_asof" -> (u6Scd2Asof _),
     "cor1_correlation_matrix" -> (cor1CorrelationMatrix _),
     "perm1_permutation_test" -> (perm1PermutationTest _),
     "gini1_lorenz_gini" -> (gini1LorenzGini _))
 
   val oracles: Map[String, String] = Map(
-    "u5_scd2_lookup" ->
-      """WITH dim AS (
-           SELECT c_custkey, c_acctbal,
-                  TIMESTAMP '1994-01-01 00:00:00' AS valid_from,
-                  CASE WHEN c_nationkey < 5
-                       THEN TIMESTAMP '1998-01-01 00:00:00' END AS valid_to
-           FROM customer
-           UNION ALL
-           SELECT c_custkey, c_acctbal * 1.1,
-                  TIMESTAMP '1998-01-01 00:00:00', NULL
-           FROM customer WHERE c_nationkey < 5)
-         SELECT o_orderkey, o_custkey, o_orderdate,
-                CAST(round(CAST(c_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE)
-                  AS acctbal_at_order
-         FROM orders JOIN dim ON o_custkey = c_custkey
-           AND o_orderdate >= valid_from
-           AND (valid_to IS NULL OR o_orderdate < valid_to)""",
+    "u5_scd2_lookup" -> scd2LookupOracle,
+    // identical semantics via the backward as-of physical operator
+    "u6_scd2_asof" -> scd2LookupOracle,
     "cor1_correlation_matrix" ->
       """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
