@@ -89,9 +89,10 @@ object AsOfJoin {
       keyCol: String,
       leftTsCol: String,
       rightTsCol: String,
-      rightTiebreak: Seq[String] = Nil): DataFrame =
+      rightTiebreak: Seq[String] = Nil,
+      toleranceMicros: Option[Long] = None): DataFrame =
     asofExecPlan(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
-      graft.plans.AsOfDir.Backward)
+      graft.plans.AsOfDir.Backward, toleranceMicros)
 
   /** Forward mirror of [[asofJoinBackwardExec]]. */
   def asofJoinForwardExec(
@@ -100,9 +101,10 @@ object AsOfJoin {
       keyCol: String,
       leftTsCol: String,
       rightTsCol: String,
-      rightTiebreak: Seq[String] = Nil): DataFrame =
+      rightTiebreak: Seq[String] = Nil,
+      toleranceMicros: Option[Long] = None): DataFrame =
     asofExecPlan(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
-      graft.plans.AsOfDir.Forward)
+      graft.plans.AsOfDir.Forward, toleranceMicros)
 
   /** Nearest-in-time through the custom operator (ties -> backward).
     * In the two-iterator merge the forward candidate is FREE — it's
@@ -115,9 +117,10 @@ object AsOfJoin {
       keyCol: String,
       leftTsCol: String,
       rightTsCol: String,
-      rightTiebreak: Seq[String] = Nil): DataFrame =
+      rightTiebreak: Seq[String] = Nil,
+      toleranceMicros: Option[Long] = None): DataFrame =
     asofExecPlan(left, right, keyCol, leftTsCol, rightTsCol, rightTiebreak,
-      graft.plans.AsOfDir.Nearest)
+      graft.plans.AsOfDir.Nearest, toleranceMicros)
 
   private def asofExecPlan(
       left: DataFrame,
@@ -126,7 +129,8 @@ object AsOfJoin {
       leftTsCol: String,
       rightTsCol: String,
       rightTiebreak: Seq[String],
-      dir: graft.plans.AsOfDir): DataFrame = {
+      dir: graft.plans.AsOfDir,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val spark = left.sparkSession
     ColumnBridge.addPlannerStrategy(spark, graft.plans.AsOfJoinStrategy)
@@ -149,9 +153,11 @@ object AsOfJoin {
       s"asofJoinExec: key type mismatch ${lk.dataType} vs ${rk.dataType}")
     require(lt.dataType == rt.dataType,
       s"asofJoinExec: ts type mismatch ${lt.dataType} vs ${rt.dataType}")
+    require(toleranceMicros.forall(_ >= 0),
+      "asofJoinExec: tolerance must be >= 0")
     ColumnBridge.ofRows(spark, graft.plans.AsOfJoinNode(
       lPlan, rPlan, lk, rk, lt, rt, dir,
-      rightTiebreak.map(attr(rPlan, _, "right"))))
+      rightTiebreak.map(attr(rPlan, _, "right")), toleranceMicros))
   }
 
   /** Shared one-shuffle merge scan. `forward = true` sweeps time

@@ -74,7 +74,8 @@ case class AsOfJoinNode(
     leftTs: Attribute,
     rightTs: Attribute,
     dir: AsOfDir,
-    rightTiebreaks: Seq[Attribute]) extends BinaryNode {
+    rightTiebreaks: Seq[Attribute],
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
 
   /** Left columns, then the right payload (right minus key/ts),
     * nullable — the scan implementations' exact output shape.
@@ -100,7 +101,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
       AsOfJoinExec(n.leftKey, n.rightKey, n.leftTs, n.rightTs, n.dir,
-        n.rightTiebreaks, planLater(n.left), planLater(n.right)) :: Nil
+        n.rightTiebreaks, n.toleranceMicros,
+        planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
 }
@@ -112,6 +114,7 @@ case class AsOfJoinExec(
     rightTs: Attribute,
     dir: AsOfDir,
     rightTiebreaks: Seq[Attribute],
+    toleranceMicros: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -184,8 +187,9 @@ case class AsOfJoinExec(
     val lTs = leftTs; val rTs = rightTs
     val sweep = tsDir
     val nearest = dir == AsOfDir.Nearest
+    val tol: Long = toleranceMicros.getOrElse(-1L) // -1 = unbounded
     val micros: (InternalRow, Int) => Long =
-      if (nearest) microsReader(lTs.dataType) else null
+      if (nearest || tol >= 0) microsReader(lTs.dataType) else null
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // (key, ts) pair projections — two instances, two buffers, so a
@@ -227,8 +231,12 @@ case class AsOfJoinExec(
           rPair = if (rHead != null) rPairProj(rHead) else null
         }
         val lValid = !lPair.isNullAt(0) && !lPair.isNullAt(1)
+        // tolerance: a candidate only matches within |lTs - rTs| <= tol
+        // (pandas merge_asof semantics; -1 disables the check)
+        def inTol(pair: UnsafeRow): Boolean =
+          tol < 0 || math.abs(micros(lPair, 1) - micros(pair, 1)) <= tol
         val hasCarry = lValid && carryPair != null &&
-          keyOrd.compare(carryPair, lPair) == 0
+          keyOrd.compare(carryPair, lPair) == 0 && inTol(carryPair)
         numOutputRows += 1
         val payload =
           if (!nearest) { if (hasCarry) carryPayload else nullPayload }
@@ -239,7 +247,7 @@ case class AsOfJoinExec(
             // resolve to the tiebreak-FIRST one, mirroring forward
             val hasFwd = lValid && rPair != null &&
               !rPair.isNullAt(0) && !rPair.isNullAt(1) &&
-              keyOrd.compare(rPair, lPair) == 0
+              keyOrd.compare(rPair, lPair) == 0 && inTol(rPair)
             if (hasCarry && hasFwd) {
               val lT = micros(lPair, 1)
               // tie -> backward

@@ -1416,6 +1416,18 @@ object Extensions {
     graft.ops.AsOfJoin.asofJoinNearestExec(left, right, "user_id", "ts", "ts")
   }
 
+  /** Tolerance-bounded backward as-of (pandas merge_asof semantics):
+    * the latest signup matches only within 1 day of the event —
+    * in-operator, because the output drops the right timestamp so a
+    * user cannot post-filter. Oracle: DuckDB ASOF with the matched
+    * payload nulled where `l.ts - r.ts` exceeds the interval.
+    */
+  def asof9ExecTolerance(s: SparkSession, d: String): DataFrame = {
+    val (left, right) = asofSides(s, d)
+    graft.ops.AsOfJoin.asofJoinBackwardExec(left, right, "user_id",
+      "ts", "ts", toleranceMicros = Some(86400L * 1000000L))
+  }
+
   /** Nearest-in-time signup value (ties -> backward). Oracle composes
     * DuckDB's backward + forward ASOF and picks per-row by distance.
     */
@@ -1739,6 +1751,7 @@ object Extensions {
     "asof6_exec_backward" -> (asof6ExecBackward _),
     "asof7_exec_forward" -> (asof7ExecForward _),
     "asof8_exec_nearest" -> (asof8ExecNearest _),
+    "asof9_exec_tolerance" -> (asof9ExecTolerance _),
     "pipe1_corpus_clean" -> ((s, d) => pipe1CorpusClean(s, d)),
     "pipe2_training_prep" -> ((s, d) => pipe2TrainingPrep(s, d)),
     "pipe5_tiered_prep" -> ((s, d) => pipe5TieredPrep(s, d)),
@@ -2702,6 +2715,19 @@ object Extensions {
     "asof6_exec_backward" -> asofBackwardOracle,
     "asof7_exec_forward" -> asofForwardOracle,
     "asof8_exec_nearest" -> asofNearestOracle,
+    "asof9_exec_tolerance" ->
+      """WITH r AS (
+           SELECT user_id, ts, signup_value FROM (
+             SELECT user_id, ts, value AS signup_value,
+                    row_number() OVER (PARTITION BY user_id, ts
+                      ORDER BY value DESC) AS rn
+             FROM events WHERE event_type = 'signup')
+           WHERE rn = 1)
+         SELECT l.event_id, l.ts, l.user_id, l.event_type,
+                CASE WHEN l.ts - r.ts <= INTERVAL 1 DAY
+                     THEN r.signup_value END AS signup_value
+         FROM events l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "asof2_forward" -> asofForwardOracle,
     "asof3_nearest" -> asofNearestOracle,
     // identical semantics, skew-proof execution — same oracle

@@ -156,6 +156,53 @@ class AsOfExecSpec extends SparkSpec {
     assert(rows(e) === rows(s))
   }
 
+  test("tolerance bounds the match window (backward/forward/nearest)") {
+    val left = Seq((1L, "u", ts(10))).toDF("id", "user", "ts")
+    val right = Seq(("u", ts(0), 1.0), ("u", ts(12), 2.0))
+      .toDF("user", "ts", "v")
+    def payload(df: org.apache.spark.sql.DataFrame): Any = {
+      val r = df.head(); if (r.isNullAt(3)) null else r.getDouble(3)
+    }
+    val min = 60L * 1000000L
+    // backward cand @0 (dist 10m), forward cand @12 (dist 2m)
+    assert(payload(AsOfJoin.asofJoinBackwardExec(left, right, "user",
+      "ts", "ts", toleranceMicros = Some(10 * min))) === 1.0)
+    assert(payload(AsOfJoin.asofJoinBackwardExec(left, right, "user",
+      "ts", "ts", toleranceMicros = Some(5 * min))) === null)
+    assert(payload(AsOfJoin.asofJoinForwardExec(left, right, "user",
+      "ts", "ts", toleranceMicros = Some(2 * min))) === 2.0)
+    assert(payload(AsOfJoin.asofJoinForwardExec(left, right, "user",
+      "ts", "ts", toleranceMicros = Some(1 * min))) === null)
+    // nearest picks the nearer IN-TOLERANCE side: fwd in, back out
+    assert(payload(AsOfJoin.asofJoinNearestExec(left, right, "user",
+      "ts", "ts", toleranceMicros = Some(3 * min))) === 2.0)
+    assert(payload(AsOfJoin.asofJoinNearestExec(left, right, "user",
+      "ts", "ts", toleranceMicros = Some(1 * min))) === null)
+  }
+
+  test("tolerance == post-filter of the unbounded match (randomized)") {
+    val rnd = new scala.util.Random(99)
+    val left = Seq.tabulate(300)(i =>
+      (i.toLong, "k" + rnd.nextInt(5), ts(rnd.nextInt(40))))
+      .toDF("id", "k", "ts")
+    val right = Seq.tabulate(200)(i =>
+      ("k" + rnd.nextInt(5), ts(rnd.nextInt(40)), i.toDouble))
+      .toDF("k", "ts", "payload")
+      .groupBy("k", "ts").agg(max("payload").as("payload"))
+    val tol = 5L * 60L * 1000000L // 5 minutes
+    // unbounded join with the right ts smuggled through the payload,
+    // post-filtered by distance — must equal the in-operator tolerance
+    val withTs = right.withColumn("rts", col("ts"))
+    val post = AsOfJoin.asofJoinBackwardExec(left, withTs, "k", "ts", "ts")
+      .withColumn("payload", when(
+        col("ts").cast("long") - col("rts").cast("long") <= tol / 1000000L,
+        col("payload")))
+      .drop("rts")
+    val inOp = AsOfJoin.asofJoinBackwardExec(left, right, "k", "ts", "ts",
+      toleranceMicros = Some(tol))
+    assert(rows(inOp) === rows(post))
+  }
+
   test("self-join: same frame on both sides (fresh right exprIds)") {
     val ev = Seq((1L, "u", ts(1), 1.0), (2L, "u", ts(3), 2.0))
       .toDF("id", "user", "ts", "v")
