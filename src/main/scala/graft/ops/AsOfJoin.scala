@@ -130,8 +130,26 @@ object AsOfJoin {
       rightTsCol: String,
       rightTiebreak: Seq[String],
       dir: graft.plans.AsOfDir,
+      toleranceMicros: Option[Long] = None): DataFrame =
+    asofJoinExecMulti(left, right, Seq(keyCol), leftTsCol, rightTsCol,
+      dir, rightTiebreak, toleranceMicros)
+
+  /** Composite-key entry (symbol+venue style): equality on EVERY key
+    * column plus the one time inequality — DuckDB's
+    * `ASOF JOIN ... ON a = a AND b = b AND l.ts >= r.ts` shape. Key
+    * columns must carry the same names on both sides.
+    */
+  def asofJoinExecMulti(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      dir: graft.plans.AsOfDir,
+      rightTiebreak: Seq[String] = Nil,
       toleranceMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnBridge
+    require(keyCols.nonEmpty, "asofJoinExec: need at least one key column")
     val spark = left.sparkSession
     ColumnBridge.addPlannerStrategy(spark, graft.plans.AsOfJoinStrategy)
     val lPlan = ColumnBridge.analyzed(left)
@@ -144,19 +162,22 @@ object AsOfJoin {
       p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"asofJoinExec: no column '$name' on the $side side " +
           s"(have: ${p.output.map(_.name).mkString(", ")})"))
-    val (lk, rk) = (attr(lPlan, keyCol, "left"), attr(rPlan, keyCol, "right"))
+    val lks = keyCols.map(attr(lPlan, _, "left"))
+    val rks = keyCols.map(attr(rPlan, _, "right"))
     val (lt, rt) =
       (attr(lPlan, leftTsCol, "left"), attr(rPlan, rightTsCol, "right"))
-    // the merge comparator reads (key, ts) pairs from BOTH sides with
+    // the merge comparator reads (keys, ts) pairs from BOTH sides with
     // one ordering — the types must agree exactly (cast upstream)
-    require(lk.dataType == rk.dataType,
-      s"asofJoinExec: key type mismatch ${lk.dataType} vs ${rk.dataType}")
+    lks.zip(rks).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"asofJoinExec: key type mismatch ${lk.dataType} vs ${rk.dataType}")
+    }
     require(lt.dataType == rt.dataType,
       s"asofJoinExec: ts type mismatch ${lt.dataType} vs ${rt.dataType}")
     require(toleranceMicros.forall(_ >= 0),
       "asofJoinExec: tolerance must be >= 0")
     ColumnBridge.ofRows(spark, graft.plans.AsOfJoinNode(
-      lPlan, rPlan, lk, rk, lt, rt, dir,
+      lPlan, rPlan, lks, rks, lt, rt, dir,
       rightTiebreak.map(attr(rPlan, _, "right")), toleranceMicros))
   }
 

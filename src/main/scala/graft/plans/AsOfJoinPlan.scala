@@ -69,21 +69,26 @@ object AsOfDir {
 case class AsOfJoinNode(
     left: LogicalPlan,
     right: LogicalPlan,
-    leftKey: Attribute,
-    rightKey: Attribute,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
     leftTs: Attribute,
     rightTs: Attribute,
     dir: AsOfDir,
     rightTiebreaks: Seq[Attribute],
     toleranceMicros: Option[Long] = None) extends BinaryNode {
 
-  /** Left columns, then the right payload (right minus key/ts),
+  require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+    "asofJoin: need >= 1 key and matching key counts on both sides")
+
+  /** Left columns, then the right payload (right minus keys/ts),
     * nullable — the scan implementations' exact output shape.
     */
-  override def output: Seq[Attribute] =
+  override def output: Seq[Attribute] = {
+    val dropped = rightKeys.map(_.exprId).toSet + rightTs.exprId
     left.output ++ right.output
-      .filterNot(a => a.exprId == rightKey.exprId || a.exprId == rightTs.exprId)
+      .filterNot(a => dropped.contains(a.exprId))
       .map(_.withNullability(true))
+  }
 
   override def maxRows: Option[Long] = left.maxRows
 
@@ -100,7 +105,7 @@ case class AsOfJoinNode(
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
-      AsOfJoinExec(n.leftKey, n.rightKey, n.leftTs, n.rightTs, n.dir,
+      AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTs, n.rightTs, n.dir,
         n.rightTiebreaks, n.toleranceMicros,
         planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
@@ -108,8 +113,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 }
 
 case class AsOfJoinExec(
-    leftKey: Attribute,
-    rightKey: Attribute,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
     leftTs: Attribute,
     rightTs: Attribute,
     dir: AsOfDir,
@@ -118,10 +123,12 @@ case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
-  private def payloadOut: Seq[Attribute] =
+  private def payloadOut: Seq[Attribute] = {
+    val dropped = rightKeys.map(_.exprId).toSet + rightTs.exprId
     right.output
-      .filterNot(a => a.exprId == rightKey.exprId || a.exprId == rightTs.exprId)
+      .filterNot(a => dropped.contains(a.exprId))
       .map(_.withNullability(true))
+  }
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
@@ -132,8 +139,8 @@ case class AsOfJoinExec(
     * layout — bucketed scans and prior repartitions join shuffle-free.
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) ::
-      ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) ::
+      ClusteredDistribution(rightKeys) :: Nil
 
   /** Forward sweeps time DESCENDING (so "last seen right" is the
     * earliest at-or-after), with the matching default null ordering
@@ -146,8 +153,8 @@ case class AsOfJoinExec(
   }
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, tsDir)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, tsDir)) ++
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir),
+    (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, tsDir)) ++
       rightTiebreaks.map(SortOrder(_, tsDir)))
 
   // left outer: every left row passes through exactly once, in place
@@ -183,8 +190,9 @@ case class AsOfJoinExec(
     val rOut = right.output
     val pOut = payloadOut
     val outAttrs = output
-    val lKey = leftKey; val rKey = rightKey
+    val lKeys = leftKeys; val rKeys = rightKeys
     val lTs = leftTs; val rTs = rightTs
+    val nk = lKeys.length // pair-row layout: [keys..., ts at index nk]
     val sweep = tsDir
     val nearest = dir == AsOfDir.Nearest
     val tol: Long = toleranceMicros.getOrElse(-1L) // -1 = unbounded
@@ -192,21 +200,25 @@ case class AsOfJoinExec(
       if (nearest || tol >= 0) microsReader(lTs.dataType) else null
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      // (key, ts) pair projections — two instances, two buffers, so a
-      // left pair and a right pair are simultaneously valid
-      val lPairProj = UnsafeProjection.create(Seq(lKey, lTs), lOut)
-      val rPairProj = UnsafeProjection.create(Seq(rKey, rTs), rOut)
+      // (keys..., ts) pair projections — two instances, two buffers, so
+      // a left pair and a right pair are simultaneously valid
+      val lPairProj = UnsafeProjection.create(lKeys :+ lTs, lOut)
+      val rPairProj = UnsafeProjection.create(rKeys :+ rTs, rOut)
       val payloadProj = UnsafeProjection.create(pOut, rOut)
       val resultProj = UnsafeProjection.create(outAttrs, lOut ++ pOut)
       // comparators generated from the SAME SortOrder specs as
       // requiredChildOrdering (incl. null ordering), over pair rows
-      val pairOrd = RowOrdering.create(Seq(
-        SortOrder(BoundReference(0, lKey.dataType, nullable = true), Ascending),
-        SortOrder(BoundReference(1, lTs.dataType, nullable = true), sweep)),
+      val keySorts = lKeys.zipWithIndex.map { case (a, i) =>
+        SortOrder(BoundReference(i, a.dataType, nullable = true), Ascending) }
+      val pairOrd = RowOrdering.create(keySorts :+
+        SortOrder(BoundReference(nk, lTs.dataType, nullable = true), sweep),
         Nil)
-      val keyOrd = RowOrdering.create(Seq(
-        SortOrder(BoundReference(0, lKey.dataType, nullable = true), Ascending)),
-        Nil)
+      val keyOrd = RowOrdering.create(keySorts, Nil)
+      def anyKeyNull(pair: UnsafeRow): Boolean = {
+        var i = 0
+        while (i < nk) { if (pair.isNullAt(i)) return true; i += 1 }
+        false
+      }
 
       val nullPayload = new GenericInternalRow(pOut.length)
       val joined = new JoinedRow
@@ -223,18 +235,18 @@ case class AsOfJoinExec(
         // the sweep order; ties consume the right first, so a right
         // taking effect at t matches a left at the same t
         while (rHead != null && pairOrd.compare(rPair, lPair) <= 0) {
-          if (!rPair.isNullAt(0) && !rPair.isNullAt(1)) {
+          if (!anyKeyNull(rPair) && !rPair.isNullAt(nk)) {
             carryPair = rPair.copy()
             carryPayload = payloadProj(rHead).copy()
           }
           rHead = if (rIter.hasNext) rIter.next() else null
           rPair = if (rHead != null) rPairProj(rHead) else null
         }
-        val lValid = !lPair.isNullAt(0) && !lPair.isNullAt(1)
+        val lValid = !anyKeyNull(lPair) && !lPair.isNullAt(nk)
         // tolerance: a candidate only matches within |lTs - rTs| <= tol
         // (pandas merge_asof semantics; -1 disables the check)
         def inTol(pair: UnsafeRow): Boolean =
-          tol < 0 || math.abs(micros(lPair, 1) - micros(pair, 1)) <= tol
+          tol < 0 || math.abs(micros(lPair, nk) - micros(pair, nk)) <= tol
         val hasCarry = lValid && carryPair != null &&
           keyOrd.compare(carryPair, lPair) == 0 && inTol(carryPair)
         numOutputRows += 1
@@ -246,12 +258,12 @@ case class AsOfJoinExec(
             // tiebreaks asc), so multiple rights at the same future ts
             // resolve to the tiebreak-FIRST one, mirroring forward
             val hasFwd = lValid && rPair != null &&
-              !rPair.isNullAt(0) && !rPair.isNullAt(1) &&
+              !anyKeyNull(rPair) && !rPair.isNullAt(nk) &&
               keyOrd.compare(rPair, lPair) == 0 && inTol(rPair)
             if (hasCarry && hasFwd) {
-              val lT = micros(lPair, 1)
+              val lT = micros(lPair, nk)
               // tie -> backward
-              if (lT - micros(carryPair, 1) <= micros(rPair, 1) - lT)
+              if (lT - micros(carryPair, nk) <= micros(rPair, nk) - lT)
                 carryPayload
               else payloadProj(rHead)
             } else if (hasCarry) carryPayload

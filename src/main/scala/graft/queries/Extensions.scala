@@ -1428,6 +1428,27 @@ object Extensions {
       "ts", "ts", toleranceMicros = Some(86400L * 1000000L))
   }
 
+  /** COMPOSITE-KEY as-of through the custom operator (symbol+venue
+    * style): each event takes the latest reference event's value
+    * at-or-before it within its (cohort, event_type) — equality on
+    * BOTH key columns plus the one time inequality, DuckDB's
+    * `ASOF ... ON cohort = cohort AND type = type AND l.ts >= r.ts`.
+    */
+  def asof10ExecMultikey(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Ops._
+    val ev = Tables.events(s, d)
+    val left = ev.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), pmod(col("user_id"), lit(100)).as("cohort"))
+    val right = ev.filter(pmod(col("event_id"), lit(7)) === 0)
+      .select(pmod(col("user_id"), lit(100)).as("cohort"),
+        col("event_type"), col("ts"), col("value").as("ref_value"))
+      .distinctOn(Seq(col("cohort"), col("event_type"), col("ts")),
+        Seq(col("ref_value").desc))
+    graft.ops.AsOfJoin.asofJoinExecMulti(left, right,
+      Seq("cohort", "event_type"), "ts", "ts",
+      graft.plans.AsOfDir.Backward)
+  }
+
   /** Nearest-in-time signup value (ties -> backward). Oracle composes
     * DuckDB's backward + forward ASOF and picks per-row by distance.
     */
@@ -1752,6 +1773,7 @@ object Extensions {
     "asof7_exec_forward" -> (asof7ExecForward _),
     "asof8_exec_nearest" -> (asof8ExecNearest _),
     "asof9_exec_tolerance" -> (asof9ExecTolerance _),
+    "asof10_exec_multikey" -> (asof10ExecMultikey _),
     "pipe1_corpus_clean" -> ((s, d) => pipe1CorpusClean(s, d)),
     "pipe2_training_prep" -> ((s, d) => pipe2TrainingPrep(s, d)),
     "pipe5_tiered_prep" -> ((s, d) => pipe5TieredPrep(s, d)),
@@ -2728,6 +2750,25 @@ object Extensions {
                      THEN r.signup_value END AS signup_value
          FROM events l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "asof10_exec_multikey" ->
+      """WITH l AS (
+           SELECT event_id, ts, user_id, event_type,
+                  user_id % 100 AS cohort
+           FROM events),
+         r AS (
+           SELECT cohort, event_type, ts, ref_value FROM (
+             SELECT user_id % 100 AS cohort, event_type, ts,
+                    value AS ref_value,
+                    row_number() OVER (
+                      PARTITION BY user_id % 100, event_type, ts
+                      ORDER BY value DESC) AS rn
+             FROM events WHERE event_id % 7 = 0)
+           WHERE rn = 1)
+         SELECT l.event_id, l.ts, l.user_id, l.event_type, l.cohort,
+                r.ref_value
+         FROM l ASOF LEFT JOIN r
+           ON l.cohort = r.cohort AND l.event_type = r.event_type
+              AND l.ts >= r.ts""",
     "asof2_forward" -> asofForwardOracle,
     "asof3_nearest" -> asofNearestOracle,
     // identical semantics, skew-proof execution — same oracle

@@ -203,6 +203,48 @@ class AsOfExecSpec extends SparkSpec {
     assert(rows(inOp) === rows(post))
   }
 
+  test("composite keys: equality on every key column + one inequality") {
+    val left = Seq(
+      (1L, "AAPL", "NYSE", ts(5)),
+      (2L, "AAPL", "ARCA", ts(5)), // same symbol, other venue
+      (3L, "MSFT", "NYSE", ts(5))
+    ).toDF("id", "symbol", "venue", "ts")
+    val right = Seq(
+      ("AAPL", "NYSE", ts(1), 101.0),
+      ("AAPL", "ARCA", ts(2), 102.0),
+      ("MSFT", "ARCA", ts(0), 201.0) // venue mismatch for id=3
+    ).toDF("symbol", "venue", "ts", "px")
+    val out = AsOfJoin.asofJoinExecMulti(left, right,
+      Seq("symbol", "venue"), "ts", "ts", graft.plans.AsOfDir.Backward)
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(4)) null else r.getDouble(4)).toSeq
+    assert(out === Seq(101.0, 102.0, null))
+  }
+
+  test("composite keys randomized: exec == single-key scan over a " +
+      "fused key column") {
+    val rnd = new scala.util.Random(1234)
+    def mkTs(): Option[Timestamp] =
+      if (rnd.nextInt(20) == 0) None else Some(ts(rnd.nextInt(40)))
+    val left = Seq.tabulate(400)(i =>
+      (i.toLong, "s" + rnd.nextInt(3), "v" + rnd.nextInt(3), mkTs()))
+      .toDF("id", "sym", "ven", "ts")
+    val right = Seq.tabulate(300)(i =>
+      ("s" + rnd.nextInt(3), "v" + rnd.nextInt(3), mkTs(), i.toDouble))
+      .toDF("sym", "ven", "ts", "px")
+      .groupBy("sym", "ven", "ts").agg(max("px").as("px"))
+    val multi = AsOfJoin.asofJoinExecMulti(left, right,
+      Seq("sym", "ven"), "ts", "ts", graft.plans.AsOfDir.Backward)
+      .select("id", "px")
+    // reference: fuse the two keys into one column, use the scan
+    val fused = AsOfJoin.asofJoinBackward(
+      left.withColumn("k", concat_ws("|", col("sym"), col("ven"))),
+      right.withColumn("k", concat_ws("|", col("sym"), col("ven")))
+        .drop("sym", "ven"),
+      "k", "ts", "ts").select("id", "px")
+    assert(rows(multi) === rows(fused))
+  }
+
   test("self-join: same frame on both sides (fresh right exprIds)") {
     val ev = Seq((1L, "u", ts(1), 1.0), (2L, "u", ts(3), 2.0))
       .toDF("id", "user", "ts", "v")
