@@ -181,6 +181,99 @@ object AsOfJoin {
       rightTiebreak.map(attr(rPlan, _, "right")), toleranceMicros))
   }
 
+  /** SKEW-PROOF as-of through the custom operator: the
+    * [[asofJoinBackwardChunked]] (key, time-bucket) spread composed
+    * with [[asofJoinExecMulti]] — each key's timeline is cut into
+    * `numBuckets` equal time ranges, the per-(key, bucket) winning
+    * right rows are injected across bucket boundaries (the same
+    * boundary-carry argument as the scan variant: a non-winner from an
+    * earlier bucket is dominated by its bucket's winner for every
+    * later left), and the join itself runs as the PHYSICAL OPERATOR
+    * keyed on (key, bucket) — so a hot key's buckets hash to many
+    * tasks while the planner still owns the exchanges. `nearest`
+    * injects winners in BOTH directions (the forward candidate must be
+    * visible inside the bucket). Row-identical to the chunked scan
+    * variants (AsOfExecSpec proves it on 90%-one-key skew).
+    */
+  def asofJoinChunkedExec(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      dir: graft.plans.AsOfDir,
+      rightTiebreak: Seq[String] = Nil,
+      numBuckets: Int = 64): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    require(!right.columns.contains("__b") && !left.columns.contains("__b"),
+      "asofJoinChunkedExec: '__b' is reserved")
+    def plain() = asofExecPlan(left, right, keyCol, leftTsCol, rightTsCol,
+      rightTiebreak, dir)
+    // numeric timeline for range bucketing (seconds for temporal types)
+    def tsD(c: org.apache.spark.sql.Column) =
+      left.schema(leftTsCol).dataType match {
+        case org.apache.spark.sql.types.DateType =>
+          c.cast("timestamp").cast("double")
+        case _ => c.cast("double")
+      }
+    val mm = left.select(tsD(col(leftTsCol)).as("t"))
+      .unionAll(right.select(tsD(col(rightTsCol)).as("t")))
+      .agg(min(col("t")), max(col("t"))).head()
+    if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1)) return plain()
+    val lo = mm.getDouble(0)
+    val width = (mm.getDouble(1) - lo) / numBuckets
+    def bucket(c: org.apache.spark.sql.Column) = coalesce(
+      least(lit(numBuckets - 1), greatest(lit(0),
+        floor((tsD(c) - lit(lo)) / lit(width)).cast("int"))),
+      lit(0)) // null ts: bucket 0 (never matches; the exec nulls it)
+
+    val lB = left.withColumn("__b", bucket(col(leftTsCol)))
+    val rB = right.withColumn("__b", bucket(col(rightTsCol)))
+    val validRights = rB.filter(col(keyCol).isNotNull &&
+      col(rightTsCol).isNotNull)
+    val occupied = lB.filter(col(keyCol).isNotNull &&
+        col(leftTsCol).isNotNull)
+      .select(col(keyCol), col("__b").as("__tgt_b")).distinct()
+    val ordStruct = struct(
+      (col(rightTsCol) +: rightTiebreak.map(col)): _*)
+    val rowStruct = struct(rB.columns.map(col): _*)
+    // per-(key, bucket) winner rows injected across bucket boundaries:
+    // max (ts, tiebreaks) into LATER occupied buckets (backward carry),
+    // min into EARLIER ones (forward carry)
+    def carriedRows(takeMin: Boolean): DataFrame = {
+      val winners = validRights
+        .groupBy(col(keyCol), col("__b"))
+        .agg((if (takeMin) min_by(rowStruct, ordStruct)
+              else max_by(rowStruct, ordStruct)).as("__w"))
+        .select(col("__w.*"))
+      winners.join(occupied, Seq(keyCol))
+        .filter(if (takeMin) col("__tgt_b") < col("__b")
+                else col("__tgt_b") > col("__b"))
+        .drop("__b").withColumnRenamed("__tgt_b", "__b")
+        .select(rB.columns.map(col): _*)
+    }
+    val carried = dir match {
+      case graft.plans.AsOfDir.Backward => Seq(carriedRows(takeMin = false))
+      case graft.plans.AsOfDir.Forward => Seq(carriedRows(takeMin = true))
+      case graft.plans.AsOfDir.Nearest =>
+        Seq(carriedRows(takeMin = false), carriedRows(takeMin = true))
+    }
+    val r2 = carried.foldLeft(rB)(_.unionByName(_))
+    // pinned-count repartition on (key, bucket): AQE would coalesce a
+    // planner-inserted (ENSURE_REQUIREMENTS) exchange of small buckets
+    // back together, undoing exactly the spread this operator exists to
+    // create — a REPARTITION_BY_NUM layout is respected, and the exec's
+    // declared distribution REUSES it (zero added exchanges; the same
+    // reuse path AsOfExecSpec proves for pre-partitioned inputs)
+    val nPart = left.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    asofJoinExecMulti(
+      lB.repartition(nPart, col(keyCol), col("__b")),
+      r2.repartition(nPart, col(keyCol), col("__b")),
+      Seq(keyCol, "__b"), leftTsCol, rightTsCol, dir, rightTiebreak)
+      .drop("__b")
+  }
+
   /** Shared one-shuffle merge scan. `forward = true` sweeps time
     * DESCENDING, so "last seen right" is the earliest right at-or-after
     * the left row — the exact mirror of the backward carry.

@@ -1428,6 +1428,20 @@ object Extensions {
       "ts", "ts", toleranceMicros = Some(86400L * 1000000L))
   }
 
+  /** SKEW-PROOF as-of through the custom operator: the (key,
+    * time-bucket) spread of asof4 composed with the physical operator
+    * keyed on (user_id, bucket) — identical semantics to
+    * [[asof1Backward]] (same DuckDB oracle); a hot user's timeline
+    * hashes to many tasks, and the pinned-count (key, bucket)
+    * repartition is REUSED by the exec's declared distribution (zero
+    * added exchanges).
+    */
+  def asof11ExecChunked(s: SparkSession, d: String): DataFrame = {
+    val (left, right) = asofSides(s, d)
+    graft.ops.AsOfJoin.asofJoinChunkedExec(left, right, "user_id",
+      "ts", "ts", graft.plans.AsOfDir.Backward)
+  }
+
   /** COMPOSITE-KEY as-of through the custom operator (symbol+venue
     * style): each event takes the latest reference event's value
     * at-or-before it within its (cohort, event_type) — equality on
@@ -1774,6 +1788,7 @@ object Extensions {
     "asof8_exec_nearest" -> (asof8ExecNearest _),
     "asof9_exec_tolerance" -> (asof9ExecTolerance _),
     "asof10_exec_multikey" -> (asof10ExecMultikey _),
+    "asof11_exec_chunked" -> (asof11ExecChunked _),
     "pipe1_corpus_clean" -> ((s, d) => pipe1CorpusClean(s, d)),
     "pipe2_training_prep" -> ((s, d) => pipe2TrainingPrep(s, d)),
     "pipe5_tiered_prep" -> ((s, d) => pipe5TieredPrep(s, d)),
@@ -2735,6 +2750,8 @@ object Extensions {
     "asof4_backward_chunked" -> asofBackwardOracle,
     // identical semantics, custom Catalyst physical operator — same oracles
     "asof6_exec_backward" -> asofBackwardOracle,
+    // skew-proof (key, bucket) spread THROUGH the exec — same oracle
+    "asof11_exec_chunked" -> asofBackwardOracle,
     "asof7_exec_forward" -> asofForwardOracle,
     "asof8_exec_nearest" -> asofNearestOracle,
     "asof9_exec_tolerance" ->

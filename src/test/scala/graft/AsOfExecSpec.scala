@@ -245,6 +245,66 @@ class AsOfExecSpec extends SparkSpec {
     assert(rows(multi) === rows(fused))
   }
 
+  test("chunked exec on 90%-one-key skew: row-identical to the " +
+      "chunked scan AND the plain exec, all three directions") {
+    val rnd = new scala.util.Random(31337)
+    // 90% of rows on one hot key — the regime the (key, bucket) spread
+    // exists for
+    def key(): String = if (rnd.nextInt(10) == 0) "k" + rnd.nextInt(4)
+      else "hot"
+    val left = Seq.tabulate(600)(i => (i.toLong, key(), ts(rnd.nextInt(120))))
+      .toDF("id", "k", "ts")
+    val right = Seq.tabulate(400)(i => (key(), ts(rnd.nextInt(120)), i.toDouble))
+      .toDF("k", "ts", "px")
+      .groupBy("k", "ts").agg(max("px").as("px"))
+    for (d <- Seq(graft.plans.AsOfDir.Backward, graft.plans.AsOfDir.Forward,
+        graft.plans.AsOfDir.Nearest)) {
+      val chunkedExec = AsOfJoin.asofJoinChunkedExec(
+        left, right, "k", "ts", "ts", d, numBuckets = 8)
+      val plain = d match {
+        case graft.plans.AsOfDir.Backward =>
+          AsOfJoin.asofJoinBackwardExec(left, right, "k", "ts", "ts")
+        case graft.plans.AsOfDir.Forward =>
+          AsOfJoin.asofJoinForwardExec(left, right, "k", "ts", "ts")
+        case graft.plans.AsOfDir.Nearest =>
+          AsOfJoin.asofJoinNearestExec(left, right, "k", "ts", "ts")
+      }
+      assert(rows(chunkedExec) === rows(plain), s"dir=$d vs plain exec")
+      val chunkedScan = d match {
+        case graft.plans.AsOfDir.Backward =>
+          AsOfJoin.asofJoinBackwardChunked(left, right, "k", "ts", "ts",
+            numBuckets = 8)
+        case graft.plans.AsOfDir.Forward =>
+          AsOfJoin.asofJoinForwardChunked(left, right, "k", "ts", "ts",
+            numBuckets = 8)
+        case graft.plans.AsOfDir.Nearest =>
+          AsOfJoin.asofJoinNearestChunked(left, right, "k", "ts", "ts",
+            numBuckets = 8)
+      }
+      assert(rows(chunkedExec) === rows(chunkedScan), s"dir=$d vs scan")
+    }
+  }
+
+  test("chunked exec spreads the hot key over multiple tasks") {
+    val left = Seq.tabulate(400)(i => (i.toLong, "hot", ts(i % 100)))
+      .toDF("id", "k", "ts")
+    val right = Seq.tabulate(100)(i => ("hot", ts(i), i.toDouble))
+      .toDF("k", "ts", "px")
+    val joined = AsOfJoin.asofJoinChunkedExec(
+      left, right, "k", "ts", "ts", graft.plans.AsOfDir.Backward,
+      numBuckets = 8)
+    // one key, 8 buckets: the left side of the exec must occupy > 1
+    // partition (the plain exec would put the whole key in ONE task)
+    import org.apache.spark.sql.functions.spark_partition_id
+    val parts = joined.withColumn("p", spark_partition_id())
+      .select("p").distinct().count()
+    assert(parts > 1, s"hot key not spread: $parts partition(s)")
+    // and the result is still the plain answer
+    assert(rows(joined.select("id", "px")) ===
+      rows(AsOfJoin.asofJoinBackward(left, right, "k", "ts", "ts")
+        .select("id", "px")))
+  }
+
   test("self-join: same frame on both sides (fresh right exprIds)") {
     val ev = Seq((1L, "u", ts(1), 1.0), (2L, "u", ts(3), 2.0))
       .toDF("id", "user", "ts", "v")
