@@ -576,6 +576,28 @@ object ScaleProbe {
         "asof_scan_sec" -> tScan, "asof_exec_sec" -> tExec))
     }
 
+    // adversarial as-of skew: the 1M replica remapped so ~90% of rows
+    // share ONE key — the plain exec serializes the hot key's whole
+    // timeline into a single task's sort+merge, the chunked exec
+    // spreads its (key, bucket) cells over many tasks. The chunked
+    // SCAN runs as the reference point. (Not in the exponent fit:
+    // different density regime by construction.)
+    val evSkew = spark.read.parquet(asofReplicaDir)
+      .withColumn("user_id",
+        when(pmod(col("user_id"), lit(10)) < 9, lit(42L))
+          .otherwise(col("user_id")))
+    val (lSkew, rSkew) = asofSidesOf(evSkew)
+    val (tAsofPlainS, nAsofS) = timeSec(graft.ops.AsOfJoin
+      .asofJoinBackwardExec(lSkew, rSkew, "user_id", "ts", "ts").count())
+    val (tAsofChunkS, _) = timeSec(graft.ops.AsOfJoin
+      .asofJoinChunkedExec(lSkew, rSkew, "user_id", "ts", "ts",
+        graft.plans.AsOfDir.Backward).count())
+    val (tAsofScanChunkS, _) = timeSec(graft.ops.AsOfJoin
+      .asofJoinBackwardChunked(lSkew, rSkew, "user_id", "ts", "ts").count())
+    System.err.println(
+      f"[probe] asof skew90 n=$nAsofS%7d plain_exec=$tAsofPlainS%6.2fs " +
+        f"chunked_exec=$tAsofChunkS%6.2fs chunked_scan=$tAsofScanChunkS%6.2fs")
+
     // generic exponent pass: every *_sec family gets the endpoint fit
     // AND the per-decade slopes (r09 verdict: commit both — the
     // endpoint fit alone hid dd7's 1.21 tail behind the sf0.01 floor)
@@ -609,6 +631,10 @@ object ScaleProbe {
     println(s"""{"metric":"scale_probe","scales":$qs,""" +
       s""""emb_scales":$ej,""" +
       s""""asof_scales":$aj,""" +
+      s""""asof_skew":{"n":$nAsofS,""" +
+      s""""plain_exec_sec":${f"$tAsofPlainS%.2f"},""" +
+      s""""chunked_exec_sec":${f"$tAsofChunkS%.2f"},""" +
+      s""""chunked_scan_sec":${f"$tAsofScanChunkS%.2f"}},""" +
       s""""dd7_cached_sf1rep_sec":${f"$t7c%.2f"},""" +
       s""""skew":{"n":$nSkew,"dd7_sec":${f"$t7s%.2f"},"dd7_pairs":$p7s,""" +
       s""""dd6_sec":${f"$t6s%.2f"},"dd6_clusters":$c6s,""" +

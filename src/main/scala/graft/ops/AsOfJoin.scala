@@ -22,11 +22,17 @@ import org.apache.spark.sql.types.StructType
   * column, re-sorted). The right physical shape is the classic
   * streaming-merge: ONE hash shuffle on the key, ONE in-partition sort
   * by (key, ts, side), then a linear scan carrying the last-seen right
-  * payload — implemented here with mapPartitions over the sorted
-  * partition (SURVEY §2.3 noted as-of as absent; preference (d) per
-  * the build rules is justified because the semantics are a
-  * cross-row stateful carry that no built-in expresses without
-  * blow-up).
+  * payload — implemented TWICE here, at two tiers of the build rules:
+  * the `mapPartitions` merge scan over the union layout (preference
+  * (d); the original shape, kept as the reference implementation and
+  * for the chunked scan variants), and the CUSTOM CATALYST PHYSICAL
+  * OPERATOR (preference (c); `graft.plans.AsOfJoinExec`, the
+  * `asofJoin*Exec` entry points below) that DECLARES its distribution
+  * and ordering so the planner plants exchanges only where the child
+  * layout doesn't already satisfy them — bucketed or pre-partitioned
+  * inputs join with zero added shuffle, rows stay Unsafe end-to-end,
+  * and the exec adds tolerance bounds, composite keys, and the
+  * skew-proof chunked composition ([[asofJoinChunkedExec]]).
   *
   * Scale: cost is shuffle(left+right) + sort, identical to a
   * sort-merge join. In the plain variants skewed keys concentrate in
