@@ -598,6 +598,72 @@ object ScaleProbe {
       f"[probe] asof skew90 n=$nAsofS%7d plain_exec=$tAsofPlainS%6.2fs " +
         f"chunked_exec=$tAsofChunkS%6.2fs chunked_scan=$tAsofScanChunkS%6.2fs")
 
+    // auto-dispatcher legs (round-11 verdict ask #1): the dispatcher
+    // must MATCH the measured break-even on both regimes. Uniform
+    // keys (max/key ≈ tens of rows) and the 90%-one-key skew (max/key
+    // ≈ 0.9M, still under the 4M default threshold) both dispatch to
+    // the plain exec — which IS the measured winner in both (plain
+    // 2.21 s vs chunked 3.19 s on skew90 in r20b); the forced-low
+    // threshold leg prices the chunked tier the dispatcher would pick
+    // once a key's timeline outgrows a task.
+    val skewMaxKey = graft.ops.AsOfJoin
+      .maxKeyTimelineRows(lSkew, rSkew, "user_id")
+    val (tAutoSkew, _) = timeSec(graft.ops.AsOfJoin
+      .asofJoinAuto(lSkew, rSkew, "user_id", "ts", "ts").count())
+    val autoSkewTier =
+      if (skewMaxKey > graft.ops.AsOfJoin.DefaultHotKeyRowThreshold)
+        "chunked" else "plain"
+    val (tAutoForced, _) = timeSec(graft.ops.AsOfJoin
+      .asofJoinAuto(lSkew, rSkew, "user_id", "ts", "ts",
+        hotKeyRowThreshold = 100000L).count())
+    System.err.println(
+      f"[probe] asof auto skew90 max_key=$skewMaxKey%d " +
+        f"auto($autoSkewTier%s)=$tAutoSkew%6.2fs " +
+        f"forced_chunked=$tAutoForced%6.2fs " +
+        f"(plain=$tAsofPlainS%6.2fs chunked=$tAsofChunkS%6.2fs)")
+
+    // ingest-lifecycle legs (round-11 verdict ask #3): per-ingest wall
+    // must be ~O(batch), not O(corpus) — K=3 successive 1/8 ingests
+    // through the appended index + final compaction, vs the full
+    // dd20 pass, at sf0.1 and the fixed-density sf1rep replica.
+    val ingestRows = Seq(
+      "sf0.1" -> Tables.documents(spark, s"$root/sf0.1"),
+      "sf1rep" -> spark.read.parquet(replicaDir)).map { case (name, docs) =>
+      val n = docs.count()
+      val base = docs.filter(pmod(col("doc_id"), lit(8)) < 5)
+      var idx = graft.queries.Clean.winnowIndexOf(base).localCheckpoint(true)
+      var corpus = base
+      var store: DataFrame = null
+      val perIngest = (5 to 7).map { k =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(8)) === k)
+        val (tk, step) = timeSec {
+          val p = graft.queries.Clean
+            .incrementalTieredPairsFrom(idx, corpus, batch)
+            .select(least(col("id_base"), col("id_new")).as("id_a"),
+              greatest(col("id_base"), col("id_new")).as("id_b"),
+              col("jaccard"))
+            .localCheckpoint(true)
+          idx = graft.queries.Clean.indexAppend(idx, batch)
+            .localCheckpoint(true)
+          p
+        }
+        corpus = corpus.unionByName(batch)
+        store = if (store == null) step else store.unionByName(step)
+        tk
+      }
+      val basePairs = graft.queries.Clean.tieredNearDupPairsOn(base)
+      val (tCompact, nCompact) = timeSec(graft.queries.Clean
+        .compactPairs(basePairs.unionByName(store), idx).count())
+      val (tFull, nFull) = timeSec(
+        graft.queries.Clean.tieredNearDupPairsOn(docs).count())
+      System.err.println(
+        f"[probe] ingest $name%-7s n=$n%6d per_ingest=" +
+          perIngest.map(t => f"$t%.2f").mkString("[", ",", "]") +
+          f"s compact=$tCompact%6.2fs ($nCompact pairs) " +
+          f"full=$tFull%6.2fs ($nFull pairs)")
+      (name, n, perIngest, tCompact, nCompact, tFull, nFull)
+    }
+
     // generic exponent pass: every *_sec family gets the endpoint fit
     // AND the per-decade slopes (r09 verdict: commit both — the
     // endpoint fit alone hid dd7's 1.21 tail behind the sf0.01 floor)
@@ -635,6 +701,16 @@ object ScaleProbe {
       s""""plain_exec_sec":${f"$tAsofPlainS%.2f"},""" +
       s""""chunked_exec_sec":${f"$tAsofChunkS%.2f"},""" +
       s""""chunked_scan_sec":${f"$tAsofScanChunkS%.2f"}},""" +
+      s""""asof_auto":{"skew_max_key":$skewMaxKey,""" +
+      s""""picked":"$autoSkewTier",""" +
+      s""""auto_sec":${f"$tAutoSkew%.2f"},""" +
+      s""""forced_chunked_sec":${f"$tAutoForced%.2f"}},""" +
+      ingestRows.map { case (name, n, per, tc, nc, tf, nf) =>
+        s""""$name":{"n":$n,"per_ingest_secs":""" +
+          per.map(t => f"$t%.2f").mkString("[", ",", "]") +
+          s""","compact_sec":${f"$tc%.2f"},"pairs":$nc,""" +
+          s""""full_sec":${f"$tf%.2f"},"full_pairs":$nf}"""
+      }.mkString(""""ingest_lifecycle":{""", ",", "},") +
       s""""dd7_cached_sf1rep_sec":${f"$t7c%.2f"},""" +
       s""""skew":{"n":$nSkew,"dd7_sec":${f"$t7s%.2f"},"dd7_pairs":$p7s,""" +
       s""""dd6_sec":${f"$t6s%.2f"},"dd6_clusters":$c6s,""" +

@@ -88,6 +88,14 @@ object AsOfJoin {
     * rather than hand-inserted — inputs already bucketed or
     * repartitioned by the key join with zero added shuffle, and the
     * planner/AQE keep control of the exchanges they do insert.
+    *
+    * `toleranceMicros` (all three exec directions): a candidate only
+    * matches within `|leftTs - rightTs| <= tolerance`. The unit is
+    * MICROSECONDS for Timestamp/TimestampNTZ/Date ts columns; for a
+    * LONG or INT ts column the comparison runs in the column's NATIVE
+    * unit (the raw value is the timeline), so pass the tolerance in
+    * that same unit — e.g. a ts column holding epoch-SECONDS takes a
+    * tolerance in seconds.
     */
   def asofJoinBackwardExec(
       left: DataFrame,
@@ -187,6 +195,76 @@ object AsOfJoin {
       rightTiebreak.map(attr(rPlan, _, "right")), toleranceMicros))
   }
 
+  /** Default hot-key dispatch threshold for [[asofJoinAuto]]: the
+    * chunked spread only pays for itself once a SINGLE key's timeline
+    * outgrows what one task can sort+merge comfortably. The measured
+    * break-even (PROBE_scale asof_skew leg: plain exec 2.21 s vs
+    * chunked exec 3.19 s at 1M rows with a 0.9M-row hot key,
+    * local[32]) shows plain still winning at ~1M rows on one key —
+    * the chunked tier's constant costs (bounds pass, winner
+    * injection, pinned repartition) dominate below the
+    * single-task-straggler regime. 4M narrow rows is comfortably
+    * inside a task's in-memory sort on default executor sizing and
+    * above every regime where plain measured faster; clusters with
+    * smaller tasks tune it down via the parameter.
+    */
+  val DefaultHotKeyRowThreshold: Long = 4L * 1000 * 1000
+
+  /** Max rows any single key contributes across BOTH sides — the
+    * straggler statistic [[asofJoinAuto]] dispatches on. One extra
+    * scan of each side, but the aggregate is partial-aggregable
+    * (map-side combine), so the exchange carries at most
+    * distinct-keys rows per partition, never the data. Callers that
+    * already know their key stats (a warehouse table profile, a
+    * previous run) pass `knownMaxKeyRows` to skip the probe entirely.
+    */
+  def maxKeyTimelineRows(
+      left: DataFrame, right: DataFrame, keyCol: String): Long =
+    left.select(col(keyCol).as("__k"))
+      .unionAll(right.select(col(keyCol).as("__k")))
+      .filter(col("__k").isNotNull)
+      .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+
+  /** AUTO-DISPATCHING as-of through the custom operator — the dd11
+    * pattern applied to the plain-vs-chunked exec choice: one cheap
+    * key-cardinality probe ([[maxKeyTimelineRows]], or a caller-
+    * supplied stat) picks the plain exec ([[asofJoinBackwardExec]]
+    * family) when no key's timeline exceeds `hotKeyRowThreshold`, and
+    * the skew-chunked composition ([[asofJoinChunkedExec]]) when one
+    * does — so a 100×-scale user gets the measured-best tier without
+    * reading the break-even tables. Both tiers are row-identical
+    * (AsOfExecSpec), so the dispatch NEVER changes the result, only
+    * the physical spread; AsOfExecSpec proves the plan flip on both
+    * regimes (uniform keys → single-key exec node in the plan;
+    * adversarial hot key → the (key, bucket) two-key exec).
+    */
+  def asofJoinAuto(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      dir: graft.plans.AsOfDir = graft.plans.AsOfDir.Backward,
+      rightTiebreak: Seq[String] = Nil,
+      hotKeyRowThreshold: Long = DefaultHotKeyRowThreshold,
+      knownMaxKeyRows: Option[Long] = None,
+      numBuckets: Int = 64): DataFrame = {
+    require(hotKeyRowThreshold > 0,
+      s"hotKeyRowThreshold must be > 0, got $hotKeyRowThreshold")
+    val maxKey = knownMaxKeyRows
+      .getOrElse(maxKeyTimelineRows(left, right, keyCol))
+    if (maxKey > hotKeyRowThreshold)
+      asofJoinChunkedExec(left, right, keyCol, leftTsCol, rightTsCol,
+        dir, rightTiebreak, numBuckets)
+    else
+      asofExecPlan(left, right, keyCol, leftTsCol, rightTsCol,
+        rightTiebreak, dir)
+  }
+
   /** SKEW-PROOF as-of through the custom operator: the
     * [[asofJoinBackwardChunked]] (key, time-bucket) spread composed
     * with [[asofJoinExecMulti]] — each key's timeline is cut into
@@ -211,8 +289,14 @@ object AsOfJoin {
       rightTiebreak: Seq[String] = Nil,
       numBuckets: Int = 64): DataFrame = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
-    require(!right.columns.contains("__b") && !left.columns.contains("__b"),
-      "asofJoinChunkedExec: '__b' is reserved")
+    // every internal working column this composition mints: '__b' (the
+    // time bucket on both sides), '__tgt_b' (the occupied-bucket carry
+    // target), '__w' (the per-bucket winner struct) — an input column
+    // with any of these names would collide in carriedRows' rename
+    // (the normalized scan variants are immune; they re-frame columns)
+    for (c <- Seq("__b", "__tgt_b", "__w"))
+      require(!right.columns.contains(c) && !left.columns.contains(c),
+        s"asofJoinChunkedExec: column name '$c' is reserved")
     def plain() = asofExecPlan(left, right, keyCol, leftTsCol, rightTsCol,
       rightTiebreak, dir)
     // numeric timeline for range bucketing (seconds for temporal types)

@@ -169,10 +169,15 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
-  /** Epoch-micros reader for the nearest distance test — matches the
-    * scan implementation's `toMicros` (external types) over the
-    * INTERNAL representations (TimestampType stores Long micros,
-    * DateType stores Int days).
+  /** Timeline reader for the nearest-distance and tolerance tests —
+    * matches the scan implementation's `toMicros` (external types)
+    * over the INTERNAL representations. For Timestamp/TimestampNTZ
+    * (stored as Long micros) and Date (Int days, scaled here) the
+    * returned value — and therefore `toleranceMicros` and the nearest
+    * distance — is in MICROSECONDS. For LongType/IntegerType ts
+    * columns the raw column value IS the timeline, so tolerance and
+    * distance are in the column's NATIVE unit (documented on the
+    * `asofJoin*Exec` entry points).
     */
   private def microsReader(dt: DataType): (InternalRow, Int) => Long =
     dt match {

@@ -180,6 +180,93 @@ object Clean {
   def dd20TieredNearDup(s: SparkSession, d: String): DataFrame =
     TruthSets.tieredNearDupPairs(s, d)
 
+  // ---- dd25: auto-dispatching near-dup (exact vs tiered) --------------
+
+  /** Default dispatch threshold for [[nearDupAutoOn]], in ESTIMATED
+    * exact-tier candidate pairs ([[exactTierCandidateEstimate]]).
+    * Calibrated against measured walls on this corpus family
+    * (BASELINE.md / PROBE_scale): at estimate ≈ 1.1e9 (sf0.1) the
+    * exact prefix-filter join reads 7.7 s where the tiered gate reads
+    * 4.4 s — the tiered tier is ALREADY cheaper; at ≈ 1.1e11 (sf1rep)
+    * it is 146.5 s vs 8.4–10.9 s. 1e8 sits below the measured
+    * crossover, so the exact tier — with its strictly stronger recall
+    * contract — is only chosen where it is also the cheaper plan.
+    */
+  val DefaultMaxExactCandidates: Long = 100L * 1000 * 1000
+
+  /** The dispatch statistic: Σ_gram C(df, 2) over the corpus's
+    * distinct char-`n`-gram document frequencies — an upper bound on
+    * the exact AllPairs tier's candidate-join volume (prefix/size/
+    * positional pruning only shrink it) and the quantity that
+    * actually melts that tier on template-dense corpora (dd7's
+    * measured 1.21 tail decade rides exactly this sum). One narrow
+    * aggregate: explode distinct grams, partial-aggregated df count,
+    * exact integer sum — both engines compute the identical number,
+    * so the DISPATCH DECISION itself is replayed by the DuckDB
+    * oracle, not just the chosen tier's rows. Decimal accumulation:
+    * df ~ 1e10 at warehouse scale puts df² past long range.
+    */
+  def exactTierCandidateEstimate(docs: DataFrame, n: Int = 3): Long = {
+    val r = docs.select(explode(graft.functions.HashFunctions
+        .char_ngram_set(lower(trim(col("text"))), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .agg(sum((col("df").cast("decimal(38,0)") * (col("df") - 1))
+        .cast("decimal(38,0)")).as("s2"))
+      .head()
+    if (r.isNullAt(0)) 0L
+    else {
+      val est = r.getDecimal(0).toBigInteger
+        .divide(java.math.BigInteger.TWO)
+      if (est.bitLength >= 63) Long.MaxValue else est.longValueExact()
+    }
+  }
+
+  /** dd25: the AUTO-DISPATCHING near-dup front door — the dd11
+    * pattern for the dd7-vs-dd20 tier choice. One corpus statistic
+    * ([[exactTierCandidateEstimate]], or a caller-supplied profile
+    * number) picks the exact AllPairs tier
+    * ([[graft.dedup.Dedup.exactJaccardPairs]]: guaranteed recall,
+    * super-linear candidate growth on template-dense corpora) while
+    * its estimated candidate volume stays under
+    * `maxExactCandidates`, and the tiered winnow gate
+    * ([[tieredNearDupPairsOn]]: df-capped linear candidates, the
+    * documented fingerprint-gate contract) past it.
+    *
+    * Contract note — the tiers are NOT row-identical by design: the
+    * tiered gate silences pairs whose every shared fingerprint is
+    * boilerplate-hot (MOSS's rule, dd20's documented semantics). The
+    * dispatcher is for the curator who accepts dd20's contract at
+    * scale and gets the strictly-stronger exact recall for free
+    * whenever the corpus is small enough that it costs nothing.
+    * CleanSpec proves the flip on a corpus where the tiers demonstrably
+    * differ; the dd25 oracle replays the dispatch statistic AND both
+    * branches in DuckDB, so the driver checks whichever tier is
+    * picked at each scale.
+    */
+  def nearDupAutoOn(docs: DataFrame, threshold: Double = 0.8,
+      dfCap: Int = 16,
+      maxExactCandidates: Long = DefaultMaxExactCandidates,
+      knownCandidateEstimate: Option[Long] = None): DataFrame = {
+    val est = knownCandidateEstimate
+      .getOrElse(exactTierCandidateEstimate(docs))
+    if (est <= maxExactCandidates)
+      graft.dedup.Dedup.exactJaccardPairs(docs, "doc_id", "text",
+        threshold = threshold)
+    else tieredNearDupPairsOn(docs, threshold, dfCap)
+  }
+
+  /** The dd25 query: [[nearDupAutoOn]]'s dispatch served from the
+    * shared [[TruthSets]] materializations (both tiers' pair sets are
+    * already the cached truth frames dd7/dd20 consume, so the
+    * dispatcher adds only the estimate pass).
+    */
+  def dd25AutoNearDup(s: SparkSession, d: String): DataFrame = {
+    val est = exactTierCandidateEstimate(Tables.documents(s, d))
+    if (est <= DefaultMaxExactCandidates)
+      TruthSets.exactJaccardPairs(s, d, threshold = 0.8)
+    else TruthSets.tieredNearDupPairs(s, d)
+  }
+
   /** dd21: cluster-keep at the SCALE tier — dd6's semantics (near-dup
     * pairs as edges, connected components as duplicate clusters, min
     * id survives) over [[tieredNearDupPairsOn]]'s two-tier pair set
@@ -341,6 +428,117 @@ object Clean {
     val cc = graft.graph.ConnectedComponents.run(edges, "src", "dst")
     cc.join(fresh.select(col("doc_id").as("node")), Seq("node"))
       .select(col("node").as("new_id"), col("component").as("cluster_id"))
+  }
+
+  // ---- index lifecycle: append, compact, rebuild ----------------------
+
+  /** Index MAINTENANCE — the step the persisted-index forms assume
+    * but round 20 never committed: after an ingest adjudicates a
+    * fresh batch, the batch's winnow selections are APPENDED to the
+    * stored index so the NEXT ingest's combined-df cap sees them. At
+    * warehouse scale this is an append of (doc_id, h) rows into the
+    * h-partitioned index table (plus periodic small-file compaction
+    * through the warehouse's usual parquet seam); skipping it is the
+    * df-drift failure mode: batch K+1 would screen against document
+    * frequencies frozen at the last full pass, admitting candidates a
+    * full rerun would cap away. CleanSpec drives K successive ingests
+    * through this append and proves the lifecycle equals one full
+    * pass.
+    */
+  def indexAppend(index: DataFrame, fresh: DataFrame): DataFrame =
+    index.unionByName(winnowIndexOf(fresh))
+
+  /** Pair-set COMPACTION — the periodic step that restores EXACT
+    * full-pass semantics to an incrementally maintained pair store.
+    *
+    * Incremental drift, quantified: a pair emitted at ingest step k
+    * was gated by the df cap AS OF step k; a hash later pushed over
+    * the cap by newer batches silences FUTURE candidates but cannot
+    * retract the stored pair ([[incrementalClusterUpdateOn]]'s
+    * documented "clusters never unmerge"). Because per-hash df only
+    * GROWS, the stored pair set is always a SUPERSET of what a full
+    * [[tieredNearDupPairsOn]] pass over the concatenated corpus
+    * emits, and the excess is precisely the pairs whose every shared
+    * fingerprint is now over the cap. Compaction removes exactly that
+    * excess: regenerate the candidate relation from the CURRENT
+    * capped index (bounded by C(dfCap, 2) pairs per hash — the same
+    * linear bound as candidate generation) and semi-join the stored
+    * pairs against it. No re-verify needed — Jaccard is pair-local
+    * and already stored. CleanSpec proves K ingests + this compaction
+    * == one full pass, including a fixture where a hash crosses the
+    * cap mid-lifecycle and real pairs are retracted.
+    *
+    * `pairs` must carry `id_a < id_b` (the lifecycle's canonical
+    * orientation) plus any payload columns, which ride through.
+    */
+  def compactPairs(pairs: DataFrame, index: DataFrame,
+      dfCap: Int = 16): DataFrame = {
+    val dfs = index.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val capped = index
+      .join(dfs.filter(col("df") <= dfCap).select(col("h")), Seq("h"))
+    val stillShared = capped.select(col("doc_id").as("id_a"), col("h"))
+      .join(capped.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    pairs.join(stillShared, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  /** The full ingest lifecycle over K batches, composed from the
+    * committed pieces: one full pass on `base` (pairs + persisted
+    * index), then per batch — cross+intra candidates against the
+    * CURRENT index ([[incrementalTieredPairsFrom]], O(batch+matches)),
+    * accumulate, APPEND the batch into the index
+    * ([[indexAppend]]) — and finally [[compactPairs]] under the
+    * end-state df. Result: exactly [[tieredNearDupPairsOn]] over the
+    * concatenated corpus (the cap-monotonicity argument on
+    * [[compactPairs]]; CleanSpec K=3 equality), while no step ever
+    * re-paired the existing corpus. Returns the compacted
+    * (id_a, id_b, jaccard) set; rebuild clusters from it with
+    * [[graft.dedup.Dedup.nearDupClusters]] to restore full-pass dd21
+    * semantics after the never-unmerge routing drift.
+    */
+  def ingestLifecyclePairs(base: DataFrame, batches: Seq[DataFrame],
+      threshold: Double = 0.8, dfCap: Int = 16): DataFrame = {
+    val (pairs, index) = ingestLifecycleRaw(base, batches, threshold, dfCap)
+    compactPairs(pairs, index, dfCap)
+  }
+
+  /** The lifecycle WITHOUT the final compaction — exposed so the spec
+    * can assert the superset-then-exact contract. Returns the
+    * accumulated pair store and the end-state index.
+    */
+  private[graft] def ingestLifecycleRaw(base: DataFrame,
+      batches: Seq[DataFrame], threshold: Double,
+      dfCap: Int): (DataFrame, DataFrame) = {
+    val basePairs = tieredNearDupPairsOn(base, threshold, dfCap)
+    val init = (basePairs, winnowIndexOf(base).localCheckpoint(true), base)
+    val (pairs, index, _) = batches.foldLeft(init) {
+      case ((acc, idx, corpus), batch) =>
+        val stepPairs = incrementalTieredPairsFrom(
+            idx, corpus, batch, threshold, dfCap)
+          .select(least(col("id_base"), col("id_new")).as("id_a"),
+            greatest(col("id_base"), col("id_new")).as("id_b"),
+            col("jaccard"))
+        (acc.unionByName(stepPairs),
+          indexAppend(idx, batch).localCheckpoint(true),
+          corpus.unionByName(batch))
+    }
+    (pairs, index)
+  }
+
+  /** dd26: the lifecycle as a driver-visible two-engine row — base =
+    * 5/8 of the corpus, three successive ingests of 1/8 each through
+    * the persisted index, then compaction. Equal BY THE LIFECYCLE
+    * CONTRACT to one full dd20 pass over all documents, so the oracle
+    * is dd20's SQL verbatim: DuckDB replays the one-shot pipeline,
+    * Spark replays the K-step ingest + append + compact — hash match
+    * proves the lifecycle exactly reconstructs the full pass.
+    */
+  def dd26IndexLifecycle(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    ingestLifecyclePairs(
+      docs.filter(pmod(col("doc_id"), lit(8)) < 5),
+      (5 to 7).map(k => docs.filter(pmod(col("doc_id"), lit(8)) === k)))
   }
 
   /** dd24: INCREMENTAL cluster maintenance — dd23's companion that
@@ -619,15 +817,18 @@ object Clean {
     "dd20_tiered_neardup" -> (dd20TieredNearDup _),
     "dd21_tiered_cluster_keep" -> (dd21TieredClusterKeep _),
     "dd23_incremental_neardup" -> (dd23IncrementalNeardup _),
-    "dd24_incremental_clusters" -> (dd24IncrementalClusters _))
+    "dd24_incremental_clusters" -> (dd24IncrementalClusters _),
+    "dd25_auto_neardup" -> (dd25AutoNearDup _),
+    "dd26_index_lifecycle" -> (dd26IndexLifecycle _))
 
-  val oracles: Map[String, String] = Map(
-    // the two-tier join replayed end-to-end: win2's md5-winnow
-    // candidate CTEs (df-capped, minShared=1) feeding dd7's exact
-    // trigram-Jaccard verify — both engines divide the same exact
-    // ints, so the doubles are bit-identical
-    "dd20_tiered_neardup" ->
-      """WITH s AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+  // the two-tier join replayed end-to-end: win2's md5-winnow
+  // candidate CTEs (df-capped, minShared=1) feeding dd7's exact
+  // trigram-Jaccard verify — both engines divide the same exact
+  // ints, so the doubles are bit-identical. SHARED by dd20 (the
+  // one-shot pipeline) and dd26 (the K-ingest lifecycle, equal to the
+  // one-shot pass by the compaction contract).
+  private val tieredPairsSql =
+    """WITH s AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
          b AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g
                FROM s WHERE length(s) - 7 >= 4),
          k AS (SELECT doc_id, g,
@@ -668,7 +869,81 @@ object Clean {
                 CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) AS jaccard
          FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
                  JOIN gs sb ON sb.doc_id = ix.id_b
-         WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8""",
+         WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8"""
+
+  val oracles: Map[String, String] = Map(
+    "dd20_tiered_neardup" -> tieredPairsSql,
+    // the lifecycle row: Spark runs base pass + 3 ingests + index
+    // append + compaction; DuckDB runs the ONE-SHOT tiered pipeline —
+    // equality is the compaction contract, hash-checked cross-engine
+    "dd26_index_lifecycle" -> tieredPairsSql,
+    // the DISPATCH replayed in the second engine: the same Σ C(df,2)
+    // trigram statistic gates two branch CTEs — the exact AllPairs
+    // tier (dd7's SQL) and the tiered winnow gate (dd20's SQL) — so
+    // DuckDB independently picks AND computes whichever tier the
+    // Spark dispatcher picked at this scale (sf0.01 est ≈ 1.1e7 →
+    // exact; sf0.1 est ≈ 1.1e9 → tiered)
+    "dd25_auto_neardup" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+         gr AS MATERIALIZED (
+           SELECT DISTINCT doc_id, unnest(
+             CASE WHEN length(s) >= 3
+                  THEN list_transform(range(1, length(s) - 1),
+                                      i -> substr(s, CAST(i AS INT), 3))
+                  ELSE [s] END) AS gram
+           FROM t),
+         est AS (SELECT COALESCE(CAST(sum(df * (df - 1) // 2) AS BIGINT),
+                   0) AS est
+                 FROM (SELECT count(*) AS df FROM gr GROUP BY gram)),
+         gs AS (SELECT doc_id, count(*) AS sz FROM gr GROUP BY doc_id),
+         exj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+                 FROM gr a JOIN gr b
+                   ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         exact_pairs AS (
+           SELECT id_a, id_b,
+                  CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) AS jaccard
+           FROM exj JOIN gs sa ON sa.doc_id = exj.id_a
+                    JOIN gs sb ON sb.doc_id = exj.id_b
+           WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
+         b AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g
+               FROM t WHERE length(s) - 7 >= 4),
+         k AS (SELECT doc_id, g,
+                 list_transform(range(1, g + 1),
+                   p -> md5(substr(s, CAST(p AS INT), 8)) ||
+                        lpad(CAST(100000000 - p AS VARCHAR), 8, '0')) AS keys
+               FROM b),
+         sel AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, g - 2),
+                     ws -> list_min(keys[ws:ws+3]))) AS sel
+                 FROM k),
+         dh AS MATERIALIZED (
+           SELECT DISTINCT doc_id, substr(key, 1, 32) AS h
+           FROM (SELECT doc_id, unnest(sel) AS key FROM sel)),
+         f AS (SELECT h, count(*) AS df FROM dh GROUP BY h),
+         kept AS MATERIALIZED (
+           SELECT dh.doc_id, dh.h FROM dh JOIN f USING (h)
+           WHERE f.df <= 16),
+         cands AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM kept a JOIN kept b
+             ON a.h = b.h AND a.doc_id < b.doc_id),
+         ix AS (SELECT c.id_a, c.id_b, count(*) AS o
+                FROM cands c
+                JOIN gr a ON a.doc_id = c.id_a
+                JOIN gr b ON b.doc_id = c.id_b AND b.gram = a.gram
+                GROUP BY 1, 2),
+         tiered_pairs AS (
+           SELECT id_a, id_b,
+                  CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) AS jaccard
+           FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                   JOIN gs sb ON sb.doc_id = ix.id_b
+           WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8)
+         SELECT id_a, id_b, jaccard FROM exact_pairs
+         WHERE (SELECT est FROM est) <= 100000000
+         UNION ALL
+         SELECT id_a, id_b, jaccard FROM tiered_pairs
+         WHERE (SELECT est FROM est) > 100000000""",
     // dd20's candidate CTEs split two-table: sides tagged, df capped
     // on the COMBINED frequency, only cross-side hash matches become
     // candidates, exact verify replays verbatim

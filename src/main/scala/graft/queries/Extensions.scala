@@ -1463,6 +1463,19 @@ object Extensions {
       graft.plans.AsOfDir.Backward)
   }
 
+  /** [[asof1Backward]] through the AUTO-DISPATCHER
+    * ([[graft.ops.AsOfJoin.asofJoinAuto]]): a cheap max-rows-per-key
+    * probe picks the plain exec or the skew-chunked composition, so
+    * the caller never reads a break-even table. Both tiers are
+    * row-identical, so the SAME DuckDB ASOF oracle covers whichever
+    * the dispatcher picks at each scale (uniform event keys here →
+    * the plain exec; AsOfExecSpec proves the flip on a hot key).
+    */
+  def asof12Auto(s: SparkSession, d: String): DataFrame = {
+    val (left, right) = asofSides(s, d)
+    graft.ops.AsOfJoin.asofJoinAuto(left, right, "user_id", "ts", "ts")
+  }
+
   /** Nearest-in-time signup value (ties -> backward). Oracle composes
     * DuckDB's backward + forward ASOF and picks per-row by distance.
     */
@@ -1789,6 +1802,7 @@ object Extensions {
     "asof9_exec_tolerance" -> (asof9ExecTolerance _),
     "asof10_exec_multikey" -> (asof10ExecMultikey _),
     "asof11_exec_chunked" -> (asof11ExecChunked _),
+    "asof12_auto" -> (asof12Auto _),
     "pipe1_corpus_clean" -> ((s, d) => pipe1CorpusClean(s, d)),
     "pipe2_training_prep" -> ((s, d) => pipe2TrainingPrep(s, d)),
     "pipe5_tiered_prep" -> ((s, d) => pipe5TieredPrep(s, d)),
@@ -2752,6 +2766,9 @@ object Extensions {
     "asof6_exec_backward" -> asofBackwardOracle,
     // skew-proof (key, bucket) spread THROUGH the exec — same oracle
     "asof11_exec_chunked" -> asofBackwardOracle,
+    // auto-dispatcher: both tiers row-identical — same oracle covers
+    // whichever tier the key-cardinality probe picks at each scale
+    "asof12_auto" -> asofBackwardOracle,
     "asof7_exec_forward" -> asofForwardOracle,
     "asof8_exec_nearest" -> asofNearestOracle,
     "asof9_exec_tolerance" ->

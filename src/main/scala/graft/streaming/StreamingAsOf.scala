@@ -45,9 +45,19 @@ object StreamingAsOf {
   }
 
   /** Start the enrichment stream: each arriving micro-batch as-of
-    * joins the static right and appends to `outDir/rows` (exactly-once
-    * via the checkpoint + idempotent parquet append of the foreachBatch
-    * contract).
+    * joins the static right and lands in `outDir/rows`, partitioned
+    * by `batch_id`.
+    *
+    * Exactly-once OUTPUT from an at-least-once contract: foreachBatch
+    * may REPLAY a batch (failure after the write but before the
+    * checkpoint commit), so a blind `mode("append")` would silently
+    * duplicate the replayed rows. The write is instead idempotent per
+    * batchId — rows carry a `batch_id` partition column and the write
+    * runs in dynamic partition-overwrite mode, so a replayed batch
+    * OVERWRITES its own partition with identical content (the join is
+    * deterministic: static right, per-row match) and every other
+    * batch's partition is untouched. StreamingAsOfSpec replays a
+    * batch through [[writeBatch]] and asserts zero duplicates.
     */
   def streamingAsOfEnrich(
       spark: SparkSession,
@@ -60,12 +70,24 @@ object StreamingAsOf {
       dir: AsOfDir = AsOfDir.Backward): StreamingQuery =
     left.writeStream
       .option("checkpointLocation", s"$outDir/_chk")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        joinBatch(batch, right, keyCol, leftTsCol, rightTsCol, dir)
-          .write.mode("append").parquet(s"$outDir/rows")
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(
+          joinBatch(batch, right, keyCol, leftTsCol, rightTsCol, dir),
+          batchId, outDir)
       }
       .start()
+
+  /** The idempotent per-batch sink — exposed so the spec can replay a
+    * batchId and assert the overwrite-not-append contract. Dynamic
+    * partition-overwrite touches ONLY the partitions present in the
+    * incoming data, i.e. exactly `batch_id=<batchId>`.
+    */
+  def writeBatch(joined: DataFrame, batchId: Long, outDir: String): Unit =
+    joined.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$outDir/rows")
 
   /** The per-batch join — exposed so the spec can assert the
     * single-exchange plan shape on a representative batch.

@@ -305,6 +305,45 @@ class AsOfExecSpec extends SparkSpec {
         .select("id", "px")))
   }
 
+  test("auto-dispatch: uniform keys plan the plain exec, a hot key " +
+      "plans the chunked (key, bucket) spread — rows identical") {
+    val rnd = new scala.util.Random(777)
+    // which tier the logical plan carries: the plain exec joins on
+    // ONE key, the chunked composition on TWO ((key, __b))
+    def execKeyCounts(df: DataFrame): Seq[Int] =
+      df.queryExecution.analyzed.collect {
+        case n: graft.plans.AsOfJoinNode => n.leftKeys.length
+      }
+    val uniform = Seq.tabulate(300)(i =>
+      (i.toLong, "k" + (i % 50), ts(rnd.nextInt(100)))).toDF("id", "k", "ts")
+    val hot = Seq.tabulate(300)(i =>
+      (i.toLong, if (i % 10 == 0) "k" + i else "hot", ts(rnd.nextInt(100))))
+      .toDF("id", "k", "ts")
+    def rightOf(l: DataFrame) = l.filter(pmod(col("id"), lit(3)) === 0)
+      .select(col("k"), col("ts"), col("id").cast("double").as("px"))
+      .groupBy("k", "ts").agg(max("px").as("px"))
+    // threshold between the uniform max (300/50 ≈ 2×6=12/key) and the
+    // hot max (~270 lefts + ~90 rights on "hot"): flips the tier
+    val thr = 100L
+    val autoUniform = AsOfJoin.asofJoinAuto(uniform, rightOf(uniform),
+      "k", "ts", "ts", hotKeyRowThreshold = thr)
+    assert(execKeyCounts(autoUniform) === Seq(1),
+      "uniform keys must dispatch to the plain single-key exec")
+    val autoHot = AsOfJoin.asofJoinAuto(hot, rightOf(hot),
+      "k", "ts", "ts", hotKeyRowThreshold = thr)
+    assert(execKeyCounts(autoHot) === Seq(2),
+      "hot key must dispatch to the chunked (key, bucket) exec")
+    // the dispatch never changes the result — both regimes equal the
+    // plain exec's rows
+    for ((l, auto) <- Seq((uniform, autoUniform), (hot, autoHot)))
+      assert(rows(auto) === rows(AsOfJoin.asofJoinBackwardExec(
+        l, rightOf(l), "k", "ts", "ts")))
+    // the caller-supplied stat skips the probe and pins the tier
+    assert(execKeyCounts(AsOfJoin.asofJoinAuto(uniform, rightOf(uniform),
+      "k", "ts", "ts", hotKeyRowThreshold = thr,
+      knownMaxKeyRows = Some(1000L))) === Seq(2))
+  }
+
   test("self-join: same frame on both sides (fresh right exprIds)") {
     val ev = Seq((1L, "u", ts(1), 1.0), (2L, "u", ts(3), 2.0))
       .toDF("id", "user", "ts", "v")

@@ -397,6 +397,113 @@ class CleanSpec extends SparkSpec {
       === canon(Clean.incrementalClusterUpdateOn(base, fresh)))
   }
 
+  test("index lifecycle drift fixture: a hash crossing the df cap " +
+      "mid-lifecycle leaves stale pairs in the store; compaction " +
+      "retracts exactly them, restoring the full-pass answer") {
+    // template docs arrive 10 → 14 → 18 → 22: the shared fingerprints'
+    // combined df crosses dfCap=16 at step 2, so steps 1's cross pairs
+    // (emitted legitimately under df=14) become stale — the full pass
+    // over all 22 silences every template pair. The x-pair (df=2)
+    // must survive compaction untouched.
+    val template = ("some shared boilerplate header that every scraped " +
+      "page carries along with its navigation text and footer") * 2
+    def tdoc(i: Int) =
+      (i.toLong, template + " " + (('a' + i).toChar.toString * 9), "s0")
+    val xText = "completely unrelated narrative about rivers and the " +
+      "migration of salmon swimming upstream through cold mountain water"
+    val base = docsDF(Seq.tabulate(10)(tdoc) :+
+      (100L, xText, "s1"))
+    val batches = Seq(
+      docsDF(Seq.tabulate(4)(j => tdoc(10 + j))),
+      docsDF(Seq.tabulate(4)(j => tdoc(14 + j))),
+      docsDF(Seq.tabulate(4)(j => tdoc(18 + j)) :+
+        (101L, xText + " anyway", "s1")))
+    val all = (base +: batches).reduce(_.unionByName(_))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (raw, idx) = Clean.ingestLifecycleRaw(base, batches, 0.8, 16)
+    val rawSet = pairSet(raw)
+    // stale template pairs ARE in the store: base C(10,2) + step-1's
+    // 10×4 cross + C(4,2) intra, all under the then-current df
+    assert(rawSet.count { case (a, b) => a < 100 && b < 100 } ===
+      45 + 40 + 6)
+    assert(rawSet.contains((100L, 101L)), "x-pair found at step 3")
+    val full = Clean.tieredNearDupPairsOn(all)
+    val fullSet = pairSet(full)
+    assert(fullSet === Set((100L, 101L)),
+      "full pass silences all template pairs (df = 22 > 16)")
+    assert(fullSet.subsetOf(rawSet), "store is a superset of the full pass")
+    // compaction retracts exactly the stale pairs — rows AND scores
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(Clean.compactPairs(raw, idx, 16)) === canon(full))
+  }
+
+  test("index lifecycle on the real corpus: base + 3 ingests through " +
+      "the appended index + compaction == one full dd20 pass; " +
+      "recluster from the compacted store == full-pass clusters") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(pmod(col("doc_id"), lit(8)) < 5)
+    val batches = (5 to 7).map(k =>
+      docs.filter(pmod(col("doc_id"), lit(8)) === k))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val (raw, idx) = Clean.ingestLifecycleRaw(base, batches, 0.8, 16)
+    val compacted = Clean.compactPairs(raw, idx, 16)
+    val full = Clean.tieredNearDupPairsOn(docs)
+    assert(canon(compacted) === canon(full))
+    assert(compacted.count() > 0, "corpus must contain lifecycle pairs")
+    // the periodic rebuild restores exact dd21 semantics after the
+    // never-unmerge routing drift
+    assert(canon(graft.dedup.Dedup.nearDupClusters(docs, "doc_id",
+        compacted)) ===
+      canon(graft.dedup.Dedup.nearDupClusters(docs, "doc_id", full)))
+  }
+
+  test("dd25 auto near-dup: the estimate statistic is exact, the " +
+      "threshold flips the tier, and each tier's rows are served — " +
+      "proven on a corpus where the tiers demonstrably differ") {
+    // 20 near-identical template docs (> dfCap = 16): every SHARED
+    // winnow fingerprint has df = 20 > cap, so the tiered gate
+    // silences all pairs BY DESIGN while the exact tier keeps them —
+    // the corpus where the dispatch choice is visible in the rows
+    val template = ("the quick brown fox jumps over the lazy dog and " +
+      "then runs far away into the deep dark forest tonight") * 3
+    // per-doc suffix = one repeated letter: no 8-char gram (and so no
+    // winnow fingerprint) is shared between two docs' suffixes
+    val docs = docsDF(Seq.tabulate(20)(i =>
+      (i.toLong, template + " " + (('a' + i).toChar.toString * 9), "s0")))
+    // estimate == brute force: Σ C(df,2) over distinct trigram dfs
+    val grams = docs.select(col("doc_id"),
+        explode(graft.functions.HashFunctions.char_ngram_set(
+          lower(trim(col("text"))), 3)).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).distinct
+    val brute = grams.groupBy(_._2).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val est = Clean.exactTierCandidateEstimate(docs)
+    assert(est === brute && est > 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // estimate under the threshold -> the exact tier's pairs
+    val exact = canon(Clean.nearDupAutoOn(docs,
+      maxExactCandidates = est))
+    assert(exact === canon(graft.dedup.Dedup.exactJaccardPairs(
+      docs, "doc_id", "text", threshold = 0.8)))
+    assert(exact.size === 20 * 19 / 2, "all template pairs kept")
+    // estimate over the threshold -> the tiered gate's pairs (the
+    // hot-template pairs silenced, dd20's documented contract)
+    val tiered = canon(Clean.nearDupAutoOn(docs,
+      maxExactCandidates = est - 1))
+    assert(tiered === canon(Clean.tieredNearDupPairsOn(docs)))
+    assert(tiered.isEmpty, "every shared fingerprint is over the cap")
+    assert(exact !== tiered, "fixture must separate the tiers")
+    // the caller-supplied profile number skips the probe, same flip
+    assert(canon(Clean.nearDupAutoOn(docs,
+      maxExactCandidates = 10L, knownCandidateEstimate = Some(5L)))
+      === exact)
+  }
+
   // ---- source overlap -----------------------------------------------
 
   test("ovl1: matches a brute-force distinct-chunk intersection and " +

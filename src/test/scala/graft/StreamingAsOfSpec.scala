@@ -55,7 +55,7 @@ class StreamingAsOfSpec extends SparkSpec {
     } finally q.stop()
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
-    val streamed = canon(spark.read.parquet(s"$out/rows"))
+    val streamed = canon(spark.read.parquet(s"$out/rows").drop("batch_id"))
     val batch = canon(AsOfJoin.asofJoinBackwardExec(
       left, right, "user_id", "ts", "ts"))
     assert(streamed === batch)
@@ -109,8 +109,33 @@ class StreamingAsOfSpec extends SparkSpec {
     } finally q.stop()
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
-    assert(canon(spark.read.parquet(s"$out/rows")) ===
+    assert(canon(spark.read.parquet(s"$out/rows").drop("batch_id")) ===
       canon(AsOfJoin.asofJoinNearest(left, right, "user_id", "ts", "ts")))
     prepared.unpersist()
+  }
+
+  test("replayed batch is idempotent: re-running a batchId overwrites " +
+      "its own partition, zero duplicates, other batches untouched") {
+    val (left, right) = sides()
+    val prepared = StreamingAsOf.prepareStaticSide(right, "user_id", 4)
+    val out = java.nio.file.Files
+      .createTempDirectory("asof-stream-replay").toString
+    try {
+      val b0 = left.filter(pmod(col("event_id"), lit(2)) === 0)
+      val b1 = left.filter(pmod(col("event_id"), lit(2)) === 1)
+      def j(b: org.apache.spark.sql.DataFrame) = StreamingAsOf.joinBatch(
+        b, prepared, "user_id", "ts", "ts", AsOfDir.Backward)
+      StreamingAsOf.writeBatch(j(b0), 0L, out)
+      StreamingAsOf.writeBatch(j(b1), 1L, out)
+      val before = spark.read.parquet(s"$out/rows")
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      // the at-least-once failure mode: batch 1's write succeeded but
+      // the checkpoint commit didn't — restart re-delivers batch 1
+      StreamingAsOf.writeBatch(j(b1), 1L, out)
+      val after = spark.read.parquet(s"$out/rows")
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(after === before, "replay must not duplicate rows")
+      assert(after.length === left.count(), "both batches present once")
+    } finally prepared.unpersist()
   }
 }
