@@ -411,7 +411,21 @@ object Clean {
     */
   def incrementalClusterUpdateFrom(baseIndex: DataFrame,
       baseAssign: DataFrame, baseDocs: DataFrame, fresh: DataFrame,
-      threshold: Double = 0.8, dfCap: Int = 16): DataFrame = {
+      threshold: Double = 0.8, dfCap: Int = 16): DataFrame =
+    contractedCC(baseIndex, baseAssign, baseDocs, fresh, threshold, dfCap)
+      .join(fresh.select(col("doc_id").as("node")), Seq("node"))
+      .select(col("node").as("new_id"), col("component").as("cluster_id"))
+
+  /** The contracted-graph CC shared by the routing and maintenance
+    * faces: verified cross edges enter at the base doc's COMPONENT id
+    * (super-node contraction), intra-fresh edges direct; CC runs over
+    * super-nodes only — O(matches + batch) nodes. Returns
+    * (node, component) where `node` ranges over TOUCHED base
+    * component ids and fresh doc ids.
+    */
+  private def contractedCC(baseIndex: DataFrame, baseAssign: DataFrame,
+      baseDocs: DataFrame, fresh: DataFrame, threshold: Double,
+      dfCap: Int): DataFrame = {
     val (cands, _) = indexCandidates(baseIndex, fresh, dfCap)
     val verified = graft.dedup.Dedup
       .exactJaccardScores(baseDocs.unionByName(fresh), "doc_id", "text",
@@ -425,9 +439,48 @@ object Clean {
         col("id_b").as("dst"))
       .unionAll(verified.filter(!col("cross"))
         .select(col("id_a").as("src"), col("id_b").as("dst")))
-    val cc = graft.graph.ConnectedComponents.run(edges, "src", "dst")
-    cc.join(fresh.select(col("doc_id").as("node")), Seq("node"))
-      .select(col("node").as("new_id"), col("component").as("cluster_id"))
+    graft.graph.ConnectedComponents.run(edges, "src", "dst")
+  }
+
+  /** ASSIGNMENT MAINTENANCE — the full-assignment face of
+    * [[incrementalClusterUpdateFrom]], making the K-step ingest loop
+    * CHAINABLE: where the routing face returns fresh rows only (and a
+    * fresh doc bridging two existing clusters would leave the stored
+    * assignment internally inconsistent — the bridged cluster's old
+    * rows still carry the stale label), this returns the WHOLE
+    * updated (node, component) assignment: touched base components
+    * are RELABELED through the contracted CC's component map (a
+    * bridge merges labels to the global min — contraction preserves
+    * min-id exactly), untouched rows pass through, and routed fresh
+    * docs append. Per-ingest cost: the contracted CC (O(matches +
+    * batch) super-nodes) plus one broadcast-sized relabel join over
+    * the narrow assignment frame — never a corpus text scan, never a
+    * corpus-wide CC. Feed the result back as the next ingest's
+    * `baseAssign` (with [[indexAppend]] maintaining the index);
+    * CleanSpec proves K chained updates == CC over the raw
+    * accumulated edge store, and compaction + rebuild == the full
+    * dd21 pass. Never-unmerge still holds: relabeling only MERGES
+    * labels; retraction is [[compactPairs]] + rebuild's job.
+    */
+  def incrementalAssignmentUpdateFrom(baseIndex: DataFrame,
+      baseAssign: DataFrame, baseDocs: DataFrame, fresh: DataFrame,
+      threshold: Double = 0.8, dfCap: Int = 16): DataFrame = {
+    val cc = contractedCC(baseIndex, baseAssign, baseDocs, fresh,
+      threshold, dfCap).localCheckpoint(true)
+    val relabel = cc
+      .select(col("node").as("component"), col("component").as("__new"))
+    val updatedBase = baseAssign.join(relabel, Seq("component"), "left_outer")
+      .select(col("node"),
+        coalesce(col("__new"), col("component")).as("component"))
+    // unrouted fresh docs become their own singleton components — the
+    // assignment is a FULL-corpus artifact (nearDupClusters' contract:
+    // nodes with no pairs are singletons), so the chained result stays
+    // comparable to CC-with-nodes over the accumulated edge store
+    val freshRows = fresh.select(col("doc_id").as("node"))
+      .join(cc, Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+    updatedBase.unionByName(freshRows)
   }
 
   // ---- index lifecycle: append, compact, rebuild ----------------------

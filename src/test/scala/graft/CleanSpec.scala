@@ -459,6 +459,64 @@ class CleanSpec extends SparkSpec {
     assert(canon(graft.dedup.Dedup.nearDupClusters(docs, "doc_id",
         compacted)) ===
       canon(graft.dedup.Dedup.nearDupClusters(docs, "doc_id", full)))
+    // and the chained assignment maintenance over the same 3 ingests
+    // equals CC over the raw accumulated edge store
+    var assign = graft.dedup.Dedup.nearDupClusters(base, "doc_id",
+      Clean.tieredNearDupPairsOn(base)).localCheckpoint(true)
+    var idx2 = Clean.winnowIndexOf(base).localCheckpoint(true)
+    var corpus = base
+    for (b <- batches) {
+      assign = Clean.incrementalAssignmentUpdateFrom(idx2, assign, corpus, b)
+        .localCheckpoint(true)
+      idx2 = Clean.indexAppend(idx2, b).localCheckpoint(true)
+      corpus = corpus.unionByName(b)
+    }
+    assert(canon(assign) ===
+      canon(graft.dedup.Dedup.nearDupClusters(docs, "doc_id", raw)))
+  }
+
+  test("assignment maintenance: a bridging ingest relabels the merged " +
+      "base cluster (the routing face would leave it stale), chains " +
+      "across K ingests, and equals CC over the raw accumulated edges") {
+    // two base clusters A and B sharing a long core (J(A,B) < 0.8);
+    // the bridge doc carries both suffixes (J >= 0.8 to each side)
+    val core = "the committee reviewed quarterly submissions and " +
+      "published detailed findings about regional infrastructure " +
+      "spending patterns across municipal departments during the " +
+      "previous fiscal year under new reporting guidelines"
+    val sa = " alpha omega circuits hum quietly beneath raised floors"
+    val sb = " zebras gallop across windy plateaus before autumn dusk"
+    val base = docsDF(Seq(
+      (10L, core + sa, "s"), (11L, core + sa + " ok", "s"),
+      (20L, core + sb, "s"), (21L, core + sb + " ok", "s")))
+    val batches = Seq(
+      docsDF(Seq((30L, core + sa + sb, "s"))), // the bridge
+      docsDF(Seq((40L, core + sb + " anyway", "s")))) // routes via B's NEW label
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val basePairs = Clean.tieredNearDupPairsOn(base)
+    var assign = graft.dedup.Dedup.nearDupClusters(base, "doc_id", basePairs)
+      .localCheckpoint(true)
+    assert(asMap(assign) ===
+      Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L),
+      "fixture must start as two separate base clusters")
+    var idx = Clean.winnowIndexOf(base).localCheckpoint(true)
+    var corpus = base
+    for (b <- batches) {
+      assign = Clean.incrementalAssignmentUpdateFrom(idx, assign, corpus, b)
+        .localCheckpoint(true)
+      idx = Clean.indexAppend(idx, b).localCheckpoint(true)
+      corpus = corpus.unionByName(b)
+    }
+    // the bridge merged A and B: EVERY member relabeled to the global
+    // min — including b-side base rows the routing face never touches —
+    // and step 2's doc routed through B's post-merge label
+    assert(asMap(assign) === Map(10L -> 10L, 11L -> 10L, 20L -> 10L,
+      21L -> 10L, 30L -> 10L, 40L -> 10L))
+    // chained maintenance == CC over the raw accumulated edge store
+    val (raw, _) = Clean.ingestLifecycleRaw(base, batches, 0.8, 16)
+    assert(asMap(assign) === asMap(graft.dedup.Dedup.nearDupClusters(
+      corpus, "doc_id", raw)))
   }
 
   test("dd25 auto near-dup: the estimate statistic is exact, the " +
