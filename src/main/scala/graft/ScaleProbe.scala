@@ -651,7 +651,12 @@ object ScaleProbe {
         store = if (store == null) step else store.unionByName(step)
         tk
       }
+      // the base pass is a PERSISTED artifact in the lifecycle (the
+      // last full pass's pair store) — checkpoint it outside the
+      // timed section so compact_sec prices compaction, not a base
+      // recompute
       val basePairs = graft.queries.Clean.tieredNearDupPairsOn(base)
+        .localCheckpoint(true)
       val (tCompact, nCompact) = timeSec(graft.queries.Clean
         .compactPairs(basePairs.unionByName(store), idx).count())
       val (tFull, nFull) = timeSec(

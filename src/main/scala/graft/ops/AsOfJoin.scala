@@ -252,17 +252,18 @@ object AsOfJoin {
       rightTiebreak: Seq[String] = Nil,
       hotKeyRowThreshold: Long = DefaultHotKeyRowThreshold,
       knownMaxKeyRows: Option[Long] = None,
-      numBuckets: Int = 64): DataFrame = {
+      numBuckets: Int = 64,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     require(hotKeyRowThreshold > 0,
       s"hotKeyRowThreshold must be > 0, got $hotKeyRowThreshold")
     val maxKey = knownMaxKeyRows
       .getOrElse(maxKeyTimelineRows(left, right, keyCol))
     if (maxKey > hotKeyRowThreshold)
       asofJoinChunkedExec(left, right, keyCol, leftTsCol, rightTsCol,
-        dir, rightTiebreak, numBuckets)
+        dir, rightTiebreak, numBuckets, toleranceMicros)
     else
       asofExecPlan(left, right, keyCol, leftTsCol, rightTsCol,
-        rightTiebreak, dir)
+        rightTiebreak, dir, toleranceMicros)
   }
 
   /** SKEW-PROOF as-of through the custom operator: the
@@ -287,7 +288,13 @@ object AsOfJoin {
       rightTsCol: String,
       dir: graft.plans.AsOfDir,
       rightTiebreak: Seq[String] = Nil,
-      numBuckets: Int = 64): DataFrame = {
+      numBuckets: Int = 64,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    // tolerance composes with the spread for free: the chunked layout
+    // presents each left row the SAME candidate rights as the plain
+    // exec (boundary-winner injection preserves per-key candidate
+    // structure — the row-identity proof), and the tolerance test
+    // reads only (leftTs, candidateTs), so nulling happens identically
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     // every internal working column this composition mints: '__b' (the
     // time bucket on both sides), '__tgt_b' (the occupied-bucket carry
@@ -298,7 +305,7 @@ object AsOfJoin {
       require(!right.columns.contains(c) && !left.columns.contains(c),
         s"asofJoinChunkedExec: column name '$c' is reserved")
     def plain() = asofExecPlan(left, right, keyCol, leftTsCol, rightTsCol,
-      rightTiebreak, dir)
+      rightTiebreak, dir, toleranceMicros)
     // numeric timeline for range bucketing (seconds for temporal types)
     def tsD(c: org.apache.spark.sql.Column) =
       left.schema(leftTsCol).dataType match {
@@ -360,7 +367,8 @@ object AsOfJoin {
     asofJoinExecMulti(
       lB.repartition(nPart, col(keyCol), col("__b")),
       r2.repartition(nPart, col(keyCol), col("__b")),
-      Seq(keyCol, "__b"), leftTsCol, rightTsCol, dir, rightTiebreak)
+      Seq(keyCol, "__b"), leftTsCol, rightTsCol, dir, rightTiebreak,
+      toleranceMicros)
       .drop("__b")
   }
 

@@ -331,11 +331,31 @@ object Clean {
       .select(col("b.doc_id").as("id_a"), col("f.doc_id").as("id_b"))
       .distinct()
     graft.dedup.Dedup
-      .exactJaccardScores(base.unionByName(fresh), "doc_id", "text", cands)
+      .exactJaccardScores(
+        pruneToCandidates(base.unionByName(fresh), cands),
+        "doc_id", "text", cands)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("id_base"), col("id_b").as("id_new"),
         col("jaccard"))
   }
+
+  /** The verify-side corpus prune that makes the incremental forms'
+    * O(batch + matches) claim REAL: `exactJaccardScores` builds each
+    * doc's sorted gram-hash set BEFORE its join against the candidate
+    * pairs, and an equi-join does not push an id filter into that
+    * projection — so without this step every ingest paid the gram-set
+    * build over the WHOLE corpus (measured: per-ingest 7.4–8.4 s vs
+    * the 4.4 s full pass on the 50k-doc replica — worse than
+    * rescanning). A left-semi against the broadcast candidate-id set
+    * (bounded by O(batch + matches) ids — the df cap caps candidates
+    * linearly) prunes the text scan to exactly the docs the verify
+    * will touch.
+    */
+  private def pruneToCandidates(docs: DataFrame, cands: DataFrame): DataFrame =
+    docs.join(
+      broadcast(cands.select(col("id_a").as("doc_id"))
+        .unionAll(cands.select(col("id_b").as("doc_id"))).distinct()),
+      Seq("doc_id"), "left_semi")
 
   /** The fingerprint index the full pass persists: distinct
     * (doc_id, h) winnow selections — [[incrementalTieredPairsFrom]]'s
@@ -363,8 +383,9 @@ object Clean {
       dfCap: Int = 16): DataFrame = {
     val (cands, _) = indexCandidates(baseIndex, fresh, dfCap)
     graft.dedup.Dedup
-      .exactJaccardScores(baseDocs.unionByName(fresh), "doc_id", "text",
-        cands.select(col("id_a"), col("id_b")))
+      .exactJaccardScores(
+        pruneToCandidates(baseDocs.unionByName(fresh), cands),
+        "doc_id", "text", cands.select(col("id_a"), col("id_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("id_base"), col("id_b").as("id_new"),
         col("jaccard"))
@@ -428,8 +449,9 @@ object Clean {
       dfCap: Int): DataFrame = {
     val (cands, _) = indexCandidates(baseIndex, fresh, dfCap)
     val verified = graft.dedup.Dedup
-      .exactJaccardScores(baseDocs.unionByName(fresh), "doc_id", "text",
-        cands.select(col("id_a"), col("id_b")))
+      .exactJaccardScores(
+        pruneToCandidates(baseDocs.unionByName(fresh), cands),
+        "doc_id", "text", cands.select(col("id_a"), col("id_b")))
       .filter(col("jaccard") >= threshold)
       .join(cands, Seq("id_a", "id_b"))
     val edges = verified.filter(col("cross"))

@@ -305,6 +305,38 @@ class AsOfExecSpec extends SparkSpec {
         .select("id", "px")))
   }
 
+  test("tolerance composes with the chunked spread: chunked exec == " +
+      "plain exec under the same bound, all directions, skewed data") {
+    val rnd = new scala.util.Random(90210)
+    def key(): String = if (rnd.nextInt(10) == 0) "k" + rnd.nextInt(4)
+      else "hot"
+    val left = Seq.tabulate(500)(i => (i.toLong, key(), ts(rnd.nextInt(200))))
+      .toDF("id", "k", "ts")
+    val right = Seq.tabulate(300)(i => (key(), ts(rnd.nextInt(200)), i.toDouble))
+      .toDF("k", "ts", "px")
+      .groupBy("k", "ts").agg(max("px").as("px"))
+    val tol = Some(7L * 60L * 1000000L) // 7 minutes
+    for (d <- Seq(graft.plans.AsOfDir.Backward, graft.plans.AsOfDir.Forward,
+        graft.plans.AsOfDir.Nearest)) {
+      val chunked = AsOfJoin.asofJoinChunkedExec(left, right, "k", "ts",
+        "ts", d, numBuckets = 8, toleranceMicros = tol)
+      val plain = d match {
+        case graft.plans.AsOfDir.Backward => AsOfJoin.asofJoinBackwardExec(
+          left, right, "k", "ts", "ts", toleranceMicros = tol)
+        case graft.plans.AsOfDir.Forward => AsOfJoin.asofJoinForwardExec(
+          left, right, "k", "ts", "ts", toleranceMicros = tol)
+        case graft.plans.AsOfDir.Nearest => AsOfJoin.asofJoinNearestExec(
+          left, right, "k", "ts", "ts", toleranceMicros = tol)
+      }
+      assert(rows(chunked) === rows(plain), s"dir=$d")
+      // the bound must bite on this fixture, or the test is vacuous
+      val unbounded = AsOfJoin.asofJoinChunkedExec(left, right, "k", "ts",
+        "ts", d, numBuckets = 8)
+      assert(chunked.filter(col("px").isNull).count() >
+        unbounded.filter(col("px").isNull).count(), s"dir=$d vacuous")
+    }
+  }
+
   test("auto-dispatch: uniform keys plan the plain exec, a hot key " +
       "plans the chunked (key, bucket) spread — rows identical") {
     val rnd = new scala.util.Random(777)
