@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Focused probe for the incremental-ingest lifecycle (the
+  * [[ScaleProbe.ingestLeg]] legs alone): per-ingest wall vs the full
+  * tiered pass at sf0.1 and the fixed-density 10x replica. Split out
+  * so iterating on the ingest path doesn't pay the full ScaleProbe's
+  * ~40-minute dd7/dd6/pipeline sweep.
+  */
+object IngestProbe {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = sys.env.getOrElse("SPARK_GRAFT_DATA_ROOT", "/root/testdata")
+    val replicaDir = sys.env.getOrElse("SPARK_GRAFT_REPLICA_DIR",
+      "/tmp/graft_sf1_replica_fd_v3")
+    ScaleProbe.ensureDocReplica(spark, root, replicaDir)
+
+    val sources = Seq(
+      "sf0.1" -> Tables.documents(spark, s"$root/sf0.1"),
+      "sf1rep" -> spark.read.parquet(replicaDir))
+    val rows = sources.map { case (name, docs) =>
+      ScaleProbe.ingestLeg(name, docs) }
+    val small = sources.map { case (name, docs) =>
+      ScaleProbe.ingestSmallBatchLeg(name, docs) }
+    spark.stop()
+    println(rows.map { case (name, n, per, tc, nc, tf, nf) =>
+      s""""$name":{"n":$n,"per_ingest_secs":""" +
+        per.map(t => f"$t%.2f").mkString("[", ",", "]") +
+        s""","compact_sec":${f"$tc%.2f"},"pairs":$nc,""" +
+        s""""full_sec":${f"$tf%.2f"},"full_pairs":$nf}"""
+    }.mkString("""{"metric":"ingest_probe","ingest_lifecycle":{""",
+      ",", "},") +
+      small.map { case (name, n, ti, tf, np) =>
+        s""""$name":{"n":$n,"batch_n":${n / 32},""" +
+          s""""ingest_sec":${f"$ti%.2f"},"full_sec":${f"$tf%.2f"},""" +
+          s""""pairs":$np}"""
+      }.mkString(""""ingest_small_batch":{""", ",", "}}"))
+  }
+}

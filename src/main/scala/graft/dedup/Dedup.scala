@@ -366,10 +366,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       pairs: DataFrame,
-      n: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol),
+      n: Int = 3,
+      cacheSets: Boolean = false): DataFrame = {
+    // cacheSets: the sorted-hash frame feeds BOTH join sides (id_a,
+    // id_b) and otherwise computes twice. Opt-in because the
+    // materialization is ~|docs| x |set| longs — right when `df` is
+    // already pruned to candidate docs (the incremental ingest paths),
+    // wrong for a full-corpus pass
+    val sets0 = df.select(col(idCol),
       sort_array(transform(graft.functions.HashFunctions.char_ngram_set(
         lower(trim(col(textCol))), n), g0 => xxhash64(g0))).as("__sh"))
+    val sets = if (cacheSets) sets0.localCheckpoint(true) else sets0
     val setJaccard = {
       val inter = graft.functions.VectorFunctions
         .sorted_intersect_count(col("__sh_a"), col("__sh_b")).cast("double")

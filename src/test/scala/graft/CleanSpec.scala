@@ -519,6 +519,36 @@ class CleanSpec extends SparkSpec {
       corpus, "doc_id", raw)))
   }
 
+  test("the winnow index PERSISTS: parquet round-trip of the index " +
+      "and the pair store drives an ingest + compaction to the same " +
+      "rows as the in-memory lineage") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val dir = java.nio.file.Files.createTempDirectory("winnow-idx").toString
+    // what a full pass persists: the index (partitioned by a hash
+    // prefix, the warehouse layout) and the adjudicated pair store
+    Clean.winnowIndexOf(base)
+      .withColumn("hp", substring(col("h"), 1, 1))
+      .write.partitionBy("hp").mode("overwrite").parquet(s"$dir/index")
+    Clean.tieredNearDupPairsOn(base)
+      .write.mode("overwrite").parquet(s"$dir/pairs")
+    val storedIdx = spark.read.parquet(s"$dir/index").select("doc_id", "h")
+    val storedPairs = spark.read.parquet(s"$dir/pairs")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // ingest against the STORED index == against the live lineage
+    assert(canon(Clean.incrementalTieredPairsFrom(storedIdx, base, fresh))
+      === canon(Clean.incrementalTieredPairsOn(base, fresh)))
+    // append + compact over the stored artifacts == the full pass
+    val step = Clean.incrementalTieredPairsFrom(storedIdx, base, fresh)
+      .select(least(col("id_base"), col("id_new")).as("id_a"),
+        greatest(col("id_base"), col("id_new")).as("id_b"), col("jaccard"))
+    val idx2 = Clean.indexAppend(storedIdx, fresh)
+    assert(canon(Clean.compactPairs(storedPairs.unionByName(step), idx2))
+      === canon(Clean.tieredNearDupPairsOn(docs)))
+  }
+
   test("dd25 auto near-dup: the estimate statistic is exact, the " +
       "threshold flips the tier, and each tier's rows are served — " +
       "proven on a corpus where the tiers demonstrably differ") {
