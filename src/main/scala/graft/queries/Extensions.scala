@@ -1337,6 +1337,26 @@ object Extensions {
       budget = 512L)
   }
 
+  /** pipe6: the AUTO-DISPATCHED training-prep composition — the last
+    * manual tier choice closed: the SAME exact corpus statistic dd25
+    * dispatches on ([[graft.queries.Clean.exactTierCandidateEstimate]],
+    * computed on the raw input BEFORE any pipeline work) picks pipe2
+    * (exact prefix-filter near-dup stage — the ~90%-of-wall stage at
+    * sf1rep) under the threshold and pipe5 (dd20's tiered gate) past
+    * it. Deterministic integers both engines compute identically, so
+    * the oracle replays the dispatch plus both composed duals.
+    */
+  def pipe6AutoPrep(s: SparkSession, d: String): DataFrame =
+    pipe6AutoPrepOn(s, Tables.documents(s, d),
+      graft.queries.Clean.DefaultMaxExactCandidates, Staging.Memory)
+
+  private[graft] def pipe6AutoPrepOn(s: SparkSession, docs: DataFrame,
+      maxExactCandidates: Long, staging: Staging): DataFrame = {
+    val est = graft.queries.Clean.exactTierCandidateEstimate(docs)
+    if (est <= maxExactCandidates) pipe2TrainingPrepOn(s, docs, staging)
+    else pipe5TieredPrepOn(s, docs, staging)
+  }
+
   // ---- as-of join (operator Spark lacks; graft.ops.AsOfJoin) --------
 
   /** Each event gets the user's latest signup `value` at-or-before the
@@ -1806,6 +1826,7 @@ object Extensions {
     "pipe1_corpus_clean" -> ((s, d) => pipe1CorpusClean(s, d)),
     "pipe2_training_prep" -> ((s, d) => pipe2TrainingPrep(s, d)),
     "pipe5_tiered_prep" -> ((s, d) => pipe5TieredPrep(s, d)),
+    "pipe6_auto_prep" -> (pipe6AutoPrep _),
     "g1_components" -> (g1Components _),
     "dd6_cluster_keep" -> (dd6ClusterKeep _),
     "dd7_exact_jaccard" -> (dd7ExactJaccard _),
@@ -1979,6 +2000,359 @@ object Extensions {
     }.mkString
     s"$header$its\n         SELECT node, pr FROM pr$iters"
   }
+
+  private val pipe2OracleSql =
+    """WITH corpus AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 97 <> 0),
+         tokc AS (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+               FROM corpus),
+         shc AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(
+                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 ELSE [array_to_string(ts, ' ')] END AS shs
+               FROM tokc),
+         gc AS (SELECT DISTINCT doc_id, unnest(shs) AS gram FROM shc),
+         toke AS (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+               FROM documents WHERE doc_id % 97 = 0),
+         she AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(
+                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 ELSE [array_to_string(ts, ' ')] END AS shs
+               FROM toke),
+         ev AS (SELECT DISTINCT unnest(shs) AS gram FROM she),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM gc GROUP BY doc_id),
+         hit AS (SELECT doc_id, count(*) AS n_hits FROM gc
+                 WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id),
+         dirty AS (SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
+                   WHERE CAST(h.n_hits AS DOUBLE) / t.n_grams > 0.2),
+         clean AS (SELECT * FROM corpus
+                   WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         t2 AS (SELECT doc_id, lower(trim(text)) AS s FROM clean),
+         g2 AS (SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN length(s) >= 3
+                      THEN list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, CAST(i AS INT), 3))
+                      ELSE [s] END) AS gram
+               FROM t2),
+         gs AS (SELECT doc_id, count(*) AS sz FROM g2 GROUP BY doc_id),
+         ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+                FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         removed AS (SELECT DISTINCT id_b
+                     FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                             JOIN gs sb ON sb.doc_id = ix.id_b
+                     WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
+         kept AS (SELECT * FROM clean
+                  WHERE doc_id NOT IN (SELECT id_b FROM removed)),
+         tok3 AS (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS ts
+               FROM kept),
+         meta AS (SELECT doc_id, len(ts) AS n,
+                 CAST(CASE WHEN len(ts) <= 16 THEN 1
+                      ELSE 1 + (len(ts) - 5) // 12 END AS BIGINT)
+                   AS n_chunks
+               FROM tok3),
+         ch AS (SELECT doc_id, n,
+                 unnest(range(0, n_chunks)) AS chunk_id
+               FROM meta),
+         units AS (SELECT doc_id * 1048576 + chunk_id AS cid,
+                 CAST(least(16, n - chunk_id * 12) AS BIGINT) AS len
+               FROM ch),
+         pre AS (SELECT cid, len,
+                 CAST(COALESCE(SUM(len) OVER (ORDER BY cid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS start
+               FROM units)
+         SELECT cid, len, start,
+                start // 512 AS seq_id,
+                start % 512 AS seq_offset
+         FROM pre"""
+
+  private val pipe5OracleSql =
+    """WITH corpus AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 97 <> 0),
+         tokc AS (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+               FROM corpus),
+         shc AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(
+                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 ELSE [array_to_string(ts, ' ')] END AS shs
+               FROM tokc),
+         gc AS (SELECT DISTINCT doc_id, unnest(shs) AS gram FROM shc),
+         toke AS (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+               FROM documents WHERE doc_id % 97 = 0),
+         she AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(
+                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 ELSE [array_to_string(ts, ' ')] END AS shs
+               FROM toke),
+         ev AS (SELECT DISTINCT unnest(shs) AS gram FROM she),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM gc GROUP BY doc_id),
+         hit AS (SELECT doc_id, count(*) AS n_hits FROM gc
+                 WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id),
+         dirty AS (SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
+                   WHERE CAST(h.n_hits AS DOUBLE) / t.n_grams > 0.2),
+         clean AS MATERIALIZED (SELECT * FROM corpus
+                   WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         s5 AS (SELECT doc_id, lower(trim(text)) AS s FROM clean),
+         b5 AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g
+               FROM s5 WHERE length(s) - 7 >= 4),
+         k5 AS (SELECT doc_id, g,
+                 list_transform(range(1, g + 1),
+                   p -> md5(substr(s, CAST(p AS INT), 8)) ||
+                        lpad(CAST(100000000 - p AS VARCHAR), 8, '0')) AS keys
+               FROM b5),
+         sel5 AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, g - 2),
+                     ws -> list_min(keys[ws:ws+3]))) AS sel
+                 FROM k5),
+         dh5 AS MATERIALIZED (
+           SELECT DISTINCT doc_id, substr(key, 1, 32) AS h
+           FROM (SELECT doc_id, unnest(sel) AS key FROM sel5)),
+         f5 AS (SELECT h, count(*) AS df FROM dh5 GROUP BY h),
+         kh AS MATERIALIZED (
+           SELECT dh5.doc_id, dh5.h FROM dh5 JOIN f5 USING (h)
+           WHERE f5.df <= 16),
+         cands AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM kh a JOIN kh b
+             ON a.h = b.h AND a.doc_id < b.doc_id),
+         t2 AS (SELECT doc_id, lower(trim(text)) AS s FROM clean),
+         g2 AS MATERIALIZED (
+           SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN length(s) >= 3
+                      THEN list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, CAST(i AS INT), 3))
+                      ELSE [s] END) AS gram
+               FROM t2),
+         gs AS (SELECT doc_id, count(*) AS sz FROM g2 GROUP BY doc_id),
+         ix AS (SELECT c.id_a, c.id_b, count(*) AS o
+                FROM cands c
+                JOIN g2 a ON a.doc_id = c.id_a
+                JOIN g2 b ON b.doc_id = c.id_b AND b.gram = a.gram
+                GROUP BY 1, 2),
+         removed AS (SELECT DISTINCT id_b
+                     FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                             JOIN gs sb ON sb.doc_id = ix.id_b
+                     WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
+         kept AS (SELECT * FROM clean
+                  WHERE doc_id NOT IN (SELECT id_b FROM removed)),
+         tok3 AS (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS ts
+               FROM kept),
+         meta AS (SELECT doc_id, len(ts) AS n,
+                 CAST(CASE WHEN len(ts) <= 16 THEN 1
+                      ELSE 1 + (len(ts) - 5) // 12 END AS BIGINT)
+                   AS n_chunks
+               FROM tok3),
+         ch AS (SELECT doc_id, n,
+                 unnest(range(0, n_chunks)) AS chunk_id
+               FROM meta),
+         units AS (SELECT doc_id * 1048576 + chunk_id AS cid,
+                 CAST(least(16, n - chunk_id * 12) AS BIGINT) AS len
+               FROM ch),
+         pre AS (SELECT cid, len,
+                 CAST(COALESCE(SUM(len) OVER (ORDER BY cid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS start
+               FROM units)
+         SELECT cid, len, start,
+                start // 512 AS seq_id,
+                start % 512 AS seq_offset
+         FROM pre"""
+
+  /** pipe6's oracle: the SAME dispatch statistic dd25 replays (exact
+    * trigram Sum C(df,2) over the documents table) gating the full
+    * pipe2 and pipe5 duals as subqueries — DuckDB independently picks
+    * AND computes whichever composition the Spark dispatcher picked
+    * at this scale.
+    */
+  private val pipe6OracleSql =
+    """WITH est_t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+       est_g AS (SELECT DISTINCT doc_id, unnest(
+                   CASE WHEN length(s) >= 3
+                        THEN list_transform(range(1, length(s) - 1),
+                                            i -> substr(s, CAST(i AS INT), 3))
+                        ELSE [s] END) AS gram
+                 FROM est_t),
+       est AS (SELECT COALESCE(CAST(sum(df * (df - 1) // 2) AS BIGINT), 0)
+                 AS est
+               FROM (SELECT count(*) AS df FROM est_g GROUP BY gram))
+       SELECT * FROM (WITH corpus AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 97 <> 0),
+         tokc AS (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+               FROM corpus),
+         shc AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(
+                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 ELSE [array_to_string(ts, ' ')] END AS shs
+               FROM tokc),
+         gc AS (SELECT DISTINCT doc_id, unnest(shs) AS gram FROM shc),
+         toke AS (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+               FROM documents WHERE doc_id % 97 = 0),
+         she AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(
+                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 ELSE [array_to_string(ts, ' ')] END AS shs
+               FROM toke),
+         ev AS (SELECT DISTINCT unnest(shs) AS gram FROM she),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM gc GROUP BY doc_id),
+         hit AS (SELECT doc_id, count(*) AS n_hits FROM gc
+                 WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id),
+         dirty AS (SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
+                   WHERE CAST(h.n_hits AS DOUBLE) / t.n_grams > 0.2),
+         clean AS (SELECT * FROM corpus
+                   WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         t2 AS (SELECT doc_id, lower(trim(text)) AS s FROM clean),
+         g2 AS (SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN length(s) >= 3
+                      THEN list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, CAST(i AS INT), 3))
+                      ELSE [s] END) AS gram
+               FROM t2),
+         gs AS (SELECT doc_id, count(*) AS sz FROM g2 GROUP BY doc_id),
+         ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
+                FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         removed AS (SELECT DISTINCT id_b
+                     FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                             JOIN gs sb ON sb.doc_id = ix.id_b
+                     WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
+         kept AS (SELECT * FROM clean
+                  WHERE doc_id NOT IN (SELECT id_b FROM removed)),
+         tok3 AS (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS ts
+               FROM kept),
+         meta AS (SELECT doc_id, len(ts) AS n,
+                 CAST(CASE WHEN len(ts) <= 16 THEN 1
+                      ELSE 1 + (len(ts) - 5) // 12 END AS BIGINT)
+                   AS n_chunks
+               FROM tok3),
+         ch AS (SELECT doc_id, n,
+                 unnest(range(0, n_chunks)) AS chunk_id
+               FROM meta),
+         units AS (SELECT doc_id * 1048576 + chunk_id AS cid,
+                 CAST(least(16, n - chunk_id * 12) AS BIGINT) AS len
+               FROM ch),
+         pre AS (SELECT cid, len,
+                 CAST(COALESCE(SUM(len) OVER (ORDER BY cid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS start
+               FROM units)
+         SELECT cid, len, start,
+                start // 512 AS seq_id,
+                start % 512 AS seq_offset
+         FROM pre)
+       WHERE (SELECT est FROM est) <= 100000000
+       UNION ALL
+       SELECT * FROM (WITH corpus AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % 97 <> 0),
+         tokc AS (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+               FROM corpus),
+         shc AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(
+                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 ELSE [array_to_string(ts, ' ')] END AS shs
+               FROM tokc),
+         gc AS (SELECT DISTINCT doc_id, unnest(shs) AS gram FROM shc),
+         toke AS (SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+               FROM documents WHERE doc_id % 97 = 0),
+         she AS (SELECT doc_id, CASE WHEN len(ts) >= 3
+                 THEN list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(
+                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+                 ELSE [array_to_string(ts, ' ')] END AS shs
+               FROM toke),
+         ev AS (SELECT DISTINCT unnest(shs) AS gram FROM she),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM gc GROUP BY doc_id),
+         hit AS (SELECT doc_id, count(*) AS n_hits FROM gc
+                 WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id),
+         dirty AS (SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
+                   WHERE CAST(h.n_hits AS DOUBLE) / t.n_grams > 0.2),
+         clean AS MATERIALIZED (SELECT * FROM corpus
+                   WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         s5 AS (SELECT doc_id, lower(trim(text)) AS s FROM clean),
+         b5 AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g
+               FROM s5 WHERE length(s) - 7 >= 4),
+         k5 AS (SELECT doc_id, g,
+                 list_transform(range(1, g + 1),
+                   p -> md5(substr(s, CAST(p AS INT), 8)) ||
+                        lpad(CAST(100000000 - p AS VARCHAR), 8, '0')) AS keys
+               FROM b5),
+         sel5 AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, g - 2),
+                     ws -> list_min(keys[ws:ws+3]))) AS sel
+                 FROM k5),
+         dh5 AS MATERIALIZED (
+           SELECT DISTINCT doc_id, substr(key, 1, 32) AS h
+           FROM (SELECT doc_id, unnest(sel) AS key FROM sel5)),
+         f5 AS (SELECT h, count(*) AS df FROM dh5 GROUP BY h),
+         kh AS MATERIALIZED (
+           SELECT dh5.doc_id, dh5.h FROM dh5 JOIN f5 USING (h)
+           WHERE f5.df <= 16),
+         cands AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM kh a JOIN kh b
+             ON a.h = b.h AND a.doc_id < b.doc_id),
+         t2 AS (SELECT doc_id, lower(trim(text)) AS s FROM clean),
+         g2 AS MATERIALIZED (
+           SELECT DISTINCT doc_id, unnest(
+                 CASE WHEN length(s) >= 3
+                      THEN list_transform(range(1, length(s) - 1),
+                                          i -> substr(s, CAST(i AS INT), 3))
+                      ELSE [s] END) AS gram
+               FROM t2),
+         gs AS (SELECT doc_id, count(*) AS sz FROM g2 GROUP BY doc_id),
+         ix AS (SELECT c.id_a, c.id_b, count(*) AS o
+                FROM cands c
+                JOIN g2 a ON a.doc_id = c.id_a
+                JOIN g2 b ON b.doc_id = c.id_b AND b.gram = a.gram
+                GROUP BY 1, 2),
+         removed AS (SELECT DISTINCT id_b
+                     FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
+                             JOIN gs sb ON sb.doc_id = ix.id_b
+                     WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
+         kept AS (SELECT * FROM clean
+                  WHERE doc_id NOT IN (SELECT id_b FROM removed)),
+         tok3 AS (SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS ts
+               FROM kept),
+         meta AS (SELECT doc_id, len(ts) AS n,
+                 CAST(CASE WHEN len(ts) <= 16 THEN 1
+                      ELSE 1 + (len(ts) - 5) // 12 END AS BIGINT)
+                   AS n_chunks
+               FROM tok3),
+         ch AS (SELECT doc_id, n,
+                 unnest(range(0, n_chunks)) AS chunk_id
+               FROM meta),
+         units AS (SELECT doc_id * 1048576 + chunk_id AS cid,
+                 CAST(least(16, n - chunk_id * 12) AS BIGINT) AS len
+               FROM ch),
+         pre AS (SELECT cid, len,
+                 CAST(COALESCE(SUM(len) OVER (ORDER BY cid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS start
+               FROM units)
+         SELECT cid, len, start,
+                start // 512 AS seq_id,
+                start % 512 AS seq_offset
+         FROM pre)
+       WHERE (SELECT est FROM est) > 100000000"""
 
   val oracles: Map[String, String] = Map(
     // brute-force exact trigram Jaccard — ground truth the prefix-
@@ -2265,177 +2639,14 @@ object Extensions {
     // four-stage composition, each stage the oracle-exact family
     // member: word-trigram contamination cut -> char-trigram exact
     // near-dup removal -> 16/4 chunk windows -> 512-token packing
-    "pipe2_training_prep" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents
-               WHERE doc_id % 97 <> 0),
-         tokc AS (SELECT doc_id,
-                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
-               FROM corpus),
-         shc AS (SELECT doc_id, CASE WHEN len(ts) >= 3
-                 THEN list_transform(range(1, len(ts) - 1),
-                        i -> array_to_string(
-                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
-                 ELSE [array_to_string(ts, ' ')] END AS shs
-               FROM tokc),
-         gc AS (SELECT DISTINCT doc_id, unnest(shs) AS gram FROM shc),
-         toke AS (SELECT doc_id,
-                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
-               FROM documents WHERE doc_id % 97 = 0),
-         she AS (SELECT doc_id, CASE WHEN len(ts) >= 3
-                 THEN list_transform(range(1, len(ts) - 1),
-                        i -> array_to_string(
-                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
-                 ELSE [array_to_string(ts, ' ')] END AS shs
-               FROM toke),
-         ev AS (SELECT DISTINCT unnest(shs) AS gram FROM she),
-         tot AS (SELECT doc_id, count(*) AS n_grams FROM gc GROUP BY doc_id),
-         hit AS (SELECT doc_id, count(*) AS n_hits FROM gc
-                 WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id),
-         dirty AS (SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
-                   WHERE CAST(h.n_hits AS DOUBLE) / t.n_grams > 0.2),
-         clean AS (SELECT * FROM corpus
-                   WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
-         t2 AS (SELECT doc_id, lower(trim(text)) AS s FROM clean),
-         g2 AS (SELECT DISTINCT doc_id, unnest(
-                 CASE WHEN length(s) >= 3
-                      THEN list_transform(range(1, length(s) - 1),
-                                          i -> substr(s, CAST(i AS INT), 3))
-                      ELSE [s] END) AS gram
-               FROM t2),
-         gs AS (SELECT doc_id, count(*) AS sz FROM g2 GROUP BY doc_id),
-         ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
-                FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
-                GROUP BY 1, 2),
-         removed AS (SELECT DISTINCT id_b
-                     FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
-                             JOIN gs sb ON sb.doc_id = ix.id_b
-                     WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
-         kept AS (SELECT * FROM clean
-                  WHERE doc_id NOT IN (SELECT id_b FROM removed)),
-         tok3 AS (SELECT doc_id,
-                 regexp_split_to_array(trim(text), '\s+') AS ts
-               FROM kept),
-         meta AS (SELECT doc_id, len(ts) AS n,
-                 CAST(CASE WHEN len(ts) <= 16 THEN 1
-                      ELSE 1 + (len(ts) - 5) // 12 END AS BIGINT)
-                   AS n_chunks
-               FROM tok3),
-         ch AS (SELECT doc_id, n,
-                 unnest(range(0, n_chunks)) AS chunk_id
-               FROM meta),
-         units AS (SELECT doc_id * 1048576 + chunk_id AS cid,
-                 CAST(least(16, n - chunk_id * 12) AS BIGINT) AS len
-               FROM ch),
-         pre AS (SELECT cid, len,
-                 CAST(COALESCE(SUM(len) OVER (ORDER BY cid
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS BIGINT) AS start
-               FROM units)
-         SELECT cid, len, start,
-                start // 512 AS seq_id,
-                start % 512 AS seq_offset
-         FROM pre""",
+    "pipe2_training_prep" -> pipe2OracleSql,
     // pipe2's chain with the near-dup stage swapped to the TIERED
     // gate: dd20's md5-winnow candidate CTEs (df-capped) over the
     // decontaminated corpus feed the exact trigram-Jaccard verify,
     // and the greedy smaller-id removal + chunk/pack stages replay
     // verbatim — the whole scale-path composition in one dual
-    "pipe5_tiered_prep" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents
-               WHERE doc_id % 97 <> 0),
-         tokc AS (SELECT doc_id,
-                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
-               FROM corpus),
-         shc AS (SELECT doc_id, CASE WHEN len(ts) >= 3
-                 THEN list_transform(range(1, len(ts) - 1),
-                        i -> array_to_string(
-                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
-                 ELSE [array_to_string(ts, ' ')] END AS shs
-               FROM tokc),
-         gc AS (SELECT DISTINCT doc_id, unnest(shs) AS gram FROM shc),
-         toke AS (SELECT doc_id,
-                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
-               FROM documents WHERE doc_id % 97 = 0),
-         she AS (SELECT doc_id, CASE WHEN len(ts) >= 3
-                 THEN list_transform(range(1, len(ts) - 1),
-                        i -> array_to_string(
-                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
-                 ELSE [array_to_string(ts, ' ')] END AS shs
-               FROM toke),
-         ev AS (SELECT DISTINCT unnest(shs) AS gram FROM she),
-         tot AS (SELECT doc_id, count(*) AS n_grams FROM gc GROUP BY doc_id),
-         hit AS (SELECT doc_id, count(*) AS n_hits FROM gc
-                 WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id),
-         dirty AS (SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
-                   WHERE CAST(h.n_hits AS DOUBLE) / t.n_grams > 0.2),
-         clean AS MATERIALIZED (SELECT * FROM corpus
-                   WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
-         s5 AS (SELECT doc_id, lower(trim(text)) AS s FROM clean),
-         b5 AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g
-               FROM s5 WHERE length(s) - 7 >= 4),
-         k5 AS (SELECT doc_id, g,
-                 list_transform(range(1, g + 1),
-                   p -> md5(substr(s, CAST(p AS INT), 8)) ||
-                        lpad(CAST(100000000 - p AS VARCHAR), 8, '0')) AS keys
-               FROM b5),
-         sel5 AS (SELECT doc_id,
-                   list_distinct(list_transform(range(1, g - 2),
-                     ws -> list_min(keys[ws:ws+3]))) AS sel
-                 FROM k5),
-         dh5 AS MATERIALIZED (
-           SELECT DISTINCT doc_id, substr(key, 1, 32) AS h
-           FROM (SELECT doc_id, unnest(sel) AS key FROM sel5)),
-         f5 AS (SELECT h, count(*) AS df FROM dh5 GROUP BY h),
-         kh AS MATERIALIZED (
-           SELECT dh5.doc_id, dh5.h FROM dh5 JOIN f5 USING (h)
-           WHERE f5.df <= 16),
-         cands AS MATERIALIZED (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM kh a JOIN kh b
-             ON a.h = b.h AND a.doc_id < b.doc_id),
-         t2 AS (SELECT doc_id, lower(trim(text)) AS s FROM clean),
-         g2 AS MATERIALIZED (
-           SELECT DISTINCT doc_id, unnest(
-                 CASE WHEN length(s) >= 3
-                      THEN list_transform(range(1, length(s) - 1),
-                                          i -> substr(s, CAST(i AS INT), 3))
-                      ELSE [s] END) AS gram
-               FROM t2),
-         gs AS (SELECT doc_id, count(*) AS sz FROM g2 GROUP BY doc_id),
-         ix AS (SELECT c.id_a, c.id_b, count(*) AS o
-                FROM cands c
-                JOIN g2 a ON a.doc_id = c.id_a
-                JOIN g2 b ON b.doc_id = c.id_b AND b.gram = a.gram
-                GROUP BY 1, 2),
-         removed AS (SELECT DISTINCT id_b
-                     FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
-                             JOIN gs sb ON sb.doc_id = ix.id_b
-                     WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
-         kept AS (SELECT * FROM clean
-                  WHERE doc_id NOT IN (SELECT id_b FROM removed)),
-         tok3 AS (SELECT doc_id,
-                 regexp_split_to_array(trim(text), '\s+') AS ts
-               FROM kept),
-         meta AS (SELECT doc_id, len(ts) AS n,
-                 CAST(CASE WHEN len(ts) <= 16 THEN 1
-                      ELSE 1 + (len(ts) - 5) // 12 END AS BIGINT)
-                   AS n_chunks
-               FROM tok3),
-         ch AS (SELECT doc_id, n,
-                 unnest(range(0, n_chunks)) AS chunk_id
-               FROM meta),
-         units AS (SELECT doc_id * 1048576 + chunk_id AS cid,
-                 CAST(least(16, n - chunk_id * 12) AS BIGINT) AS len
-               FROM ch),
-         pre AS (SELECT cid, len,
-                 CAST(COALESCE(SUM(len) OVER (ORDER BY cid
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS BIGINT) AS start
-               FROM units)
-         SELECT cid, len, start,
-                start // 512 AS seq_id,
-                start % 512 AS seq_offset
-         FROM pre""",
+    "pipe5_tiered_prep" -> pipe5OracleSql,
+    "pipe6_auto_prep" -> pipe6OracleSql,
     // greedy smaller-id-survives removal, then the t1/t3 stat duals
     "pipe1_corpus_clean" ->
       """WITH q AS (

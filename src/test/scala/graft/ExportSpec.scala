@@ -115,6 +115,36 @@ class ExportSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("pipe6 auto prep: the dispatch statistic flips the composition " +
+      "between pipe2 and pipe5, proven where the tiers' packs differ") {
+    import graft.queries.{Clean, Extensions, Staging}
+    // hot-template corpus (> dfCap near-identical docs): pipe2's exact
+    // stage removes the duplicates, pipe5's capped gate keeps them —
+    // the two compositions pack DIFFERENT unit sets, so the dispatch
+    // choice is visible in the rows. ids avoid doc_id % 97 == 0 (the
+    // pipelines' eval split).
+    val template = ("boilerplate navigation header text repeated on " +
+      "every scraped page of this particular web property") * 3
+    val docs = Seq.tabulate(20)(i =>
+        (i + 1L, template + " " + (('a' + i).toChar.toString * 9), "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val est = Clean.exactTierCandidateEstimate(docs)
+    assert(est > 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val viaExact = canon(Extensions.pipe6AutoPrepOn(spark, docs, est,
+      Staging.Memory))
+    val viaTiered = canon(Extensions.pipe6AutoPrepOn(spark, docs, est - 1,
+      Staging.Memory))
+    assert(viaExact ===
+      canon(Extensions.pipe2TrainingPrepOn(spark, docs, Staging.Memory)))
+    assert(viaTiered ===
+      canon(Extensions.pipe5TieredPrepOn(spark, docs, Staging.Memory)))
+    assert(viaExact !== viaTiered, "fixture must separate the tiers")
+  }
+
   test("JSONL shard export round-trips through the declared-schema source") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("text"))
