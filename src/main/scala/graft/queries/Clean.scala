@@ -326,10 +326,14 @@ object Clean {
   def incrementalTieredPairsOn(base: DataFrame, fresh: DataFrame,
       threshold: Double = 0.8, dfCap: Int = 16): DataFrame = {
     val dh = sidedCappedSelections(base, fresh, dfCap)
+    // materialized once — the frame feeds both the candidate-id prune
+    // and the verify probe (the same two-consumer rule as the
+    // persisted-index path's indexCandidates)
     val cands = dh.filter(col("side") === 0).as("b")
       .join(dh.filter(col("side") === 1).as("f"), col("b.h") === col("f.h"))
       .select(col("b.doc_id").as("id_a"), col("f.doc_id").as("id_b"))
       .distinct()
+      .localCheckpoint(true)
     graft.dedup.Dedup
       .exactJaccardScores(
         pruneToCandidates(base.unionByName(fresh), cands),
