@@ -2177,13 +2177,14 @@ object Extensions {
     */
   private val pipe6OracleSql =
     """WITH est_t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
-       est_g AS (SELECT DISTINCT doc_id, unnest(
+       est_g AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(
                    CASE WHEN length(s) >= 3
                         THEN list_transform(range(1, length(s) - 1),
                                             i -> substr(s, CAST(i AS INT), 3))
                         ELSE [s] END) AS gram
                  FROM est_t),
-       est AS (SELECT COALESCE(CAST(sum(df * (df - 1) // 2) AS BIGINT), 0)
+       est AS MATERIALIZED (
+               SELECT COALESCE(CAST(sum(df * (df - 1) // 2) AS BIGINT), 0)
                  AS est
                FROM (SELECT count(*) AS df FROM est_g GROUP BY gram))
        SELECT * FROM (WITH corpus AS (SELECT doc_id, text FROM documents
