@@ -34,17 +34,8 @@ object IngestProbe {
     val small = sources.map { case (name, docs) =>
       ScaleProbe.ingestSmallBatchLeg(name, docs) }
     spark.stop()
-    println(rows.map { case (name, n, per, tc, nc, tf, nf) =>
-      s""""$name":{"n":$n,"per_ingest_secs":""" +
-        per.map(t => f"$t%.2f").mkString("[", ",", "]") +
-        s""","compact_sec":${f"$tc%.2f"},"pairs":$nc,""" +
-        s""""full_sec":${f"$tf%.2f"},"full_pairs":$nf}"""
-    }.mkString("""{"metric":"ingest_probe","ingest_lifecycle":{""",
-      ",", "},") +
-      small.map { case (name, n, ti, tf, np) =>
-        s""""$name":{"n":$n,"batch_n":${n / 32},""" +
-          s""""ingest_sec":${f"$ti%.2f"},"full_sec":${f"$tf%.2f"},""" +
-          s""""pairs":$np}"""
-      }.mkString(""""ingest_small_batch":{""", ",", "}}"))
+    println(s"""{"metric":"ingest_probe",""" +
+      s""""ingest_lifecycle":${ScaleProbe.ingestLegJson(rows)},""" +
+      s""""ingest_small_batch":${ScaleProbe.ingestSmallJson(small)}}""")
   }
 }

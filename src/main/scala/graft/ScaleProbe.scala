@@ -209,6 +209,28 @@ object ScaleProbe {
     (name, n, tIngest, tFull, nPairs)
   }
 
+  /** JSON bodies for the ingest legs — ONE formatter per leg shape,
+    * shared by this main and [[IngestProbe]] so the two probes cannot
+    * drift when a field is added to a leg's tuple.
+    */
+  private[graft] def ingestLegJson(
+      rows: Seq[(String, Long, Seq[Double], Double, Long, Double, Long)])
+      : String =
+    rows.map { case (name, n, per, tc, nc, tf, nf) =>
+      s""""$name":{"n":$n,"per_ingest_secs":""" +
+        per.map(t => f"$t%.2f").mkString("[", ",", "]") +
+        s""","compact_sec":${f"$tc%.2f"},"pairs":$nc,""" +
+        s""""full_sec":${f"$tf%.2f"},"full_pairs":$nf}"""
+    }.mkString("{", ",", "}")
+
+  private[graft] def ingestSmallJson(
+      rows: Seq[(String, Long, Double, Double, Long)]): String =
+    rows.map { case (name, n, ti, tf, np) =>
+      s""""$name":{"n":$n,"batch_n":${n / 32},""" +
+        s""""ingest_sec":${f"$ti%.2f"},"full_sec":${f"$tf%.2f"},""" +
+        s""""pairs":$np}"""
+    }.mkString("{", ",", "}")
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -762,17 +784,8 @@ object ScaleProbe {
       s""""picked":"$autoSkewTier",""" +
       s""""auto_sec":${f"$tAutoSkew%.2f"},""" +
       s""""forced_chunked_sec":${f"$tAutoForced%.2f"}},""" +
-      ingestRows.map { case (name, n, per, tc, nc, tf, nf) =>
-        s""""$name":{"n":$n,"per_ingest_secs":""" +
-          per.map(t => f"$t%.2f").mkString("[", ",", "]") +
-          s""","compact_sec":${f"$tc%.2f"},"pairs":$nc,""" +
-          s""""full_sec":${f"$tf%.2f"},"full_pairs":$nf}"""
-      }.mkString(""""ingest_lifecycle":{""", ",", "},") +
-      ingestSmallRows.map { case (name, n, ti, tf, np) =>
-        s""""$name":{"n":$n,"batch_n":${n / 32},""" +
-          s""""ingest_sec":${f"$ti%.2f"},"full_sec":${f"$tf%.2f"},""" +
-          s""""pairs":$np}"""
-      }.mkString(""""ingest_small_batch":{""", ",", "},") +
+      s""""ingest_lifecycle":${ingestLegJson(ingestRows)},""" +
+      s""""ingest_small_batch":${ingestSmallJson(ingestSmallRows)},""" +
       s""""dd7_cached_sf1rep_sec":${f"$t7c%.2f"},""" +
       s""""skew":{"n":$nSkew,"dd7_sec":${f"$t7s%.2f"},"dd7_pairs":$p7s,""" +
       s""""dd6_sec":${f"$t6s%.2f"},"dd6_clusters":$c6s,""" +

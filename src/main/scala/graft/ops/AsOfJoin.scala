@@ -217,12 +217,18 @@ object AsOfJoin {
     * distinct-keys rows per partition, never the data. Callers that
     * already know their key stats (a warehouse table profile, a
     * previous run) pass `knownMaxKeyRows` to skip the probe entirely.
+    *
+    * NULL keys COUNT as a group: they never match, but the plain
+    * exec's hash distribution still funnels every null-key row into
+    * ONE partition whose task must sort them — exactly the straggler
+    * regime — while the chunked tier spreads them over (key, bucket)
+    * cells. A null-key-heavy input must therefore dispatch on its
+    * null population too.
     */
   def maxKeyTimelineRows(
       left: DataFrame, right: DataFrame, keyCol: String): Long =
     left.select(col(keyCol).as("__k"))
       .unionAll(right.select(col(keyCol).as("__k")))
-      .filter(col("__k").isNotNull)
       .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
       .agg(max(col("__c"))).head() match {
         case r if r.isNullAt(0) => 0L

@@ -411,7 +411,11 @@ object Clean {
 
   /** Fold a fresh batch's selections into the persisted df summary —
     * the summary-side twin of [[indexAppend]]. O(distinct hashes)
-    * narrow rows; at warehouse scale a merge-on-h upsert.
+    * narrow rows; at warehouse scale a merge-on-h upsert. (The
+    * batch's summary is also computed inside candidate generation;
+    * the duplicate is one partial aggregation over the CHECKPOINTED
+    * O(batch) fresh index — accepted over threading a fourth frame
+    * through the public signatures.)
     */
   def dfSummaryAppend(summary: DataFrame, freshIndex: DataFrame): DataFrame =
     summary.unionByName(indexDfSummary(freshIndex))

@@ -2176,7 +2176,7 @@ object Extensions {
     * at this scale.
     */
   private val pipe6OracleSql =
-    """WITH est_t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+    s"""WITH est_t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
        est_g AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(
                    CASE WHEN length(s) >= 3
                         THEN list_transform(range(1, length(s) - 1),
@@ -2187,172 +2187,10 @@ object Extensions {
                SELECT COALESCE(CAST(sum(df * (df - 1) // 2) AS BIGINT), 0)
                  AS est
                FROM (SELECT count(*) AS df FROM est_g GROUP BY gram))
-       SELECT * FROM (WITH corpus AS (SELECT doc_id, text FROM documents
-               WHERE doc_id % 97 <> 0),
-         tokc AS (SELECT doc_id,
-                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
-               FROM corpus),
-         shc AS (SELECT doc_id, CASE WHEN len(ts) >= 3
-                 THEN list_transform(range(1, len(ts) - 1),
-                        i -> array_to_string(
-                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
-                 ELSE [array_to_string(ts, ' ')] END AS shs
-               FROM tokc),
-         gc AS (SELECT DISTINCT doc_id, unnest(shs) AS gram FROM shc),
-         toke AS (SELECT doc_id,
-                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
-               FROM documents WHERE doc_id % 97 = 0),
-         she AS (SELECT doc_id, CASE WHEN len(ts) >= 3
-                 THEN list_transform(range(1, len(ts) - 1),
-                        i -> array_to_string(
-                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
-                 ELSE [array_to_string(ts, ' ')] END AS shs
-               FROM toke),
-         ev AS (SELECT DISTINCT unnest(shs) AS gram FROM she),
-         tot AS (SELECT doc_id, count(*) AS n_grams FROM gc GROUP BY doc_id),
-         hit AS (SELECT doc_id, count(*) AS n_hits FROM gc
-                 WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id),
-         dirty AS (SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
-                   WHERE CAST(h.n_hits AS DOUBLE) / t.n_grams > 0.2),
-         clean AS (SELECT * FROM corpus
-                   WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
-         t2 AS (SELECT doc_id, lower(trim(text)) AS s FROM clean),
-         g2 AS (SELECT DISTINCT doc_id, unnest(
-                 CASE WHEN length(s) >= 3
-                      THEN list_transform(range(1, length(s) - 1),
-                                          i -> substr(s, CAST(i AS INT), 3))
-                      ELSE [s] END) AS gram
-               FROM t2),
-         gs AS (SELECT doc_id, count(*) AS sz FROM g2 GROUP BY doc_id),
-         ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS o
-                FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
-                GROUP BY 1, 2),
-         removed AS (SELECT DISTINCT id_b
-                     FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
-                             JOIN gs sb ON sb.doc_id = ix.id_b
-                     WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
-         kept AS (SELECT * FROM clean
-                  WHERE doc_id NOT IN (SELECT id_b FROM removed)),
-         tok3 AS (SELECT doc_id,
-                 regexp_split_to_array(trim(text), '\s+') AS ts
-               FROM kept),
-         meta AS (SELECT doc_id, len(ts) AS n,
-                 CAST(CASE WHEN len(ts) <= 16 THEN 1
-                      ELSE 1 + (len(ts) - 5) // 12 END AS BIGINT)
-                   AS n_chunks
-               FROM tok3),
-         ch AS (SELECT doc_id, n,
-                 unnest(range(0, n_chunks)) AS chunk_id
-               FROM meta),
-         units AS (SELECT doc_id * 1048576 + chunk_id AS cid,
-                 CAST(least(16, n - chunk_id * 12) AS BIGINT) AS len
-               FROM ch),
-         pre AS (SELECT cid, len,
-                 CAST(COALESCE(SUM(len) OVER (ORDER BY cid
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS BIGINT) AS start
-               FROM units)
-         SELECT cid, len, start,
-                start // 512 AS seq_id,
-                start % 512 AS seq_offset
-         FROM pre)
+       SELECT * FROM ($pipe2OracleSql)
        WHERE (SELECT est FROM est) <= 100000000
        UNION ALL
-       SELECT * FROM (WITH corpus AS (SELECT doc_id, text FROM documents
-               WHERE doc_id % 97 <> 0),
-         tokc AS (SELECT doc_id,
-                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
-               FROM corpus),
-         shc AS (SELECT doc_id, CASE WHEN len(ts) >= 3
-                 THEN list_transform(range(1, len(ts) - 1),
-                        i -> array_to_string(
-                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
-                 ELSE [array_to_string(ts, ' ')] END AS shs
-               FROM tokc),
-         gc AS (SELECT DISTINCT doc_id, unnest(shs) AS gram FROM shc),
-         toke AS (SELECT doc_id,
-                 regexp_split_to_array(lower(trim(text)), '\s+') AS ts
-               FROM documents WHERE doc_id % 97 = 0),
-         she AS (SELECT doc_id, CASE WHEN len(ts) >= 3
-                 THEN list_transform(range(1, len(ts) - 1),
-                        i -> array_to_string(
-                               ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
-                 ELSE [array_to_string(ts, ' ')] END AS shs
-               FROM toke),
-         ev AS (SELECT DISTINCT unnest(shs) AS gram FROM she),
-         tot AS (SELECT doc_id, count(*) AS n_grams FROM gc GROUP BY doc_id),
-         hit AS (SELECT doc_id, count(*) AS n_hits FROM gc
-                 WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id),
-         dirty AS (SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
-                   WHERE CAST(h.n_hits AS DOUBLE) / t.n_grams > 0.2),
-         clean AS MATERIALIZED (SELECT * FROM corpus
-                   WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
-         s5 AS (SELECT doc_id, lower(trim(text)) AS s FROM clean),
-         b5 AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g
-               FROM s5 WHERE length(s) - 7 >= 4),
-         k5 AS (SELECT doc_id, g,
-                 list_transform(range(1, g + 1),
-                   p -> md5(substr(s, CAST(p AS INT), 8)) ||
-                        lpad(CAST(100000000 - p AS VARCHAR), 8, '0')) AS keys
-               FROM b5),
-         sel5 AS (SELECT doc_id,
-                   list_distinct(list_transform(range(1, g - 2),
-                     ws -> list_min(keys[ws:ws+3]))) AS sel
-                 FROM k5),
-         dh5 AS MATERIALIZED (
-           SELECT DISTINCT doc_id, substr(key, 1, 32) AS h
-           FROM (SELECT doc_id, unnest(sel) AS key FROM sel5)),
-         f5 AS (SELECT h, count(*) AS df FROM dh5 GROUP BY h),
-         kh AS MATERIALIZED (
-           SELECT dh5.doc_id, dh5.h FROM dh5 JOIN f5 USING (h)
-           WHERE f5.df <= 16),
-         cands AS MATERIALIZED (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM kh a JOIN kh b
-             ON a.h = b.h AND a.doc_id < b.doc_id),
-         t2 AS (SELECT doc_id, lower(trim(text)) AS s FROM clean),
-         g2 AS MATERIALIZED (
-           SELECT DISTINCT doc_id, unnest(
-                 CASE WHEN length(s) >= 3
-                      THEN list_transform(range(1, length(s) - 1),
-                                          i -> substr(s, CAST(i AS INT), 3))
-                      ELSE [s] END) AS gram
-               FROM t2),
-         gs AS (SELECT doc_id, count(*) AS sz FROM g2 GROUP BY doc_id),
-         ix AS (SELECT c.id_a, c.id_b, count(*) AS o
-                FROM cands c
-                JOIN g2 a ON a.doc_id = c.id_a
-                JOIN g2 b ON b.doc_id = c.id_b AND b.gram = a.gram
-                GROUP BY 1, 2),
-         removed AS (SELECT DISTINCT id_b
-                     FROM ix JOIN gs sa ON sa.doc_id = ix.id_a
-                             JOIN gs sb ON sb.doc_id = ix.id_b
-                     WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8),
-         kept AS (SELECT * FROM clean
-                  WHERE doc_id NOT IN (SELECT id_b FROM removed)),
-         tok3 AS (SELECT doc_id,
-                 regexp_split_to_array(trim(text), '\s+') AS ts
-               FROM kept),
-         meta AS (SELECT doc_id, len(ts) AS n,
-                 CAST(CASE WHEN len(ts) <= 16 THEN 1
-                      ELSE 1 + (len(ts) - 5) // 12 END AS BIGINT)
-                   AS n_chunks
-               FROM tok3),
-         ch AS (SELECT doc_id, n,
-                 unnest(range(0, n_chunks)) AS chunk_id
-               FROM meta),
-         units AS (SELECT doc_id * 1048576 + chunk_id AS cid,
-                 CAST(least(16, n - chunk_id * 12) AS BIGINT) AS len
-               FROM ch),
-         pre AS (SELECT cid, len,
-                 CAST(COALESCE(SUM(len) OVER (ORDER BY cid
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS BIGINT) AS start
-               FROM units)
-         SELECT cid, len, start,
-                start // 512 AS seq_id,
-                start % 512 AS seq_offset
-         FROM pre)
+       SELECT * FROM ($pipe5OracleSql)
        WHERE (SELECT est FROM est) > 100000000"""
 
   val oracles: Map[String, String] = Map(

@@ -374,6 +374,21 @@ class AsOfExecSpec extends SparkSpec {
     assert(execKeyCounts(AsOfJoin.asofJoinAuto(uniform, rightOf(uniform),
       "k", "ts", "ts", hotKeyRowThreshold = thr,
       knownMaxKeyRows = Some(1000L))) === Seq(2))
+    // NULL keys count as a straggler group: the plain exec's hash
+    // distribution puts every null-key row in ONE partition, so a
+    // null-heavy input must dispatch to the chunked spread — and the
+    // chunked tier's rows must still equal the plain exec's (null
+    // lefts keep null payload in both)
+    val nullHeavy = Seq.tabulate(300)(i =>
+      (i.toLong, if (i % 5 == 0) "k" + (i % 7) else null, ts(i % 90)))
+      .toDF("id", "k", "ts")
+    assert(AsOfJoin.maxKeyTimelineRows(
+      nullHeavy, rightOf(nullHeavy), "k") >= 240)
+    val autoNull = AsOfJoin.asofJoinAuto(nullHeavy, rightOf(nullHeavy),
+      "k", "ts", "ts", hotKeyRowThreshold = thr)
+    assert(execKeyCounts(autoNull) === Seq(2))
+    assert(rows(autoNull) === rows(AsOfJoin.asofJoinBackwardExec(
+      nullHeavy, rightOf(nullHeavy), "k", "ts", "ts")))
   }
 
   test("self-join: same frame on both sides (fresh right exprIds)") {
