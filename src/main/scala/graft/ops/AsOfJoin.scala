@@ -226,7 +226,13 @@ object AsOfJoin {
     * null population too.
     */
   def maxKeyTimelineRows(
-      left: DataFrame, right: DataFrame, keyCol: String): Long =
+      left: DataFrame, right: DataFrame, keyCol: String): Long = {
+    // the union below would coerce (or refuse) mismatched key types
+    // with an opaque union-schema error BEFORE the join itself could
+    // raise its clearer one — validate here with the join's message
+    val (lt, rt) = (left.schema(keyCol).dataType, right.schema(keyCol).dataType)
+    require(lt == rt,
+      s"asofJoinAuto: key type mismatch $lt vs $rt (cast upstream)")
     left.select(col(keyCol).as("__k"))
       .unionAll(right.select(col(keyCol).as("__k")))
       .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
@@ -234,6 +240,7 @@ object AsOfJoin {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
+  }
 
   /** AUTO-DISPATCHING as-of through the custom operator — the dd11
     * pattern applied to the plain-vs-chunked exec choice: one cheap
@@ -247,6 +254,13 @@ object AsOfJoin {
     * the physical spread; AsOfExecSpec proves the plan flip on both
     * regimes (uniform keys → single-key exec node in the plan;
     * adversarial hot key → the (key, bucket) two-key exec).
+    *
+    * Probe cost: when `knownMaxKeyRows` is NOT supplied, the dispatch
+    * statistic costs one full scan + partial-agg exchange of BOTH
+    * inputs per call (the exchange carries distinct-keys rows, never
+    * the data, but the scans are real). Repeated callers over large
+    * inputs should pass `knownMaxKeyRows` from a table profile or a
+    * prior run — it skips the probe entirely.
     */
   def asofJoinAuto(
       left: DataFrame,

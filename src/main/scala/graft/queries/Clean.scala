@@ -243,13 +243,30 @@ object Clean {
     * branches in DuckDB, so the driver checks whichever tier is
     * picked at each scale.
     */
+  /** The dispatch decision [[nearDupAutoOn]] made, surfaced to the
+    * caller: which tier served the call and the statistic that chose
+    * it. A corpus growing past `maxExactCandidates` silently flips the
+    * emitted pair set from exact-recall to the boilerplate-silencing
+    * tiered contract — operators need a runtime signal to detect the
+    * crossing between runs, not just the changed rows.
+    */
+  final case class NearDupDispatch(
+      tier: String, estimate: Long, maxExactCandidates: Long)
+
+  private val dispatchLog = org.slf4j.LoggerFactory.getLogger("graft.queries.Clean")
+
   def nearDupAutoOn(docs: DataFrame, threshold: Double = 0.8,
       dfCap: Int = 16,
       maxExactCandidates: Long = DefaultMaxExactCandidates,
-      knownCandidateEstimate: Option[Long] = None): DataFrame = {
+      knownCandidateEstimate: Option[Long] = None,
+      onDispatch: NearDupDispatch => Unit = _ => ()): DataFrame = {
     val est = knownCandidateEstimate
       .getOrElse(exactTierCandidateEstimate(docs))
-    if (est <= maxExactCandidates)
+    val tier = if (est <= maxExactCandidates) "exact" else "tiered"
+    dispatchLog.info("nearDupAutoOn dispatch: tier={} estimate={} threshold={}",
+      tier, est, maxExactCandidates)
+    onDispatch(NearDupDispatch(tier, est, maxExactCandidates))
+    if (tier == "exact")
       graft.dedup.Dedup.exactJaccardPairs(docs, "doc_id", "text",
         threshold = threshold)
     else tieredNearDupPairsOn(docs, threshold, dfCap)
@@ -357,9 +374,25 @@ object Clean {
     */
   private def pruneToCandidates(docs: DataFrame, cands: DataFrame): DataFrame =
     docs.join(
-      broadcast(cands.select(col("id_a").as("doc_id"))
-        .unionAll(cands.select(col("id_b").as("doc_id"))).distinct()),
+      hintIfSmall(cands.select(col("id_a").as("doc_id"))
+        .unionAll(cands.select(col("id_b").as("doc_id"))).distinct()
+        .localCheckpoint(true)),
       Seq("doc_id"), "left_semi")
+
+  /** Broadcast guard for the ingest-path joins: the candidate-id /
+    * surviving-hash frames are bounded by dfCap × |batch hashes| —
+    * normally a few MB — but a template-dense batch can push them past
+    * driver/broadcast limits, and an UNCONDITIONAL hint would then
+    * fail the ingest instead of degrading to a shuffle join. The
+    * frames are all eagerly checkpointed by the time they get here, so
+    * the count is a cheap cached scan; past the cap the hint is simply
+    * dropped and the planner (AQE auto-broadcast included) picks the
+    * join strategy from real sizes.
+    */
+  private val BroadcastRowCap = 4L * 1000 * 1000
+  private def hintIfSmall(checkpointed: DataFrame): DataFrame =
+    if (checkpointed.count() <= BroadcastRowCap) broadcast(checkpointed)
+    else checkpointed
 
   /** The fingerprint index the full pass persists: distinct
     * (doc_id, h) winnow selections — [[incrementalTieredPairsFrom]]'s
@@ -457,12 +490,12 @@ object Clean {
     val fiDfs = indexDfSummary(fi).withColumnRenamed("df", "df_f")
       .localCheckpoint(true)
     val hits = dfs.withColumnRenamed("df", "df_b")
-      .join(broadcast(fiDfs), Seq("h"))
+      .join(hintIfSmall(fiDfs), Seq("h"))
       .localCheckpoint(true)
-    val okH = broadcast(
+    val okH = hintIfSmall(
       hits.filter(col("df_f") + col("df_b") <= dfCap).select(col("h"))
         .unionAll(fiDfs
-          .join(broadcast(hits.select(col("h"))), Seq("h"), "left_anti")
+          .join(hintIfSmall(hits.select(col("h"))), Seq("h"), "left_anti")
           .filter(col("df_f") <= dfCap).select(col("h")))
         .localCheckpoint(true))
     val cappedBase = baseIndex.join(okH, Seq("h"))
@@ -1059,7 +1092,9 @@ object Clean {
                                       i -> substr(s, CAST(i AS INT), 3))
                   ELSE [s] END) AS gram
            FROM t),
-         est AS (SELECT COALESCE(CAST(sum(df * (df - 1) // 2) AS BIGINT),
+         est AS (SELECT COALESCE(CAST(LEAST(
+                   sum(CAST(df AS HUGEINT) * (df - 1) // 2),
+                   CAST(9223372036854775807 AS HUGEINT)) AS BIGINT),
                    0) AS est
                  FROM (SELECT count(*) AS df FROM gr GROUP BY gram)),
          gs AS (SELECT doc_id, count(*) AS sz FROM gr GROUP BY doc_id),

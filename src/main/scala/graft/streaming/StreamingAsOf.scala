@@ -67,7 +67,8 @@ object StreamingAsOf {
       leftTsCol: String,
       rightTsCol: String,
       outDir: String,
-      dir: AsOfDir = AsOfDir.Backward): StreamingQuery =
+      dir: AsOfDir = AsOfDir.Backward): StreamingQuery = {
+    requirePartitionedLayout(spark, s"$outDir/rows")
     left.writeStream
       .option("checkpointLocation", s"$outDir/_chk")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -76,6 +77,33 @@ object StreamingAsOf {
           batchId, outDir)
       }
       .start()
+  }
+
+  /** Fail fast when `rowsDir` holds files from the pre-`batch_id`
+    * FLAT layout (data files directly under the root rather than in
+    * `batch_id=N/` partition directories). Resuming into such a
+    * directory would confuse partition discovery: Spark either errors
+    * on the mixed layout or silently reads a different schema. The
+    * layout change is breaking BY DESIGN — the idempotent replay
+    * contract needs the partition column — so old sinks must be
+    * migrated (or pointed at a fresh directory), never mixed.
+    */
+  def requirePartitionedLayout(spark: SparkSession, rowsDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(rowsDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val flat = fs.listStatus(path).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      require(
+        flat.isEmpty,
+        s"$rowsDir holds ${flat.length} data file(s) in the pre-batch_id flat " +
+          "layout (e.g. " + flat.take(3).map(_.getPath.getName).mkString(", ") +
+          "); the sink now writes batch_id=N/ partition directories. " +
+          "Migrate the old files or point the stream at a fresh outDir.")
+    }
+  }
 
   /** The idempotent per-batch sink — exposed so the spec can replay a
     * batchId and assert the overwrite-not-append contract. Dynamic

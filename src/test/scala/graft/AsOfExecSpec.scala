@@ -389,6 +389,14 @@ class AsOfExecSpec extends SparkSpec {
     assert(execKeyCounts(autoNull) === Seq(2))
     assert(rows(autoNull) === rows(AsOfJoin.asofJoinBackwardExec(
       nullHeavy, rightOf(nullHeavy), "k", "ts", "ts")))
+    // mismatched key types fail the PROBE with the join's own clear
+    // message, not a union-schema error from inside maxKeyTimelineRows
+    val intKeyed = uniform.withColumn("k", lit(7))
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoinAuto(intKeyed, rightOf(uniform),
+        "k", "ts", "ts", hotKeyRowThreshold = thr)
+    }
+    assert(ex.getMessage.contains("key type mismatch"), ex.getMessage)
   }
 
   test("self-join: same frame on both sides (fresh right exprIds)") {

@@ -590,6 +590,16 @@ class CleanSpec extends SparkSpec {
     assert(canon(Clean.nearDupAutoOn(docs,
       maxExactCandidates = 10L, knownCandidateEstimate = Some(5L)))
       === exact)
+    // the dispatch decision is SURFACED: onDispatch fires with the
+    // chosen tier and the statistic, on both branches — operators can
+    // detect a threshold crossing between runs without diffing rows
+    var seen = List.empty[Clean.NearDupDispatch]
+    Clean.nearDupAutoOn(docs, maxExactCandidates = est,
+      onDispatch = d => seen ::= d)
+    Clean.nearDupAutoOn(docs, maxExactCandidates = est - 1,
+      onDispatch = d => seen ::= d)
+    assert(seen.reverse.map(d => (d.tier, d.estimate, d.maxExactCandidates))
+      === List(("exact", est, est), ("tiered", est, est - 1)))
   }
 
   // ---- source overlap -----------------------------------------------

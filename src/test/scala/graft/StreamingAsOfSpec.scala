@@ -138,4 +138,29 @@ class StreamingAsOfSpec extends SparkSpec {
       assert(after.length === left.count(), "both batches present once")
     } finally prepared.unpersist()
   }
+
+  test("fail fast on a pre-batch_id flat sink layout: data files " +
+      "directly under rows/ refuse the stream start") {
+    implicit val sqlCtx = spark.sqlContext
+    val (left, right) = sides()
+    val out = java.nio.file.Files
+      .createTempDirectory("asof-stream-flat").toString
+    // simulate the OLD layout: un-partitioned parquet under rows/
+    left.limit(10).write.parquet(s"$out/rows")
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val ex = intercept[IllegalArgumentException] {
+      StreamingAsOf.streamingAsOfEnrich(
+        spark, mem.toDS().toDF("event_id", "ts", "user_id", "event_type"),
+        right, "user_id", "ts", "ts", out, AsOfDir.Backward)
+    }
+    assert(ex.getMessage.contains("flat"), ex.getMessage)
+    // a CORRECT partitioned sink (or an empty dir) passes the guard
+    val out2 = java.nio.file.Files
+      .createTempDirectory("asof-stream-part").toString
+    StreamingAsOf.writeBatch(StreamingAsOf.joinBatch(
+      left.limit(10), right, "user_id", "ts", "ts", AsOfDir.Backward),
+      0L, out2)
+    StreamingAsOf.requirePartitionedLayout(spark, s"$out2/rows")
+    StreamingAsOf.requirePartitionedLayout(spark, s"$out2/rows_absent")
+  }
 }
