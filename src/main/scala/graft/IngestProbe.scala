@@ -26,9 +26,20 @@ object IngestProbe {
       "/tmp/graft_sf1_replica_fd_v3")
     ScaleProbe.ensureDocReplica(spark, root, replicaDir)
 
+    // one more decade on request: the 100x fixed-density replica
+    // (~500k docs) extends the per-ingest O(batch + matches) evidence
+    // past the 50k ceiling. Opt-in (SPARK_GRAFT_DECADE=1) because the
+    // replica build + its full tiered pass add ~tens of minutes.
+    val decade = sys.env.get("SPARK_GRAFT_DECADE").contains("1")
+    val replica100Dir = sys.env.getOrElse("SPARK_GRAFT_REPLICA100_DIR",
+      "/tmp/graft_sf10_replica_fd_v1")
+    if (decade) ScaleProbe.ensureDocReplica100(spark, root, replica100Dir)
+
     val sources = Seq(
       "sf0.1" -> Tables.documents(spark, s"$root/sf0.1"),
-      "sf1rep" -> spark.read.parquet(replicaDir))
+      "sf1rep" -> spark.read.parquet(replicaDir)) ++
+      (if (decade) Seq("sf10rep" -> spark.read.parquet(replica100Dir))
+       else Nil)
     val rows = sources.map { case (name, docs) =>
       ScaleProbe.ingestLeg(name, docs) }
     val small = sources.map { case (name, docs) =>

@@ -102,6 +102,61 @@ object ScaleProbe {
     }
   }
 
+  /** Build (or reuse) the 100x fixed-density replica (~500k docs —
+    * one more decade of incremental-index evidence): the 10x
+    * replica's letter-rotation bijection composed with a SECOND
+    * rotation over a disjoint 10-letter alphabet — 100 distinct
+    * trigram-space bijections, so per-copy similarity structure (and
+    * thus candidate density per doc) is preserved exactly, the same
+    * fixed-density contract as [[ensureDocReplica]].
+    */
+  private[graft] def ensureDocReplica100(
+      spark: SparkSession, root: String, replicaDir: String): Unit = {
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(replicaDir, "_SUCCESS"))) {
+      val sf01 = Tables.documents(spark, s"$root/sf0.1")
+      val a1 = "aeiounrstl"
+      val a2 = "dmpbgcfhvw"
+      val copies = for (k1 <- 0 until 10; k2 <- 0 until 10) yield {
+        val m1 = a1.drop(k1) + a1.take(k1)
+        val m2 = a2.drop(k2) + a2.take(k2)
+        sf01.select(
+          (col("doc_id") * 100 + lit(k1 * 10 + k2)).as("doc_id"),
+          col("lang"), col("source"),
+          translate(translate(lower(trim(col("text"))), a1, m1), a2, m2)
+            .as("text"),
+          col("n_chars"))
+      }
+      copies.reduce(_.unionAll(_))
+        .repartition(64)
+        .write.mode("overwrite").parquet(replicaDir)
+    }
+  }
+
+  /** geo3 containment leg: wall + candidate count + hits for one
+    * point scale against the fixed 25-polygon dim side. The scale
+    * claim this records: cost is CANDIDATE-bound (points × covering
+    * polygons sharing a cell), never points × polygons.
+    */
+  private[graft] def geoLeg(
+      spark: SparkSession, name: String, ids: org.apache.spark.sql.DataFrame,
+      polys: org.apache.spark.sql.DataFrame)
+      : (String, Long, scala.collection.immutable.SeqMap[String, Double],
+         scala.collection.immutable.SeqMap[String, Long]) = {
+    val pts = graft.queries.Geo.pointsOfKeys(ids).localCheckpoint(true)
+    val n = pts.count()
+    val cands = graft.queries.Geo.geo3Candidates(pts, polys).count()
+    val (tG, hits) = timeSec(graft.queries.Geo.geo3On(pts, polys).count())
+    System.err.println(
+      f"[probe] geo $name%-7s n=$n%8d geo3=$tG%6.2fs " +
+        f"cands=$cands%8d hits=$hits%7d " +
+        f"(cands/n=${cands.toDouble / n}%.2f)")
+    (name, n,
+      scala.collection.immutable.SeqMap("geo3_sec" -> tG),
+      scala.collection.immutable.SeqMap(
+        "geo3_cands" -> cands, "geo3_hits" -> hits))
+  }
+
   /** Growth exponent: slope of log(t) vs log(n) over a series. */
   private[graft] def slope(pts: Seq[(Double, Double)]): Double = {
     val n = pts.size
@@ -730,6 +785,29 @@ object ScaleProbe {
         f"forced_chunked=$tAutoForced%6.2fs " +
         f"(plain=$tAsofPlainS%6.2fs chunked=$tAsofChunkS%6.2fs)")
 
+    // ---- geo containment legs (geo3): the grid-cell candidate join
+    // must grow with the POINT side (polygons are a fixed 25-row dim,
+    // broadcast) — candidate counts recorded next to the wall so the
+    // "candidate-bound, never point × polygon" claim is a number.
+    // The 10x leg multiplies point IDs (fresh md5 coords per id), the
+    // same uniform-density contract as the other replicas.
+    val custScales: Seq[(String, DataFrame)] = Seq(
+      "sf0.01" -> Tables.customer(spark, s"$root/sf0.01")
+        .select(col("c_custkey").as("id")),
+      "sf0.1" -> Tables.customer(spark, s"$root/sf0.1")
+        .select(col("c_custkey").as("id")),
+      "cust10x" -> {
+        val c01 = Tables.customer(spark, s"$root/sf0.1")
+          .select(col("c_custkey").as("id"))
+        (0 until 10).map(k =>
+          c01.select((col("id") * 10 + lit(k)).as("id")))
+          .reduce(_.unionAll(_))
+      })
+    val geoPolys = graft.queries.Geo.polygons(spark, s"$root/sf0.01")
+      .localCheckpoint(true)
+    val geoRows = custScales.map { case (name, ids) =>
+      geoLeg(spark, name, ids, geoPolys) }
+
     // ingest-lifecycle legs (round-11 verdict ask #3): per-ingest wall
     // must be ~O(batch), not O(corpus) — K=3 successive 1/8 ingests
     // through the appended index + final compaction, vs the full
@@ -772,10 +850,16 @@ object ScaleProbe {
       val sj = secs.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
       s""""$name":""" + sj.mkString("{\"n\":" + n + ",", ",", "}")
     }.mkString("{", ",", "}")
+    val gj = geoRows.map { case (name, n, secs, cnts) =>
+      val sj = secs.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
+      val cj = cnts.map { case (k, v) => s""""$k":$v""" }
+      s""""$name":""" + (sj ++ cj).mkString("{\"n\":" + n + ",", ",", "}")
+    }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"scale_probe","scales":$qs,""" +
       s""""emb_scales":$ej,""" +
       s""""asof_scales":$aj,""" +
+      s""""geo_scales":$gj,""" +
       s""""asof_skew":{"n":$nAsofS,""" +
       s""""plain_exec_sec":${f"$tAsofPlainS%.2f"},""" +
       s""""chunked_exec_sec":${f"$tAsofChunkS%.2f"},""" +
@@ -798,6 +882,7 @@ object ScaleProbe {
       s""""pipe5_sec":${f"$tp5s%.2f"},"pipe5_rows":$np5s},""" +
       expJson(rows.map(r => (r._2, r._3))) + "," +
       expJson(embRows.map(r => (r._2, r._3))) + "," +
-      expJson(asofRows.map(r => (r._2, r._3))) + "}")
+      expJson(asofRows.map(r => (r._2, r._3))) + "," +
+      expJson(geoRows.map(r => (r._2, r._3))) + "}")
   }
 }

@@ -117,17 +117,113 @@ object Geo {
       .select(col("cy"), col("cx"), col("n"), col("kernel_n"))
   }
 
+  /** Fixed 12-direction table for the synthetic polygons — two-decimal
+    * constants (NOT sin/cos calls: libm transcendentals are the one
+    * piece of double arithmetic that may differ in ulp between JVMs
+    * and DuckDB; exact decimal literals parse to the identical double
+    * on both engines, and +,-,*,/ on identical doubles are IEEE-
+    * deterministic). Angularly ordered with positive radii, so each
+    * polygon is star-shaped around its center — simple (non-self-
+    * intersecting) but non-convex when the per-vertex radii differ,
+    * exercising the general ray-cast.
+    */
+  private val polyDirs: Seq[(Double, Double)] = Seq(
+    (1.0, 0.0), (0.87, 0.5), (0.5, 0.87), (0.0, 1.0), (-0.5, 0.87),
+    (-0.87, 0.5), (-1.0, 0.0), (-0.87, -0.5), (-0.5, -0.87),
+    (0.0, -1.0), (0.5, -0.87), (0.87, -0.5))
+
+  /** Deterministic per-nation polygons: md5-derived center in
+    * [-45, 45) × [-150, 150) and per-vertex radius 2..6 deg lat
+    * (aspect 2 in lon), so every polygon stays inside the point
+    * domain and covers a handful of grid cells.
+    */
+  private[graft] def polygons(s: SparkSession, d: String): DataFrame = {
+    val k = col("n_nationkey")
+    val cy = (pmod(hex4(k, "py"), lit(9000L)).cast("double") / 100.0) - 45.0
+    val cx = (pmod(hex4(k, "px"), lit(30000L)).cast("double") / 100.0) - 150.0
+    def r(i: Int): Column =
+      lit(2.0) + pmod(hex4(k, "v" + i), lit(400L)).cast("double") / 100.0
+    val ys = array(polyDirs.zipWithIndex.map { case ((_, dy), i) =>
+      cy + r(i) * lit(dy) }: _*)
+    val xs = array(polyDirs.zipWithIndex.map { case ((dx, _), i) =>
+      cx + lit(2.0) * r(i) * lit(dx) }: _*)
+    Tables.nation(s, d).select(k.as("poly_id"), xs.as("xs"), ys.as("ys"))
+  }
+
+  /** geo3: point-in-polygon containment join — the PostGIS-shaped
+    * capability the reference provisions for its boundaries datasets
+    * (reference `tests/test_load_dataset.py:46-50`,
+    * `docker-compose.yml:26`), re-expressed as the geo1 grid pattern:
+    * each polygon scatters to its bounding-box grid cells (a slim
+    * (cy, cx, poly) frame — polygons are the DIM side and broadcast),
+    * points carry their single cell, the candidate equi-join on the
+    * cell key replaces the quadratic point × polygon cross join, and
+    * the exact even-odd ray cast
+    * ([[graft.functions.GeoFunctions.point_in_polygon]], a codegen'd
+    * native expression) verifies candidates. A point inside a polygon
+    * is inside its bounding box, so its cell is among the polygon's
+    * covering cells — the candidate set loses nothing, which the
+    * DuckDB oracle proves by replaying the NAIVE cross join with the
+    * same analytic ray cast.
+    *
+    * 100 TB shape: the point side never shuffles for the polygon
+    * lookup (broadcast cells), candidates are bounded by points ×
+    * covering-polygons-per-cell, and the verify is one codegen loop
+    * per candidate. With a polygon side too big to broadcast, the
+    * same plan becomes a shuffle equi-join on the cell key — still
+    * never a nested loop.
+    */
+  def geo3PointInPolygon(s: SparkSession, d: String): DataFrame =
+    geo3On(points(s, d), polygons(s, d))
+
+  /** The candidate stage alone — (point, polygon) rows sharing a grid
+    * cell, BEFORE the ray-cast verify. Exposed for ScaleProbe: geo3's
+    * scale claim is that cost is candidate-bound (cells × covering
+    * polygons), not point × polygon, so the probe records this count
+    * next to the wall.
+    */
+  private[graft] def geo3Candidates(pts: DataFrame, polys: DataFrame)
+      : DataFrame = {
+    val cells = polys
+      .select(col("poly_id"), col("xs"), col("ys"),
+        explode(sequence(floor(array_min(col("ys")) / 3.0).cast("long"),
+          floor(array_max(col("ys")) / 3.0).cast("long"))).as("cy"))
+      .select(col("poly_id"), col("xs"), col("ys"), col("cy"),
+        explode(sequence(floor(array_min(col("xs")) / 6.0).cast("long"),
+          floor(array_max(col("xs")) / 6.0).cast("long"))).as("cx"))
+    pts
+      .withColumn("cy", floor(col("lat") / 3.0))
+      .withColumn("cx", floor(col("lon") / 6.0))
+      .join(broadcast(cells), Seq("cy", "cx"))
+  }
+
+  private[graft] def geo3On(pts: DataFrame, polys: DataFrame): DataFrame =
+    geo3Candidates(pts, polys)
+      .filter(graft.functions.GeoFunctions.point_in_polygon(
+        col("lon"), col("lat"), col("xs"), col("ys")))
+      .select(col("id"), col("poly_id"))
+
+  /** Points for an arbitrary id frame (ScaleProbe's replica leg) —
+    * same md5 projection as [[points]], keyed on `id`.
+    */
+  private[graft] def pointsOfKeys(ids: DataFrame): DataFrame =
+    ids.select(col("id"), lat(col("id")).as("lat"), lon(col("id")).as("lon"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo1_radius_pairs" -> (geo1RadiusPairs _),
-    "geo2_kernel_density" -> (geo2KernelDensity _))
+    "geo2_kernel_density" -> (geo2KernelDensity _),
+    "geo3_point_in_polygon" -> (geo3PointInPolygon _))
 
-  private def hex4Sql(salt: String): String = {
-    val m = s"md5(CAST(c_custkey AS VARCHAR) || '#$salt')"
+  private def hex4SqlOf(arg: String): String = {
+    val m = s"md5($arg)"
     s"""((strpos('0123456789abcdef', substr($m, 1, 1)) - 1) * 4096 +
         (strpos('0123456789abcdef', substr($m, 2, 1)) - 1) * 256 +
         (strpos('0123456789abcdef', substr($m, 3, 1)) - 1) * 16 +
         (strpos('0123456789abcdef', substr($m, 4, 1)) - 1))"""
   }
+
+  private def hex4Sql(salt: String): String =
+    hex4SqlOf(s"CAST(c_custkey AS VARCHAR) || '#$salt'")
 
   private val ptsCte =
     s"""pts AS MATERIALIZED (
@@ -170,5 +266,39 @@ object Geo {
            GROUP BY 1, 2)
          SELECT cells.cy, cells.cx, n, kernel_n
          FROM cells JOIN scattered
-           ON cells.cy = scattered.cy AND cells.cx = scattered.cx""")
+           ON cells.cy = scattered.cy AND cells.cx = scattered.cx""",
+    // the oracle is the NAIVE point × polygon cross join with the
+    // same analytic even-odd ray cast — DuckDB proves the grid-cell
+    // candidate generator loses nothing. Vertex arithmetic uses only
+    // exact decimal literals and +,-,*,/ on md5-derived doubles, so
+    // both engines compute bit-identical polygons (see polyDirs doc).
+    "geo3_point_in_polygon" -> {
+      val hv = hex4SqlOf(
+        "CAST(n_nationkey AS VARCHAR) || '#v' || CAST(i AS VARCHAR)")
+      val hy = hex4SqlOf("CAST(n_nationkey AS VARCHAR) || '#py'")
+      val hx = hex4SqlOf("CAST(n_nationkey AS VARCHAR) || '#px'")
+      val dxs = polyDirs.map(_._1).mkString("[", ", ", "]")
+      val dys = polyDirs.map(_._2).mkString("[", ", ", "]")
+      s"""WITH $ptsCte,
+         nvert AS MATERIALIZED (
+           SELECT n_nationkey AS poly_id, i,
+                  (CAST($hx % 30000 AS DOUBLE) / 100.0 - 150.0)
+                    + 2.0 * (2.0 + CAST($hv % 400 AS DOUBLE) / 100.0)
+                      * ($dxs[CAST(i AS INT) + 1]) AS x,
+                  (CAST($hy % 9000 AS DOUBLE) / 100.0 - 45.0)
+                    + (2.0 + CAST($hv % 400 AS DOUBLE) / 100.0)
+                      * ($dys[CAST(i AS INT) + 1]) AS y
+           FROM nation CROSS JOIN (SELECT unnest(range(12)) AS i)),
+         e AS MATERIALIZED (
+           SELECT a.poly_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+           FROM nvert a JOIN nvert b
+             ON a.poly_id = b.poly_id AND b.i = (a.i + 11) % 12),
+         hits AS (
+           SELECT p.id, e.poly_id,
+                  count(*) FILTER (WHERE (e.y1 > p.lat) != (e.y2 > p.lat)
+                    AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                                / (e.y2 - e.y1) + e.x1) AS c
+           FROM pts p CROSS JOIN e GROUP BY 1, 2)
+         SELECT id, poly_id FROM hits WHERE c % 2 = 1"""
+    })
 }

@@ -287,7 +287,7 @@ object StreamingDedup {
       dfCap: Int = 16,
       delayMs: Long = 2 * 3600 * 1000L): Dataset[SharedHash] = {
     import spark.implicits._
-    docs
+    val events = docs
       .withWatermark("ts", s"$delayMs milliseconds")
       .select(col("ts"), col(idCol).cast("long").as("id"),
         explode(array_distinct(transform(
@@ -295,6 +295,24 @@ object StreamingDedup {
             lower(trim(col(textCol))), k, w),
           key => substring(key, 1, 32)))).as("h"))
       .as[FpEvent]
+    bucketPairs(spark, events, dfCap, delayMs)
+  }
+
+  /** The shared keyed-bucket co-selection kernel: events keyed by
+    * fingerprint hash, each bucket's state is its member id list, a
+    * new member emits one [[SharedHash]] against every existing
+    * member; `dfCap` tombstones a bucket past the cap (pass
+    * `Int.MaxValue` for the exact-recall regime where buckets must
+    * never drop). Extracted so the winnow (tiered) and hash-prefix
+    * (exact) faces share one stateful operator implementation.
+    */
+  private def bucketPairs(
+      spark: SparkSession,
+      events: Dataset[FpEvent],
+      dfCap: Int,
+      delayMs: Long): Dataset[SharedHash] = {
+    import spark.implicits._
+    events
       .groupByKey(_.h)
       .flatMapGroupsWithState[FpBucket, SharedHash](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -513,24 +531,146 @@ object StreamingDedup {
       dfCap: Int = 16,
       delayMs: Long = 2 * 3600 * 1000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[SharedHash] = {
-    val pairsDir = s"$outDir/pairs"
     streamingWinnowShared(spark, docsStream, idCol, textCol,
         dfCap = dfCap, delayMs = delayMs)
       .writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
-      .foreachBatch { (batch: Dataset[SharedHash], _: Long) =>
-        val cands = batch.toDF()
-          .select(col("id_a"), col("id_b")).distinct()
-        val prior =
-          try Some(spark.read.parquet(pairsDir)
-            .select(col("id_a"), col("id_b")))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
-        val fresh = prior
-          .map(p => cands.join(p, Seq("id_a", "id_b"), "left_anti"))
-          .getOrElse(cands)
-        Dedup.exactJaccardScores(corpus, idCol, textCol, fresh)
-          .filter(col("jaccard") >= threshold)
-          .write.mode("append").parquet(pairsDir)
-      }
+      .foreachBatch(
+        verifyPublish(spark, corpus, idCol, textCol, outDir, threshold))
+  }
+
+  /** The shared per-trigger verify-and-publish sink for the candidate
+    * streams: dedupe the batch's candidates, anti-join the published
+    * pair store (emit-once), exact-verify against the corpus store,
+    * append survivors. See [[streamingTieredNearDup]] for the full
+    * contract discussion.
+    */
+  private def verifyPublish(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      threshold: Double): (Dataset[SharedHash], Long) => Unit = {
+    val pairsDir = s"$outDir/pairs"
+    (batch: Dataset[SharedHash], _: Long) => {
+      val cands = batch.toDF()
+        .select(col("id_a"), col("id_b")).distinct()
+      val prior =
+        try Some(spark.read.parquet(pairsDir)
+          .select(col("id_a"), col("id_b")))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val fresh = prior
+        .map(p => cands.join(p, Seq("id_a", "id_b"), "left_anti"))
+        .getOrElse(cands)
+      Dedup.exactJaccardScores(corpus, idCol, textCol, fresh)
+        .filter(col("jaccard") >= threshold)
+        .write.mode("append").parquet(pairsDir)
+    }
+  }
+
+  /** Streaming face of the EXACT-RECALL near-dup tier
+    * ([[graft.dedup.Dedup.exactJaccardPairs]]): arriving documents
+    * emit their AllPairs PREFIX gram hashes, the shared bucket kernel
+    * (no cap — exact recall cannot drop buckets) keys by hash and
+    * emits candidates, and each trigger verifies fresh candidates
+    * against the corpus store with the same exact merge-scan kernel.
+    *
+    * Prefix correctness without global document frequency: the batch
+    * operator orders each doc's grams by rarity to keep the candidate
+    * join slim, but ANY total order shared by all docs preserves the
+    * guarantee (two docs with J >= t must share a gram in their first
+    * |set| - ceil(t*|set|) + 1 grams under the COMMON order). A stream
+    * cannot know global dfs, so this face orders by the gram's xxhash64
+    * — fixed, data-independent, identically computable per row. The
+    * cost of losing rarity-first is bucket-size variance, which is
+    * exactly what the auto dispatcher's Σ C(df,2) statistic bounds:
+    * this face is only chosen when the whole candidate family is
+    * small.
+    *
+    * Batch==stream: candidates are a superset of true pairs on BOTH
+    * faces (different supersets — prefix order differs), and the
+    * exact verify keeps precisely the true pairs, so the published
+    * set equals [[graft.dedup.Dedup.exactJaccardPairs]] row-for-row
+    * with no cap caveat at all (StreamingSpec proves it).
+    */
+  def streamingExactJaccardPairs(
+      spark: SparkSession,
+      docsStream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      delayMs: Long = 2 * 3600 * 1000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[SharedHash] = {
+    import spark.implicits._
+    val sorted = sort_array(transform(
+      graft.functions.HashFunctions.char_ngram_set(
+        lower(trim(col(textCol))), n), g0 => xxhash64(g0)))
+    val prefixLen =
+      (size(col("__sh")) - ceil(lit(threshold) * size(col("__sh")))
+        + 1).cast("int")
+    val events = docsStream
+      .withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("ts"), col(idCol).cast("long").as("id"),
+        sorted.as("__sh"))
+      .select(col("ts"), col("id"),
+        explode(transform(slice(col("__sh"), lit(1), prefixLen),
+          h => h.cast("string"))).as("h"))
+      .as[FpEvent]
+    bucketPairs(spark, events, Int.MaxValue, delayMs)
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch(
+        verifyPublish(spark, corpus, idCol, textCol, outDir, threshold))
+  }
+
+  /** AUTO-DISPATCHING streaming near-dup — the streaming face of
+    * [[graft.queries.Clean.nearDupAutoOn]], closing the loop on the
+    * batch dispatcher: the SAME Σ C(df,2) trigram statistic
+    * ([[graft.queries.Clean.exactTierCandidateEstimate]]) is computed
+    * over the CORPUS STORE at stream start (the dd11-auto pattern:
+    * dispatch on the static side, the stream itself is never scanned
+    * twice) and picks the exact-recall face
+    * ([[streamingExactJaccardPairs]]) under `maxExactCandidates`, the
+    * tiered winnow face ([[streamingTieredNearDup]]) past it. The
+    * dispatch decision is surfaced through `onDispatch` exactly like
+    * the batch form, so operators see tier flips between deploys.
+    *
+    * The corpus store is the right dispatch domain: it is what the
+    * verify join scans every trigger, and at 100 TB it is the
+    * append-only ingest table whose gram-frequency profile the
+    * arriving stream follows (the stream IS the corpus arriving).
+    * StreamingSpec proves batch==stream on BOTH branches.
+    */
+  def streamingNearDupAuto(
+      spark: SparkSession,
+      docsStream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      threshold: Double = 0.8,
+      dfCap: Int = 16,
+      maxExactCandidates: Long =
+        graft.queries.Clean.DefaultMaxExactCandidates,
+      knownCandidateEstimate: Option[Long] = None,
+      delayMs: Long = 2 * 3600 * 1000L,
+      onDispatch: graft.queries.Clean.NearDupDispatch => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[SharedHash] = {
+    val est = knownCandidateEstimate.getOrElse(
+      graft.queries.Clean.exactTierCandidateEstimate(
+        corpus.select(col(textCol).as("text"))))
+    val tier = if (est <= maxExactCandidates) "exact" else "tiered"
+    onDispatch(graft.queries.Clean.NearDupDispatch(
+      tier, est, maxExactCandidates))
+    if (tier == "exact")
+      streamingExactJaccardPairs(spark, docsStream, corpus, idCol,
+        textCol, outDir, threshold = threshold, delayMs = delayMs)
+    else
+      streamingTieredNearDup(spark, docsStream, corpus, idCol, textCol,
+        outDir, threshold, dfCap, delayMs)
   }
 }

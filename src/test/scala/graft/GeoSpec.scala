@@ -37,6 +37,57 @@ class GeoSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("point_in_polygon: known fixtures — unit square, concave " +
+      "polygon, interpreted and codegen paths agree") {
+    import graft.functions.GeoFunctions.point_in_polygon
+    import spark.implicits._
+    // (px, py, expected) against the unit square (0,0)-(1,1)
+    val sq = Seq(
+      (0.5, 0.5, true), (1.5, 0.5, false), (-0.5, 0.5, false),
+      (0.5, 1.5, false), (0.5, -0.5, false),
+      (0.999, 0.999, true), (0.001, 0.001, true))
+    val sqDf = sq.toDF("px", "py", "want")
+      .withColumn("xs", array(lit(0.0), lit(1.0), lit(1.0), lit(0.0)))
+      .withColumn("ys", array(lit(0.0), lit(0.0), lit(1.0), lit(1.0)))
+    // a concave "C" shape: the notch (2, 1) is OUTSIDE though inside
+    // the bounding box — the case a bbox test gets wrong
+    val c = Seq((0.5, 1.0, true), (2.0, 1.0, false), (2.0, 1.75, true),
+      (3.5, 1.0, false))
+    val cDf = c.toDF("px", "py", "want")
+      .withColumn("xs", array(Seq(0.0, 3.0, 3.0, 1.0, 1.0, 3.0, 3.0, 0.0)
+        .map(lit): _*))
+      .withColumn("ys", array(Seq(0.0, 0.0, 0.5, 0.5, 1.5, 1.5, 2.0, 2.0)
+        .map(lit): _*))
+    for (df <- Seq(sqDf, cDf); codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val bad = df.withColumn("got",
+            point_in_polygon(col("px"), col("py"), col("xs"), col("ys")))
+          .filter(col("got") =!= col("want")).collect()
+        assert(bad.isEmpty, s"codegen=$codegen: ${bad.mkString(",")}")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("geo3: grid candidates find exactly the naive cross-join " +
+      "containment pairs, and polygons produce hits") {
+    import graft.functions.GeoFunctions.point_in_polygon
+    val got = Geo.geo3PointInPolygon(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet
+    val naive = pts.crossJoin(Geo.polygons(spark, sf))
+      .filter(point_in_polygon(col("lon"), col("lat"), col("xs"), col("ys")))
+      .select(col("id"), col("poly_id")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet
+    assert(got == naive, s"grid ${got.size} vs naive ${naive.size}")
+    assert(naive.nonEmpty, "degenerate fixture: no containment hits")
+    // the dim side broadcasts; no cartesian/nested-loop in the plan
+    val plan = Geo.geo3PointInPolygon(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("geo2: kernel_n is the 3x3 neighborhood sum and >= own n") {
     val rows = Geo.geo2KernelDensity(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)),

@@ -1039,6 +1039,59 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture must contain tiered near-dup pairs")
   }
 
+  test("streaming near-dup AUTO dispatch: the corpus-store statistic " +
+      "picks the tier, onDispatch surfaces it, and BOTH branches equal " +
+      "their batch duals pair-for-pair") {
+    implicit val sqlCtx = spark.sqlContext
+    val real = Tables.documents(spark, sf)
+    val feed = real.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    var dispatches = List.empty[graft.queries.Clean.NearDupDispatch]
+    def run(forcedEst: Option[Long]): Set[(Long, Long, Double)] = {
+      val out = java.nio.file.Files
+        .createTempDirectory("auto-stream").toString
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      val q = graft.streaming.StreamingDedup.streamingNearDupAuto(
+          spark, mem.toDS().toDF("ts", "doc_id", "text"), real,
+          "doc_id", "text", out, threshold = 0.8, dfCap = 50,
+          knownCandidateEstimate = forcedEst, delayMs = 60000L,
+          onDispatch = d => dispatches ::= d)
+        .start()
+      try {
+        val (a, b) = feed.splitAt(feed.length / 2)
+        mem.addData(a.map { case (id, t) => (ts(0), id, t) }
+          .toIndexedSeq: _*)
+        q.processAllAvailable()
+        mem.addData(b.map { case (id, t) => (ts(1), id, t) }
+          .toIndexedSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.read.parquet(s"$out/pairs")
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.length === rows.toSet.size, "pair re-emitted")
+      rows.toSet
+    }
+    // under the threshold -> the EXACT face, equal to the batch
+    // exact-recall operator with no cap caveat
+    val exact = run(forcedEst = Some(1L))
+    val exactBatch = graft.dedup.Dedup
+      .exactJaccardPairs(real, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact === exactBatch)
+    assert(exactBatch.nonEmpty, "fixture must contain exact pairs")
+    // over the threshold -> the TIERED face, equal to batch dd20
+    val tiered = run(forcedEst = Some(Long.MaxValue))
+    val tieredBatch = graft.queries.Clean
+      .tieredNearDupPairsOn(real, threshold = 0.8, dfCap = 50)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(tiered === tieredBatch)
+    // the dispatch decision is surfaced on both branches
+    assert(dispatches.reverse.map(_.tier) === List("exact", "tiered"))
+  }
+
   test("streaming winnowing co-selection: a hot template tombstones " +
       "its buckets — emissions per hash stay under C(dfCap, 2)") {
     implicit val sqlCtx = spark.sqlContext
