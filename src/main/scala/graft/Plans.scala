@@ -113,7 +113,9 @@ object Plans {
       "rho1_excess_loss" ->
         "excess-loss selection: two LM aggregates joined per doc, prefix-rank per language",
       "dd18_multiset_contamination" ->
-        "multi-benchmark decontamination: one set-tagged gram broadcast, two corpus gram passes for the whole suite")
+        "multi-benchmark decontamination: one set-tagged gram broadcast, two corpus gram passes for the whole suite",
+      "geo3_point_in_polygon" ->
+        "containment join: bbox-cell broadcast dim, cell-key candidates, codegen ray-cast verify, no cross join")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")

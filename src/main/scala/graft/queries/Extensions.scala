@@ -2174,7 +2174,23 @@ object Extensions {
     * pipe2 and pipe5 duals as subqueries — DuckDB independently picks
     * AND computes whichever composition the Spark dispatcher picked
     * at this scale.
+    *
+    * The gate is pushed into each dual's CORPUS input (not just a
+    * row filter over its output): a scalar WHERE on the outer SELECT
+    * does not stop DuckDB from evaluating the dead dual's CTE chain,
+    * and at sf0.1 the un-picked pipe2 dual's exact all-pairs join
+    * spilled >79 GB of temp before failing the whole check. With the
+    * input gated, the dead branch's pipeline runs over ZERO corpus
+    * rows (its eval-side CTEs stay trivially small) while the picked
+    * branch's corpus predicate is identically true — so the emitted
+    * rows are unchanged and the dispatch is still replayed in-engine.
     */
+  private def estGated(dual: String, pred: String): String = {
+    val anchor = "WHERE doc_id % 97 <> 0)"
+    require(dual.contains(anchor), "pipe6 oracle: corpus anchor missing")
+    dual.replace(anchor, s"WHERE doc_id % 97 <> 0 AND $pred)")
+  }
+
   private val pipe6OracleSql =
     s"""WITH est_t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
        est_g AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(
@@ -2187,10 +2203,12 @@ object Extensions {
                SELECT COALESCE(CAST(sum(df * (df - 1) // 2) AS BIGINT), 0)
                  AS est
                FROM (SELECT count(*) AS df FROM est_g GROUP BY gram))
-       SELECT * FROM ($pipe2OracleSql)
+       SELECT * FROM (${estGated(pipe2OracleSql,
+        "(SELECT est FROM est) <= 100000000")})
        WHERE (SELECT est FROM est) <= 100000000
        UNION ALL
-       SELECT * FROM ($pipe5OracleSql)
+       SELECT * FROM (${estGated(pipe5OracleSql,
+        "(SELECT est FROM est) > 100000000")})
        WHERE (SELECT est FROM est) > 100000000"""
 
   val oracles: Map[String, String] = Map(
