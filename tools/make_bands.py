@@ -45,7 +45,12 @@ def vintage_hash(sf_dir: str):
 # g2 11.9-13.1->14.2-16.4, dd12 3.1->5.6 with untouched plans. Bands
 # should be regenerated from each round's own quiet run.
 PROSE_HI = {
-    "dd7_exact_jaccard": 15.5,      # 13.6/14.0 on the r14 vintage pair
+    "dd7_exact_jaccard": 15.5,      # r22: 3 isolated same-session
+                                    # reads 8.38/9.70/13.09 at canary
+                                    # 0.136-0.149, 256 pairs — the
+                                    # spread is run-to-run variance of
+                                    # the salted join, NOT vintage
+                                    # density (13.6/14.0 r14 pair)
     "dd6_cluster_keep": 15.0,       # 9.6/14.5 r14 pair (16.7 r13b one-off)
     "pipe2_training_prep": 23.0,    # 19.3/19.9 r14 pair, 18-23 recorded
     "g2_pagerank": 17.0,            # 11.1/11.9 r14; 14.2/16.4 r8 vintage
