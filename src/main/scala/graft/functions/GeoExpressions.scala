@@ -48,12 +48,22 @@ case class PointInPolygon(
           s"array<double>), got ${a.sql} / ${b.sql} / ${c.sql} / ${d.sql}")
     }
 
+  // Vertex elements must be NON-NULL: ArrayData.getDouble reads a
+  // null slot as 0.0, which would silently teleport a vertex to the
+  // axis. The length check below is enforced at runtime (a truncated
+  // polygon is a silently wrong verdict, not a degraded one); null
+  // slots are a documented precondition — the engine's polygon frames
+  // are built from non-null arithmetic.
   override def nullSafeEval(pxA: Any, pyA: Any, xsA: Any, ysA: Any): Any = {
     val px = pxA.asInstanceOf[Double]
     val py = pyA.asInstanceOf[Double]
     val xs = xsA.asInstanceOf[ArrayData]
     val ys = ysA.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    if (xs.numElements() != ys.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: xs has ${xs.numElements()} vertices but ys has " +
+          s"${ys.numElements()} — the coordinate arrays must be parallel")
+    val n = xs.numElements()
     var inside = false
     var j = n - 1
     var i = 0
@@ -78,7 +88,13 @@ case class PointInPolygon(
       val yj = ctx.freshName("yj")
       val inside = ctx.freshName("inside")
       s"""
-         |int $n = java.lang.Math.min($xs.numElements(), $ys.numElements());
+         |if ($xs.numElements() != $ys.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "point_in_polygon: xs has " + $xs.numElements() +
+         |    " vertices but ys has " + $ys.numElements() +
+         |    " — the coordinate arrays must be parallel");
+         |}
+         |int $n = $xs.numElements();
          |boolean $inside = false;
          |int $j = $n - 1;
          |for (int $i = 0; $i < $n; $i++) {

@@ -255,6 +255,17 @@ object Clean {
 
   private val dispatchLog = org.slf4j.LoggerFactory.getLogger("graft.queries.Clean")
 
+  /** The one log line every dispatch face emits (batch and streaming)
+    * — named fields, and the cap labeled as what it is (NOT
+    * "threshold", which this operator family already uses for the
+    * Jaccard similarity bound).
+    */
+  private[graft] def logNearDupDispatch(
+      caller: String, d: NearDupDispatch): Unit =
+    dispatchLog.info(
+      "{} dispatch: tier={} estimate={} max_exact_candidates={}",
+      caller, d.tier, d.estimate, d.maxExactCandidates)
+
   def nearDupAutoOn(docs: DataFrame, threshold: Double = 0.8,
       dfCap: Int = 16,
       maxExactCandidates: Long = DefaultMaxExactCandidates,
@@ -263,8 +274,8 @@ object Clean {
     val est = knownCandidateEstimate
       .getOrElse(exactTierCandidateEstimate(docs))
     val tier = if (est <= maxExactCandidates) "exact" else "tiered"
-    dispatchLog.info("nearDupAutoOn dispatch: tier={} estimate={} threshold={}",
-      tier, est, maxExactCandidates)
+    logNearDupDispatch("nearDupAutoOn",
+      NearDupDispatch(tier, est, maxExactCandidates))
     onDispatch(NearDupDispatch(tier, est, maxExactCandidates))
     if (tier == "exact")
       graft.dedup.Dedup.exactJaccardPairs(docs, "doc_id", "text",

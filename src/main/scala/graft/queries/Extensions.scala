@@ -2200,7 +2200,9 @@ object Extensions {
                         ELSE [s] END) AS gram
                  FROM est_t),
        est AS MATERIALIZED (
-               SELECT COALESCE(CAST(sum(df * (df - 1) // 2) AS BIGINT), 0)
+               SELECT COALESCE(CAST(LEAST(
+                   sum(CAST(df AS HUGEINT) * (df - 1) // 2),
+                   CAST(9223372036854775807 AS HUGEINT)) AS BIGINT), 0)
                  AS est
                FROM (SELECT count(*) AS df FROM est_g GROUP BY gram))
        SELECT * FROM (${estGated(pipe2OracleSql,

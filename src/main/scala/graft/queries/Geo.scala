@@ -191,10 +191,19 @@ object Geo {
       .select(col("poly_id"), col("xs"), col("ys"), col("cy"),
         explode(sequence(floor(array_min(col("xs")) / 6.0).cast("long"),
           floor(array_max(col("xs")) / 6.0).cast("long"))).as("cx"))
+    // the broadcast hint is guarded like Clean.hintIfSmall: an
+    // unconditional hint on an oversized polygon dim would fail at
+    // the broadcast limit instead of degrading to the shuffle
+    // equi-join the scaladoc promises — the checkpointed cells frame
+    // makes the row count a cheap cached scan
+    val cellsCk = cells.localCheckpoint(true)
+    val dim =
+      if (cellsCk.count() <= 4L * 1000 * 1000) broadcast(cellsCk)
+      else cellsCk
     pts
       .withColumn("cy", floor(col("lat") / 3.0))
       .withColumn("cx", floor(col("lon") / 6.0))
-      .join(broadcast(cells), Seq("cy", "cx"))
+      .join(dim, Seq("cy", "cx"))
   }
 
   private[graft] def geo3On(pts: DataFrame, polys: DataFrame): DataFrame =

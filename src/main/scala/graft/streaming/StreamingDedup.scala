@@ -644,6 +644,18 @@ object StreamingDedup {
     * append-only ingest table whose gram-frequency profile the
     * arriving stream follows (the stream IS the corpus arriving).
     * StreamingSpec proves batch==stream on BOTH branches.
+    *
+    * Checkpoint safety across a tier FLIP: the two faces key their
+    * stateful buckets by INCOMPATIBLE hash families (xxhash64 gram
+    * prefixes vs md5 winnow fingerprints), so resuming an exact-face
+    * checkpoint under the tiered face (corpus grew past the cap
+    * between deploys) would restore state whose keys the new face
+    * never matches — pre-flip × post-flip pairs silently lost. The
+    * picked tier is therefore recorded in `outDir/_tier` and a
+    * mismatching resume FAILS FAST (same contract as
+    * [[StreamingAsOf.requirePartitionedLayout]]): start a fresh
+    * outDir, or pin the tier via `knownCandidateEstimate`, after a
+    * batch pass has re-adjudicated the corpus.
     */
   def streamingNearDupAuto(
       spark: SparkSession,
@@ -664,13 +676,44 @@ object StreamingDedup {
       graft.queries.Clean.exactTierCandidateEstimate(
         corpus.select(col(textCol).as("text"))))
     val tier = if (est <= maxExactCandidates) "exact" else "tiered"
-    onDispatch(graft.queries.Clean.NearDupDispatch(
-      tier, est, maxExactCandidates))
+    val d = graft.queries.Clean.NearDupDispatch(
+      tier, est, maxExactCandidates)
+    graft.queries.Clean.logNearDupDispatch("streamingNearDupAuto", d)
+    onDispatch(d)
+    requireTierUnchanged(spark, outDir, tier)
     if (tier == "exact")
       streamingExactJaccardPairs(spark, docsStream, corpus, idCol,
         textCol, outDir, threshold = threshold, delayMs = delayMs)
     else
       streamingTieredNearDup(spark, docsStream, corpus, idCol, textCol,
         outDir, threshold, dfCap, delayMs)
+  }
+
+  /** Record the dispatched tier in `outDir/_tier` on first start and
+    * refuse a resume under a DIFFERENT tier — the checkpointed bucket
+    * state is keyed by the old tier's hash family and would silently
+    * drop every pre-flip × post-flip pair (see
+    * [[streamingNearDupAuto]]'s scaladoc).
+    */
+  private[graft] def requireTierUnchanged(
+      spark: SparkSession, outDir: String, tier: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/_tier")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val prior =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(prior == tier,
+        s"streamingNearDupAuto: $outDir was started under the '$prior' " +
+          s"tier but the corpus statistic now picks '$tier' — resuming " +
+          "would restore bucket state keyed by the old tier's hash " +
+          "family and silently lose cross-flip pairs. Start a fresh " +
+          "outDir (re-adjudicate the corpus with a batch pass), or pin " +
+          "the tier via knownCandidateEstimate.")
+    } else {
+      val out = fs.create(path, true)
+      try out.write(tier.getBytes("UTF-8")) finally out.close()
+    }
   }
 }

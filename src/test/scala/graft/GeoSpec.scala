@@ -58,6 +58,7 @@ class GeoSpec extends SparkSpec {
         .map(lit): _*))
       .withColumn("ys", array(Seq(0.0, 0.0, 0.5, 0.5, 1.5, 1.5, 2.0, 2.0)
         .map(lit): _*))
+    val priorCodegen = spark.conf.get("spark.sql.codegen.wholeStage")
     for (df <- Seq(sqDf, cDf); codegen <- Seq("true", "false")) {
       spark.conf.set("spark.sql.codegen.wholeStage", codegen)
       try {
@@ -65,8 +66,19 @@ class GeoSpec extends SparkSpec {
             point_in_polygon(col("px"), col("py"), col("xs"), col("ys")))
           .filter(col("got") =!= col("want")).collect()
         assert(bad.isEmpty, s"codegen=$codegen: ${bad.mkString(",")}")
-      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      } finally
+        spark.conf.set("spark.sql.codegen.wholeStage", priorCodegen)
     }
+    // parallel-array precondition: a truncated polygon must raise,
+    // not silently drop the last vertex
+    val ex = intercept[Exception] {
+      sqDf.withColumn("xs", slice(col("xs"), 1, 3))
+        .select(point_in_polygon(col("px"), col("py"), col("xs"),
+          col("ys"))).collect()
+    }
+    assert(ex.getMessage.contains("parallel") ||
+      Option(ex.getCause).exists(_.getMessage.contains("parallel")),
+      ex.toString)
   }
 
   test("geo3: grid candidates find exactly the naive cross-join " +

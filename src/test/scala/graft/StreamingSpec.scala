@@ -1090,6 +1090,19 @@ class StreamingSpec extends SparkSpec {
     assert(tiered === tieredBatch)
     // the dispatch decision is surfaced on both branches
     assert(dispatches.reverse.map(_.tier) === List("exact", "tiered"))
+    // tier-flip checkpoint guard: resuming an outDir started under
+    // one tier with the OTHER tier must fail fast (the bucket state
+    // is keyed by the old tier's hash family — a silent resume would
+    // lose every pre-flip x post-flip pair)
+    val out = java.nio.file.Files
+      .createTempDirectory("auto-stream-flip").toString
+    graft.streaming.StreamingDedup.requireTierUnchanged(spark, out, "exact")
+    graft.streaming.StreamingDedup.requireTierUnchanged(spark, out, "exact")
+    val flip = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.requireTierUnchanged(
+        spark, out, "tiered")
+    }
+    assert(flip.getMessage.contains("cross-flip"), flip.getMessage)
   }
 
   test("streaming winnowing co-selection: a hot template tombstones " +
