@@ -348,13 +348,52 @@ object Curate {
                 capped OR (nu > 0 AND cap <= remaining // nu) AS capped
               FROM $prev CROSS JOIN s$i)"""
 
+  // ---- blk1: blocklist phrase filter (Aho–Corasick) -------------------
+
+  /** The curation blocklist: fixed multi-word phrases over the corpus
+    * vocabulary, chosen to exercise the automaton's structure —
+    * nested phrases ("table scan" inside "big table scan",
+    * "stream window" inside "customer stream window": matching the
+    * long one must also report the short one via the merged output
+    * chain), shared prefixes ("scan query"/"scan query big"), and one
+    * phrase that never occurs. Mirrored literally in the DuckDB
+    * oracle.
+    */
+  val BlocklistPhrases: Seq[String] = Seq(
+    "table scan", "big table scan", "scan query", "scan query big",
+    "slow query", "hash join", "sort merge", "stream window",
+    "customer stream window", "slow scan", "fast key", "merge batch",
+    "window spark", "data column agg", "value a table", "llama weights")
+
+  /** blk1: per-document blocklist hits — the C4-style banned-phrase
+    * corpus filter. One [[graft.functions.PhraseMatch]] Aho–Corasick
+    * pass per document (O(len + matches) regardless of blocklist
+    * size, vs O(P·len) for per-phrase `contains`), reporting the
+    * distinct matched phrases in list order; documents with no hits
+    * drop out (the keep-set is the complement).
+    *
+    * Scale shape: the automaton is compiled once on the driver and
+    * rides inside the expression — a map-only corpus scan, no
+    * shuffle, no join; the only post-scan work is the row filter.
+    * The group-free plan survives any corpus size unchanged.
+    */
+  def blk1BlocklistHits(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.PhraseMatch
+          .phrase_matches(col("text"), BlocklistPhrases).as("m"))
+      .filter(size(col("m")) > 0)
+      .select(col("doc_id"), size(col("m")).as("n_hits"),
+        array_join(col("m"), ",").as("hits_csv"))
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snm1_sorted_neighborhood" -> (snm1SortedNeighborhood _),
     "mix1_mixture_weights" -> (mix1MixtureWeights _),
     "mix4_unimax" -> ((s: SparkSession, d: String) => mix4Unimax(s, d)),
-    "lrq1_logistic_quality" -> (lrq1LogisticQuality _))
+    "lrq1_logistic_quality" -> (lrq1LogisticQuality _),
+    "blk1_blocklist_hits" -> (blk1BlocklistHits _))
 
   /** One Newton round of the lrq1 SQL dual: p$prev -> s$i -> p$i,
     * composing the exact expression trees of [[logisticTrain]].
@@ -392,7 +431,25 @@ object Curate {
                   / (h11*(h22*h33-h23*h23) - h12*(h12*h33-h23*h13) + h13*(h12*h23-h22*h13)), 9), 9) AS b2
          FROM s$i)"""
 
+  /** blk1's dual: one `position()` probe per (doc, phrase) — the
+    * naive O(P·len) form the automaton replaces; same matched set by
+    * construction (exact substring semantics both sides), phrase-list
+    * order via the idx sort key.
+    */
+  private val blk1Oracle: String = {
+    val values = BlocklistPhrases.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, '$p')" }.mkString(", ")
+    s"""WITH bl(idx, phrase) AS (
+         SELECT * FROM (VALUES $values) t(idx, phrase)),
+       h AS (SELECT d.doc_id, bl.idx, bl.phrase
+             FROM documents d JOIN bl ON position(bl.phrase IN d.text) > 0)
+       SELECT doc_id, CAST(count(*) AS INT) AS n_hits,
+              string_agg(phrase, ',' ORDER BY idx) AS hits_csv
+       FROM h GROUP BY doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "blk1_blocklist_hits" -> blk1Oracle,
     "mix4_unimax" ->
       s"""WITH la AS MATERIALIZED (
            SELECT lang,

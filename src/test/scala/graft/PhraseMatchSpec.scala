@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{AhoCorasick, PhraseMatch}
+import graft.queries.Curate
+
+/** Aho–Corasick blocklist matcher: automaton == naive contains on
+  * randomized corpora, nested/overlapping output chains, codegen ==
+  * interpreted, and the blk1 query contract.
+  */
+class PhraseMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(text: String, phrases: Seq[String]): Seq[String] =
+    phrases.filter(text.contains)
+
+  test("automaton == naive contains on a randomized word-soup corpus, " +
+      "including nested and prefix-sharing phrases") {
+    val phrases = Seq("ab", "abab", "bab", "ba", "abc", "c", "cab",
+      "aa", "aab", "zz top")
+    val ac = new AhoCorasick(phrases.toArray)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val text = (1 to rnd.nextInt(40)).map(_ => "abcz" (rnd.nextInt(4)))
+        .mkString
+      assert(ac.matchedPhraseStrings(text) == naive(text, phrases),
+        s"text=$text")
+    }
+  }
+
+  test("matching a long phrase reports its embedded shorter phrases " +
+      "through the merged output chain") {
+    val phrases = Seq("table scan", "big table scan", "scan")
+    val ac = new AhoCorasick(phrases.toArray)
+    assert(ac.matchedPhraseStrings("a big table scan here") == phrases)
+    // order is PHRASE-LIST order, not match order
+    assert(ac.matchedPhraseStrings("scan then big table scan") == phrases)
+    assert(ac.matchedPhraseStrings("table scanner") ==
+      Seq("table scan", "scan"))
+    assert(ac.matchedPhraseStrings("nothing here") == Nil)
+  }
+
+  test("empty text, unmatched text, and full-cover early exit") {
+    val ac = new AhoCorasick(Array("x", "y"))
+    assert(ac.matchedPhraseStrings("") == Nil)
+    assert(ac.matchedPhraseStrings("zzz") == Nil)
+    // every phrase matched long before the end of a 1M-char text:
+    // the scan early-exits rather than walking the tail
+    val big = "xy" + ("z" * 1000000)
+    val t0 = System.nanoTime()
+    assert(ac.matchedPhraseStrings(big) == Seq("x", "y"))
+    assert(ac.matchedPhraseStrings(big + "x") == Seq("x", "y"))
+    val _ = t0 // timing not asserted — environment-dependent
+  }
+
+  test("degenerate phrase lists are rejected at construction") {
+    intercept[IllegalArgumentException](new AhoCorasick(Array.empty))
+    intercept[IllegalArgumentException](new AhoCorasick(Array("a", "")))
+    intercept[IllegalArgumentException](new AhoCorasick(Array("a", "a")))
+  }
+
+  test("codegen and interpreted eval agree on the expression") {
+    val phrases = Seq("fox", "fox jumps", "ox j", "dog", "og!", "cat")
+    val texts = Seq("the quick brown fox jumps over the lazy dog!",
+      "no animals here", "", "fox", "dogfox jumps")
+    val df = texts.toDF("text")
+      .select(col("text"),
+        PhraseMatch.phrase_matches(col("text"), phrases).as("m"))
+    val expected = texts.map(naive(_, phrases))
+    val prior = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      for (codegen <- Seq("true", "false")) {
+        spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+        val got = df.collect().map(r => r.getSeq[String](1)).toSeq
+        assert(got == expected, s"codegen=$codegen")
+      }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prior)
+  }
+
+  test("blk1 query: hit rows match a DataFrame-side naive replay on " +
+      "the real sf0.001 corpus; no-hit docs are absent") {
+    val d = "/root/testdata/sf0.001"
+    val got = Curate.blk1BlocklistHits(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getString(2)))).toMap
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    for ((id, text) <- docs) {
+      val hits = naive(text, Curate.BlocklistPhrases)
+      if (hits.isEmpty) assert(!got.contains(id))
+      else assert(got(id) == ((hits.length, hits.mkString(","))),
+        s"doc $id")
+    }
+    // the never-occurring phrase really never occurs (guards the
+    // blocklist's zero-match leg)
+    assert(!got.values.exists(_._2.contains("llama weights")))
+  }
+
+  test("unicode phrases and surrogate-free UTF-16 stepping") {
+    val phrases = Seq("naïve", "café au lait", "ü")
+    val ac = new AhoCorasick(phrases.toArray)
+    assert(ac.matchedPhraseStrings("a naïve café au lait über all") ==
+      phrases)
+    assert(UTF8String.fromString("naïve").toString == "naïve")
+  }
+}
