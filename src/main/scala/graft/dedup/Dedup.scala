@@ -718,6 +718,78 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_spans"))
   }
 
+  /** Duplicate-span EXCISION — the cleanup counterpart of
+    * [[sharedSpanPairs]]'s detection, i.e. the "deduplicating training
+    * data" substring-removal recipe (remove every repeated verbatim
+    * k-word span from all but its first occurrence) re-expressed as
+    * relational passes instead of a monolithic suffix array:
+    *
+    *  1. every k-word span occurrence (doc, start position, sha-256
+    *     span digest — dd7/dd12's digest trick: the shuffle moves a
+    *     fixed-width key, never span text);
+    *  2. one groupBy(digest) with map-side partial `count` +
+    *     `min(struct(doc, pos))` picks the CANONICAL occurrence
+    *     (global (doc_id, pos) minimum) of every duplicated span;
+    *  3. every non-canonical occurrence of a duplicated span marks its
+    *     k covered word positions; a word survives iff no excised span
+    *     covers it (left_anti on (doc, pos));
+    *  4. surviving words reassemble per doc in position order.
+    *
+    * Overlap semantics: covered positions are a UNION — overlapping
+    * duplicated spans excise together, and a canonical occurrence can
+    * still lose words to a DIFFERENT span's excision (exactly how
+    * span-level removal behaves in the suffix-array formulation).
+    * Docs shorter than k words carry no spans and pass through whole.
+    *
+    * Scale shape: two O(corpus tokens) shuffles (span digests into the
+    * groupBy; word rows into the anti-join/reassembly) plus the small
+    * excised-position stream — no all-pairs step anywhere, no window
+    * over a row-scaling domain, and the span-stats aggregate is
+    * partial-aggregable on both measures. Every stage is linear in
+    * corpus size, so the plan survives 100× unchanged.
+    *
+    * Returns (id, clean_text, n_removed) for EVERY input doc.
+    */
+  def spanExciseClean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"span width must be >= 2 words, got $k")
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .select(col("id"), col("ts"), size(col("ts")).as("nw"))
+    val words = toks.select(col("id"),
+      posexplode(col("ts")).as(Seq("pos", "word")))
+    // posexplode index j = 0-based span start (slice start j+1)
+    val spans = toks.filter(col("nw") >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), col("nw") - (k - 1)),
+        i => sha2(concat_ws(" ", slice(col("ts"), i, lit(k))), 256)))
+        .as(Seq("p", "h")))
+    val dupStats = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("id"), col("p"))).as("first"))
+      .filter(col("cnt") > 1)
+    val excised = spans.join(dupStats, "h")
+      .filter(!(col("id") === col("first.id") && col("p") === col("first.p")))
+    val covered = excised
+      .select(col("id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+    val rebuilt = words.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word")), " ").as("clean_text"))
+    toks.select(col("id"), col("nw"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("nw") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_removed"))
+  }
+
   // -------------------------------------------------------------------
   // Embedding-cosine near-dup
   // -------------------------------------------------------------------

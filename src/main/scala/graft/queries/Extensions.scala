@@ -1655,6 +1655,17 @@ object Extensions {
   def dd12SpanDup(s: SparkSession, d: String): DataFrame =
     Dedup.sharedSpanPairs(Tables.documents(s, d), "doc_id", "text", k = 8)
 
+  /** Duplicate-span REMOVAL ([[Dedup.spanExciseClean]]): the cleanup
+    * face of dd12 — every repeated verbatim 8-word span excised from
+    * all but its global-first occurrence, documents reassembled from
+    * the surviving words. Word spans and the keep rule are plain
+    * deterministic strings/orderings in both engines, so the dual is
+    * exact (clean text compared verbatim).
+    */
+  def dd27SpanExcise(s: SparkSession, d: String): DataFrame =
+    Dedup.spanExciseClean(Tables.documents(s, d), "doc_id", "text", k = 8)
+      .withColumnRenamed("id", "doc_id")
+
   /** Fuzzy decontamination ([[Dedup.minhashJoin]]): eval docs (every
     * 5th) matched against the corpus by MinHash+LSH
     * near-duplicate similarity — catches paraphrased benchmark leakage
@@ -1835,6 +1846,7 @@ object Extensions {
     "dd10_fuzzy_contamination" -> (dd10FuzzyContamination _),
     "dd11_contamination_auto" -> (dd11ContaminationAuto _),
     "dd12_span_dup" -> (dd12SpanDup _),
+    "dd27_span_excise" -> (dd27SpanExcise _),
     "pk1_sequence_pack" -> (pk1SequencePack _),
     "pk2_chunk_overlap" -> (pk2ChunkOverlap _),
     "pk3_bucket_pack" -> (pk3BucketPack _),
@@ -2460,6 +2472,49 @@ object Extensions {
            SELECT id_a, id_b,
                   CAST(count(*) AS BIGINT) AS n_shared_spans
            FROM p GROUP BY id_a, id_b""",
+    // same span domain as dd12, excision replayed literally: window
+    // count/row_number pick the duplicated spans and their canonical
+    // (min (doc_id, pos)) occurrences, covered positions union via
+    // per-occurrence ranges, survivors reassemble with an ordered
+    // string_agg — clean text compared verbatim
+    "dd27_span_excise" ->
+      """WITH t AS MATERIALIZED (
+           SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+           FROM documents),
+         n AS MATERIALIZED (SELECT doc_id, ts, len(ts) AS nw FROM t),
+         w AS MATERIALIZED (
+           SELECT doc_id, unnest(ts) AS word,
+                  unnest(range(0, len(ts))) AS pos
+           FROM t),
+         sp AS MATERIALIZED (
+           SELECT doc_id, unnest(range(0, nw - 7)) AS p, ts
+           FROM n WHERE nw >= 8),
+         sph AS MATERIALIZED (
+           SELECT doc_id, p,
+                  sha256(array_to_string(
+                    ts[CAST(p + 1 AS INT):CAST(p + 8 AS INT)], ' ')) AS h
+           FROM sp),
+         ex AS MATERIALIZED (
+           SELECT doc_id, p FROM (
+             SELECT doc_id, p,
+                    count(*) OVER (PARTITION BY h) AS cnt,
+                    row_number() OVER (PARTITION BY h
+                      ORDER BY doc_id, p) AS rn
+             FROM sph) WHERE cnt > 1 AND rn > 1),
+         cov AS MATERIALIZED (
+           SELECT DISTINCT doc_id, pos FROM (
+             SELECT doc_id, unnest(range(p, p + 8)) AS pos FROM ex)),
+         kept AS (
+           SELECT w.doc_id, w.pos, w.word FROM w
+           ANTI JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos),
+         agg AS (
+           SELECT doc_id, count(*) AS n_kept,
+                  string_agg(word, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT n.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+                CAST(n.nw - COALESCE(agg.n_kept, 0) AS INT) AS n_removed
+         FROM n LEFT JOIN agg USING (doc_id)""",
     // same pairs -> connected components via recursive CTE -> cluster
     // membership summary: checks the FULL transitive-closure semantics
     "dd6_cluster_keep" ->

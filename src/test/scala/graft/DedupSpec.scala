@@ -721,4 +721,89 @@ class DedupSpec extends SparkSpec {
     }.sum
     assert(rows.head._3 === idSum)
   }
+
+  // ---- spanExciseClean: duplicate-span removal -----------------------
+
+  private def excise(rows: Seq[(Long, String)], k: Int = 4) =
+    Dedup.spanExciseClean(rows.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+
+  test("spanExcise: a span repeated across docs is removed from all " +
+      "but its global-first occurrence; unique text survives whole") {
+    val out = excise(Seq(
+      (1L, "alpha beta gamma delta tail one"),
+      (2L, "head two alpha beta gamma delta"),
+      (3L, "totally unrelated words live here")))
+    // doc 1 holds the canonical (min (doc_id, pos)) occurrence
+    assert(out(1L) === (("alpha beta gamma delta tail one", 0)))
+    assert(out(2L) === (("head two", 4)))
+    assert(out(3L) === (("totally unrelated words live here", 0)))
+  }
+
+  test("spanExcise: overlapping duplicated spans excise as a position " +
+      "union, and a within-doc repeat is removed too") {
+    // doc 1 repeats its own opening 4 words at positions 4..7
+    val out = excise(Seq(
+      (1L, "a b c d a b c d x"),
+      (2L, "unrelated filler text goes here now")))
+    assert(out(1L) === (("a b c d x", 4)))
+  }
+
+  test("spanExcise: docs shorter than k words carry no spans and pass " +
+      "through unchanged — even when they equal each other") {
+    val out = excise(Seq(
+      (1L, "one two three"),
+      (2L, "one two three"),
+      (3L, "")))
+    assert(out(1L) === (("one two three", 0)))
+    assert(out(2L) === (("one two three", 0)))
+    assert(out(3L)._2 === 0)
+  }
+
+  test("spanExcise: a canonical occurrence can still lose words to a " +
+      "DIFFERENT span's excision (span-level union semantics)") {
+    // "p q r s" canonical in doc 1 at pos 0; doc 1's copy of
+    // "m n o p" (canonical in doc 2 at pos 0) covers pos 4..7 — and
+    // "q r s m" etc. bridge: construct doc1 = p q r s m n o p so the
+    // duplicated "m n o p"... needs doc2 = m n o p <unique tail>
+    val out = excise(Seq(
+      (2L, "m n o p later unique tail words"),
+      (3L, "p q r s wholly unique suffix here"),
+      (9L, "z0 z1 p q r s m n o p z2")))
+    // doc 9: "p q r s" (pos 2, dup of doc 3 pos 0) covers 2..5;
+    // "m n o p" (pos 6, dup of doc 2 pos 0) covers 6..9
+    assert(out(9L) === (("z0 z1 z2", 8)))
+    assert(out(2L)._2 === 0)
+    assert(out(3L)._2 === 0)
+  }
+
+  test("spanExcise on the real corpus: clean words are a subsequence " +
+      "of the original words, totals reconcile, and the removal is " +
+      "non-trivial") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val orig = docs.select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val out = Dedup.spanExciseClean(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.length === orig.size) // every doc comes back
+    var removedTotal = 0L
+    for ((id, clean, nRem) <- out) {
+      val ow = orig(id)
+      val cw = if (clean.isEmpty) Seq.empty[String]
+        else clean.split(" ").toSeq
+      assert(cw.length + nRem === ow.length, s"doc $id count reconcile")
+      // subsequence check
+      var i = 0
+      for (w <- cw) {
+        i = ow.indexOf(w, i)
+        assert(i >= 0, s"doc $id: '$w' not in order in original")
+        i += 1
+      }
+      removedTotal += nRem
+    }
+    assert(removedTotal > 0, "the template-bearing corpus must excise")
+  }
 }
