@@ -311,6 +311,130 @@ object Multimodal {
     }
   }
 
+  // ---- perceptual hash (dHash) for image near-dup --------------------
+
+  /** Pixel row for [[encodeGrayPng]]: media id + row-major grayscale
+    * pixel values in [0, 256).
+    */
+  final case class PixelRecord(media_id: Long, pixels: Seq[Int])
+
+  /** dHash band row: the 64-bit difference hash split into four
+    * 16-bit bands (b0 = bit rows 0-1 … b3 = bit rows 6-7) — kept as
+    * four ints rather than one long so band-bucket LSH joins and
+    * cross-engine duals never touch the sign bit.
+    */
+  final case class DhashBands(
+      media_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Encode grayscale pixel arrays as REAL PNG binary payloads.
+    * Pixels write as TYPE_INT_RGB with r = g = b = p — NOT
+    * TYPE_BYTE_GRAY, whose `getRGB` round-trips through the
+    * linear-gray → sRGB color transform and comes back nonlinear; the
+    * RGB path is lossless, and the decoder's integer luma
+    * (299p + 587p + 114p) / 1000 = p recovers the pixel EXACTLY, so
+    * formula-derived fixtures stay bit-identical through a real
+    * encode/decode cycle.
+    */
+  def encodeGrayPng(
+      spark: SparkSession,
+      pixels: DataFrame,
+      w: Int,
+      h: Int,
+      batchSize: Int = 256): Dataset[MediaRecord] = {
+    import spark.implicits._
+    pixels.as[PixelRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          require(r.pixels.length == w * h,
+            s"media ${r.media_id}: ${r.pixels.length} pixels != $w x $h")
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < r.pixels.length) {
+            val p = r.pixels(i) & 0xff
+            img.setRGB(i % w, i / w, (p << 16) | (p << 8) | p)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(r.media_id, "image/png", bos.toByteArray, w, h)
+        }
+      }
+    }
+  }
+
+  /** Difference-hash (dHash) of one decoded image: pool to
+    * `cols x rows` integer block SUMS (exact — block means would
+    * reintroduce float division), emit bit (r, c) = 1 iff
+    * sum(r, c) > sum(r, c+1), pack the rows*(cols-1) = 64 bits into
+    * four 16-bit bands. Image dimensions must divide evenly into the
+    * grid — a mismatched payload is a silently wrong hash, so throw.
+    */
+  private[graft] def dhashBandsOf(
+      payload: Array[Byte], cols: Int, rows: Int): Array[Int] = {
+    require((cols - 1) * rows == 64,
+      s"dhash grid must yield 64 bits, got (${cols} - 1) x $rows")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"undecodable image payload (${payload.length} bytes)")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w % cols == 0 && h % rows == 0,
+      s"image ${w}x$h does not tile a ${cols}x$rows dhash grid")
+    val (bw, bh) = (w / cols, h / rows)
+    val sums = new Array[Long](cols * rows)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        sums((y / bh) * cols + (x / bw)) += gray
+        x += 1
+      }
+      y += 1
+    }
+    val bands = new Array[Int](4)
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        if (sums(r * cols + c) > sums(r * cols + c + 1)) {
+          val bit = r * (cols - 1) + c
+          bands(bit / 16) |= 1 << (bit % 16)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    bands
+  }
+
+  /** Batch-shaped dHash extraction over a binary media table — the
+    * perceptual-hash front end of image near-dup (LAION-style): the
+    * wide payload column reduces to four 16-bit band ints per image,
+    * and everything downstream (band-bucket join, Hamming verify)
+    * moves 20-byte rows.
+    */
+  def imageDhashBands(
+      spark: SparkSession,
+      media: DataFrame,
+      cols: Int = 9,
+      rows: Int = 8,
+      batchSize: Int = 256): Dataset[DhashBands] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val b = dhashBandsOf(r.payload, cols, rows)
+          DhashBands(r.media_id, b(0), b(1), b(2), b(3))
+        }
+      }
+    }
+  }
+
   // ---- frame sampling (one -> many generator shape) -----------------
 
   final case class MediaFrame(

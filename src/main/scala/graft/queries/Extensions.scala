@@ -1098,6 +1098,79 @@ object Extensions {
         length(col("payload")).as("frame_bytes"))
   }
 
+  /** mm3's synthetic 18x16 grayscale fixture: pixel i of doc `id` is
+    * md5-derived from the doc's BASE id (geo3's hex4 trick — integer
+    * arithmetic both engines replay bit-identically). Every doc with
+    * id % 7 == 3 is a RETOUCHED COPY of id - 1: same base pixels with
+    * +73 (mod 256) applied to pixels i % 7 == 0 in the top 4 rows
+    * (i < 72) — confined to dHash band 0, so a twin always shares
+    * bands 1-3 with its original and band-bucket LSH recall is exact
+    * by construction while the hamming distances still spread 0-8.
+    */
+  private def mm3PixelFixture(docs: DataFrame): DataFrame = {
+    val base = when(pmod(col("doc_id"), lit(7)) === 3 && col("doc_id") > 0,
+      col("doc_id") - 1).otherwise(col("doc_id"))
+    val retouched =
+      pmod(col("doc_id"), lit(7)) === 3 && col("doc_id") > 0
+    docs.select(col("doc_id").as("media_id"), base.as("base"),
+        retouched.as("tw"))
+      .select(col("media_id"), transform(
+        sequence(lit(0), lit(18 * 16 - 1)),
+        i => {
+          val p = pmod(conv(substring(md5(concat(col("base").cast("string"),
+            lit("#px#"), i.cast("string")).cast("binary")), 1, 4), 16, 10)
+            .cast("long"), lit(256))
+          when(col("tw") && pmod(i, lit(7)) === 0 && i < 72,
+            pmod(p + 73, lit(256))).otherwise(p).cast("int")
+        }).as("pixels"))
+  }
+
+  /** mm3: image near-dup by perceptual hash — the LAION-style
+    * multimodal dedup stage, run through REAL binary plumbing: the
+    * pixel fixture encodes to actual PNG payloads
+    * ([[Multimodal.encodeGrayPng]]), ImageIO decodes them back, and
+    * the 64-bit dHash (9x8 block-sum differences) reduces each image
+    * to four 16-bit bands ([[Multimodal.imageDhashBands]]).
+    * Candidates come from a band-bucket equi-join (any of 4 bands
+    * exact — the Hamming-LSH recipe: a pair within radius 8 must
+    * agree on ≥1 whole band when its disagreements are confined to
+    * ≤3 bands, and the fixture's retouch is band-0-confined by
+    * construction); the exact Hamming verify runs on candidates only.
+    *
+    * Scale shape: payload bytes never shuffle — the binary column
+    * reduces per-partition to 20 B band rows; the self-join moves
+    * (id, band, v) and the verify joins band rows back BY ID. The
+    * DuckDB oracle replays pixels → block sums → bits → bands →
+    * band-join → Hamming from the same md5 formula (no codec): the
+    * cross-engine equality PROVES the PNG encode/decode cycle is
+    * pixel-exact end to end.
+    */
+  def mm3ImageDhashNeardup(s: SparkSession, d: String): DataFrame = {
+    val pix = mm3PixelFixture(Tables.documents(s, d).select(col("doc_id")))
+    val media = Multimodal.encodeGrayPng(s, pix, w = 18, h = 16)
+    val bands = Multimodal.imageDhashBands(s, media.toDF()).toDF()
+    val slim = bands.select(col("media_id").as("id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "v")
+    val cand = slim.select(col("id").as("id_a"), col("band"), col("v"))
+      .join(slim.select(col("id").as("id_b"), col("band"), col("v")),
+        Seq("band", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val ham = (0 to 3).map(i =>
+      bit_count(col(s"ab$i").bitwiseXOR(col(s"bb$i"))))
+      .reduce(_ + _)
+    cand
+      .join(bands.select(col("media_id").as("id_a"), col("b0").as("ab0"),
+        col("b1").as("ab1"), col("b2").as("ab2"), col("b3").as("ab3")),
+        Seq("id_a"))
+      .join(bands.select(col("media_id").as("id_b"), col("b0").as("bb0"),
+        col("b1").as("bb1"), col("b2").as("bb2"), col("b3").as("bb3")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= 10)
+  }
+
   // ---- seeded stratified sampling (data-recipe surface) ------------
 
   /** Per-language sampling quotas (seeded, reproducible). Uses the
@@ -1819,6 +1892,7 @@ object Extensions {
     "g2_pagerank" -> (g2Pagerank _),
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
+    "mm3_image_dhash_neardup" -> (mm3ImageDhashNeardup _),
     "x1_sql_cosine" -> (x1SqlCosine _),
     "x2_sql_textops" -> (x2SqlTextops _),
     "x3_sql_frames" -> (x3SqlFrames _),
@@ -2224,6 +2298,70 @@ object Extensions {
        SELECT * FROM (${estGated(pipe5OracleSql,
         "(SELECT est FROM est) > 100000000")})
        WHERE (SELECT est FROM est) > 100000000"""
+
+  /** First 4 hex digits of an md5 as an int (geo3's portable-hash
+    * trick — Geo.scala keeps its own copy; duplicated rather than
+    * shared so each oracle stays a self-contained SQL text).
+    */
+  private def mm3Hex4(m: String): String =
+    s"""((strpos('0123456789abcdef', substr($m, 1, 1)) - 1) * 4096 +
+        (strpos('0123456789abcdef', substr($m, 2, 1)) - 1) * 256 +
+        (strpos('0123456789abcdef', substr($m, 3, 1)) - 1) * 16 +
+        (strpos('0123456789abcdef', substr($m, 4, 1)) - 1))"""
+
+  private val mm3Oracle: String = {
+    val h = mm3Hex4(
+      "md5(CAST(base AS VARCHAR) || '#px#' || CAST(i AS VARCHAR))")
+    s"""WITH ids AS (
+         SELECT doc_id AS id,
+                CASE WHEN doc_id % 7 = 3 AND doc_id > 0 THEN doc_id - 1
+                     ELSE doc_id END AS base,
+                (doc_id % 7 = 3 AND doc_id > 0) AS tw
+         FROM documents),
+       px AS MATERIALIZED (
+         SELECT id, base, tw, unnest(range(0, 288)) AS i FROM ids),
+       pv AS MATERIALIZED (
+         SELECT id, i,
+                CASE WHEN tw AND i % 7 = 0 AND i < 72
+                     THEN ($h % 256 + 73) % 256
+                     ELSE $h % 256 END AS p
+         FROM px),
+       bs AS MATERIALIZED (
+         SELECT id, (i // 18) // 2 AS r, (i % 18) // 2 AS c,
+                CAST(sum(p) AS BIGINT) AS s
+         FROM pv GROUP BY 1, 2, 3),
+       bits AS MATERIALIZED (
+         SELECT a.id, a.r, a.c,
+                CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+         FROM bs a JOIN bs b ON a.id = b.id AND a.r = b.r
+           AND b.c = a.c + 1
+         WHERE a.c < 8),
+       bands AS MATERIALIZED (
+         SELECT id, r // 2 AS band,
+                CAST(sum(bit * (1 << ((r % 2) * 8 + c))) AS INT) AS v
+         FROM bits GROUP BY 1, 2),
+       cand AS (
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.v = b.v AND a.id < b.id),
+       wide AS MATERIALIZED (
+         SELECT id,
+                max(v) FILTER (band = 0) AS b0,
+                max(v) FILTER (band = 1) AS b1,
+                max(v) FILTER (band = 2) AS b2,
+                max(v) FILTER (band = 3) AS b3
+         FROM bands GROUP BY id)
+       SELECT id_a, id_b,
+              CAST(bit_count(xor(wa.b0, wb.b0)) +
+                   bit_count(xor(wa.b1, wb.b1)) +
+                   bit_count(xor(wa.b2, wb.b2)) +
+                   bit_count(xor(wa.b3, wb.b3)) AS INT) AS hamming
+       FROM cand JOIN wide wa ON cand.id_a = wa.id
+                 JOIN wide wb ON cand.id_b = wb.id
+       WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1)) +
+             bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+               <= 10"""
+  }
 
   val oracles: Map[String, String] = Map(
     // brute-force exact trigram Jaccard — ground truth the prefix-
@@ -2884,6 +3022,11 @@ object Extensions {
          SELECT media_id, CAST(idx AS INT) AS frame_idx,
                 CAST(LEAST(1024, L - idx * 1024) AS INT) AS frame_bytes
          FROM f WHERE idx % 2 = 0""",
+    // replays pixels -> block sums -> dHash bits -> bands ->
+    // band-bucket join -> Hamming from the md5 pixel formula alone
+    // (no image codec in DuckDB): matching hashes PROVE the Spark
+    // side's PNG encode -> ImageIO decode cycle is pixel-exact
+    "mm3_image_dhash_neardup" -> mm3Oracle,
     "asof1_backward" -> asofBackwardOracle,
     // identical semantics, skew-proof execution — same oracle
     "asof4_backward_chunked" -> asofBackwardOracle,

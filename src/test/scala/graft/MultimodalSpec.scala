@@ -331,4 +331,79 @@ class MultimodalSpec extends SparkSpec {
     assert(viaGenerator === viaFlatMap)
     assert(viaGenerator.nonEmpty)
   }
+
+  // ---- dHash image near-dup ------------------------------------------
+
+  import spark.implicits._
+
+  private def pngOf(id: Long, px: Seq[Int], w: Int = 18, h: Int = 16) =
+    Multimodal.encodeGrayPng(spark,
+      Seq(Multimodal.PixelRecord(id, px)).toDS().toDF(), w, h)
+      .collect().head.payload
+
+  test("encodeGrayPng -> ImageIO decode is PIXEL-EXACT (the RGB-path " +
+      "roundtrip the TYPE_BYTE_GRAY colorspace transform would break)") {
+    val px = (0 until 288).map(i => (i * 37 + 11) % 256)
+    val bytes = pngOf(7L, px)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth === 18 && img.getHeight === 16)
+    val decoded = for (y <- 0 until 16; x <- 0 until 18) yield {
+      val rgb = img.getRGB(x, y)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+        114 * (rgb & 0xff)) / 1000
+    }
+    assert(decoded === px)
+  }
+
+  test("dhashBandsOf matches a hand-rolled block-sum reference and a " +
+      "band-0-confined perturbation only changes b0") {
+    val px = (0 until 288).map(i => (i * 131 + 17) % 256)
+    val bands = Multimodal.dhashBandsOf(pngOf(1L, px), 9, 8)
+    // independent reference: 2x2 block sums, adjacent-column compare
+    val sums = Array.ofDim[Long](8, 9)
+    for (y <- 0 until 16; x <- 0 until 18)
+      sums(y / 2)(x / 2) += px(y * 18 + x)
+    val ref = new Array[Int](4)
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (sums(r)(c) > sums(r)(c + 1)) {
+        val bit = r * 8 + c
+        ref(bit / 16) |= 1 << (bit % 16)
+      }
+    assert(bands.toSeq === ref.toSeq)
+    // perturb rows 0-3 only (bit rows 0-1 = band 0)
+    val px2 = px.zipWithIndex.map { case (p, i) =>
+      if (i < 72 && i % 7 == 0) (p + 73) % 256 else p }
+    val bands2 = Multimodal.dhashBandsOf(pngOf(2L, px2), 9, 8)
+    assert(bands2.drop(1).toSeq === bands.drop(1).toSeq)
+    // identical images hash identically (hamming 0)
+    assert(Multimodal.dhashBandsOf(pngOf(3L, px), 9, 8).toSeq ===
+      bands.toSeq)
+  }
+
+  test("dhashBandsOf rejects non-tiling dimensions, non-64-bit grids, " +
+      "and undecodable payloads") {
+    val px = Seq.fill(100)(5)
+    intercept[IllegalArgumentException](
+      Multimodal.dhashBandsOf(pngOf(1L, px, 10, 10), 9, 8))
+    intercept[IllegalArgumentException](
+      Multimodal.dhashBandsOf(pngOf(1L, (0 until 288).toSeq), 8, 8))
+    intercept[IllegalArgumentException](
+      Multimodal.dhashBandsOf("not a png".getBytes("UTF-8"), 9, 8))
+  }
+
+  test("mm3 query: every retouched twin pairs with its original " +
+      "within the radius; ids are ordered; nothing self-pairs") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.Extensions.mm3ImageDhashNeardup(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, hm) => a < b && hm >= 0 && hm <= 10 })
+    val nDocs = Tables.documents(spark, d).count()
+    val twins = (0L until nDocs).filter(id => id % 7 == 3 && id > 0)
+      .map(id => (id - 1, id)).toSet
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    assert(twins.subsetOf(gotPairs),
+      s"missing twins: ${(twins -- gotPairs).take(5)}")
+  }
 }
