@@ -115,7 +115,13 @@ object Plans {
       "dd18_multiset_contamination" ->
         "multi-benchmark decontamination: one set-tagged gram broadcast, two corpus gram passes for the whole suite",
       "geo3_point_in_polygon" ->
-        "containment join: bbox-cell broadcast dim, cell-key candidates, codegen ray-cast verify, no cross join")
+        "containment join: bbox-cell broadcast dim, cell-key candidates, codegen ray-cast verify, no cross join",
+      "blk1_blocklist_hits" ->
+        "blocklist filter: driver-compiled Aho-Corasick reference object, map-only corpus scan, zero Exchange",
+      "dd27_span_excise" ->
+        "duplicate-span excision: two linear token shuffles (span-digest groupBy + anti-join reassembly), no all-pairs step",
+      "mm3_image_dhash_neardup" ->
+        "image near-dup: binary payloads reduce per-partition to 16-bit band rows, band-bucket self-join + Hamming verify on candidates")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")

@@ -477,6 +477,37 @@ object ScaleProbe {
         System.err.println(
           f"[probe]   dd21 tiered cluster-keep ${secs("dd21_sec")}%7.2fs " +
             f"($c21 clusters; dd6 same scale ${secs("dd6_sec")}%7.2fs)")
+        // dd27 span excision: both shuffles are O(corpus tokens), so
+        // the exponent must ride ~1.0 with no candidate-bound tail
+        val c27 = leg("dd27_sec", "dd27_excised_docs")(
+          graft.dedup.Dedup.spanExciseClean(df, "doc_id", "text", k = 8)
+            .filter(col("n_removed") > 0).count())
+        System.err.println(
+          f"[probe]   dd27 span-excise ${secs("dd27_sec")}%7.2fs " +
+            f"($c27 docs excised)")
+        // blk1 at a REALISTIC blocklist size (256 phrases — the query
+        // itself carries 16): the Aho–Corasick one-pass scan vs the
+        // naive per-phrase contains OR-chain on the same phrase set.
+        // The AC wall must stay ~flat in P (it pays O(len + matches));
+        // the naive form pays O(P·len) and is the measured "why".
+        val blkPhrases = {
+          val w16 = Seq("key", "agg", "row", "scan", "slow", "fast",
+            "table", "value", "part", "hash", "merge", "batch", "spark",
+            "window", "order", "data")
+          for (a <- w16; b <- w16) yield s"$a $b"
+        }
+        val cBlk = leg("blk_sec", "blk_hit_docs")(
+          df.select(graft.functions.PhraseMatch
+              .phrase_matches(col("text"), blkPhrases).as("m"))
+            .filter(size(col("m")) > 0).count())
+        val cBlkN = leg("blknaive_sec", "")(
+          df.filter(blkPhrases.map(p => col("text").contains(p))
+            .reduce(_ || _)).count())
+        require(cBlk == cBlkN,
+          s"blk probe: AC hit count $cBlk != naive $cBlkN")
+        System.err.println(
+          f"[probe]   blk1 256-phrase AC ${secs("blk_sec")}%6.2fs " +
+            f"($cBlk docs) vs naive contains ${secs("blknaive_sec")}%6.2fs")
         // incremental-ingest legs (dd23/dd24 persisted-index forms):
         // fresh = a FIXED ~500-doc batch (sf0.01, ids offset past any
         // corpus), base = this scale's corpus. The last-full-pass

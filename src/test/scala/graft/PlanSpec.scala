@@ -322,6 +322,46 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("Exchange"), p2)
   }
 
+  test("blk1 blocklist filter is a map-only corpus scan: ZERO Exchange, " +
+      "and the scan prunes to the two projected columns") {
+    val plan = executedPlan(
+      graft.queries.Curate.blk1BlocklistHits(spark, sf))
+    assert(!plan.contains("Exchange"), plan)
+    val fmt = formatted(graft.queries.Curate.blk1BlocklistHits(spark, sf))
+    val readSchema = fmt.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      readSchema)
+  }
+
+  test("dd27 span excision: linear relational passes only — no " +
+      "cartesian/nested-loop join, no window, partial aggregation on " +
+      "the span-digest groupBy") {
+    val plan = executedPlan(
+      graft.queries.Extensions.dd27SpanExcise(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("WindowExec") && !plan.contains("Window\n"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      plan)
+  }
+
+  test("mm3 image near-dup: the binary payload never rides a shuffle — " +
+      "every Exchange moves only slim id/band/verify columns") {
+    val df = graft.queries.Extensions.mm3ImageDhashNeardup(spark, sf)
+    val exchanges = flattenPlan(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.nonEmpty, "expected at least the band-join shuffle")
+    for (e <- exchanges)
+      assert(!e.child.output.exists(a =>
+          a.dataType == org.apache.spark.sql.types.BinaryType),
+        s"binary column shuffles: ${e.child.output.map(_.name)}")
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("rec1 co-occurrence: no lineitem self-join — pairs explode within the basket row; item counts broadcast") {
     val plan = executedPlan(graft.queries.Mining.rec1ItemCooc(spark, sf))
     // two Generate nodes (the two explodes), no SortMergeJoin anywhere
