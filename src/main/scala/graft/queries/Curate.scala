@@ -386,6 +386,60 @@ object Curate {
       .select(col("doc_id"), size(col("m")).as("n_hits"),
         array_join(col("m"), ",").as("hits_csv"))
 
+  // ---- pipe7: blocklist -> span-excise -> floor -> packing report ----
+
+  /** pipe7: the curation slice that composes this round's cleanup
+    * stages end-to-end — the blocklist GATE (drop any document
+    * matching a [[BlocklistPhrases]] phrase, blk1's complement), then
+    * duplicate-span EXCISION over the survivors
+    * ([[graft.dedup.Dedup.spanExciseClean]] — note the dedup domain is
+    * the FILTERED corpus, so span statistics differ from standalone
+    * dd27: true composition, not a union of pieces), then a minimum
+    * retained-length floor (>= 20 surviving words — excision can gut a
+    * boilerplate doc), and finally the per-language packing report a
+    * shard-writer consumes (docs/tokens out, 2048-token shard count by
+    * exact integer ceiling).
+    *
+    * Scale shape: one map-only blocklist scan (zero Exchange), the
+    * survivors staged once behind the [[Staging]] seam (the excision
+    * chain references them three times), dd27's two linear token
+    * shuffles, then two bounded per-language aggregates joined on the
+    * 5-row language domain. Nothing pairwise, nothing windowed.
+    */
+  def pipe7BlocklistCurate(s: SparkSession, d: String): DataFrame =
+    pipe7BlocklistCurateOn(Tables.documents(s, d), Staging.Memory)
+
+  private[graft] def pipe7BlocklistCurateOn(
+      docs: DataFrame, staging: Staging): DataFrame = {
+    val flagged = docs.select(col("doc_id"), col("lang"), col("text"),
+      (size(graft.functions.PhraseMatch.phrase_matches(col("text"),
+        BlocklistPhrases)) > 0).as("blocked"))
+    val inStats = flagged.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs_in"),
+      count(when(col("blocked"), 1)).as("n_blocked"))
+    val kept = staging.stage(flagged.filter(!col("blocked"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("nw")),
+      "pipe7_kept")
+    val cleaned = graft.dedup.Dedup
+      .spanExciseClean(kept, "doc_id", "text", k = 8)
+      .withColumnRenamed("id", "doc_id")
+    val out = cleaned
+      .join(kept.select(col("doc_id"), col("lang"), col("nw")),
+        Seq("doc_id"))
+      .withColumn("n_tok", col("nw") - col("n_removed"))
+      .filter(col("n_tok") >= 20)
+    val outStats = out.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs_out"),
+      sum(col("n_tok").cast("long")).as("tokens_out"),
+      sum(col("n_removed").cast("long")).as("words_removed"))
+    inStats.join(outStats, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_docs_out", "tokens_out", "words_removed"))
+      // exact integer ceiling — no float division to disagree on
+      .withColumn("n_shards",
+        expr("CAST((tokens_out + 2047) div 2048 AS INT)"))
+  }
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -393,7 +447,9 @@ object Curate {
     "mix1_mixture_weights" -> (mix1MixtureWeights _),
     "mix4_unimax" -> ((s: SparkSession, d: String) => mix4Unimax(s, d)),
     "lrq1_logistic_quality" -> (lrq1LogisticQuality _),
-    "blk1_blocklist_hits" -> (blk1BlocklistHits _))
+    "blk1_blocklist_hits" -> (blk1BlocklistHits _),
+    "pipe7_blocklist_curate" -> ((s: SparkSession, d: String) =>
+      pipe7BlocklistCurate(s, d)))
 
   /** One Newton round of the lrq1 SQL dual: p$prev -> s$i -> p$i,
     * composing the exact expression trees of [[logisticTrain]].
@@ -448,8 +504,72 @@ object Curate {
        FROM h GROUP BY doc_id"""
   }
 
+  /** pipe7's dual: the blocklist gate as a correlated EXISTS over the
+    * same phrase VALUES, dd27's excision chain re-rooted at the
+    * SURVIVOR corpus (counts only — the report never needs the
+    * reassembled text), the >= 20 floor, and the same exact-integer
+    * shard ceiling.
+    */
+  private val pipe7Oracle: String = {
+    val values = BlocklistPhrases.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, '$p')" }.mkString(", ")
+    s"""WITH bl(idx, phrase) AS (
+         SELECT * FROM (VALUES $values) t(idx, phrase)),
+       flag AS MATERIALIZED (
+         SELECT doc_id, lang, text,
+                EXISTS (SELECT 1 FROM bl
+                        WHERE position(bl.phrase IN documents.text) > 0)
+                  AS blocked
+         FROM documents),
+       ins AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_in,
+                      CAST(count(*) FILTER (blocked) AS BIGINT)
+                        AS n_blocked
+               FROM flag GROUP BY lang),
+       n AS MATERIALIZED (
+         SELECT doc_id, lang,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS ts,
+                len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS nw
+         FROM flag WHERE NOT blocked),
+       sp AS MATERIALIZED (
+         SELECT doc_id, unnest(range(0, nw - 7)) AS p, ts
+         FROM n WHERE nw >= 8),
+       sph AS MATERIALIZED (
+         SELECT doc_id, p,
+                sha256(array_to_string(
+                  ts[CAST(p + 1 AS INT):CAST(p + 8 AS INT)], ' ')) AS h
+         FROM sp),
+       ex AS MATERIALIZED (
+         SELECT doc_id, p FROM (
+           SELECT doc_id, p,
+                  count(*) OVER (PARTITION BY h) AS cnt,
+                  row_number() OVER (PARTITION BY h
+                    ORDER BY doc_id, p) AS rn
+           FROM sph) WHERE cnt > 1 AND rn > 1),
+       rm AS (SELECT doc_id, count(*) AS n_removed FROM (
+                SELECT DISTINCT doc_id, pos FROM (
+                  SELECT doc_id, unnest(range(p, p + 8)) AS pos FROM ex))
+              GROUP BY doc_id),
+       outdocs AS MATERIALIZED (
+         SELECT n.lang, n.nw - COALESCE(rm.n_removed, 0) AS n_tok,
+                COALESCE(rm.n_removed, 0) AS n_removed
+         FROM n LEFT JOIN rm USING (doc_id)
+         WHERE n.nw - COALESCE(rm.n_removed, 0) >= 20),
+       outs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_out,
+                       CAST(sum(n_tok) AS BIGINT) AS tokens_out,
+                       CAST(sum(n_removed) AS BIGINT) AS words_removed
+                FROM outdocs GROUP BY lang)
+       SELECT ins.lang, n_docs_in, n_blocked,
+              COALESCE(n_docs_out, 0) AS n_docs_out,
+              COALESCE(tokens_out, 0) AS tokens_out,
+              COALESCE(words_removed, 0) AS words_removed,
+              CAST((COALESCE(tokens_out, 0) + 2047) // 2048 AS INT)
+                AS n_shards
+       FROM ins LEFT JOIN outs USING (lang)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "blk1_blocklist_hits" -> blk1Oracle,
+    "pipe7_blocklist_curate" -> pipe7Oracle,
     "mix4_unimax" ->
       s"""WITH la AS MATERIALIZED (
            SELECT lang,

@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
+import graft.dedup.Dedup
 import graft.functions.{AhoCorasick, PhraseMatch}
 import graft.queries.Curate
 
 /** Aho–Corasick blocklist matcher: automaton == naive contains on
   * randomized corpora, nested/overlapping output chains, codegen ==
-  * interpreted, and the blk1 query contract.
+  * interpreted, the blk1 query contract, and the pipe7 composition.
   */
 class PhraseMatchSpec extends SparkSpec {
   import spark.implicits._
@@ -96,6 +97,52 @@ class PhraseMatchSpec extends SparkSpec {
     // the never-occurring phrase really never occurs (guards the
     // blocklist's zero-match leg)
     assert(!got.values.exists(_._2.contains("llama weights")))
+  }
+
+  test("pipe7: report equals an independently recomputed composition " +
+      "(naive gate -> excise -> floor -> agg), and Memory == Parquet " +
+      "staging") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val got = Curate.pipe7BlocklistCurateOn(docs, graft.queries.Staging.Memory)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))).toSet
+
+    // independent recomputation: naive contains for the gate, the
+    // library excise for the rest (its own spec proves it), plain
+    // Scala for floor + aggregation
+    val raw = docs.select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect()
+    val blocked = raw.filter(r =>
+      Curate.BlocklistPhrases.exists(r._3.contains)).map(_._1).toSet
+    val keptRows = raw.filterNot(r => blocked(r._1))
+    val removedBy = Dedup.spanExciseClean(
+        keptRows.toSeq.toDF("doc_id", "lang", "text"),
+        "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val expected = raw.groupBy(_._2).map { case (lang, rows) =>
+      val outDocs = rows.filterNot(r => blocked(r._1)).flatMap { r =>
+        val nw = r._3.trim.toLowerCase.split("\\s+", -1).length
+        val nTok = nw - removedBy(r._1)
+        if (nTok >= 20) Some((nTok.toLong, removedBy(r._1).toLong)) else None
+      }
+      val tokens = outDocs.map(_._1).sum
+      (lang, rows.length.toLong, rows.count(r => blocked(r._1)).toLong,
+        outDocs.length.toLong, tokens, outDocs.map(_._2).sum,
+        ((tokens + 2047) / 2048).toInt)
+    }.toSet
+    assert(got === expected)
+
+    val tmp = java.nio.file.Files.createTempDirectory("pipe7stage").toString
+    val viaParquet = Curate.pipe7BlocklistCurateOn(docs,
+        graft.queries.Staging.Parquet(tmp))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))).toSet
+    assert(viaParquet === got)
+    // the gate and the floor both actually fired on this corpus
+    assert(got.exists(_._3 > 0), "no language had a blocked doc")
+    assert(got.map(t => t._2 - t._3 - t._4).sum > 0,
+      "the floor dropped nothing — fixture too weak to test it")
   }
 
   test("unicode phrases and surrogate-free UTF-16 stepping") {
