@@ -189,6 +189,21 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("content_hash")
       .drop("content_hash")
 
+  /** Streaming blocklist gate — the ingest-time face of pipe7's first
+    * stage (blk1's complement): drop any arriving document matching a
+    * blocklist phrase. STATELESS — the Aho–Corasick automaton compiles
+    * once on the driver and rides inside the expression to every
+    * executor; no watermark, no state store, so it composes in front
+    * of [[streamingCorpusClean]] (or any stateful stage) without
+    * touching checkpoint compatibility.
+    */
+  def streamingBlocklistGate(
+      docs: DataFrame,
+      textCol: String,
+      phrases: Seq[String]): DataFrame =
+    docs.filter(size(graft.functions.PhraseMatch
+      .phrase_matches(col(textCol), phrases)) === 0)
+
   /** Streaming corpus-clean gate — the ingest-time face of pipe1's
     * quality + exact-dedup phases plus the per-doc stats projection:
     * quality gate (stateless) -> exact dedup (watermark-bounded

@@ -338,6 +338,41 @@ class StreamingSpec extends SparkSpec {
       .toSet === batch)
   }
 
+  test("streaming blocklist gate over MemoryStream equals the batch " +
+      "complement of blk1 (stateless, multi-batch arrival, composes " +
+      "in front of the stateful dedup)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val arrivals = docs.zipWithIndex.map { case ((id, text), i) =>
+      (ts(i % 5), id, text)
+    }
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val gated = graft.streaming.StreamingDedup.streamingBlocklistGate(
+      mem.toDS().toDF("ts", "doc_id", "text"), "text",
+      graft.queries.Curate.BlocklistPhrases)
+    val q = gated.select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("blk_out")
+      .start()
+    try {
+      val half = arrivals.length / 2
+      mem.addData(arrivals.take(half).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(half).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("blk_out")
+      .collect().map(_.getLong(0)).toSet
+    val blockedBatch = graft.queries.Curate
+      .blk1BlocklistHits(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val all = docs.map(_._1).toSet
+    assert(streamed === (all -- blockedBatch))
+    assert(blockedBatch.nonEmpty && streamed.nonEmpty)
+  }
+
   test("streaming contamination gate over MemoryStream equals the batch " +
       "dual; scores emit once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
