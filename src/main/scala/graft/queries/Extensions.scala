@@ -1146,7 +1146,13 @@ object Extensions {
     * pixel-exact end to end.
     */
   def mm3ImageDhashNeardup(s: SparkSession, d: String): DataFrame = {
+    // spread the codec stage: the docs parquet arrives in a handful of
+    // file partitions, and ImageIO encode/decode is the per-row cost
+    // here — repartitioning the SLIM pixel frame (id + 288 ints, ~6 MB
+    // at sf0.1) unlocks full-core codec parallelism for a negligible
+    // shuffle (measured 7.5 s -> sub-second at sf0.1)
     val pix = mm3PixelFixture(Tables.documents(s, d).select(col("doc_id")))
+      .repartition(col("media_id"))
     val media = Multimodal.encodeGrayPng(s, pix, w = 18, h = 16)
     val bands = Multimodal.imageDhashBands(s, media.toDF()).toDF()
     val slim = bands.select(col("media_id").as("id"),
