@@ -131,16 +131,21 @@ final class AhoCorasick(val phrases: Array[String]) extends Serializable {
   /** Distinct phrases occurring in `text` as substrings, in
     * phrase-list order, as Spark array data. Called from both
     * interpreted eval and generated code.
+    *
+    * The scan walks the UTF8String's bytes directly, decoding UTF-8
+    * code points to the UTF-16 code units the trie is keyed by —
+    * `text.toString` would allocate a full String copy (plus a
+    * UTF-8→UTF-16 transcode buffer) per row on exactly the hot path
+    * this expression exists to keep single-pass. Astral code points
+    * step the automaton as a surrogate pair, matching how the phrase
+    * strings were trie-inserted char by char.
     */
   def matchedPhrases(text: UTF8String): GenericArrayData = {
-    val s = text.toString
+    val nb = text.numBytes()
     val seen = new Array[Boolean](phrases.length)
     var nSeen = 0
     var node = 0
-    var i = 0
-    val len = s.length
-    while (i < len && nSeen < phrases.length) {
-      val c = s.charAt(i)
+    def step(c: Char): Unit = {
       var hop = gotoMaps.get(node).get(c)
       while (hop == null && node != 0) {
         node = fail(node)
@@ -153,7 +158,37 @@ final class AhoCorasick(val phrases: Array[String]) extends Serializable {
         if (!seen(out(k))) { seen(out(k)) = true; nSeen += 1 }
         k += 1
       }
-      i += 1
+    }
+    var i = 0
+    while (i < nb && nSeen < phrases.length) {
+      val b0 = text.getByte(i) & 0xff
+      if (b0 < 0x80) { step(b0.toChar); i += 1 }
+      else if ((b0 & 0xe0) == 0xc0) {
+        if (i + 2 > nb) i = nb // truncated tail: stop, never over-read
+        else {
+          step((((b0 & 0x1f) << 6) | (text.getByte(i + 1) & 0x3f)).toChar)
+          i += 2
+        }
+      } else if ((b0 & 0xf0) == 0xe0) {
+        if (i + 3 > nb) i = nb
+        else {
+          step((((b0 & 0x0f) << 12) | ((text.getByte(i + 1) & 0x3f) << 6) |
+            (text.getByte(i + 2) & 0x3f)).toChar)
+          i += 3
+        }
+      } else {
+        if (i + 4 > nb) i = nb
+        else {
+          val cp = ((b0 & 0x07) << 18) |
+            ((text.getByte(i + 1) & 0x3f) << 12) |
+            ((text.getByte(i + 2) & 0x3f) << 6) |
+            (text.getByte(i + 3) & 0x3f)
+          val off = cp - 0x10000
+          step((0xd800 + (off >> 10)).toChar)
+          step((0xdc00 + (off & 0x3ff)).toChar)
+          i += 4
+        }
+      }
     }
     val hits = new Array[Any](nSeen)
     var w = 0

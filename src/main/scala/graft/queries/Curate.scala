@@ -411,9 +411,14 @@ object Curate {
 
   private[graft] def pipe7BlocklistCurateOn(
       docs: DataFrame, staging: Staging): DataFrame = {
-    val flagged = docs.select(col("doc_id"), col("lang"), col("text"),
-      (size(graft.functions.PhraseMatch.phrase_matches(col("text"),
-        BlocklistPhrases)) > 0).as("blocked"))
+    // staged BEFORE it forks: inStats and the kept filter both consume
+    // the blocked flag, and the AC scan is the cost this stage exists
+    // to pay once — unstaged, each branch would re-scan the corpus
+    val flagged = staging.stage(
+      docs.select(col("doc_id"), col("lang"), col("text"),
+        (size(graft.functions.PhraseMatch.phrase_matches(col("text"),
+          BlocklistPhrases)) > 0).as("blocked")),
+      "pipe7_flagged")
     val inStats = flagged.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs_in"),
       count(when(col("blocked"), 1)).as("n_blocked"))
@@ -492,9 +497,15 @@ object Curate {
     * construction (exact substring semantics both sides), phrase-list
     * order via the idx sort key.
     */
+  /** SQL-literal form of a phrase (single quotes doubled): the
+    * blocklist is a public val real users extend, and "don't share"
+    * must become a semantic diff, not a DuckDB parse error.
+    */
+  private def sqlQuote(p: String): String = "'" + p.replace("'", "''") + "'"
+
   private val blk1Oracle: String = {
     val values = BlocklistPhrases.zipWithIndex
-      .map { case (p, i) => s"(${i + 1}, '$p')" }.mkString(", ")
+      .map { case (p, i) => s"(${i + 1}, ${sqlQuote(p)})" }.mkString(", ")
     s"""WITH bl(idx, phrase) AS (
          SELECT * FROM (VALUES $values) t(idx, phrase)),
        h AS (SELECT d.doc_id, bl.idx, bl.phrase
@@ -512,7 +523,7 @@ object Curate {
     */
   private val pipe7Oracle: String = {
     val values = BlocklistPhrases.zipWithIndex
-      .map { case (p, i) => s"(${i + 1}, '$p')" }.mkString(", ")
+      .map { case (p, i) => s"(${i + 1}, ${sqlQuote(p)})" }.mkString(", ")
     s"""WITH bl(idx, phrase) AS (
          SELECT * FROM (VALUES $values) t(idx, phrase)),
        flag AS MATERIALIZED (

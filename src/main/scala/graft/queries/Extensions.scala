@@ -1154,7 +1154,12 @@ object Extensions {
     val pix = mm3PixelFixture(Tables.documents(s, d).select(col("doc_id")))
       .repartition(col("media_id"))
     val media = Multimodal.encodeGrayPng(s, pix, w = 18, h = 16)
+    // checkpoint the 20 B/row band frame: four join branches reference
+    // it (slim ×2, verify ×2) and each is a distinct exchange — without
+    // the cut, every image pays the PNG encode + ImageIO decode once
+    // PER BRANCH (at warehouse scale this is the parquet staging seam)
     val bands = Multimodal.imageDhashBands(s, media.toDF()).toDF()
+      .localCheckpoint(true)
     val slim = bands.select(col("media_id").as("id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "v")

@@ -145,11 +145,25 @@ class PhraseMatchSpec extends SparkSpec {
       "the floor dropped nothing — fixture too weak to test it")
   }
 
-  test("unicode phrases and surrogate-free UTF-16 stepping") {
-    val phrases = Seq("naïve", "café au lait", "ü")
+  test("unicode phrases: 2/3/4-byte UTF-8, astral surrogate pairs, " +
+      "and the byte-walking scan == String-based naive") {
+    val phrases = Seq("naïve", "café au lait", "ü", "日本語 text", "a🜁b")
     val ac = new AhoCorasick(phrases.toArray)
     assert(ac.matchedPhraseStrings("a naïve café au lait über all") ==
-      phrases)
-    assert(UTF8String.fromString("naïve").toString == "naïve")
+      Seq("naïve", "café au lait", "ü"))
+    // 3-byte CJK and a 4-byte astral char (stepped as a surrogate pair)
+    assert(ac.matchedPhraseStrings("some 日本語 text with a🜁b inside") ==
+      Seq("日本語 text", "a🜁b"))
+    assert(ac.matchedPhraseStrings("a🜂b plain") == Nil) // different astral
+    // byte-walker == String scan on mixed-width soup
+    val rnd = new scala.util.Random(11)
+    val alphabet = "aü日🜁 b"
+    for (_ <- 1 to 300) {
+      val t = (1 to rnd.nextInt(25)).map { _ =>
+        val cps = alphabet.codePoints().toArray
+        new String(Character.toChars(cps(rnd.nextInt(cps.length))))
+      }.mkString
+      assert(ac.matchedPhraseStrings(t) == naive(t, phrases), s"text=$t")
+    }
   }
 }
