@@ -50,10 +50,9 @@ case class PointInPolygon(
 
   // Vertex elements must be NON-NULL: ArrayData.getDouble reads a
   // null slot as 0.0, which would silently teleport a vertex to the
-  // axis. The length check below is enforced at runtime (a truncated
-  // polygon is a silently wrong verdict, not a degraded one); null
-  // slots are a documented precondition — the engine's polygon frames
-  // are built from non-null arithmetic.
+  // axis — the same silent-wrong-verdict class the parallel-length
+  // check guards, so both are enforced at runtime (cheap: one bitmap
+  // probe per vertex against a per-candidate loop of double math).
   override def nullSafeEval(pxA: Any, pyA: Any, xsA: Any, ysA: Any): Any = {
     val px = pxA.asInstanceOf[Double]
     val py = pyA.asInstanceOf[Double]
@@ -64,6 +63,14 @@ case class PointInPolygon(
         s"$prettyName: xs has ${xs.numElements()} vertices but ys has " +
           s"${ys.numElements()} — the coordinate arrays must be parallel")
     val n = xs.numElements()
+    var k = 0
+    while (k < n) {
+      if (xs.isNullAt(k) || ys.isNullAt(k))
+        throw new IllegalArgumentException(
+          s"$prettyName: null vertex coordinate at index $k — polygon " +
+            "arrays must not contain nulls")
+      k += 1
+    }
     var inside = false
     var j = n - 1
     var i = 0
@@ -95,6 +102,13 @@ case class PointInPolygon(
          |    " — the coordinate arrays must be parallel");
          |}
          |int $n = $xs.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($xs.isNullAt($i) || $ys.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "point_in_polygon: null vertex coordinate at index " + $i +
+         |      " — polygon arrays must not contain nulls");
+         |  }
+         |}
          |boolean $inside = false;
          |int $j = $n - 1;
          |for (int $i = 0; $i < $n; $i++) {

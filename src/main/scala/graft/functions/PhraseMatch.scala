@@ -159,26 +159,37 @@ final class AhoCorasick(val phrases: Array[String]) extends Serializable {
         k += 1
       }
     }
+    // malformed input contract: an invalid lead byte (bare
+    // continuation 0x80-0xBF, 0xF8-0xFF) or a sequence with invalid
+    // continuation bytes steps ONE byte and resets the automaton to
+    // root — the bad byte cannot extend any phrase, adjacent valid
+    // text still matches, and the scan degrades predictably instead of
+    // silently swallowing up to 3 good bytes
+    def cont(k: Int): Boolean = (text.getByte(k) & 0xc0) == 0x80
     var i = 0
     while (i < nb && nSeen < phrases.length) {
       val b0 = text.getByte(i) & 0xff
       if (b0 < 0x80) { step(b0.toChar); i += 1 }
       else if ((b0 & 0xe0) == 0xc0) {
         if (i + 2 > nb) i = nb // truncated tail: stop, never over-read
+        else if (!cont(i + 1)) { node = 0; i += 1 }
         else {
           step((((b0 & 0x1f) << 6) | (text.getByte(i + 1) & 0x3f)).toChar)
           i += 2
         }
       } else if ((b0 & 0xf0) == 0xe0) {
         if (i + 3 > nb) i = nb
+        else if (!cont(i + 1) || !cont(i + 2)) { node = 0; i += 1 }
         else {
           step((((b0 & 0x0f) << 12) | ((text.getByte(i + 1) & 0x3f) << 6) |
             (text.getByte(i + 2) & 0x3f)).toChar)
           i += 3
         }
-      } else {
+      } else if ((b0 & 0xf8) == 0xf0) {
         if (i + 4 > nb) i = nb
-        else {
+        else if (!cont(i + 1) || !cont(i + 2) || !cont(i + 3)) {
+          node = 0; i += 1
+        } else {
           val cp = ((b0 & 0x07) << 18) |
             ((text.getByte(i + 1) & 0x3f) << 12) |
             ((text.getByte(i + 2) & 0x3f) << 6) |
@@ -188,7 +199,7 @@ final class AhoCorasick(val phrases: Array[String]) extends Serializable {
           step((0xdc00 + (off & 0x3ff)).toChar)
           i += 4
         }
-      }
+      } else { node = 0; i += 1 } // invalid lead byte
     }
     val hits = new Array[Any](nSeen)
     var w = 0
@@ -217,8 +228,22 @@ case class PhraseMatches(child: Expression, phrases: Seq[String])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "phrase_matches"
 
+  // phrase-list validity is re-checked here (not only in the lazy
+  // AhoCorasick constructor) so an invalid blocklist fails at ANALYSIS
+  // time with a planner error instead of surfacing as a runtime task
+  // failure when the automaton is first forced on an executor
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType =>
+      if (phrases.isEmpty)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a non-empty phrase list")
+      else if (phrases.exists(_.isEmpty))
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName phrases must be non-empty strings")
+      else if (phrases.distinct.length != phrases.length)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName phrases must be distinct")
+      else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string column, got ${other.sql}")
   }

@@ -544,14 +544,16 @@ object StreamingDedup {
       outDir: String,
       threshold: Double = 0.8,
       dfCap: Int = 16,
-      delayMs: Long = 2 * 3600 * 1000L)
+      delayMs: Long = 2 * 3600 * 1000L,
+      firstBatchHook: () => Unit = () => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[SharedHash] = {
     streamingWinnowShared(spark, docsStream, idCol, textCol,
         dfCap = dfCap, delayMs = delayMs)
       .writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch(
-        verifyPublish(spark, corpus, idCol, textCol, outDir, threshold))
+        verifyPublish(spark, corpus, idCol, textCol, outDir, threshold,
+          firstBatchHook))
   }
 
   /** The shared per-trigger verify-and-publish sink for the candidate
@@ -566,9 +568,14 @@ object StreamingDedup {
       idCol: String,
       textCol: String,
       outDir: String,
-      threshold: Double): (Dataset[SharedHash], Long) => Unit = {
+      threshold: Double,
+      firstBatchHook: () => Unit = () => ()): (Dataset[SharedHash], Long) => Unit = {
     val pairsDir = s"$outDir/pairs"
+    // once per writer instance: the hook (tier recording) must run on
+    // the first EXECUTED batch, not at writer construction
+    val hookRan = new java.util.concurrent.atomic.AtomicBoolean(false)
     (batch: Dataset[SharedHash], _: Long) => {
+      if (hookRan.compareAndSet(false, true)) firstBatchHook()
       val cands = batch.toDF()
         .select(col("id_a"), col("id_b")).distinct()
       val prior =
@@ -618,7 +625,8 @@ object StreamingDedup {
       outDir: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      delayMs: Long = 2 * 3600 * 1000L)
+      delayMs: Long = 2 * 3600 * 1000L,
+      firstBatchHook: () => Unit = () => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[SharedHash] = {
     import spark.implicits._
     val sorted = sort_array(transform(
@@ -639,7 +647,8 @@ object StreamingDedup {
       .writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .foreachBatch(
-        verifyPublish(spark, corpus, idCol, textCol, outDir, threshold))
+        verifyPublish(spark, corpus, idCol, textCol, outDir, threshold,
+          firstBatchHook))
   }
 
   /** AUTO-DISPATCHING streaming near-dup — the streaming face of
@@ -695,20 +704,29 @@ object StreamingDedup {
       tier, est, maxExactCandidates)
     graft.queries.Clean.logNearDupDispatch("streamingNearDupAuto", d)
     onDispatch(d)
+    // fail fast at construction on a recorded mismatch, but WRITE the
+    // marker only from the first executed micro-batch (recordTier via
+    // the hook) — constructing a writer that never starts must not pin
+    // the tier, and the atomic create-if-absent closes the race of two
+    // concurrent first starts
     requireTierUnchanged(spark, outDir, tier)
+    val hook = () => recordTier(spark, outDir, tier)
     if (tier == "exact")
       streamingExactJaccardPairs(spark, docsStream, corpus, idCol,
-        textCol, outDir, threshold = threshold, delayMs = delayMs)
+        textCol, outDir, threshold = threshold, delayMs = delayMs,
+        firstBatchHook = hook)
     else
       streamingTieredNearDup(spark, docsStream, corpus, idCol, textCol,
-        outDir, threshold, dfCap, delayMs)
+        outDir, threshold, dfCap, delayMs, firstBatchHook = hook)
   }
 
-  /** Record the dispatched tier in `outDir/_tier` on first start and
-    * refuse a resume under a DIFFERENT tier — the checkpointed bucket
-    * state is keyed by the old tier's hash family and would silently
-    * drop every pre-flip × post-flip pair (see
-    * [[streamingNearDupAuto]]'s scaladoc).
+  /** Fail fast if `outDir/_tier` records a DIFFERENT tier — the
+    * checkpointed bucket state is keyed by the old tier's hash family
+    * and would silently drop every pre-flip × post-flip pair (see
+    * [[streamingNearDupAuto]]'s scaladoc). Validate-only: an absent
+    * marker passes (nothing has run yet), so merely CONSTRUCTING a
+    * writer never pins the tier — [[recordTier]] writes the marker
+    * from the first executed micro-batch.
     */
   private[graft] def requireTierUnchanged(
       spark: SparkSession, outDir: String, tier: String): Unit = {
@@ -726,9 +744,32 @@ object StreamingDedup {
           "family and silently lose cross-flip pairs. Start a fresh " +
           "outDir (re-adjudicate the corpus with a batch pass), or pin " +
           "the tier via knownCandidateEstimate.")
-    } else {
-      val out = fs.create(path, true)
-      try out.write(tier.getBytes("UTF-8")) finally out.close()
     }
+  }
+
+  /** Durably record the dispatched tier in `outDir/_tier` via ATOMIC
+    * create-if-absent (`fs.create(path, overwrite = false)`), then
+    * re-read and validate. Losing a concurrent creation race falls
+    * through to the validation read, so two first-starts under
+    * different tiers cannot both win silently — exactly one marker
+    * survives and the loser fails with the cross-flip message. Called
+    * from the first micro-batch of each auto-dispatched query (never
+    * at writer construction, which must have no side effects).
+    */
+  private[graft] def recordTier(
+      spark: SparkSession, outDir: String, tier: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/_tier")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) {
+      try {
+        val out = fs.create(path, false)
+        try out.write(tier.getBytes("UTF-8")) finally out.close()
+      } catch {
+        // lost the create race (or the marker appeared between the
+        // exists probe and the create) — fall through to validate
+        case _: java.io.IOException => ()
+      }
+    }
+    requireTierUnchanged(spark, outDir, tier)
   }
 }

@@ -79,6 +79,25 @@ class GeoSpec extends SparkSpec {
     assert(ex.getMessage.contains("parallel") ||
       Option(ex.getCause).exists(_.getMessage.contains("parallel")),
       ex.toString)
+    // null-vertex precondition: a null coordinate slot would read as
+    // 0.0 through ArrayData.getDouble and silently teleport the vertex
+    // to the axis — same silent-wrong-verdict class as a truncated
+    // polygon, so it must raise too (both codegen paths)
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      try {
+        val nx = intercept[Exception] {
+          sqDf.withColumn("xs",
+              array(lit(0.0), lit(null).cast("double"), lit(1.0), lit(0.0)))
+            .select(point_in_polygon(col("px"), col("py"), col("xs"),
+              col("ys"))).collect()
+        }
+        assert(nx.getMessage.contains("null vertex") ||
+          Option(nx.getCause).exists(_.getMessage.contains("null vertex")),
+          s"codegen=$codegen: $nx")
+      } finally
+        spark.conf.set("spark.sql.codegen.wholeStage", priorCodegen)
+    }
   }
 
   test("geo3: grid candidates find exactly the naive cross-join " +

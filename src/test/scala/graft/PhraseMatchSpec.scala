@@ -166,4 +166,46 @@ class PhraseMatchSpec extends SparkSpec {
       assert(ac.matchedPhraseStrings(t) == naive(t, phrases), s"text=$t")
     }
   }
+
+  test("malformed UTF-8 degrades predictably: invalid lead/continuation " +
+      "bytes step one byte and reset — adjacent valid matches survive") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ac = new AhoCorasick(Array("spam", "ham"))
+    def matchesOf(bytes: Array[Byte]): Seq[String] = {
+      val arr = ac.matchedPhrases(UTF8String.fromBytes(bytes))
+      (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+    }
+    val spam = "spam".getBytes("UTF-8")
+    val ham = "ham".getBytes("UTF-8")
+    // a bare continuation byte (0x80-0xBF) between two real matches:
+    // before the fix the walker consumed it as a 4-byte lead and
+    // swallowed 'ham' whole
+    assert(matchesOf(spam ++ Array(0x85.toByte) ++ ham) ==
+      Seq("spam", "ham"))
+    // invalid lead bytes 0xF8-0xFF likewise step one byte
+    assert(matchesOf(spam ++ Array(0xff.toByte) ++ ham) ==
+      Seq("spam", "ham"))
+    // a 4-byte lead with INVALID continuations must not eat 3 good
+    // bytes: 0xF0 then "ham" still matches 'ham'
+    assert(matchesOf(Array(0xf0.toByte) ++ ham) == Seq("ham"))
+    // ...and the bad byte resets the automaton: it can never sit
+    // INSIDE a phrase match
+    assert(matchesOf("sp".getBytes("UTF-8") ++ Array(0x85.toByte) ++
+      "am".getBytes("UTF-8")) == Nil)
+    // truncated multi-byte tails still stop cleanly
+    assert(matchesOf(spam ++ Array(0xe4.toByte, 0xb8.toByte)) == Seq("spam"))
+  }
+
+  test("invalid phrase lists fail at analysis time, not as a runtime " +
+      "task failure when the automaton is first forced") {
+    import graft.functions.PhraseMatch.phrase_matches
+    import spark.implicits._
+    val df = Seq("some text").toDF("text")
+    for (bad <- Seq(Seq.empty[String], Seq("a", ""), Seq("dup", "dup"))) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(phrase_matches(col("text"), bad)).queryExecution.analyzed
+      }
+      assert(ex.getMessage.contains("phrase"), s"phrases=$bad: $ex")
+    }
+  }
 }

@@ -1131,13 +1131,26 @@ class StreamingSpec extends SparkSpec {
     // lose every pre-flip x post-flip pair)
     val out = java.nio.file.Files
       .createTempDirectory("auto-stream-flip").toString
+    // validate-only pre-start checks never PIN the tier: a constructed-
+    // but-never-started writer must not block a later legitimate first
+    // start under the other tier
     graft.streaming.StreamingDedup.requireTierUnchanged(spark, out, "exact")
+    graft.streaming.StreamingDedup.requireTierUnchanged(spark, out, "tiered")
+    // first-batch recording is idempotent and atomic (create-if-absent)
+    graft.streaming.StreamingDedup.recordTier(spark, out, "exact")
+    graft.streaming.StreamingDedup.recordTier(spark, out, "exact")
     graft.streaming.StreamingDedup.requireTierUnchanged(spark, out, "exact")
+    // ...and a recorded marker makes BOTH the pre-start validate and a
+    // racing recorder fail fast on the other tier
     val flip = intercept[IllegalArgumentException] {
       graft.streaming.StreamingDedup.requireTierUnchanged(
         spark, out, "tiered")
     }
     assert(flip.getMessage.contains("cross-flip"), flip.getMessage)
+    val flipRecord = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.recordTier(spark, out, "tiered")
+    }
+    assert(flipRecord.getMessage.contains("cross-flip"), flipRecord.getMessage)
   }
 
   test("streaming winnowing co-selection: a hot template tombstones " +
