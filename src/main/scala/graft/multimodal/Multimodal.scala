@@ -132,55 +132,8 @@ object Multimodal {
   final class WavDecoder(val windows: Int = 8) extends Decoder {
     def featureDim: Int = windows
     def decode(payload: Array[Byte]): Array[Float] = {
-      import javax.sound.sampled.{AudioFormat, AudioSystem}
-      val ais =
-        try AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        catch {
-          case e: javax.sound.sampled.UnsupportedAudioFileException =>
-            throw new IllegalArgumentException(
-              s"undecodable audio payload (${payload.length} bytes)", e)
-        }
-      val fmt = ais.getFormat
-      require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
-        fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED,
-        s"unsupported encoding ${fmt.getEncoding}")
-      val bytesPerSample = fmt.getSampleSizeInBits / 8
-      require(bytesPerSample == 1 || bytesPerSample == 2,
-        s"unsupported sample size ${fmt.getSampleSizeInBits} bits")
-      // 16-bit unsigned PCM would decode WRONG through the signed
-      // path below — unheard-of in WAV (unsigned is 8-bit by spec
-      // convention), so fail loudly rather than emit garbage features
-      require(!(bytesPerSample == 2 &&
-        fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED),
-        "16-bit unsigned PCM is not supported")
-      val raw = ais.readAllBytes()
-      val channels = fmt.getChannels
-      val frameBytes = bytesPerSample * channels
-      val nFrames = raw.length / frameBytes
-      // channel-averaged signed samples
-      val samples = new Array[Int](nFrames)
-      var f = 0
-      while (f < nFrames) {
-        var acc = 0
-        var c = 0
-        while (c < channels) {
-          val off = f * frameBytes + c * bytesPerSample
-          val s =
-            if (bytesPerSample == 2) {
-              val lo = raw(off) & 0xff
-              val hi = raw(off + 1)
-              if (fmt.isBigEndian) (raw(off) << 8) | (raw(off + 1) & 0xff)
-              else (hi << 8) | lo
-            } else if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
-              (raw(off) & 0xff) - 128
-            else raw(off).toInt
-          acc += s
-          c += 1
-        }
-        samples(f) = acc / channels
-        f += 1
-      }
+      val samples = decodePcmSamples(payload)
+      val nFrames = samples.length
       // per-window RMS (empty windows -> 0, matching the image codec's
       // empty-cell convention)
       Array.tabulate(windows) { w =>
@@ -195,6 +148,67 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Shared PCM container decode: WAV/AIFF/AU via `javax.sound`,
+    * channel-averaged signed integer samples. Exact integer math
+    * (16/8-bit PCM -> int, channel mean by integer division), so two
+    * decodes of the same payload are bit-identical — the property the
+    * audio fingerprint's cross-engine oracle rests on. Used by
+    * [[WavDecoder]] (RMS features) and [[audioHaarDeltaBandsOf]]
+    * (near-dup fingerprints).
+    */
+  private[graft] def decodePcmSamples(payload: Array[Byte]): Array[Int] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"undecodable audio payload (${payload.length} bytes)", e)
+      }
+    val fmt = ais.getFormat
+    require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+      fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED,
+      s"unsupported encoding ${fmt.getEncoding}")
+    val bytesPerSample = fmt.getSampleSizeInBits / 8
+    require(bytesPerSample == 1 || bytesPerSample == 2,
+      s"unsupported sample size ${fmt.getSampleSizeInBits} bits")
+    // 16-bit unsigned PCM would decode WRONG through the signed
+    // path below — unheard-of in WAV (unsigned is 8-bit by spec
+    // convention), so fail loudly rather than emit garbage features
+    require(!(bytesPerSample == 2 &&
+      fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED),
+      "16-bit unsigned PCM is not supported")
+    val raw = ais.readAllBytes()
+    val channels = fmt.getChannels
+    val frameBytes = bytesPerSample * channels
+    val nFrames = raw.length / frameBytes
+    // channel-averaged signed samples
+    val samples = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0
+      var c = 0
+      while (c < channels) {
+        val off = f * frameBytes + c * bytesPerSample
+        val s =
+          if (bytesPerSample == 2) {
+            val lo = raw(off) & 0xff
+            val hi = raw(off + 1)
+            if (fmt.isBigEndian) (raw(off) << 8) | (raw(off + 1) & 0xff)
+            else (hi << 8) | lo
+          } else if (fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED)
+            (raw(off) & 0xff) - 128
+          else raw(off).toInt
+        acc += s
+        c += 1
+      }
+      samples(f) = acc / channels
+      f += 1
+    }
+    samples
   }
 
   /** Wrap a text table as a binary media table (UTF-8 payloads) — the
@@ -429,6 +443,134 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val b = dhashBandsOf(r.payload, cols, rows)
+          DhashBands(r.media_id, b(0), b(1), b(2), b(3))
+        }
+      }
+    }
+  }
+
+  // ---- audio fingerprint (chromaprint-shaped) for audio near-dup ----
+
+  /** Sample row for [[encodePcm16Wav]]: media id + signed 16-bit
+    * sample values in [-32768, 32768).
+    */
+  final case class SampleRecord(media_id: Long, samples: Seq[Int])
+
+  /** Encode integer sample arrays as REAL mono 16-bit PCM WAV binary
+    * payloads — the canonical 44-byte RIFF/fmt/data layout
+    * `javax.sound` reads back exactly. PCM16 is lossless for integer
+    * samples, so formula-derived fixtures stay bit-identical through a
+    * real encode/decode cycle (the audio analogue of
+    * [[encodeGrayPng]]'s RGB-not-gray discipline).
+    */
+  def encodePcm16Wav(
+      spark: SparkSession,
+      samples: DataFrame,
+      sampleRate: Int = 8000,
+      batchSize: Int = 256): Dataset[MediaRecord] = {
+    import spark.implicits._
+    samples.as[SampleRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val n = r.samples.length
+          val bytes = new Array[Byte](44 + 2 * n)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1) // PCM
+            .putShort(1) // mono
+            .putInt(sampleRate)
+            .putInt(sampleRate * 2) // byte rate
+            .putShort(2) // block align
+            .putShort(16) // bits per sample
+            .put("data".getBytes("US-ASCII")).putInt(2 * n)
+          var i = 0
+          while (i < n) {
+            val s = r.samples(i)
+            require(s >= Short.MinValue && s <= Short.MaxValue,
+              s"media ${r.media_id}: sample $i = $s outside 16-bit PCM")
+            bb.putShort(s.toShort)
+            i += 1
+          }
+          MediaRecord(r.media_id, "audio/wav", bytes, 0, 0)
+        }
+      }
+    }
+  }
+
+  /** Chromaprint-shaped fingerprint of one decoded PCM stream: split
+    * the samples into `windows` equal windows, compute per-window
+    * LOW/HIGH Haar sub-band energies (low = Σ (s₂ᵢ + s₂ᵢ₊₁)², high =
+    * Σ (s₂ᵢ - s₂ᵢ₊₁)² — a 2-tap filterbank, all exact integer
+    * accumulation), and emit the temporal delta bits
+    * bit(2w) = low(w) > low(w+1), bit(2w+1) = high(w) > high(w+1),
+    * packed into four 16-bit bands. With the default 33 windows that
+    * is 64 bits — the same band layout as the image dHash, so the
+    * band-bucket join and Hamming verify are shared machinery.
+    *
+    * Reduced fidelity vs real chromaprint, by design: a 16-bin FFT
+    * filterbank would be float math no second engine replays
+    * bit-identically; the Haar pair IS a genuine spectral split
+    * (DC vs Nyquist energy) with exact integer arithmetic, keeping the
+    * whole fingerprint DuckDB-replayable — the mm3 discipline, which
+    * is what lets the green oracle row PROVE the WAV codec roundtrip
+    * is sample-exact.
+    *
+    * Window geometry must divide evenly (`nSamples = windows × even`)
+    * — a ragged split is a silently wrong fingerprint, so throw.
+    */
+  private[graft] def audioHaarDeltaBandsOf(
+      payload: Array[Byte], windows: Int): Array[Int] = {
+    require((windows - 1) * 2 == 64,
+      s"audio fingerprint needs 33 windows for 64 bits, got $windows")
+    val samples = decodePcmSamples(payload)
+    val n = samples.length
+    require(n > 0 && n % windows == 0 && (n / windows) % 2 == 0,
+      s"$n samples do not split into $windows even-sized windows")
+    val ws = n / windows
+    val low = new Array[Long](windows)
+    val high = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      var i = 0
+      while (i < ws) {
+        val a = samples(w * ws + i).toLong
+        val b = samples(w * ws + i + 1).toLong
+        low(w) += (a + b) * (a + b)
+        high(w) += (a - b) * (a - b)
+        i += 2
+      }
+      w += 1
+    }
+    val bands = new Array[Int](4)
+    w = 0
+    while (w < windows - 1) {
+      if (low(w) > low(w + 1)) bands((2 * w) / 16) |= 1 << ((2 * w) % 16)
+      if (high(w) > high(w + 1))
+        bands((2 * w + 1) / 16) |= 1 << ((2 * w + 1) % 16)
+      w += 1
+    }
+    bands
+  }
+
+  /** Batch-shaped audio-fingerprint extraction over a binary media
+    * table — the perceptual front end of audio near-dup: the payload
+    * column reduces to four 16-bit band ints per recording, and
+    * everything downstream (band-bucket join, Hamming verify) moves
+    * 20-byte rows, never audio bytes.
+    */
+  def audioFingerprintBands(
+      spark: SparkSession,
+      media: DataFrame,
+      windows: Int = 33,
+      batchSize: Int = 256): Dataset[DhashBands] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val b = audioHaarDeltaBandsOf(r.payload, windows)
           DhashBands(r.media_id, b(0), b(1), b(2), b(3))
         }
       }

@@ -1160,6 +1160,18 @@ object Extensions {
     // PER BRANCH (at warehouse scale this is the parquet staging seam)
     val bands = Multimodal.imageDhashBands(s, media.toDF()).toDF()
       .localCheckpoint(true)
+    bandedHammingPairs(bands, maxHamming = 10)
+  }
+
+  /** Shared tail of the banded perceptual near-dup operators (mm3
+    * image, mm4 audio): candidates from a band-bucket equi-join over
+    * the four 16-bit bands (any band exact — the Hamming-LSH recipe),
+    * then the exact Hamming verify on candidate pairs only. Input is
+    * the 20 B/row (media_id, b0..b3) frame — the media payloads are
+    * already gone, so no shuffle here ever moves binary.
+    */
+  private def bandedHammingPairs(
+      bands: DataFrame, maxHamming: Int): DataFrame = {
     val slim = bands.select(col("media_id").as("id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "v")
@@ -1179,7 +1191,70 @@ object Extensions {
         col("b1").as("bb1"), col("b2").as("bb2"), col("b3").as("bb3")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"), ham.cast("int").as("hamming"))
-      .filter(col("hamming") <= 10)
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** mm4's synthetic audio fixture: 528 signed 16-bit PCM samples per
+    * doc (33 windows × 16), sample j md5-derived from the doc's BASE
+    * id (the mm3/geo3 hex4 trick). Every doc with id % 11 == 5 is a
+    * RE-ENCODING of id - 1: same base samples except positions
+    * j < 80 with j % 5 == 0 redrawn from an independent '#tw#' stream
+    * — confined to windows 0-4, whose temporal-delta comparisons feed
+    * fingerprint bits 0-9 ONLY (bit pair (2w, 2w+1) reads windows w
+    * and w+1, so the last touched comparison is w = 4), all inside
+    * band 0. A twin therefore always shares bands 1-3 with its
+    * original (band-bucket recall exact by construction) and its
+    * Hamming distance spreads 0-10, inside the query radius.
+    */
+  private def mm4SampleFixture(docs: DataFrame): DataFrame = {
+    val isTw = pmod(col("doc_id"), lit(11)) === 5 && col("doc_id") > 0
+    val base = when(isTw, col("doc_id") - 1).otherwise(col("doc_id"))
+    def draw(tag: String,
+        j: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(conv(substring(md5(concat(col("b").cast("string"),
+        lit(tag), j.cast("string")).cast("binary")), 1, 4), 16, 10)
+        .cast("long"), lit(4096)) - 2048
+    docs.select(col("doc_id").as("media_id"), base.as("b"),
+        isTw.as("tw"))
+      .select(col("media_id"), transform(
+        sequence(lit(0), lit(33 * 16 - 1)),
+        j => when(col("tw") && j < 80 && pmod(j, lit(5)) === 0,
+          draw("#tw#", j)).otherwise(draw("#au#", j)).cast("int"))
+        .as("samples"))
+  }
+
+  /** mm4: audio near-dup by perceptual fingerprint — the
+    * cross-recording dedup stage of an audio curation pipeline, run
+    * through REAL binary plumbing: the sample fixture encodes to
+    * actual mono PCM16 WAV payloads ([[Multimodal.encodePcm16Wav]]),
+    * `javax.sound` decodes them back, and the chromaprint-shaped
+    * fingerprint ([[Multimodal.audioFingerprintBands]]: per-window
+    * Haar low/high sub-band energies in exact integer math, 64
+    * temporal delta bits) reduces each recording to four 16-bit
+    * bands. Candidates come from the same band-bucket equi-join as
+    * the image family (any of 4 bands exact; the fixture's
+    * re-encoding perturbation is band-0-confined by construction) and
+    * the exact Hamming verify runs on candidates only.
+    *
+    * Scale shape: identical to mm3 — audio bytes never shuffle (the
+    * payload reduces per-partition to 20 B band rows), the self-join
+    * moves (id, band, v), and the verify joins band rows back BY ID.
+    * The DuckDB oracle replays samples → Haar pair sums → window
+    * energies → delta bits → bands → band-join → Hamming from the
+    * same md5 formula (no codec): cross-engine equality PROVES the
+    * WAV encode/decode cycle is sample-exact end to end.
+    */
+  def mm4AudioNeardup(s: SparkSession, d: String): DataFrame = {
+    // same two plan moves as mm3, same reasons: repartition the slim
+    // pre-codec sample frame for codec parallelism; checkpoint the
+    // 20 B/row band frame so the four downstream join branches don't
+    // re-run the WAV encode + decode per exchange
+    val smp = mm4SampleFixture(Tables.documents(s, d).select(col("doc_id")))
+      .repartition(col("media_id"))
+    val media = Multimodal.encodePcm16Wav(s, smp)
+    val bands = Multimodal.audioFingerprintBands(s, media.toDF()).toDF()
+      .localCheckpoint(true)
+    bandedHammingPairs(bands, maxHamming = 10)
   }
 
   // ---- seeded stratified sampling (data-recipe surface) ------------
@@ -1904,6 +1979,7 @@ object Extensions {
     "mm1_decode_stub" -> (mm1DecodeStub _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_image_dhash_neardup" -> (mm3ImageDhashNeardup _),
+    "mm4_audio_neardup" -> (mm4AudioNeardup _),
     "x1_sql_cosine" -> (x1SqlCosine _),
     "x2_sql_textops" -> (x2SqlTextops _),
     "x3_sql_frames" -> (x3SqlFrames _),
@@ -2350,6 +2426,75 @@ object Extensions {
        bands AS MATERIALIZED (
          SELECT id, r // 2 AS band,
                 CAST(sum(bit * (1 << ((r % 2) * 8 + c))) AS INT) AS v
+         FROM bits GROUP BY 1, 2),
+       cand AS (
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.v = b.v AND a.id < b.id),
+       wide AS MATERIALIZED (
+         SELECT id,
+                max(v) FILTER (band = 0) AS b0,
+                max(v) FILTER (band = 1) AS b1,
+                max(v) FILTER (band = 2) AS b2,
+                max(v) FILTER (band = 3) AS b3
+         FROM bands GROUP BY id)
+       SELECT id_a, id_b,
+              CAST(bit_count(xor(wa.b0, wb.b0)) +
+                   bit_count(xor(wa.b1, wb.b1)) +
+                   bit_count(xor(wa.b2, wb.b2)) +
+                   bit_count(xor(wa.b3, wb.b3)) AS INT) AS hamming
+       FROM cand JOIN wide wa ON cand.id_a = wa.id
+                 JOIN wide wb ON cand.id_b = wb.id
+       WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1)) +
+             bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+               <= 10"""
+  }
+
+  /** mm4's dual replays the fingerprint from the sample FORMULA (no
+    * codec): samples → per-pair Haar sums → window energies → delta
+    * bits → bands → band-bucket join → Hamming. All integer
+    * arithmetic, so agreement with the Spark side (which went through
+    * a real WAV encode/decode) proves the codec roundtrip
+    * sample-exact.
+    */
+  private val mm4Oracle: String = {
+    def h(tag: String) = mm3Hex4(
+      s"md5(CAST(b AS VARCHAR) || '$tag' || CAST(j AS VARCHAR))")
+    s"""WITH ids AS (
+         SELECT doc_id AS id,
+                CASE WHEN doc_id % 11 = 5 AND doc_id > 0 THEN doc_id - 1
+                     ELSE doc_id END AS b,
+                (doc_id % 11 = 5 AND doc_id > 0) AS tw
+         FROM documents),
+       sj AS MATERIALIZED (
+         SELECT id, b, tw, unnest(range(0, 528)) AS j FROM ids),
+       sv AS MATERIALIZED (
+         SELECT id, j,
+                CASE WHEN tw AND j < 80 AND j % 5 = 0
+                     THEN ${h("#tw#")} % 4096 - 2048
+                     ELSE ${h("#au#")} % 4096 - 2048 END AS s
+         FROM sj),
+       pw AS MATERIALIZED (
+         SELECT id, j // 16 AS w, (j % 16) // 2 AS pr,
+                CAST(sum(s) AS BIGINT) AS psum,
+                CAST(sum(CASE WHEN j % 2 = 0 THEN s ELSE -s END)
+                     AS BIGINT) AS pdiff
+         FROM sv GROUP BY 1, 2, 3),
+       en AS MATERIALIZED (
+         SELECT id, w,
+                CAST(sum(psum * psum) AS BIGINT) AS lo,
+                CAST(sum(pdiff * pdiff) AS BIGINT) AS hi
+         FROM pw GROUP BY 1, 2),
+       bits AS MATERIALIZED (
+         SELECT a.id, a.w,
+                CASE WHEN a.lo > nx.lo THEN 1 ELSE 0 END AS bl,
+                CASE WHEN a.hi > nx.hi THEN 1 ELSE 0 END AS bh
+         FROM en a JOIN en nx ON a.id = nx.id AND nx.w = a.w + 1
+         WHERE a.w < 32),
+       bands AS MATERIALIZED (
+         SELECT id, (2 * w) // 16 AS band,
+                CAST(sum(bl * (1 << ((2 * w) % 16)) +
+                         bh * (1 << ((2 * w + 1) % 16))) AS INT) AS v
          FROM bits GROUP BY 1, 2),
        cand AS (
          SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -3038,6 +3183,7 @@ object Extensions {
     // (no image codec in DuckDB): matching hashes PROVE the Spark
     // side's PNG encode -> ImageIO decode cycle is pixel-exact
     "mm3_image_dhash_neardup" -> mm3Oracle,
+    "mm4_audio_neardup" -> mm4Oracle,
     "asof1_backward" -> asofBackwardOracle,
     // identical semantics, skew-proof execution — same oracle
     "asof4_backward_chunked" -> asofBackwardOracle,

@@ -392,6 +392,87 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.dhashBandsOf("not a png".getBytes("UTF-8"), 9, 8))
   }
 
+  // ---- chromaprint-shaped audio near-dup -----------------------------
+
+  private def wavOf(id: Long, samples: Seq[Int]) =
+    Multimodal.encodePcm16Wav(spark,
+      Seq(Multimodal.SampleRecord(id, samples)).toDS().toDF())
+      .collect().head.payload
+
+  test("encodePcm16Wav -> javax.sound decode is SAMPLE-EXACT (PCM16 " +
+      "roundtrip), and the header parses as canonical mono WAV") {
+    val samples = (0 until 528).map(i => ((i * 131 + 17) % 4096) - 2048)
+    val bytes = wavOf(7L, samples)
+    assert(bytes.length === 44 + 2 * 528)
+    assert(new String(bytes, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(bytes, 8, 4, "US-ASCII") === "WAVE")
+    val decoded = Multimodal.decodePcmSamples(bytes)
+    assert(decoded.toSeq === samples)
+    // full 16-bit extremes survive too
+    val extremes = Seq(-32768, 32767, 0, -1, 1) ++ Seq.fill(27)(123)
+    assert(Multimodal.decodePcmSamples(wavOf(8L, extremes)).toSeq ===
+      extremes)
+    // out-of-range samples raise inside the task (surfaced wrapped)
+    val oob = intercept[Exception](wavOf(9L, Seq(40000)))
+    assert(oob.toString.contains("16-bit PCM") ||
+      Option(oob.getCause).exists(_.toString.contains("16-bit PCM")), oob)
+  }
+
+  test("audioHaarDeltaBandsOf matches a hand-rolled Haar-energy " +
+      "reference and a window-0-4 perturbation only changes b0") {
+    val samples = (0 until 528).map(i => ((i * 997 + 31) % 4096) - 2048)
+    val bands = Multimodal.audioHaarDeltaBandsOf(wavOf(1L, samples), 33)
+    // independent reference: per-window low/high Haar energies, then
+    // temporal delta bits
+    val lo = new Array[Long](33); val hi = new Array[Long](33)
+    for (w <- 0 until 33; i <- 0 until 16 by 2) {
+      val a = samples(w * 16 + i).toLong
+      val b = samples(w * 16 + i + 1).toLong
+      lo(w) += (a + b) * (a + b); hi(w) += (a - b) * (a - b)
+    }
+    val ref = new Array[Int](4)
+    for (w <- 0 until 32) {
+      if (lo(w) > lo(w + 1)) ref((2 * w) / 16) |= 1 << ((2 * w) % 16)
+      if (hi(w) > hi(w + 1))
+        ref((2 * w + 1) / 16) |= 1 << ((2 * w + 1) % 16)
+    }
+    assert(bands.toSeq === ref.toSeq)
+    // perturb samples in windows 0-4 only (fingerprint bits 0-9 =
+    // band 0): bands 1-3 must be untouched
+    val s2 = samples.zipWithIndex.map { case (s, j) =>
+      if (j < 80 && j % 5 == 0) ((s + 1991) % 4096) - 2048 else s }
+    val bands2 = Multimodal.audioHaarDeltaBandsOf(wavOf(2L, s2), 33)
+    assert(bands2.drop(1).toSeq === bands.drop(1).toSeq)
+    // identical audio hashes identically
+    assert(Multimodal.audioHaarDeltaBandsOf(wavOf(3L, samples), 33).toSeq
+      === bands.toSeq)
+  }
+
+  test("audioHaarDeltaBandsOf rejects ragged windows, non-64-bit " +
+      "window counts, and undecodable payloads") {
+    intercept[IllegalArgumentException](
+      Multimodal.audioHaarDeltaBandsOf(wavOf(1L, Seq.fill(500)(5)), 33))
+    intercept[IllegalArgumentException](
+      Multimodal.audioHaarDeltaBandsOf(wavOf(1L, Seq.fill(528)(5)), 32))
+    intercept[IllegalArgumentException](
+      Multimodal.audioHaarDeltaBandsOf("not a wav".getBytes("UTF-8"), 33))
+  }
+
+  test("mm4 query: every re-encoded twin pairs with its original " +
+      "within the radius; ids are ordered; nothing self-pairs") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.Extensions.mm4AudioNeardup(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, hm) => a < b && hm >= 0 && hm <= 10 })
+    val nDocs = Tables.documents(spark, d).count()
+    val twins = (0L until nDocs).filter(id => id % 11 == 5 && id > 0)
+      .map(id => (id - 1, id)).toSet
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    assert(twins.subsetOf(gotPairs),
+      s"missing twins: ${(twins -- gotPairs).take(5)}")
+  }
+
   test("mm3 query: every retouched twin pairs with its original " +
       "within the radius; ids are ordered; nothing self-pairs") {
     val d = "/root/testdata/sf0.001"
