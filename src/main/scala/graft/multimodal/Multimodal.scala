@@ -349,6 +349,26 @@ object Multimodal {
     * formula-derived fixtures stay bit-identical through a real
     * encode/decode cycle.
     */
+  /** Row-major grayscale pixels -> real PNG bytes (the shared kernel
+    * of [[encodeGrayPng]] and the per-video-frame hash path).
+    */
+  private[graft] def grayPngBytes(
+      pixels: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h,
+      s"${pixels.length} pixels != $w x $h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < pixels.length) {
+      val p = pixels(i) & 0xff
+      img.setRGB(i % w, i / w, (p << 16) | (p << 8) | p)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   def encodeGrayPng(
       spark: SparkSession,
       pixels: DataFrame,
@@ -359,19 +379,14 @@ object Multimodal {
     pixels.as[PixelRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          require(r.pixels.length == w * h,
-            s"media ${r.media_id}: ${r.pixels.length} pixels != $w x $h")
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var i = 0
-          while (i < r.pixels.length) {
-            val p = r.pixels(i) & 0xff
-            img.setRGB(i % w, i / w, (p << 16) | (p << 8) | p)
-            i += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          MediaRecord(r.media_id, "image/png", bos.toByteArray, w, h)
+          val bytes =
+            try grayPngBytes(r.pixels, w, h)
+            catch {
+              case e: IllegalArgumentException =>
+                throw new IllegalArgumentException(
+                  s"media ${r.media_id}: ${e.getMessage}")
+            }
+          MediaRecord(r.media_id, "image/png", bytes, w, h)
         }
       }
     }
@@ -691,6 +706,160 @@ object Multimodal {
     frames.map { f =>
       decodeRle8Frame(f, canvas, w, h)
       canvas.clone()
+    }
+  }
+
+  /** RLE8 DELTA-encode one frame against its predecessor — the
+    * inverse of [[decodeRle8Frame]], emitting the same public BMP/AVI
+    * wire format: unchanged pixel runs become cursor-delta skips
+    * (`00 02 dx 00`, the pixels RETAIN their previous-frame values —
+    * the defining temporal property), changed pixels become literal
+    * runs (`c d`, split at 255), every row ends with `00 00` and the
+    * frame with `00 01`. Rows walk BOTTOM-UP to match the decoder's
+    * BMP row convention. `prev = null` encodes frame 0 against the
+    * decoder's initial all-zero canvas.
+    */
+  private[graft] def encodeRle8Frame(
+      prev: Array[Byte], cur: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var yBottom = 0
+    while (yBottom < h) {
+      val row = (h - 1 - yBottom) * w
+      var x = 0
+      while (x < w) {
+        val same = prev != null && cur(row + x) == prev(row + x)
+        if (same || (prev == null && cur(row + x) == 0)) {
+          // skip run: pixels already correct on the carried canvas
+          var x1 = x
+          while (x1 < w && (if (prev != null) cur(row + x1) == prev(row + x1)
+            else cur(row + x1) == 0)) x1 += 1
+          if (x1 < w) { // trailing skips are absorbed by the EOL
+            var dx = x1 - x
+            while (dx > 0) {
+              val step = math.min(dx, 255)
+              out.write(0); out.write(2); out.write(step); out.write(0)
+              dx -= step
+            }
+          }
+          x = x1
+        } else {
+          // literal run of one repeated value (split at the 255 cap)
+          val v = cur(row + x)
+          var x1 = x
+          while (x1 < w && cur(row + x1) == v &&
+            !(prev != null && cur(row + x1) == prev(row + x1)) &&
+            !(prev == null && cur(row + x1) == 0)) x1 += 1
+          var n = x1 - x
+          while (n > 0) {
+            val step = math.min(n, 255)
+            out.write(step); out.write(v & 0xff)
+            n -= step
+          }
+          x = x1
+        }
+      }
+      out.write(0); out.write(0) // end of line
+      yBottom += 1
+    }
+    out.write(0); out.write(1) // end of bitmap
+    out.toByteArray
+  }
+
+  /** Frame-sequence row for [[encodeRle8Avi]]: media id + per-frame
+    * row-major grayscale pixel values in [0, 256).
+    */
+  final case class FrameSeqRecord(media_id: Long, frames: Seq[Seq[Int]])
+
+  /** Encode per-video pixel-frame sequences as REAL temporal RLE8
+    * video in a minimal RIFF/AVI container (one `00dc` chunk per
+    * frame inside a `movi` LIST — the layout [[aviFrames]] parses).
+    * Each frame is delta-coded against its predecessor by
+    * [[encodeRle8Frame]], so a payload round-tripped through
+    * [[sampleRle8VideoFrames]] reconstructs every canvas EXACTLY —
+    * the property mm5's cross-engine oracle proves end to end.
+    */
+  def encodeRle8Avi(
+      spark: SparkSession,
+      frames: DataFrame,
+      w: Int,
+      h: Int,
+      batchSize: Int = 256): Dataset[MediaRecord] = {
+    import spark.implicits._
+    frames.as[FrameSeqRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          var prev: Array[Byte] = null
+          val chunks = r.frames.map { f =>
+            require(f.length == w * h,
+              s"media ${r.media_id}: ${f.length} pixels != $w x $h")
+            val canvas = new Array[Byte](w * h)
+            var i = 0
+            while (i < f.length) { canvas(i) = (f(i) & 0xff).toByte; i += 1 }
+            val enc = encodeRle8Frame(prev, canvas, w, h)
+            prev = canvas
+            enc
+          }
+          val movi = new java.io.ByteArrayOutputStream()
+          movi.write("movi".getBytes("US-ASCII"))
+          chunks.foreach { c =>
+            movi.write("00dc".getBytes("US-ASCII"))
+            val sz = c.length
+            movi.write(sz & 0xff); movi.write((sz >> 8) & 0xff)
+            movi.write((sz >> 16) & 0xff); movi.write((sz >> 24) & 0xff)
+            movi.write(c)
+            if ((sz & 1) == 1) movi.write(0) // chunks pad to even
+          }
+          val m = movi.toByteArray
+          val riff = new java.io.ByteArrayOutputStream()
+          riff.write("RIFF".getBytes("US-ASCII"))
+          val rsz = 4 + 8 + m.length // 'AVI ' + LIST header + movi list
+          riff.write(rsz & 0xff); riff.write((rsz >> 8) & 0xff)
+          riff.write((rsz >> 16) & 0xff); riff.write((rsz >> 24) & 0xff)
+          riff.write("AVI ".getBytes("US-ASCII"))
+          riff.write("LIST".getBytes("US-ASCII"))
+          riff.write(m.length & 0xff); riff.write((m.length >> 8) & 0xff)
+          riff.write((m.length >> 16) & 0xff)
+          riff.write((m.length >> 24) & 0xff)
+          riff.write(m)
+          MediaRecord(r.media_id, "video/avi", riff.toByteArray, w, h)
+        }
+      }
+    }
+  }
+
+  /** dHash band row per sampled video frame. */
+  final case class FrameBands(
+      media_id: Long, frame_idx: Int, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Per-frame perceptual hash over reconstructed video frames: each
+    * raw canvas (palette-index grayscale bytes) re-encodes as a real
+    * PNG and runs through the image dHash kernel
+    * ([[dhashBandsOf]]) — the codec → fingerprint composition, so the
+    * video family shares the image family's band layout and the
+    * downstream band-bucket join / Hamming verify machinery. The wide
+    * frame payload reduces to 24 B/row here; video bytes never reach
+    * a shuffle.
+    */
+  def frameDhashBands(
+      spark: SparkSession,
+      frames: DataFrame,
+      w: Int,
+      h: Int,
+      cols: Int = 9,
+      rows: Int = 8,
+      batchSize: Int = 256): Dataset[FrameBands] = {
+    import spark.implicits._
+    frames.as[MediaFrame].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          require(r.payload.length == w * h,
+            s"media ${r.media_id} frame ${r.frame_idx}: " +
+              s"${r.payload.length} canvas bytes != $w x $h")
+          val px = r.payload.map(_ & 0xff).toSeq
+          val b = dhashBandsOf(grayPngBytes(px, w, h), cols, rows)
+          FrameBands(r.media_id, r.frame_idx, b(0), b(1), b(2), b(3))
+        }
+      }
     }
   }
 

@@ -1257,6 +1257,114 @@ object Extensions {
     bandedHammingPairs(bands, maxHamming = 10)
   }
 
+  /** mm5's synthetic video fixture: 5 frames of a 9x8 grayscale
+    * canvas per doc, all pixel values md5-derived from the doc's BASE
+    * id (the mm3/mm4 hex4 trick) in CLOSED FORM per (pixel, frame):
+    * a static background (`#v0#`, frame-independent) with a per-frame
+    * MOVING set (pixels i with i % 23 == (5k) % 23 redrawn from
+    * `#vd#` at frame k) — so consecutive frames differ in ~7 pixels
+    * (the new moving set appears, the old one reverts to background),
+    * which is exactly what the RLE8 delta encoder turns into skip
+    * runs + literal runs, and frame k's full canvas is still
+    * expressible as one SQL CASE (no cumulative state).
+    *
+    * Twins: id % 13 == 7 is a RE-ENCODING of id - 1 with pixels
+    * i < 18 ∧ i % 4 == 0 redrawn per frame from `#tw#` — confined to
+    * dHash rows 0-1 = bits 0-15 = band 0 (the 9x8 canvas under the
+    * 9x8 grid makes block sums single pixels), so a twin shares bands
+    * 1-3 with its original at EVERY frame and its per-frame Hamming
+    * spreads 0-8 (≤ 2 bits per perturbed pixel, pixels 0 and 8 touch
+    * only one comparison each).
+    */
+  private def mm5FrameFixture(docs: DataFrame): DataFrame = {
+    val isTw = pmod(col("doc_id"), lit(13)) === 7 && col("doc_id") > 0
+    val base = when(isTw, col("doc_id") - 1).otherwise(col("doc_id"))
+    def draw(tag: String, i: org.apache.spark.sql.Column,
+        k: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+      val seed = k match {
+        case Some(kk) => concat(col("b").cast("string"), lit(tag),
+          i.cast("string"), lit("#"), kk.cast("string"))
+        case None => concat(col("b").cast("string"), lit(tag),
+          i.cast("string"))
+      }
+      pmod(conv(substring(md5(seed.cast("binary")), 1, 4), 16, 10)
+        .cast("long"), lit(256))
+    }
+    docs.select(col("doc_id").as("media_id"), base.as("b"), isTw.as("tw"))
+      .select(col("media_id"), transform(
+        sequence(lit(0), lit(4)),
+        k => transform(sequence(lit(0), lit(71)), i =>
+          when(col("tw") && i < 18 && pmod(i, lit(4)) === 0,
+            draw("#tw#", i, Some(k)))
+            .when(pmod(i, lit(23)) === pmod(k * 5, lit(23)),
+              draw("#vd#", i, Some(k)))
+            .otherwise(draw("#v0#", i, None)).cast("int")))
+        .as("frames"))
+  }
+
+  /** mm5: video temporal near-dup — the codec → fingerprint → join
+    * composition over a REAL inter-frame codec: the closed-form frame
+    * fixture encodes to actual RLE8-delta AVI payloads
+    * ([[Multimodal.encodeRle8Avi]]: skip escapes for retained pixels,
+    * literal runs for changes), [[Multimodal.sampleRle8VideoFrames]]
+    * reconstructs every 2nd frame by folding the delta stream onto
+    * the carried canvas (the temporal decode), each sampled frame
+    * re-enters the IMAGE family's dHash kernel
+    * ([[Multimodal.frameDhashBands]]), and candidates come from a
+    * FRAME-ALIGNED band-bucket equi-join (any of 4 bands exact at the
+    * same frame index). The verify is frame-aligned exact Hamming:
+    * a pair survives only if EVERY sampled frame sits within radius
+    * 8; `ham_total` reports the summed distance.
+    *
+    * Scale shape: video bytes never shuffle — payloads reduce
+    * per-partition to 24 B/row frame-band rows; the self-join moves
+    * (id, frame, band, v) and the verify joins band rows back BY ID.
+    * The DuckDB oracle replays frame pixels from the closed form (no
+    * codec) → bits → bands → aligned band-join → per-frame Hamming →
+    * all-frames gate: cross-engine equality PROVES the RLE8 delta
+    * encode + temporal fold-decode cycle reconstructs every sampled
+    * canvas pixel-exactly.
+    */
+  def mm5VideoNeardup(s: SparkSession, d: String): DataFrame = {
+    // mm3/mm4's two plan moves, same reasons: spread the slim
+    // pre-codec frame for codec parallelism; cut the band frame so
+    // the four downstream join branches don't re-run encode+decode
+    val pix = mm5FrameFixture(Tables.documents(s, d).select(col("doc_id")))
+      .repartition(col("media_id"))
+    val avi = Multimodal.encodeRle8Avi(s, pix, w = 9, h = 8)
+    val frames = Multimodal.sampleRle8VideoFrames(s, avi.toDF(), w = 9,
+      h = 8, everyNth = 2)
+    val bands = Multimodal.frameDhashBands(s, frames.toDF(), w = 9, h = 8)
+      .toDF().localCheckpoint(true)
+    val slim = bands.select(col("media_id").as("id"), col("frame_idx"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "v")
+    val cand = slim.select(col("id").as("id_a"), col("frame_idx"),
+        col("band"), col("v"))
+      .join(slim.select(col("id").as("id_b"), col("frame_idx"),
+        col("band"), col("v")), Seq("frame_idx", "band", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val ham = (0 to 3).map(i =>
+      bit_count(col(s"ab$i").bitwiseXOR(col(s"bb$i"))))
+      .reduce(_ + _)
+    cand
+      .join(bands.select(col("media_id").as("id_a"),
+        col("frame_idx"), col("b0").as("ab0"), col("b1").as("ab1"),
+        col("b2").as("ab2"), col("b3").as("ab3")), Seq("id_a"))
+      .join(bands.select(col("media_id").as("id_b"),
+        col("frame_idx"), col("b0").as("bb0"), col("b1").as("bb1"),
+        col("b2").as("bb2"), col("b3").as("bb3")),
+        Seq("id_b", "frame_idx"))
+      .select(col("id_a"), col("id_b"), col("frame_idx"),
+        ham.cast("int").as("ham"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("ham")).as("ham_max"),
+        sum(col("ham")).cast("int").as("ham_total"))
+      .filter(col("ham_max") <= 8)
+      .select(col("id_a"), col("id_b"), col("ham_total"))
+  }
+
   // ---- seeded stratified sampling (data-recipe surface) ------------
 
   /** Per-language sampling quotas (seeded, reproducible). Uses the
@@ -1980,6 +2088,7 @@ object Extensions {
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_image_dhash_neardup" -> (mm3ImageDhashNeardup _),
     "mm4_audio_neardup" -> (mm4AudioNeardup _),
+    "mm5_video_neardup" -> (mm5VideoNeardup _),
     "x1_sql_cosine" -> (x1SqlCosine _),
     "x2_sql_textops" -> (x2SqlTextops _),
     "x3_sql_frames" -> (x3SqlFrames _),
@@ -2517,6 +2626,71 @@ object Extensions {
        WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1)) +
              bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
                <= 10"""
+  }
+
+  /** mm5's dual replays SAMPLED frame canvases from the closed-form
+    * pixel formula (no codec) — bits → bands → frame-aligned band
+    * join → per-frame Hamming → all-frames gate. Agreement with the
+    * Spark side, which reconstructed those canvases by folding a real
+    * RLE8 delta stream, proves the temporal encode/decode cycle
+    * pixel-exact.
+    */
+  private val mm5Oracle: String = {
+    def h(tag: String, framed: Boolean) = mm3Hex4(
+      if (framed)
+        s"md5(CAST(b AS VARCHAR) || '$tag' || CAST(i AS VARCHAR) || " +
+          "'#' || CAST(k AS VARCHAR))"
+      else s"md5(CAST(b AS VARCHAR) || '$tag' || CAST(i AS VARCHAR))")
+    s"""WITH ids AS (
+         SELECT doc_id AS id,
+                CASE WHEN doc_id % 13 = 7 AND doc_id > 0 THEN doc_id - 1
+                     ELSE doc_id END AS b,
+                (doc_id % 13 = 7 AND doc_id > 0) AS tw
+         FROM documents),
+       fx AS MATERIALIZED (
+         SELECT id, b, tw, unnest([0, 2, 4]) AS k FROM ids),
+       px AS MATERIALIZED (
+         SELECT id, k, b, tw, unnest(range(0, 72)) AS i FROM fx),
+       pv AS MATERIALIZED (
+         SELECT id, k, i,
+                CASE WHEN tw AND i < 18 AND i % 4 = 0
+                     THEN ${h("#tw#", framed = true)} % 256
+                     WHEN i % 23 = (5 * k) % 23
+                     THEN ${h("#vd#", framed = true)} % 256
+                     ELSE ${h("#v0#", framed = false)} % 256 END AS p
+         FROM px),
+       bits AS MATERIALIZED (
+         SELECT a.id, a.k, a.i // 9 AS r, a.i % 9 AS c,
+                CASE WHEN a.p > nx.p THEN 1 ELSE 0 END AS bit
+         FROM pv a JOIN pv nx
+           ON a.id = nx.id AND a.k = nx.k AND nx.i = a.i + 1
+         WHERE a.i % 9 < 8),
+       bands AS MATERIALIZED (
+         SELECT id, k, (r * 8 + c) // 16 AS band,
+                CAST(sum(bit * (1 << ((r * 8 + c) % 16))) AS INT) AS v
+         FROM bits GROUP BY 1, 2, 3),
+       cand AS (
+         SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+         FROM bands a JOIN bands b2
+           ON a.k = b2.k AND a.band = b2.band AND a.v = b2.v
+             AND a.id < b2.id),
+       wide AS MATERIALIZED (
+         SELECT id, k,
+                max(v) FILTER (band = 0) AS b0,
+                max(v) FILTER (band = 1) AS b1,
+                max(v) FILTER (band = 2) AS b2,
+                max(v) FILTER (band = 3) AS b3
+         FROM bands GROUP BY id, k),
+       perf AS (
+         SELECT cand.id_a, cand.id_b, wa.k,
+                bit_count(xor(wa.b0, wb.b0)) +
+                bit_count(xor(wa.b1, wb.b1)) +
+                bit_count(xor(wa.b2, wb.b2)) +
+                bit_count(xor(wa.b3, wb.b3)) AS ham
+         FROM cand JOIN wide wa ON cand.id_a = wa.id
+                   JOIN wide wb ON cand.id_b = wb.id AND wb.k = wa.k)
+       SELECT id_a, id_b, CAST(sum(ham) AS INT) AS ham_total
+       FROM perf GROUP BY 1, 2 HAVING max(ham) <= 8"""
   }
 
   val oracles: Map[String, String] = Map(
@@ -3184,6 +3358,7 @@ object Extensions {
     // side's PNG encode -> ImageIO decode cycle is pixel-exact
     "mm3_image_dhash_neardup" -> mm3Oracle,
     "mm4_audio_neardup" -> mm4Oracle,
+    "mm5_video_neardup" -> mm5Oracle,
     "asof1_backward" -> asofBackwardOracle,
     // identical semantics, skew-proof execution — same oracle
     "asof4_backward_chunked" -> asofBackwardOracle,

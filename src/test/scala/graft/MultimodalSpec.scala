@@ -473,6 +473,84 @@ class MultimodalSpec extends SparkSpec {
       s"missing twins: ${(twins -- gotPairs).take(5)}")
   }
 
+  // ---- RLE8 temporal encode -> decode roundtrip ----------------------
+
+  test("encodeRle8Avi -> sampleRle8VideoFrames reconstructs every " +
+      "canvas EXACTLY — skips retain, literals overwrite, row order " +
+      "matches the BMP bottom-up convention") {
+    val (w, h) = (9, 8)
+    val rnd = new scala.util.Random(5)
+    // frame sequences with heavy inter-frame redundancy (the delta
+    // codec's skip path) plus full redraws and all-equal rows (run
+    // splitting), and a frame IDENTICAL to its predecessor (pure-skip)
+    val vids = (0L until 6L).map { id =>
+      var cur = Array.fill(w * h)(rnd.nextInt(256))
+      val frames = (0 until 5).map { k =>
+        if (k == 2) () // identical frame: all rows skip
+        else if (k == 3) cur = Array.fill(w * h)(7) // constant canvas
+        else if (k > 0) {
+          cur = cur.clone()
+          for (_ <- 0 until 9)
+            cur(rnd.nextInt(w * h)) = rnd.nextInt(256)
+        }
+        cur.toSeq
+      }
+      Multimodal.FrameSeqRecord(id, frames)
+    }
+    val media = Multimodal.encodeRle8Avi(spark,
+      vids.toDS().toDF(), w, h)
+    // EVERY frame (everyNth = 1), compared to the source canvases
+    val got = Multimodal.sampleRle8VideoFrames(spark, media.toDF(),
+        w, h, everyNth = 1)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f.payload.toSeq)
+      .toMap
+    for (v <- vids; (frame, k) <- v.frames.zipWithIndex)
+      assert(got((v.media_id, k)) === frame.map(_.toByte),
+        s"video ${v.media_id} frame $k")
+    // sampling really subsets: everyNth = 2 keeps frames 0, 2, 4
+    val sampled = Multimodal.sampleRle8VideoFrames(spark, media.toDF(),
+        w, h, everyNth = 2)
+      .collect().map(f => f.frame_idx).toSet
+    assert(sampled === Set(0, 2, 4))
+  }
+
+  test("encodeRle8Frame emits genuine DELTA frames: an unchanged " +
+      "pixel is encoded as a skip (never re-painted), so decoding " +
+      "against the WRONG predecessor shows through") {
+    val (w, h) = (4, 2)
+    val f0 = Array.tabulate(w * h)(i => (i * 31 + 5) % 256)
+    val f1 = f0.updated(3, 99) // one changed pixel
+    val c0 = f0.map(_.toByte)
+    val enc = Multimodal.encodeRle8Frame(c0, f1.map(_.toByte), w, h)
+    // decode against the true predecessor: exact
+    val canvas = c0.clone()
+    Multimodal.decodeRle8Frame(enc, canvas, w, h)
+    assert(canvas.toSeq === f1.map(_.toByte).toSeq)
+    // decode against a zero canvas: only the changed pixel appears —
+    // proof the encoder skipped (temporal dependency), not re-painted
+    val zero = new Array[Byte](w * h)
+    Multimodal.decodeRle8Frame(enc, zero, w, h)
+    assert((zero(3) & 0xff) === 99)
+    assert(zero.count(_ == 0) === w * h - 1,
+      "encoder re-painted pixels it should have skipped")
+  }
+
+  test("mm5 query: every re-encoded twin pairs with its original " +
+      "(all sampled frames within radius); ids ordered") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.Extensions.mm5VideoNeardup(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, tot) =>
+      a < b && tot >= 0 && tot <= 24 })
+    val nDocs = Tables.documents(spark, d).count()
+    val twins = (0L until nDocs).filter(id => id % 13 == 7 && id > 0)
+      .map(id => (id - 1, id)).toSet
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    assert(twins.subsetOf(gotPairs),
+      s"missing twins: ${(twins -- gotPairs).take(5)}")
+  }
+
   test("mm3 query: every retouched twin pairs with its original " +
       "within the radius; ids are ordered; nothing self-pairs") {
     val d = "/root/testdata/sf0.001"

@@ -378,6 +378,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("mm5 video near-dup: the binary payload never rides a shuffle — " +
+      "every Exchange moves only slim id/frame/band/verify columns") {
+    val df = graft.queries.Extensions.mm5VideoNeardup(spark, sf)
+    val exchanges = flattenPlan(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.nonEmpty, "expected at least the band-join shuffle")
+    for (e <- exchanges)
+      assert(!e.child.output.exists(a =>
+          a.dataType == org.apache.spark.sql.types.BinaryType),
+        s"binary column shuffles: ${e.child.output.map(_.name)}")
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("rec1 co-occurrence: no lineitem self-join — pairs explode within the basket row; item counts broadcast") {
     val plan = executedPlan(graft.queries.Mining.rec1ItemCooc(spark, sf))
     // two Generate nodes (the two explodes), no SortMergeJoin anywhere
