@@ -322,6 +322,162 @@ object Select {
   def rho1ExcessLoss(s: SparkSession, d: String): DataFrame =
     rhoExcessOn(Tables.documents(s, d))
 
+  // ---- qc1: learned quality classifier (fastText-shaped) ------------
+
+  private val QcK = 256 // hashed feature buckets
+  private val QcRounds = 6 // full-batch gradient rounds
+  private val QcLr = 1.0
+
+  /** qc1's two frames: the doc header (doc_id, lang, planted label)
+    * and the LONG-format feature frame (doc_id, bucket,
+    * L1-normalized count) — the fastText recipe: word BIGRAMS hashed
+    * into [[QcK]] buckets by the engine-portable md5-hex4 hash
+    * (dsir1's argument: hashing = fixed-width feature space, and a
+    * portable hash is what lets a second engine replay training),
+    * counts divided by the doc's bigram total (fastText's n-gram
+    * averaging — also what keeps gradient curvature ≤ 1 so
+    * [[QcLr]] = 1 is stable). The planted weak-supervision label —
+    * the doc mentions 'fast' strictly more often than 'slow' — is a
+    * text-derived rule both engines compute. Long format is the shape
+    * that scales: real fastText buckets run to millions, so the
+    * feature frame must be (doc, bucket, x) rows with the weight
+    * vector a BROADCAST join, never K physical columns.
+    */
+  private[graft] def qcFrames(docs: DataFrame): (DataFrame, DataFrame) = {
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val y = when(
+      size(filter(col("ws"), t => t === "fast")) >
+        size(filter(col("ws"), t => t === "slow")), 1).otherwise(0)
+    val bigrams = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat(element_at(col("ws"), i), lit(" "),
+          element_at(col("ws"), i + 1))))
+      .otherwise(typedlit(Seq.empty[String]))
+    val buckets = transform(col("bg"), g =>
+      pmod(conv(substring(md5(g.cast("binary")), 1, 4), 16, 10)
+        .cast("long"), lit(QcK)).cast("int"))
+    val base = docs.select(col("doc_id"), col("lang"), ws.as("ws"))
+      .select(col("doc_id"), col("lang"), y.as("y"), bigrams.as("bg"))
+      .select(col("doc_id"), col("lang"), col("y"), buckets.as("bks"))
+      .localCheckpoint(true)
+    val hdr = base.select(col("doc_id"), col("lang"), col("y"))
+    val featL = base
+      .select(col("doc_id"), size(col("bks")).as("nb"),
+        explode(col("bks")).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg((count(lit(1)).cast("double") / first(col("nb"))).as("x"))
+    (hdr, featL)
+  }
+
+  /** Score every doc under a weight vector: the K-row weight frame
+    * BROADCAST-joins the long feature frame, the per-doc dot product
+    * accumulates as exact DECIMAL over 9-dp-rounded terms (identical
+    * double products both engines, summed combine-order-proof), and
+    * the intercept adds in a fixed order — `wi + coalesce(dot, 0)`.
+    */
+  private def qcScored(
+      s: SparkSession, hdr: DataFrame, featL: DataFrame,
+      wi: Double, w: Array[Double]): DataFrame = {
+    val wDf = s.createDataFrame(
+      w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b, v) })
+      .toDF("b", "w")
+    val dot = featL.join(broadcast(wDf), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(round(col("w") * col("x"), 9).cast("decimal(27,9)"))
+        .cast("double").as("dot"))
+    hdr.join(dot, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("y"),
+        (lit(wi) + coalesce(col("dot"), lit(0.0))).as("score"))
+  }
+
+  /** Train the linear probability model by [[QcRounds]] full-batch
+    * gradient rounds: per round, ONE broadcast-join scoring pass and
+    * ONE gradient aggregation grouped by bucket — per-doc gradient
+    * contributions `(score - y) · x_b` rounded to 6 dp and summed in
+    * exact DECIMAL (the reg2 discipline, combine-order-proof, so
+    * DuckDB replays training bit-for-bit as unrolled CTE rounds);
+    * the weight update `w - lr · (g / n)` is scalar double
+    * arithmetic in a fixed operand order. The per-round collect is
+    * the K-row gradient vector — bounded by the feature width, never
+    * the corpus (the kc1/km1 precedent) — and the weights re-enter
+    * the next round's plan as an exact-double broadcast frame.
+    */
+  private[graft] def qcTrain(
+      s: SparkSession, hdr: DataFrame,
+      featL: DataFrame): (Double, Array[Double]) = {
+    val n = hdr.count().toDouble
+    var wi = 0.0
+    var w = Array.fill(QcK)(0.0)
+    for (_ <- 1 to QcRounds) {
+      val scored = qcScored(s, hdr, featL, wi, w)
+      val resid = col("score") - col("y")
+      val gRows = scored.join(featL, Seq("doc_id"))
+        .groupBy(col("b"))
+        .agg(sum(round(resid * col("x"), 6).cast("decimal(27,6)"))
+          .cast("double").as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val gi = scored
+        .agg(sum(round(resid, 6).cast("decimal(27,6)")).cast("double"))
+        .head().getDouble(0)
+      wi = wi - QcLr * (gi / n)
+      w = Array.tabulate(QcK)(b =>
+        w(b) - QcLr * (gRows.getOrElse(b, 0.0) / n))
+    }
+    (wi, w)
+  }
+
+  /** Per-doc scores under the trained model — the spec surface for
+    * the planted-label AUC floor.
+    */
+  private[graft] def qc1ScoredOn(
+      s: SparkSession, docs: DataFrame): DataFrame = {
+    val (hdr0, featL0) = qcFrames(docs)
+    val (hdr, featL) =
+      (hdr0.localCheckpoint(true), featL0.localCheckpoint(true))
+    val (wi, w) = qcTrain(s, hdr, featL)
+    qcScored(s, hdr, featL, wi, w)
+      .select(col("doc_id"), col("y"), col("score"))
+  }
+
+  /** qc1: the LEARNED quality classifier stage of C4/CCNet-class
+    * pipelines — the gap in the rule-based (qf1) / perplexity
+    * (ccnet1) / importance-weight (dsir1) family: a linear model over
+    * hashed word-bigram features, trained against a planted
+    * weak-supervision label by [[QcRounds]] in-plan gradient rounds
+    * ([[qcTrain]]) and scored over the corpus with one broadcast
+    * join. The decision threshold is the label BASE RATE (sum(y)/n —
+    * an exact rational both engines compute identically), the right
+    * operating point for a linear probability model. Output: per
+    * (lang, planted label) doc counts, predicted-positive counts,
+    * and the DECIMAL-summed rounded score mass — the separation
+    * surface the dual checks; SelectSpec pins the AUC floor.
+    *
+    * Scale shape: feature extraction is one explode + one groupBy of
+    * slim rows; each training round is one broadcast-join scan + one
+    * bucket-grouped aggregation (K rows out); scoring is one more
+    * broadcast join — nothing scales worse than O(corpus tokens),
+    * and driver state is K doubles per round, never corpus-sized.
+    */
+  def qc1QualityClassifier(s: SparkSession, d: String): DataFrame =
+    qc1On(s, Tables.documents(s, d))
+
+  /** The frame-parameterized core (ScaleProbe feeds replicas here). */
+  private[graft] def qc1On(s: SparkSession, docs: DataFrame): DataFrame = {
+    val (hdr0, featL0) = qcFrames(docs)
+    val (hdr, featL) =
+      (hdr0.localCheckpoint(true), featL0.localCheckpoint(true))
+    val (wi, w) = qcTrain(s, hdr, featL)
+    val thr = hdr.agg(sum(col("y"))).head().getLong(0).toDouble /
+      hdr.count()
+    qcScored(s, hdr, featL, wi, w)
+      .groupBy(col("lang"), col("y"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > thr, 1).otherwise(0)).cast("bigint")
+          .as("n_pred_pos"),
+        round(sum(round(col("score"), 6).cast("decimal(27,6)"))
+          .cast("double"), 6).as("sum_score6"))
+  }
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -329,7 +485,8 @@ object Select {
     "ccnet1_perplexity_buckets" -> (ccnet1PerplexityBuckets _),
     "kc1_kcenter_coreset" -> (kc1KcenterCoreset _),
     "clb1_cluster_balanced" -> (clb1ClusterBalanced _),
-    "rho1_excess_loss" -> (rho1ExcessLoss _))
+    "rho1_excess_loss" -> (rho1ExcessLoss _),
+    "qc1_quality_classifier" -> (qc1QualityClassifier _))
 
   /** One k-center stage of the kc1 SQL dual (mmr1's unrolled-greedy
     * pattern): carry (ids, vs, ds) lists, append the argmax-by-
@@ -399,7 +556,95 @@ object Select {
                 ((rk - 1) * 4) // cnt = 0 AS selected
          FROM r JOIN n ON r.lang = n.lang"""
 
+  /** First 4 hex digits of an md5 as an int (the portable-hash trick;
+    * Geo/Extensions keep their own copies so each oracle stays a
+    * self-contained SQL text).
+    */
+  private def qcHex4(m: String): String =
+    s"""((strpos('0123456789abcdef', substr($m, 1, 1)) - 1) * 4096 +
+        (strpos('0123456789abcdef', substr($m, 2, 1)) - 1) * 256 +
+        (strpos('0123456789abcdef', substr($m, 3, 1)) - 1) * 16 +
+        (strpos('0123456789abcdef', substr($m, 4, 1)) - 1))"""
+
+  /** One scoring pass of qc1's dual under weight CTEs w{r}/wi{r}:
+    * broadcast-shaped join of the long feature frame with the K-row
+    * weight relation, per-doc dot as exact DECIMAL over 9-dp-rounded
+    * terms, intercept added in [[qcScored]]'s fixed order.
+    */
+  private def qcDotSql(r: Int): String =
+    s"""dot$r AS (
+         SELECT f.doc_id,
+                CAST(sum(CAST(round(w.w * f.x, 9) AS DECIMAL(27,9)))
+                  AS DOUBLE) AS dot
+         FROM featL f JOIN w$r w USING (b) GROUP BY 1),
+       pr$r AS MATERIALIZED (
+         SELECT h.doc_id, h.lang, h.y,
+                (SELECT wi FROM wi$r) + COALESCE(t.dot, 0.0) AS score
+         FROM hdr h LEFT JOIN dot$r t USING (doc_id))"""
+
+  /** One unrolled gradient round of qc1's dual: bucket-grouped
+    * rounded-DECIMAL gradient sums over the round's scored frame,
+    * then the per-bucket weight update in [[qcTrain]]'s scalar order.
+    */
+  private def qcRoundSql(r: Int): String =
+    s""",
+       ${qcDotSql(r - 1)},
+       g$r AS (
+         SELECT f.b,
+                CAST(sum(CAST(round((p.score - p.y) * f.x, 6)
+                  AS DECIMAL(27,6))) AS DOUBLE) AS g
+         FROM pr${r - 1} p JOIN featL f USING (doc_id) GROUP BY 1),
+       gi$r AS (
+         SELECT CAST(sum(CAST(round(p.score - p.y, 6)
+                  AS DECIMAL(27,6))) AS DOUBLE) AS gi
+         FROM pr${r - 1} p),
+       w$r AS MATERIALIZED (
+         SELECT w.b,
+                w.w - $QcLr * (COALESCE(g.g, 0.0) /
+                  (SELECT n FROM nn)) AS w
+         FROM w${r - 1} w LEFT JOIN g$r g USING (b)),
+       wi$r AS (
+         SELECT (SELECT wi FROM wi${r - 1}) - $QcLr *
+                ((SELECT gi FROM gi$r) / (SELECT n FROM nn)) AS wi)"""
+
+  private val qc1Oracle: String =
+    s"""WITH d AS (
+         SELECT doc_id, lang,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+         FROM documents),
+       f0 AS (
+         SELECT doc_id, lang,
+                CASE WHEN len(list_filter(ws, t -> t = 'fast')) >
+                          len(list_filter(ws, t -> t = 'slow'))
+                     THEN 1 ELSE 0 END AS y,
+                CASE WHEN len(ws) >= 2 THEN
+                  list_transform(range(1, len(ws)), i ->
+                    ${qcHex4("md5(ws[CAST(i AS INT)] || ' ' || " +
+                      "ws[CAST(i + 1 AS INT)])")} % $QcK)
+                ELSE CAST([] AS BIGINT[]) END AS bks
+         FROM d),
+       hdr AS MATERIALIZED (SELECT doc_id, lang, y FROM f0),
+       featL AS MATERIALIZED (
+         SELECT doc_id, b,
+                CAST(count(*) AS DOUBLE) / any_value(nb) AS x
+         FROM (SELECT doc_id, len(bks) AS nb, unnest(bks) AS b FROM f0)
+         GROUP BY doc_id, b),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS DOUBLE) / count(*) AS thr
+              FROM hdr),
+       w0 AS (SELECT unnest(range(0, $QcK)) AS b, 0.0 AS w),
+       wi0 AS (SELECT 0.0 AS wi)
+       ${(1 to QcRounds).map(qcRoundSql).mkString("")},
+       ${qcDotSql(QcRounds)}
+       SELECT lang, y, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN score > (SELECT thr FROM nn)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+              round(CAST(sum(CAST(round(score, 6) AS DECIMAL(27,6)))
+                AS DOUBLE), 6) AS sum_score6
+       FROM pr$QcRounds GROUP BY 1, 2"""
+
   val oracles: Map[String, String] = Map(
+    "qc1_quality_classifier" -> qc1Oracle,
     "rho1_excess_loss" -> s"WITH ${rhoOracleChain("documents")}",
     "dsir1_importance_weights" ->
       s"""WITH toks AS MATERIALIZED (

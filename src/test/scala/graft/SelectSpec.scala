@@ -186,4 +186,54 @@ class SelectSpec extends SparkSpec {
     val exRest = byRank.drop(2).map(_._2).max
     assert(exTop > exRest, s"structured $exTop must beat soup $exRest")
   }
+
+  // ---- qc1: learned quality classifier ------------------------------
+
+  test("qc1 learns the planted label: AUC over held-together corpus " +
+      "clears the floor, and the base-rate threshold splits sanely") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Select.qc1ScoredOn(spark, docs)
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
+    val pos = rows.filter(_._1 == 1).map(_._2)
+    val neg = rows.filter(_._1 == 0).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty,
+      s"degenerate labels: ${pos.length} pos / ${neg.length} neg")
+    // Mann–Whitney AUC: P(score_pos > score_neg) + ties/2
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val auc = wins / (pos.length.toDouble * neg.length)
+    assert(auc >= 0.8, s"AUC $auc below floor (pos=${pos.length}, " +
+      s"neg=${neg.length})") // measured 0.869 at sf0.001
+    // at the base-rate operating point the split must be non-trivial
+    // in both directions (an untrained model puts everything on one
+    // side)
+    val thr = pos.length.toDouble / rows.length
+    val predPos = rows.count(_._2 > thr)
+    assert(predPos > rows.length / 5 && predPos < rows.length * 4 / 5,
+      s"degenerate threshold split: $predPos of ${rows.length}")
+    // ...and most predicted positives are true positives-ish: recall
+    // at this operating point cleared 0.8 when pinned
+    val recall = rows.count(t => t._1 == 1 && t._2 > thr).toDouble /
+      pos.length
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("qc1 summary is consistent with the per-doc scores and covers " +
+      "every (lang, label) cell") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val summary = Select.qc1On(spark, docs).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val scored = Select.qc1ScoredOn(spark, docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("y"),
+        r.getAs[Double]("score")))
+    val thr = scored.count(_._2 == 1).toDouble / scored.length
+    val expect = scored.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.count(_._3 > thr).toLong)
+    }
+    assert(summary === expect)
+    assert(summary.keySet.map(_._1).size >= 3, "needs several langs")
+  }
 }
