@@ -160,7 +160,19 @@ object Clean {
     */
   def tieredNearDupPairsOn(docs: DataFrame, threshold: Double = 0.8,
       dfCap: Int = 16): DataFrame = {
-    val fp = winnowFingerprints(docs, "doc_id", "text")
+    val cands = winnowCandidatesOn(docs, "doc_id", "text", dfCap)
+    graft.dedup.Dedup.exactJaccardScores(docs, "doc_id", "text", cands)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The winnow CANDIDATE stage of [[tieredNearDupPairsOn]] on its
+    * own — df-capped shared-fingerprint pairs (id_a < id_b), exposed
+    * so composed operators (mm6's cross-modal gate) can intersect
+    * text candidacy with another modality's before any exact verify.
+    */
+  private[graft] def winnowCandidatesOn(docs: DataFrame, idCol: String,
+      textCol: String, dfCap: Int = 16): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol)
     // capped distinct (doc, hash) selections, materialized ONCE (the
     // win2 lesson: the self-join would recompute the winnow chain per
     // side); at warehouse scale this boundary is the parquet seam
@@ -169,12 +181,10 @@ object Clean {
       .filter(col("df") <= dfCap)
       .select(col("doc_id"), col("h"))
       .localCheckpoint(true)
-    val cands = dh.as("a").join(dh.as("b"),
+    dh.as("a").join(dh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    graft.dedup.Dedup.exactJaccardScores(docs, "doc_id", "text", cands)
-      .filter(col("jaccard") >= threshold)
   }
 
   def dd20TieredNearDup(s: SparkSession, d: String): DataFrame =

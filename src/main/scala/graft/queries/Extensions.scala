@@ -1365,6 +1365,107 @@ object Extensions {
       .select(col("id_a"), col("id_b"), col("ham_total"))
   }
 
+  /** mm6's (caption, image) PAIR fixture — the LAION-style record:
+    * each doc carries a caption and an image, and near-duplication is
+    * judged JOINTLY. Twins sit at id % 9 == 4 (base id - 1) in three
+    * planted classes by (id / 9) % 3, exercising every disagreement
+    * quadrant:
+    *   class 0 — JOINT dup: caption = base's text + " zq" (trigram
+    *     Jaccard ≈ 0.97, winnow fingerprints mostly shared) AND image
+    *     = base's pixels with the mm3 band-0 retouch;
+    *   class 1 — image-only: same retouched image, caption REDRAWN
+    *     (md5 hex gibberish — no shared fingerprints);
+    *   class 2 — caption-only: same near-dup caption, image REDRAWN
+    *     (fresh '#imgr#' stream — no shared bands).
+    * Non-twins carry their own text and their own '#px6#' pixels.
+    * Only class 0 must survive the cross-modal gate. Captions derive
+    * from the BASE doc's text via a slim self-join on (id, base) —
+    * ids and texts only, no media bytes.
+    */
+  private def mm6Fixture(docs: DataFrame): (DataFrame, DataFrame) = {
+    val id = col("doc_id")
+    val isTw = pmod(id, lit(9)) === 4 && id > 0
+    val cls = when(isTw, pmod(floor(id / 9).cast("long"), lit(3)))
+      .otherwise(lit(-1L))
+    val base = when(isTw, id - 1).otherwise(id)
+    val lab = docs.select(id, cls.as("cls"), base.as("b"))
+    val caps = lab
+      .join(docs.select(col("doc_id").as("b"),
+        col("text").as("base_text")), Seq("b"))
+      .select(col("doc_id"),
+        when(col("cls") === 1,
+          md5(concat(col("doc_id").cast("string"), lit("#cap#"))
+            .cast("binary")))
+          .when(col("cls") === 0 || col("cls") === 2,
+            concat(col("base_text"), lit(" zq")))
+          .otherwise(col("base_text")).as("caption"))
+    val seed = when(col("cls") === 2,
+      concat(col("doc_id").cast("string"), lit("#imgr#")))
+      .otherwise(concat(col("b").cast("string"), lit("#px6#")))
+    val retouched = col("cls") === 0 || col("cls") === 1
+    val pix = lab
+      .select(col("doc_id").as("media_id"), seed.as("sd"),
+        retouched.as("rt"))
+      .select(col("media_id"), transform(
+        sequence(lit(0), lit(18 * 16 - 1)),
+        i => {
+          val p = pmod(conv(substring(md5(concat(col("sd"),
+            i.cast("string")).cast("binary")), 1, 4), 16, 10)
+            .cast("long"), lit(256))
+          when(col("rt") && pmod(i, lit(7)) === 0 && i < 72,
+            pmod(p + 73, lit(256))).otherwise(p).cast("int")
+        }).as("pixels"))
+    (caps, pix)
+  }
+
+  /** mm6: CROSS-MODAL pair near-dup — LAION-style (caption, image)
+    * joint dedup, composing the image family's machinery with the
+    * text tier's: the image side runs the REAL codec chain
+    * ([[Multimodal.encodeGrayPng]] → [[Multimodal.imageDhashBands]] →
+    * band-bucket candidates → exact Hamming ≤ 10), the text side runs
+    * dd20's df-capped winnow fingerprint candidacy over the captions
+    * ([[Clean.winnowCandidatesOn]]), and a pair survives ONLY when
+    * BOTH modalities agree: the joint candidate set is the
+    * intersection (an equi-join of two slim pair frames), and the
+    * expensive exact trigram-Jaccard verify runs on that intersection
+    * alone — the cheapest-gate-first composition a production
+    * (caption, image) dedup runs.
+    *
+    * The fixture's three twin classes prove the gate is genuinely
+    * conjunctive: image-only twins (shared bands, gibberish caption)
+    * and caption-only twins (near-dup caption, redrawn image) must
+    * BOTH be rejected; MultimodalSpec asserts the class split.
+    *
+    * Scale shape: no media bytes past the band reduction, both
+    * candidate frames are bounded (band LSH / df-cap), the
+    * intersection only shrinks them, and the Jaccard verify is
+    * candidate-bound. The DuckDB oracle replays pixels from the md5
+    * closed form, captions from the same self-join, the winnow chain
+    * from dd20's SQL, and the conjunction — one dual for the whole
+    * composition.
+    */
+  def mm6CrossModalNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val (caps, pix) = mm6Fixture(docs)
+    val media = Multimodal.encodeGrayPng(s,
+      pix.repartition(col("media_id")), w = 18, h = 16)
+    val bands = Multimodal.imageDhashBands(s, media.toDF()).toDF()
+      .localCheckpoint(true)
+    // image-verified pairs are slim — checkpoint so the final
+    // hamming re-attach doesn't replay the band self-join
+    val imgPairs = bandedHammingPairs(bands, maxHamming = 10)
+      .localCheckpoint(true)
+    val txtCands = graft.queries.Clean.winnowCandidatesOn(
+      caps, "doc_id", "caption", dfCap = 16)
+    val joint = imgPairs.select(col("id_a"), col("id_b"))
+      .join(txtCands, Seq("id_a", "id_b"))
+    graft.dedup.Dedup
+      .exactJaccardScores(caps, "doc_id", "caption", joint)
+      .filter(col("jaccard") >= 0.8)
+      .join(imgPairs, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"), col("jaccard"))
+  }
+
   // ---- seeded stratified sampling (data-recipe surface) ------------
 
   /** Per-language sampling quotas (seeded, reproducible). Uses the
@@ -2089,6 +2190,7 @@ object Extensions {
     "mm3_image_dhash_neardup" -> (mm3ImageDhashNeardup _),
     "mm4_audio_neardup" -> (mm4AudioNeardup _),
     "mm5_video_neardup" -> (mm5VideoNeardup _),
+    "mm6_crossmodal_neardup" -> (mm6CrossModalNeardup _),
     "x1_sql_cosine" -> (x1SqlCosine _),
     "x2_sql_textops" -> (x2SqlTextops _),
     "x3_sql_frames" -> (x3SqlFrames _),
@@ -2691,6 +2793,123 @@ object Extensions {
                    JOIN wide wb ON cand.id_b = wb.id AND wb.k = wa.k)
        SELECT id_a, id_b, CAST(sum(ham) AS INT) AS ham_total
        FROM perf GROUP BY 1, 2 HAVING max(ham) <= 8"""
+  }
+
+  /** mm6's dual replays the WHOLE cross-modal composition: fixture
+    * captions via the same base self-join, pixels from the md5 closed
+    * form (no codec — agreement proves the PNG chain again), dd20's
+    * winnow-candidate SQL over the captions, the image band chain,
+    * the intersection, and the exact trigram-Jaccard verify.
+    */
+  private val mm6Oracle: String = {
+    val hSeed = mm3Hex4(
+      "md5((CASE WHEN cls = 2 THEN CAST(id AS VARCHAR) || '#imgr#' " +
+        "ELSE CAST(b AS VARCHAR) || '#px6#' END) || CAST(i AS VARCHAR))")
+    s"""WITH lab AS (
+         SELECT doc_id AS id,
+                CASE WHEN doc_id % 9 = 4 AND doc_id > 0
+                     THEN (doc_id // 9) % 3 ELSE -1 END AS cls,
+                CASE WHEN doc_id % 9 = 4 AND doc_id > 0
+                     THEN doc_id - 1 ELSE doc_id END AS b
+         FROM documents),
+       caps AS MATERIALIZED (
+         SELECT l.id AS doc_id,
+                CASE WHEN l.cls = 1
+                     THEN md5(CAST(l.id AS VARCHAR) || '#cap#')
+                     WHEN l.cls IN (0, 2) THEN d.text || ' zq'
+                     ELSE d.text END AS caption
+         FROM lab l JOIN documents d ON d.doc_id = l.b),
+       px AS MATERIALIZED (
+         SELECT id, cls, b, unnest(range(0, 288)) AS i FROM lab),
+       pv AS MATERIALIZED (
+         SELECT id, i,
+                CASE WHEN cls IN (0, 1) AND i % 7 = 0 AND i < 72
+                     THEN ($hSeed % 256 + 73) % 256
+                     ELSE $hSeed % 256 END AS p
+         FROM px),
+       bs AS MATERIALIZED (
+         SELECT id, (i // 18) // 2 AS r, (i % 18) // 2 AS c,
+                CAST(sum(p) AS BIGINT) AS s
+         FROM pv GROUP BY 1, 2, 3),
+       bits AS MATERIALIZED (
+         SELECT a.id, a.r, a.c,
+                CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+         FROM bs a JOIN bs b ON a.id = b.id AND a.r = b.r
+           AND b.c = a.c + 1
+         WHERE a.c < 8),
+       bands AS MATERIALIZED (
+         SELECT id, r // 2 AS band,
+                CAST(sum(bit * (1 << ((r % 2) * 8 + c))) AS INT) AS v
+         FROM bits GROUP BY 1, 2),
+       icand AS (
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.v = b.v AND a.id < b.id),
+       wide AS MATERIALIZED (
+         SELECT id,
+                max(v) FILTER (band = 0) AS b0,
+                max(v) FILTER (band = 1) AS b1,
+                max(v) FILTER (band = 2) AS b2,
+                max(v) FILTER (band = 3) AS b3
+         FROM bands GROUP BY id),
+       ih AS MATERIALIZED (
+         SELECT id_a, id_b,
+                CAST(bit_count(xor(wa.b0, wb.b0)) +
+                     bit_count(xor(wa.b1, wb.b1)) +
+                     bit_count(xor(wa.b2, wb.b2)) +
+                     bit_count(xor(wa.b3, wb.b3)) AS INT) AS hamming
+         FROM icand JOIN wide wa ON icand.id_a = wa.id
+                    JOIN wide wb ON icand.id_b = wb.id
+         WHERE bit_count(xor(wa.b0, wb.b0)) +
+               bit_count(xor(wa.b1, wb.b1)) +
+               bit_count(xor(wa.b2, wb.b2)) +
+               bit_count(xor(wa.b3, wb.b3)) <= 10),
+       ws AS (SELECT doc_id, lower(trim(caption)) AS s FROM caps),
+       wb2 AS (SELECT doc_id, s, CAST(length(s) - 7 AS INT) AS g
+               FROM ws WHERE length(s) - 7 >= 4),
+       wk AS (SELECT doc_id, g,
+                list_transform(range(1, g + 1),
+                  p -> md5(substr(s, CAST(p AS INT), 8)) ||
+                       lpad(CAST(100000000 - p AS VARCHAR), 8, '0'))
+                  AS keys
+              FROM wb2),
+       wsel AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, g - 2),
+                    w -> list_min(keys[w:w+3]))) AS sel
+                FROM wk),
+       wdh AS MATERIALIZED (
+         SELECT DISTINCT doc_id, substr(key, 1, 32) AS h
+         FROM (SELECT doc_id, unnest(sel) AS key FROM wsel)),
+       wf AS (SELECT h, count(*) AS df FROM wdh GROUP BY h),
+       wkept AS MATERIALIZED (
+         SELECT wdh.doc_id, wdh.h FROM wdh JOIN wf USING (h)
+         WHERE wf.df <= 16),
+       tcand AS MATERIALIZED (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM wkept a JOIN wkept b
+           ON a.h = b.h AND a.doc_id < b.doc_id),
+       jcand AS MATERIALIZED (
+         SELECT i.id_a, i.id_b, i.hamming
+         FROM ih i JOIN tcand t
+           ON i.id_a = t.id_a AND i.id_b = t.id_b),
+       gr AS MATERIALIZED (
+         SELECT DISTINCT doc_id, unnest(
+           CASE WHEN length(s) >= 3
+                THEN list_transform(range(1, length(s) - 1),
+                                    i -> substr(s, CAST(i AS INT), 3))
+                ELSE [s] END) AS gram
+         FROM ws),
+       gs2 AS (SELECT doc_id, count(*) AS sz FROM gr GROUP BY doc_id),
+       ix AS (SELECT c.id_a, c.id_b, c.hamming, count(*) AS o
+              FROM jcand c
+              JOIN gr a ON a.doc_id = c.id_a
+              JOIN gr b2 ON b2.doc_id = c.id_b AND b2.gram = a.gram
+              GROUP BY 1, 2, 3)
+       SELECT id_a, id_b, hamming,
+              CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) AS jaccard
+       FROM ix JOIN gs2 sa ON sa.doc_id = ix.id_a
+               JOIN gs2 sb ON sb.doc_id = ix.id_b
+       WHERE CAST(o AS DOUBLE) / (sa.sz + sb.sz - o) >= 0.8"""
   }
 
   val oracles: Map[String, String] = Map(
@@ -3359,6 +3578,7 @@ object Extensions {
     "mm3_image_dhash_neardup" -> mm3Oracle,
     "mm4_audio_neardup" -> mm4Oracle,
     "mm5_video_neardup" -> mm5Oracle,
+    "mm6_crossmodal_neardup" -> mm6Oracle,
     "asof1_backward" -> asofBackwardOracle,
     // identical semantics, skew-proof execution — same oracle
     "asof4_backward_chunked" -> asofBackwardOracle,

@@ -551,6 +551,29 @@ class MultimodalSpec extends SparkSpec {
       s"missing twins: ${(twins -- gotPairs).take(5)}")
   }
 
+  test("mm6 cross-modal gate is genuinely CONJUNCTIVE: joint twins " +
+      "survive, image-only and caption-only twins are both rejected") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.Extensions.mm6CrossModalNeardup(spark, d)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getDouble(3))))
+      .toMap
+    assert(got.nonEmpty)
+    assert(got.forall { case ((a, b), (hm, j)) =>
+      a < b && hm <= 10 && j >= 0.8 })
+    val nDocs = Tables.documents(spark, d).count()
+    val twinsByClass = (0L until nDocs)
+      .filter(id => id % 9 == 4 && id > 0)
+      .groupBy(id => (id / 9) % 3)
+      .map { case (c, ids) => c -> ids.map(id => (id - 1, id)).toSet }
+    // class 0 (both modalities agree) all present...
+    assert(twinsByClass(0L).subsetOf(got.keySet),
+      s"missing joint twins: ${(twinsByClass(0L) -- got.keySet).take(5)}")
+    // ...class 1 (caption redrawn) and class 2 (image redrawn) all out
+    assert((twinsByClass(1L) & got.keySet).isEmpty, "image-only leaked")
+    assert((twinsByClass(2L) & got.keySet).isEmpty, "caption-only leaked")
+  }
+
   test("mm3 query: every retouched twin pairs with its original " +
       "within the radius; ids are ordered; nothing self-pairs") {
     val d = "/root/testdata/sf0.001"
