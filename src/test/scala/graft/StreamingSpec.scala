@@ -1153,6 +1153,146 @@ class StreamingSpec extends SparkSpec {
     assert(flipRecord.getMessage.contains("cross-flip"), flipRecord.getMessage)
   }
 
+  test("tiered near-dup stream RESTART: killed between triggers and " +
+      "resumed from the checkpoint — cross-restart pairs survive, " +
+      "nothing double-publishes, final table equals batch") {
+    val real = Tables.documents(spark, sf)
+    val feed = real.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val arrivals = feed.zipWithIndex.map { case ((id, t), i) =>
+      (ts(i % 3), id, t)
+    }
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("tiered-restart-src").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("tiered-restart-out").toString
+    val schema = arrivals.take(1).toSeq.toDF("ts", "doc_id", "text").schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(docsDir)
+      // delay >> the fixture's event-time span: the RECOVERED
+      // watermark from life 1 must not classify life 2's arrivals as
+      // late (this test proves state recovery, not late-data policy)
+      val q = graft.streaming.StreamingDedup.streamingTieredNearDup(
+          spark, stream, real, "doc_id", "text", out,
+          threshold = 0.8, dfCap = 50, delayMs = 3600000L)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val half = arrivals.length / 2
+    arrivals.take(half).toSeq.toDF("ts", "doc_id", "text")
+      .write.mode("append").parquet(docsDir)
+    run()
+    // second life: the rest of the corpus arrives AFTER the restart —
+    // cross-restart pairs need the recovered bucket state
+    arrivals.drop(half).toSeq.toDF("ts", "doc_id", "text")
+      .write.mode("append").parquet(docsDir)
+    run()
+    val rows = spark.read.parquet(s"$out/pairs")
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === rows.toSet.size, "pair re-published")
+    val batch = graft.queries.Clean
+      .tieredNearDupPairsOn(real, threshold = 0.8, dfCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(rows.toSet === batch)
+    // the fixture genuinely crosses the restart: at least one pair's
+    // sides arrived in different lives
+    val firstIds = arrivals.take(half).map(_._2).toSet
+    assert(batch.exists(p =>
+      firstIds(p._1) != firstIds(p._2)), "no cross-restart pair")
+  }
+
+  test("auto near-dup stream RESTART on the exact tier: checkpoint " +
+      "resume under the SAME tier completes to the batch dual; a " +
+      "flipped-tier resume is refused end-to-end") {
+    val real = Tables.documents(spark, sf)
+    val feed = real.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val arrivals = feed.zipWithIndex.map { case ((id, t), i) =>
+      (ts(i % 3), id, t)
+    }
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("auto-restart-src").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("auto-restart-out").toString
+    val schema = arrivals.take(1).toSeq.toDF("ts", "doc_id", "text").schema
+    def run(est: Long): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(docsDir)
+      val q = graft.streaming.StreamingDedup.streamingNearDupAuto(
+          spark, stream, real, "doc_id", "text", out,
+          threshold = 0.8, dfCap = 50,
+          knownCandidateEstimate = Some(est), delayMs = 3600000L)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val half = arrivals.length / 2
+    arrivals.take(half).toSeq.toDF("ts", "doc_id", "text")
+      .write.mode("append").parquet(docsDir)
+    run(est = 1L) // exact tier; tier marker lands on the first batch
+    arrivals.drop(half).toSeq.toDF("ts", "doc_id", "text")
+      .write.mode("append").parquet(docsDir)
+    run(est = 1L) // same-tier resume
+    val rows = spark.read.parquet(s"$out/pairs")
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === rows.toSet.size, "pair re-published")
+    val batch = graft.dedup.Dedup
+      .exactJaccardPairs(real, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(rows.toSet === batch)
+    assert(batch.nonEmpty)
+    // a resume whose statistic now picks the OTHER tier must refuse
+    // at CONSTRUCTION (before any state is touched)
+    val flip = intercept[IllegalArgumentException](
+      run(est = Long.MaxValue))
+    assert(flip.getMessage.contains("cross-flip"), flip.getMessage)
+  }
+
+  test("blocklist gate stream RESTART: the stateless gate behind the " +
+      "exactly-once file sink resumes without losing or duplicating " +
+      "documents") {
+    val real = Tables.documents(spark, sf)
+    val feed = real.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val arrivals = feed.zipWithIndex.map { case ((id, t), i) =>
+      (ts(i % 3), id, t)
+    }
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("blk-restart-src").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("blk-restart-out").toString
+    val schema = arrivals.take(1).toSeq.toDF("ts", "doc_id", "text").schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(docsDir)
+      val q = graft.streaming.StreamingDedup.streamingBlocklistGate(
+          stream, "text", graft.queries.Curate.BlocklistPhrases)
+        .select(col("doc_id"))
+        .writeStream.format("parquet")
+        .option("path", s"$out/rows")
+        .option("checkpointLocation", s"$out/_chk")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val half = arrivals.length / 2
+    arrivals.take(half).toSeq.toDF("ts", "doc_id", "text")
+      .write.mode("append").parquet(docsDir)
+    run()
+    arrivals.drop(half).toSeq.toDF("ts", "doc_id", "text")
+      .write.mode("append").parquet(docsDir)
+    run()
+    val kept = spark.read.parquet(s"$out/rows")
+      .collect().map(_.getLong(0))
+    assert(kept.length === kept.distinct.length, "doc duplicated")
+    val batchKept = real.filter(size(graft.functions.PhraseMatch
+        .phrase_matches(col("text"),
+          graft.queries.Curate.BlocklistPhrases)) === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept.toSet === batchKept)
+    assert(batchKept.size < feed.length, "gate never fired")
+  }
+
   test("streaming winnowing co-selection: a hot template tombstones " +
       "its buckets — emissions per hash stay under C(dfCap, 2)") {
     implicit val sqlCtx = spark.sqlContext
