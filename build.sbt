@@ -31,3 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC diagnostics for bench-variance attribution (opt-in):
   // GRAFT_GC_LOG=/tmp/gc.log adds unified GC logging to the forked JVM
   sys.env.get("GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p:time,uptime").toSeq
+
+// Two-tier test harness: `sbt fastTest` excludes @graft.tags.Slow
+// suites (full-surface sweeps, forked-JVM races, streaming
+// checkpoint lifecycles — ~25 of the 31 suite-minutes) for a <10 min
+// iteration gate; plain `sbt test` remains the full round-close gate.
+lazy val fastTest = taskKey[Unit]("test tier excluding @Slow suites")
+fastTest := (Test / testOnly).toTask(" * -- -l graft.tags.Slow").value

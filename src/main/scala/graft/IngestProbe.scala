@@ -35,10 +35,24 @@ object IngestProbe {
       "/tmp/graft_sf10_replica_fd_v1")
     if (decade) ScaleProbe.ensureDocReplica100(spark, root, replica100Dir)
 
+    // ...and one more (SPARK_GRAFT_DECADE2=1): the 1000x ~5M-doc
+    // replica — the round-13 verdict's ask to push the per-ingest
+    // O(batch + matches) evidence past 500k. The full tiered pass at
+    // this scale is the expensive leg; the point of the probe is that
+    // the per-ingest wall does NOT follow it.
+    val decade2 = sys.env.get("SPARK_GRAFT_DECADE2").contains("1")
+    val replica1000Dir = sys.env.getOrElse("SPARK_GRAFT_REPLICA1000_DIR",
+      "/tmp/graft_sf100_replica_fd_v1")
+    if (decade2)
+      ScaleProbe.ensureDocReplica1000(spark, root, replica100Dir,
+        replica1000Dir)
+
     val sources = Seq(
       "sf0.1" -> Tables.documents(spark, s"$root/sf0.1"),
       "sf1rep" -> spark.read.parquet(replicaDir)) ++
       (if (decade) Seq("sf10rep" -> spark.read.parquet(replica100Dir))
+       else Nil) ++
+      (if (decade2) Seq("sf100rep" -> spark.read.parquet(replica1000Dir))
        else Nil)
     val rows = sources.map { case (name, docs) =>
       ScaleProbe.ingestLeg(name, docs) }

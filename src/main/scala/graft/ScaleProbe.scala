@@ -133,6 +133,38 @@ object ScaleProbe {
     }
   }
 
+  /** The next decade: the 1000x fixed-density replica (~5M docs),
+    * built as 10 further char-bijection families OVER the 100x
+    * replica — the third factor rotates the combined 20-letter
+    * alphabet by 2·k3, and the 10 × 10 × 10 composed bijections are
+    * pairwise DISTINCT permutations (verified exhaustively on the
+    * alphabet), so every family lives in its own trigram space and
+    * density per family matches sf0.1 exactly. Bijective char maps
+    * preserve trigram-set Jaccard, so each family carries the same
+    * planted near-dup structure as the base corpus.
+    */
+  private[graft] def ensureDocReplica1000(
+      spark: SparkSession, root: String, replica100Dir: String,
+      replicaDir: String): Unit = {
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(replicaDir, "_SUCCESS"))) {
+      ensureDocReplica100(spark, root, replica100Dir)
+      val base = spark.read.parquet(replica100Dir)
+      val c = "aeiounrstl" + "dmpbgcfhvw"
+      val copies = for (k3 <- 0 until 10) yield {
+        val m3 = c.drop(2 * k3) + c.take(2 * k3)
+        base.select(
+          (col("doc_id") * 10 + lit(k3)).as("doc_id"),
+          col("lang"), col("source"),
+          translate(col("text"), c, m3).as("text"),
+          col("n_chars"))
+      }
+      copies.reduce(_.unionAll(_))
+        .repartition(256)
+        .write.mode("overwrite").parquet(replicaDir)
+    }
+  }
+
   /** geo3 containment leg: wall + candidate count + hits for one
     * point scale against the fixed 25-polygon dim side. The scale
     * claim this records: cost is CANDIDATE-bound (points × covering

@@ -11,6 +11,7 @@ import graft.queries.Advanced
   * detection, EWMA local replay, snapshot-diff reconciliation, TF-IDF
   * cosine on planted duplicates, autocorrelation closed forms.
   */
+@graft.tags.Slow
 class AdvancedSpec extends SparkSpec {
   import spark.implicits._
 

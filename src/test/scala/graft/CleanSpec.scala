@@ -8,6 +8,7 @@ import graft.queries.Clean
   * rule, keep-first chunk-dedup laws, and the overlap matrix against
   * a brute-force count.
   */
+@graft.tags.Slow
 class CleanSpec extends SparkSpec {
   import spark.implicits._
 

@@ -8,6 +8,7 @@ import graft.queries.Diverge
   * against a driver-side OLS replay, Naive Bayes on a planted
   * separable corpus, and edit-distance blocking invariants.
   */
+@graft.tags.Slow
 class DivergeSpec extends SparkSpec {
   import spark.implicits._
 

@@ -3,6 +3,7 @@ package graft
 /** Smoke: every registered query runs on sf0.001 and the driver
   * contract invariants hold (entry rows > 0, oracle keys ⊆ query keys).
   */
+@graft.tags.Slow
 class EntrySpec extends SparkSpec {
 
   test("entry returns rows on sf0.001") {

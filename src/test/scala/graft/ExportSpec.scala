@@ -8,6 +8,7 @@ import org.apache.spark.sql.types._
 import graft.export.{CorpusExport, Packing}
 import graft.ingest.JsonlSource
 
+@graft.tags.Slow
 class ExportSpec extends SparkSpec {
   import spark.implicits._
 

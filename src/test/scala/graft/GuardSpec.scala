@@ -7,6 +7,7 @@ import graft.queries.Guard
 /** Governance batch: fairness-rate identities, PSI drift laws on
   * planted shift.
   */
+@graft.tags.Slow
 class GuardSpec extends SparkSpec {
   import spark.implicits._
 

@@ -7,6 +7,7 @@ import graft.queries.Journey
 /** Markov attribution: hand-solvable planted journeys, probability
   * laws on the real corpus.
   */
+@graft.tags.Slow
 class JourneySpec extends SparkSpec {
   import spark.implicits._
 

@@ -9,6 +9,7 @@ import graft.multimodal.Multimodal
   * to the copy-free size generator; byte consumers are left alone;
   * results are identical either way.
   */
+@graft.tags.Slow
 class RuleSpec extends SparkSpec {
   import spark.implicits._
 

@@ -9,6 +9,7 @@ import graft.queries.Shape
   * pool-adjacent-violators reference; quantile normalization's
   * reference row is the cross-group bin mean.
   */
+@graft.tags.Slow
 class ShapeSpec extends SparkSpec {
 
   /** Sequential weighted PAV (non-decreasing) over (mean, weight)

@@ -9,6 +9,7 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
 
+@graft.tags.Slow
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 

@@ -13,6 +13,7 @@ import graft.catalog.Warehouse
   * check (`tests/test_load_dataset.py:78-84`: re-run => identical
   * rowcounts).
   */
+@graft.tags.Slow
 class WarehouseSpec extends SparkSpec {
   import spark.implicits._
 
