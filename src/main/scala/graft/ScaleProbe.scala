@@ -540,6 +540,43 @@ object ScaleProbe {
         System.err.println(
           f"[probe]   blk1 256-phrase AC ${secs("blk_sec")}%6.2fs " +
             f"($cBlk docs) vs naive contains ${secs("blknaive_sec")}%6.2fs")
+        // multimodal near-dup legs (mm4 audio / mm5 video / mm6
+        // cross-modal): the cost is codec-per-row + a band-bucket
+        // equi-join, so walls must ride ~linear with no pair-explosion
+        // tail. At the replica scale the codec stage is capped to an
+        // ID PREFIX (contiguous, so planted twin adjacency survives —
+        // a modulo subsample would orphan every twin): 100k media for
+        // mm4/mm6, 50k videos (x3 sampled frames, PNG-encoded each)
+        // for mm5. The cap is a probe-cost bound, not an operator
+        // limit, and the recorded n makes the per-media rate exact.
+        def idCap(limit: Long): DataFrame =
+          if (n > limit) df.filter(col("doc_id") < lit(limit * 10))
+          else df
+        val mm4Df = idCap(100000)
+        cnts("mm4_media") = mm4Df.count()
+        val mm4P = leg("mm4_sec", "mm4_pairs")(
+          graft.queries.Extensions.mm4On(spark, mm4Df).count())
+        val mm5Df = idCap(50000)
+        cnts("mm5_media") = mm5Df.count()
+        val mm5P = leg("mm5_sec", "mm5_pairs")(
+          graft.queries.Extensions.mm5On(spark, mm5Df).count())
+        val mm6Df = idCap(100000)
+        val mm6P = leg("mm6_sec", "mm6_pairs")(
+          graft.queries.Extensions.mm6On(spark, mm6Df).count())
+        System.err.println(
+          f"[probe]   mm4 audio ${secs("mm4_sec")}%7.2fs ($mm4P pairs " +
+            f"@ ${cnts("mm4_media")} media)  mm5 video " +
+            f"${secs("mm5_sec")}%7.2fs ($mm5P pairs @ " +
+            f"${cnts("mm5_media")} videos)  mm6 cross-modal " +
+            f"${secs("mm6_sec")}%7.2fs ($mm6P pairs)")
+        // qc1 learned classifier: 6 broadcast-join training rounds +
+        // scoring — every stage O(corpus tokens), K-bounded driver
+        // state, so the wall must ride ~linear in the corpus
+        val qcR = leg("qc1_sec", "qc1_rows")(
+          graft.queries.Select.qc1On(spark, df).count())
+        System.err.println(
+          f"[probe]   qc1 classifier ${secs("qc1_sec")}%7.2fs " +
+            f"($qcR summary rows)")
         // incremental-ingest legs (dd23/dd24 persisted-index forms):
         // fresh = a FIXED ~500-doc batch (sf0.01, ids offset past any
         // corpus), base = this scale's corpus. The last-full-pass

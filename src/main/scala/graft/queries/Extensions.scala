@@ -1244,12 +1244,16 @@ object Extensions {
     * same md5 formula (no codec): cross-engine equality PROVES the
     * WAV encode/decode cycle is sample-exact end to end.
     */
-  def mm4AudioNeardup(s: SparkSession, d: String): DataFrame = {
+  def mm4AudioNeardup(s: SparkSession, d: String): DataFrame =
+    mm4On(s, Tables.documents(s, d))
+
+  /** The frame-parameterized core (ScaleProbe feeds replicas here). */
+  private[graft] def mm4On(s: SparkSession, docs: DataFrame): DataFrame = {
     // same two plan moves as mm3, same reasons: repartition the slim
     // pre-codec sample frame for codec parallelism; checkpoint the
     // 20 B/row band frame so the four downstream join branches don't
     // re-run the WAV encode + decode per exchange
-    val smp = mm4SampleFixture(Tables.documents(s, d).select(col("doc_id")))
+    val smp = mm4SampleFixture(docs.select(col("doc_id")))
       .repartition(col("media_id"))
     val media = Multimodal.encodePcm16Wav(s, smp)
     val bands = Multimodal.audioFingerprintBands(s, media.toDF()).toDF()
@@ -1325,11 +1329,15 @@ object Extensions {
     * encode + temporal fold-decode cycle reconstructs every sampled
     * canvas pixel-exactly.
     */
-  def mm5VideoNeardup(s: SparkSession, d: String): DataFrame = {
+  def mm5VideoNeardup(s: SparkSession, d: String): DataFrame =
+    mm5On(s, Tables.documents(s, d))
+
+  /** The frame-parameterized core (ScaleProbe feeds replicas here). */
+  private[graft] def mm5On(s: SparkSession, docs: DataFrame): DataFrame = {
     // mm3/mm4's two plan moves, same reasons: spread the slim
     // pre-codec frame for codec parallelism; cut the band frame so
     // the four downstream join branches don't re-run encode+decode
-    val pix = mm5FrameFixture(Tables.documents(s, d).select(col("doc_id")))
+    val pix = mm5FrameFixture(docs.select(col("doc_id")))
       .repartition(col("media_id"))
     val avi = Multimodal.encodeRle8Avi(s, pix, w = 9, h = 8)
     val frames = Multimodal.sampleRle8VideoFrames(s, avi.toDF(), w = 9,
@@ -1444,8 +1452,12 @@ object Extensions {
     * from dd20's SQL, and the conjunction — one dual for the whole
     * composition.
     */
-  def mm6CrossModalNeardup(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+  def mm6CrossModalNeardup(s: SparkSession, d: String): DataFrame =
+    mm6On(s, Tables.documents(s, d))
+
+  /** The frame-parameterized core (ScaleProbe feeds replicas here). */
+  private[graft] def mm6On(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), col("text"))
     val (caps, pix) = mm6Fixture(docs)
     val media = Multimodal.encodeGrayPng(s,
       pix.repartition(col("media_id")), w = 18, h = 16)
