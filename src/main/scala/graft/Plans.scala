@@ -121,7 +121,15 @@ object Plans {
       "dd27_span_excise" ->
         "duplicate-span excision: two linear token shuffles (span-digest groupBy + anti-join reassembly), no all-pairs step",
       "mm3_image_dhash_neardup" ->
-        "image near-dup: binary payloads reduce per-partition to 16-bit band rows, band-bucket self-join + Hamming verify on candidates")
+        "image near-dup: binary payloads reduce per-partition to 16-bit band rows, band-bucket self-join + Hamming verify on candidates",
+      "mm4_audio_neardup" ->
+        "audio near-dup: WAV payloads reduce per-partition to Haar-delta band rows, shared band-join machinery, no audio bytes in any Exchange",
+      "mm5_video_neardup" ->
+        "video temporal near-dup: RLE8 fold-decode + per-frame dHash reduce per-partition, frame-aligned band join, all-frames Hamming gate",
+      "mm6_crossmodal_neardup" ->
+        "cross-modal dedup: image band pairs INTERSECT caption winnow candidates before the exact Jaccard verify — cheapest gate first",
+      "qc1_quality_classifier" ->
+        "learned quality classifier: long-format features, broadcast K-row weight join per round, bucket-grouped gradient agg, base-rate threshold")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative queries\n\n")

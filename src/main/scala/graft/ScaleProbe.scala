@@ -549,8 +549,11 @@ object ScaleProbe {
         // mm4/mm6, 50k videos (x3 sampled frames, PNG-encoded each)
         // for mm5. The cap is a probe-cost bound, not an operator
         // limit, and the recorded n makes the per-media rate exact.
+        // every probed corpus (sf scales AND the fixed-density
+        // replicas, whose ids are orig*10^k + j) has DENSE ids from
+        // 0, so an id-prefix filter keeps exactly `limit` docs
         def idCap(limit: Long): DataFrame =
-          if (n > limit) df.filter(col("doc_id") < lit(limit * 10))
+          if (n > limit) df.filter(col("doc_id") < lit(limit))
           else df
         val mm4Df = idCap(100000)
         cnts("mm4_media") = mm4Df.count()

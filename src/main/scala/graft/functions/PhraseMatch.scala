@@ -174,16 +174,23 @@ final class AhoCorasick(val phrases: Array[String]) extends Serializable {
         if (i + 2 > nb) i = nb // truncated tail: stop, never over-read
         else if (!cont(i + 1)) { node = 0; i += 1 }
         else {
-          step((((b0 & 0x1f) << 6) | (text.getByte(i + 1) & 0x3f)).toChar)
-          i += 2
+          val cp = ((b0 & 0x1f) << 6) | (text.getByte(i + 1) & 0x3f)
+          // overlong (cp < 0x80) is malformed, not an ASCII char
+          if (cp < 0x80) { node = 0; i += 1 }
+          else { step(cp.toChar); i += 2 }
         }
       } else if ((b0 & 0xf0) == 0xe0) {
         if (i + 3 > nb) i = nb
         else if (!cont(i + 1) || !cont(i + 2)) { node = 0; i += 1 }
         else {
-          step((((b0 & 0x0f) << 12) | ((text.getByte(i + 1) & 0x3f) << 6) |
-            (text.getByte(i + 2) & 0x3f)).toChar)
-          i += 3
+          val cp = ((b0 & 0x0f) << 12) | ((text.getByte(i + 1) & 0x3f) << 6) |
+            (text.getByte(i + 2) & 0x3f)
+          // overlong and bare-surrogate encodings are malformed —
+          // emitting them would let garbage bytes impersonate real
+          // BMP characters inside a phrase match
+          if (cp < 0x800 || (cp >= 0xd800 && cp <= 0xdfff)) {
+            node = 0; i += 1
+          } else { step(cp.toChar); i += 3 }
         }
       } else if ((b0 & 0xf8) == 0xf0) {
         if (i + 4 > nb) i = nb
@@ -194,10 +201,16 @@ final class AhoCorasick(val phrases: Array[String]) extends Serializable {
             ((text.getByte(i + 1) & 0x3f) << 12) |
             ((text.getByte(i + 2) & 0x3f) << 6) |
             (text.getByte(i + 3) & 0x3f)
-          val off = cp - 0x10000
-          step((0xd800 + (off >> 10)).toChar)
-          step((0xdc00 + (off & 0x3ff)).toChar)
-          i += 4
+          // overlong (cp < 0x10000 — a NEGATIVE surrogate offset would
+          // emit valid Hangul jamo chars from garbage bytes) and
+          // beyond-Unicode values are malformed
+          if (cp < 0x10000 || cp > 0x10ffff) { node = 0; i += 1 }
+          else {
+            val off = cp - 0x10000
+            step((0xd800 + (off >> 10)).toChar)
+            step((0xdc00 + (off & 0x3ff)).toChar)
+            i += 4
+          }
         }
       } else { node = 0; i += 1 } // invalid lead byte
     }

@@ -403,9 +403,8 @@ object Select {
     * the next round's plan as an exact-double broadcast frame.
     */
   private[graft] def qcTrain(
-      s: SparkSession, hdr: DataFrame,
-      featL: DataFrame): (Double, Array[Double]) = {
-    val n = hdr.count().toDouble
+      s: SparkSession, hdr: DataFrame, featL: DataFrame,
+      n: Double): (Double, Array[Double]) = {
     var wi = 0.0
     var w = Array.fill(QcK)(0.0)
     for (_ <- 1 to QcRounds) {
@@ -426,15 +425,27 @@ object Select {
     (wi, w)
   }
 
+  /** Shared preamble: checkpoint the frames, read (n, positives) in
+    * ONE aggregate, train. Factored so the query surface ([[qc1On]])
+    * and the spec surface ([[qc1ScoredOn]]) cannot drift.
+    */
+  private def qcPrepare(s: SparkSession, docs: DataFrame)
+      : (DataFrame, DataFrame, Double, Array[Double], Long, Long) = {
+    val (hdr0, featL0) = qcFrames(docs)
+    val hdr = hdr0.localCheckpoint(true)
+    val featL = featL0.localCheckpoint(true)
+    val stats = hdr.agg(count(lit(1)), sum(col("y"))).head()
+    val (n, nPos) = (stats.getLong(0), stats.getLong(1))
+    val (wi, w) = qcTrain(s, hdr, featL, n.toDouble)
+    (hdr, featL, wi, w, n, nPos)
+  }
+
   /** Per-doc scores under the trained model — the spec surface for
     * the planted-label AUC floor.
     */
   private[graft] def qc1ScoredOn(
       s: SparkSession, docs: DataFrame): DataFrame = {
-    val (hdr0, featL0) = qcFrames(docs)
-    val (hdr, featL) =
-      (hdr0.localCheckpoint(true), featL0.localCheckpoint(true))
-    val (wi, w) = qcTrain(s, hdr, featL)
+    val (hdr, featL, wi, w, _, _) = qcPrepare(s, docs)
     qcScored(s, hdr, featL, wi, w)
       .select(col("doc_id"), col("y"), col("score"))
   }
@@ -463,12 +474,8 @@ object Select {
 
   /** The frame-parameterized core (ScaleProbe feeds replicas here). */
   private[graft] def qc1On(s: SparkSession, docs: DataFrame): DataFrame = {
-    val (hdr0, featL0) = qcFrames(docs)
-    val (hdr, featL) =
-      (hdr0.localCheckpoint(true), featL0.localCheckpoint(true))
-    val (wi, w) = qcTrain(s, hdr, featL)
-    val thr = hdr.agg(sum(col("y"))).head().getLong(0).toDouble /
-      hdr.count()
+    val (hdr, featL, wi, w, n, nPos) = qcPrepare(s, docs)
+    val thr = nPos.toDouble / n
     qcScored(s, hdr, featL, wi, w)
       .groupBy(col("lang"), col("y"))
       .agg(count(lit(1)).as("n_docs"),

@@ -747,28 +747,39 @@ object StreamingDedup {
     }
   }
 
-  /** Durably record the dispatched tier in `outDir/_tier` via ATOMIC
-    * create-if-absent (`fs.create(path, overwrite = false)`), then
-    * re-read and validate. Losing a concurrent creation race falls
-    * through to the validation read, so two first-starts under
-    * different tiers cannot both win silently — exactly one marker
-    * survives and the loser fails with the cross-flip message. Called
-    * from the first micro-batch of each auto-dispatched query (never
-    * at writer construction, which must have no side effects).
+  /** Durably record the dispatched tier in `outDir/_tier`: the
+    * content is written to a unique temp file first and RENAMED into
+    * place — rename is the atomic primitive on both POSIX local
+    * filesystems and HDFS-like stores (a bare
+    * `create(overwrite = false)` is check-then-act on
+    * RawLocalFileSystem, and its content write is not atomic either,
+    * so a concurrent reader could see an empty marker). Losing the
+    * rename race leaves the winner's fully-written marker in place
+    * and falls through to validation, so two first-starts under
+    * different tiers cannot both win — the loser fails with the
+    * cross-flip message. A genuine write failure (permissions, disk)
+    * PROPAGATES: swallowing it would leave no marker, pass the
+    * absent-marker validation, and — since the first-batch hook runs
+    * once — silently disable cross-flip protection for the stream's
+    * lifetime. Called from the first micro-batch of each
+    * auto-dispatched query (never at writer construction, which must
+    * have no side effects).
     */
   private[graft] def recordTier(
       spark: SparkSession, outDir: String, tier: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$outDir/_tier")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) {
-      try {
-        val out = fs.create(path, false)
-        try out.write(tier.getBytes("UTF-8")) finally out.close()
-      } catch {
-        // lost the create race (or the marker appeared between the
-        // exists probe and the create) — fall through to validate
-        case _: java.io.IOException => ()
-      }
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$outDir/_tier.tmp.${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, false)
+      try out.write(tier.getBytes("UTF-8")) finally out.close()
+      // rename refuses an existing destination: losing the race is
+      // fine (the winner's marker validates below); clean up our tmp
+      if (!fs.rename(tmp, path)) fs.delete(tmp, false)
+      if (!fs.exists(path))
+        throw new java.io.IOException(
+          s"streamingNearDupAuto: failed to record tier marker $path")
     }
     requireTierUnchanged(spark, outDir, tier)
   }

@@ -194,6 +194,24 @@ class PhraseMatchSpec extends SparkSpec {
       "am".getBytes("UTF-8")) == Nil)
     // truncated multi-byte tails still stop cleanly
     assert(matchesOf(spam ++ Array(0xe4.toByte, 0xb8.toByte)) == Seq("spam"))
+    // OVERLONG and surrogate encodings are rejected, never emitted as
+    // chars: F0 80 80 80 (overlong, cp=0 — before the range check it
+    // decoded to U+D7C0, a real Hangul char garbage bytes could use
+    // to complete a phrase), ED A0 80 (bare surrogate U+D800),
+    // C0 80 (overlong NUL), E0 80 80 (overlong) — each must reset and
+    // leave adjacent real matches intact
+    val jamo = new AhoCorasick(Array("aퟀ"))
+    assert(jamo.matchedPhrases(UTF8String.fromBytes(
+      "a".getBytes("UTF-8") ++ Array(0xf0, 0x80, 0x80, 0x80)
+        .map(_.toByte))).numElements() === 0)
+    for (bad <- Seq(
+        Array(0xf0, 0x80, 0x80, 0x80), // overlong 4-byte
+        Array(0xf5, 0x8f, 0x8f, 0x8f), // beyond U+10FFFF
+        Array(0xed, 0xa0, 0x80), // surrogate D800 as 3-byte
+        Array(0xe0, 0x80, 0x80), // overlong 3-byte
+        Array(0xc0, 0x80))) // overlong 2-byte (modified-UTF8 NUL)
+      assert(matchesOf(spam ++ bad.map(_.toByte) ++ ham) ==
+        Seq("spam", "ham"), bad.map(b => f"$b%02x").mkString(","))
   }
 
   test("invalid phrase lists fail at analysis time, not as a runtime " +
