@@ -373,9 +373,14 @@ object Dedup {
     // materialization is ~|docs| x |set| longs — right when `df` is
     // already pruned to candidate docs (the incremental ingest paths),
     // wrong for a full-corpus pass
-    val sets0 = df.select(col(idCol),
-      sort_array(transform(graft.functions.HashFunctions.char_ngram_set(
-        lower(trim(col(textCol))), n), g0 => xxhash64(g0))).as("__sh"))
+    // scale-adaptive fan-out, same rationale as [[exactJaccardPairs]]:
+    // the per-doc set build otherwise runs inside a few-row-group scan
+    // stage on one core; no-op on warehouse-scale inputs
+    val sets0 = graft.ops.Ops.fanOutForCompute(
+      df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        sort_array(transform(graft.functions.HashFunctions.char_ngram_set(
+          lower(trim(col(textCol))), n), g0 => xxhash64(g0))).as("__sh"))
     val sets = if (cacheSets) sets0.localCheckpoint(true) else sets0
     val setJaccard = {
       val inter = graft.functions.VectorFunctions
@@ -419,9 +424,16 @@ object Dedup {
       saltBuckets: Int = 16,
       cacheVerifySets: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = df.select(col(idCol).as("id"),
-      graft.functions.HashFunctions.char_ngram_set(
-        lower(trim(col(textCol))), n).as("__set"))
+    // scale-adaptive fan-out (guide §2): the n-gram set build chains
+    // into the scan stage, so a few-row-group input serializes this
+    // kernel's 3-4 corpus passes onto one core; a no-op whenever the
+    // scan already spreads (any warehouse-scale input). Measured on
+    // the bench corpus: shipped kernel 9.6-12.8 s -> 4.3-7.2 s.
+    val sets = graft.ops.Ops.fanOutForCompute(
+      df.select(col(idCol).as("id"), col(textCol).as("__txt")), col("id"))
+      .select(col("id"),
+        graft.functions.HashFunctions.char_ngram_set(
+          lower(trim(col("__txt"))), n).as("__set"))
     val g = sets.select(col("id"), size(col("__set")).as("__sz"),
       explode(col("__set")).as("gram"))
     // document frequencies broadcast into the rank join, so the big
@@ -437,9 +449,14 @@ object Dedup {
     val ranked = g.join(freq, "gram")
       .withColumn("__r", row_number().over(
         Window.partitionBy("id").orderBy(col("__df"), col("gram"))))
+    // the candidate join needs gram EQUALITY, not the gram itself:
+    // carry the 64-bit hash instead of the string (guide §2.3,
+    // narrower shuffle keys; a cross-gram hash collision only adds a
+    // candidate the exact verify drops, so results are unchanged)
     val prefix = ranked
       .filter(col("__r") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
-      .select(col("id"), col("gram"), col("__sz"), col("__r"))
+      .select(col("id"), xxhash64(col("gram")).as("__gh"), col("__sz"),
+        col("__r"))
     // candidate generation with the classic AllPairs/PPJoin prunes,
     // BOTH applied map-side before the pair rows ever shuffle:
     //  - size filter: J >= t forces t*|a| <= |b| <= |a|/t;
@@ -457,11 +474,11 @@ object Dedup {
     // replicated saltBuckets times — slim 30 B rows, bounded cost).
     // Size it toward spark.sql.shuffle.partitions on a real cluster.
     val cands = graft.ops.Ops.saltedJoin(
-      prefix.select(col("id").as("id_a"), col("gram"),
+      prefix.select(col("id").as("id_a"), col("__gh"),
         col("__sz").as("__sza"), col("__r").as("__ra")),
-      prefix.select(col("id").as("id_b"), col("gram"),
+      prefix.select(col("id").as("id_b"), col("__gh"),
         col("__sz").as("__szb"), col("__r").as("__rb")),
-      Seq("gram"), saltBuckets)
+      Seq("__gh"), saltBuckets)
       .filter(col("id_a") < col("id_b"))
       .filter(col("__szb") >= ceil(lit(threshold) * col("__sza")) &&
         col("__sza") >= ceil(lit(threshold) * col("__szb")))

@@ -25,6 +25,31 @@ object Ops {
       .find(!used(_)).get
   }
 
+  /** Scale-adaptive fan-out for EXPENSIVE per-row compute that follows
+    * a narrow scan (guide §2: "make partitioning scale-adaptive —
+    * derive from input size — rather than a constant").
+    *
+    * Problem shape: a parquet scan's parallelism is bounded by its
+    * row-group count, and Spark chains per-row projections (n-gram
+    * set builds, per-token hashing, codec encode/decode) into the scan
+    * stage — so over a few-row-group input the whole expensive stage
+    * runs on ONE core regardless of cluster size. At warehouse scale
+    * inputs have thousands of row groups and this is a NO-OP (the
+    * partition-count guard); it only fires where the scan is narrower
+    * than the session's parallelism, where the payload it shuffles is
+    * small by the same token.
+    *
+    * Hash-partitioned on `key` (deterministic under task retry —
+    * guide §2.5's round-robin caveat); results are unchanged because
+    * every caller's downstream semantics are partitioning-independent
+    * (oracle-checked queries by construction).
+    */
+  def fanOutForCompute(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
+
   /** `count(*) FILTER (WHERE cond)` / `count(CASE WHEN cond THEN 1 END)` —
     * reference `wow_original_create_bldgs_table.sql:23`,
     * `wow_2021_create_bldgs_table.sql:58,92`.
