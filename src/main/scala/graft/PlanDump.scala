@@ -26,7 +26,13 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
     names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      // "kernel:dd7" dumps the exact-Jaccard kernel's own plan — the
+      // dd7 query surface reads the TruthSets checkpoint, so its
+      // query-level plan is just an RDD scan and hides the kernel
+      val df = if (n == "kernel:dd7")
+        graft.dedup.Dedup.exactJaccardPairs(
+          Tables.documents(spark, sfDir), "doc_id", "text", threshold = 0.8)
+      else SparkEntry.queries(n)(spark, sfDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Files.write(Paths.get(outDir, s"${n}_$suffix.txt"),

@@ -129,10 +129,15 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // fused native expression: token array -> signature in one loop —
     // no materialized shingle array, no interpreted HOF (the shingle
-    // build alone was ~6x the hashing cost; see MinHashTokensSig)
-    val signed = df.select(col(idCol).as("id"),
-      graft.functions.HashFunctions.minhash_tokens_sig(
-        tokens(col(textCol)), shingleSize, numHashes).as("sig"))
+    // build alone was ~6x the hashing cost; see MinHashTokensSig).
+    // Fan-out below it: the signature build is the expensive stage and
+    // otherwise runs single-core inside a few-row-group scan (guide §2;
+    // no-op at warehouse scale)
+    val signed = graft.ops.Ops.fanOutForCompute(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")), col("id"))
+      .select(col("id"),
+        graft.functions.HashFunctions.minhash_tokens_sig(
+          tokens(col("__txt")), shingleSize, numHashes).as("sig"))
 
     // SLIM candidate generation: the exploded self-join moves only
     // (id, band, band_hash) — never the 8*numHashes-byte signature —
@@ -303,7 +308,11 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    val hashed = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    // fan-out below the simhash projection (guide §2: per-doc hashing
+    // otherwise single-core inside a few-row-group scan; no-op at scale)
+    val hashed = graft.ops.Ops.fanOutForCompute(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")), col("id"))
+      .select(col("id"), simhash64(col("__txt")).as("sh"))
     val chunkVals = (0 until chunks).map { c =>
       shiftrightunsigned(col("sh"), c * width).bitwiseAND((1L << width) - 1)
     }
@@ -552,7 +561,8 @@ object Dedup {
     // preserved) and both counts fold into a single partial-aggregated
     // groupBy — vs the two-branch form, this halves the corpus
     // scans/explodes and drops the final n_grams⋈n_hits join entirely.
-    val flagged = corpus
+    val flagged = graft.ops.Ops.fanOutForCompute(
+        corpus.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol),
         explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
       .join(broadcast(evalGrams.withColumn("__hit", lit(1))),
@@ -592,7 +602,8 @@ object Dedup {
       .select(col(setCol).as("__set"),
         explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
       .distinct()
-    val grams = corpus
+    val grams = graft.ops.Ops.fanOutForCompute(
+        corpus.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol),
         explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
     val totals = grams.groupBy(col(idCol))
@@ -676,8 +687,10 @@ object Dedup {
     val blob = evalGrams
       .agg(bloom_agg(xxhash64(col("gram")), bloomBits, bloomHashes))
       .head().getAs[Array[Byte]](0)
-    val grams = corpus.select(col(idCol),
-      explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
+    val grams = graft.ops.Ops.fanOutForCompute(
+        corpus.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol),
+        explode(array_distinct(wordShingles(col(textCol), k))).as("gram"))
     val hits = grams
       .filter(might_contain(lit(blob), xxhash64(col("gram"))))
       .join(evalGrams, Seq("gram"), "left_semi")
@@ -830,10 +843,15 @@ object Dedup {
       dim: Int = 64,
       bits: Int = 8,
       tables: Int = 4): DataFrame = {
+    // fan-out below the bucket projections: `tables` x `bits` dot
+    // products per vector otherwise run single-core inside a
+    // few-row-group scan (guide §2; no-op at warehouse scale)
+    val spread = graft.ops.Ops.fanOutForCompute(
+      df.select(col(idCol).as("id"), col(vecCol).as("__v")), col("id"))
     val buckets = (0 until tables).map { t =>
-      Similarity.bucketExpr(col(vecCol), Similarity.hyperplanes(dim, bits, t))
+      Similarity.bucketExpr(col("__v"), Similarity.hyperplanes(dim, bits, t))
     }
-    val keyed = df.select(col(idCol).as("id"),
+    val keyed = spread.select(col("id"),
         posexplode(array(buckets: _*)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")

@@ -45,9 +45,28 @@ object Ops {
     * (oracle-checked queries by construction).
     */
   def fanOutForCompute(df: DataFrame, key: Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
-    else df.repartition(target, key)
+    // SCAN-SHAPED plans only: materializing `.rdd` under AQE runs every
+    // upstream query stage at CONSTRUCTION time (AdaptiveSparkPlanExec
+    // finalizes the plan by executing its shuffle stages), so probing
+    // the partition count of a join/aggregate subtree would execute it
+    // twice per query. A plan with no shuffle-implying operator has no
+    // AQE stages — its `.rdd` is pure planning — and it is exactly the
+    // narrow-scan shape this helper exists for; anything already past
+    // a shuffle is `spark.sql.shuffle.partitions` wide (or its author
+    // chose its layout) and is returned unchanged.
+    import org.apache.spark.sql.catalyst.plans.{logical => lp}
+    val wide = df.queryExecution.analyzed.exists {
+      case _: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.Distinct |
+           _: lp.Sort => true
+      case _: lp.RepartitionOperation => true
+      case _ => false
+    }
+    if (wide) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df
+      else df.repartition(target, key)
+    }
   }
 
   /** `count(*) FILTER (WHERE cond)` / `count(CASE WHEN cond THEN 1 END)` —

@@ -53,7 +53,13 @@ object Clean {
     */
   def winnowFingerprints(docs: DataFrame, idCol: String,
       textCol: String, k: Int = K, w: Int = W): DataFrame =
-    docs.select(col(idCol).as("doc_id"), lower(trim(col(textCol))).as("s"))
+    // fan-out below the winnow projection: the O(G) digest+deque pass
+    // per doc otherwise runs single-core inside a few-row-group scan
+    // (guide §2; no-op at warehouse scale). The map-over-the-corpus
+    // scale shape is unchanged — the guard never fires on a wide scan
+    graft.ops.Ops.fanOutForCompute(
+        docs.select(col(idCol).as("doc_id"),
+          lower(trim(col(textCol))).as("s")), col("doc_id"))
       .select(col("doc_id"),
         explode(graft.functions.WinnowExpressions
           .winnow_keys(col("s"), k, w)).as("key"))

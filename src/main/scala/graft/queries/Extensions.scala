@@ -900,8 +900,15 @@ object Extensions {
     * prefix-count of boundary flags — same numbering, same slices.
     */
   def cdc1ContentChunks(s: SparkSession, d: String): DataFrame =
+    // fan-out at the CALL SITE (the chunker itself stays map-only —
+    // its no-shuffle contract is the operator's scale shape): the
+    // per-token hash + slice work otherwise runs single-core over the
+    // one-row-group bench scan (guide §2; no-op at warehouse scale)
     graft.export.Packing.cdcChunkDocuments(
-      Tables.documents(s, d), "doc_id", "text", divisor = 16)
+      graft.ops.Ops.fanOutForCompute(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id")),
+      "doc_id", "text", divisor = 16)
 
   /** Per-source document cap — the curation quota step ("at most N
     * docs per source/domain", RefinedWeb-style): rank within source
@@ -1249,12 +1256,15 @@ object Extensions {
 
   /** The frame-parameterized core (ScaleProbe feeds replicas here). */
   private[graft] def mm4On(s: SparkSession, docs: DataFrame): DataFrame = {
-    // same two plan moves as mm3, same reasons: repartition the slim
-    // pre-codec sample frame for codec parallelism; checkpoint the
-    // 20 B/row band frame so the four downstream join branches don't
-    // re-run the WAV encode + decode per exchange
-    val smp = mm4SampleFixture(docs.select(col("doc_id")))
-      .repartition(col("media_id"))
+    // same two plan moves as mm3, same reasons — but the fan-out now
+    // sits BELOW the fixture projection: the 528 md5 draws per doc
+    // evaluate in the projection, and with the exchange above it they
+    // all ran inside the one-row-group scan stage on a single core
+    // (round-14 measurement: mm4 4.6 s isolated, fixture-bound). The
+    // checkpoint of the 20 B/row band frame still keeps the four
+    // downstream join branches from re-running the WAV encode+decode
+    val smp = mm4SampleFixture(graft.ops.Ops.fanOutForCompute(
+      docs.select(col("doc_id")), col("doc_id")))
     val media = Multimodal.encodePcm16Wav(s, smp)
     val bands = Multimodal.audioFingerprintBands(s, media.toDF()).toDF()
       .localCheckpoint(true)
@@ -1334,11 +1344,11 @@ object Extensions {
 
   /** The frame-parameterized core (ScaleProbe feeds replicas here). */
   private[graft] def mm5On(s: SparkSession, docs: DataFrame): DataFrame = {
-    // mm3/mm4's two plan moves, same reasons: spread the slim
-    // pre-codec frame for codec parallelism; cut the band frame so
-    // the four downstream join branches don't re-run encode+decode
-    val pix = mm5FrameFixture(docs.select(col("doc_id")))
-      .repartition(col("media_id"))
+    // mm3/mm4's two plan moves, same reasons — fan-out BELOW the
+    // fixture projection (mm4's round-14 fix): the ~360 per-doc md5
+    // draws otherwise evaluate single-core inside the scan stage
+    val pix = mm5FrameFixture(graft.ops.Ops.fanOutForCompute(
+      docs.select(col("doc_id")), col("doc_id")))
     val avi = Multimodal.encodeRle8Avi(s, pix, w = 9, h = 8)
     val frames = Multimodal.sampleRle8VideoFrames(s, avi.toDF(), w = 9,
       h = 8, everyNth = 2)
@@ -1457,10 +1467,15 @@ object Extensions {
 
   /** The frame-parameterized core (ScaleProbe feeds replicas here). */
   private[graft] def mm6On(s: SparkSession, docsIn: DataFrame): DataFrame = {
-    val docs = docsIn.select(col("doc_id"), col("text"))
+    // fan-out at the top so the fixture's 288 per-doc md5 pixel draws
+    // AND the caption winnow chain both run wide (mm4's round-14 fix);
+    // everything below derives its partitioning from here, so the
+    // pre-codec repartition becomes the no-op guard path
+    val docs = graft.ops.Ops.fanOutForCompute(
+      docsIn.select(col("doc_id"), col("text")), col("doc_id"))
     val (caps, pix) = mm6Fixture(docs)
     val media = Multimodal.encodeGrayPng(s,
-      pix.repartition(col("media_id")), w = 18, h = 16)
+      graft.ops.Ops.fanOutForCompute(pix, col("media_id")), w = 18, h = 16)
     val bands = Multimodal.imageDhashBands(s, media.toDF()).toDF()
       .localCheckpoint(true)
     // image-verified pairs are slim — checkpoint so the final
@@ -1606,7 +1621,13 @@ object Extensions {
     pipe1CorpusCleanOn(s, Tables.documents(s, d), staging)
 
   private[graft] def pipe1CorpusCleanOn(
-      s: SparkSession, docs: DataFrame, staging: Staging): DataFrame = {
+      s: SparkSession, docsIn: DataFrame, staging: Staging): DataFrame = {
+    // fan-out at the pipeline TOP (guide §2): every downstream stage —
+    // quality filter, exact-dedup hashes, the near-dup kernel's n-gram
+    // passes — inherits this layout (the staged frame pins it), and
+    // the staged `exactKept` would otherwise carry the scan's
+    // few-partition layout into the kernel's per-doc set builds
+    val docs = graft.ops.Ops.fanOutForCompute(docsIn, col("doc_id"))
     val quality = docs.filter(TextFunctions.qualityScore(col("text")) > 0.3)
     // stage materialization: the downstream near-dup pass references
     // this frame several times (gram explode + per-side set fetches +
@@ -1649,7 +1670,11 @@ object Extensions {
     * through here; the dir overloads above are the query surface).
     */
   private[graft] def pipe2TrainingPrepOn(
-      s: SparkSession, docs: DataFrame, staging: Staging): DataFrame = {
+      s: SparkSession, docsIn: DataFrame, staging: Staging): DataFrame = {
+    // pipeline-top fan-out, pipe1's rationale: the staged `clean`
+    // frame pins its layout for the exact near-dup stage (~90% of this
+    // pipeline's wall at the 10x replica)
+    val docs = graft.ops.Ops.fanOutForCompute(docsIn, col("doc_id"))
     val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
     val eval_ = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
     val scores = Dedup.contaminationScores(corpus, eval_, "doc_id", "text",
@@ -1695,7 +1720,9 @@ object Extensions {
     pipe5TieredPrepOn(s, Tables.documents(s, d), staging)
 
   private[graft] def pipe5TieredPrepOn(
-      s: SparkSession, docs: DataFrame, staging: Staging): DataFrame = {
+      s: SparkSession, docsIn: DataFrame, staging: Staging): DataFrame = {
+    // pipeline-top fan-out, pipe2's rationale
+    val docs = graft.ops.Ops.fanOutForCompute(docsIn, col("doc_id"))
     val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
     val eval_ = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
     val scores = Dedup.contaminationScores(corpus, eval_, "doc_id", "text",

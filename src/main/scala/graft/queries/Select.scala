@@ -257,8 +257,12 @@ object Select {
     // (pairCnt, w1Cnt, the scoring join). Materialize each once — the
     // win2 recompute lesson cited below applies here too, and without
     // these seams every downstream branch re-tokenizes the corpus.
-    val toks = docs.select(col("doc_id"), col("lang"),
-      split(lower(trim(col("text"))), "\\s+").as("t"))
+    // fan-out before tokenization (guide §2): the checkpoint otherwise
+    // pins the scan's few-partition layout for EVERY downstream pass
+    val toks = graft.ops.Ops.fanOutForCompute(
+      docs.select(col("doc_id"), col("lang"), col("text")), col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        split(lower(trim(col("text"))), "\\s+").as("t"))
       .localCheckpoint(true)
     val tk = toks.select(col("doc_id"), col("lang"),
       explode(col("t")).as("token"))
@@ -356,7 +360,12 @@ object Select {
     val buckets = transform(col("bg"), g =>
       pmod(conv(substring(md5(g.cast("binary")), 1, 4), 16, 10)
         .cast("long"), lit(QcK)).cast("int"))
-    val base = docs.select(col("doc_id"), col("lang"), ws.as("ws"))
+    // fan-out below the projections: the per-doc bigram md5 hashing is
+    // the expensive stage here and otherwise runs single-core inside a
+    // few-row-group scan (no-op at warehouse scale — guide §2)
+    val base = graft.ops.Ops.fanOutForCompute(
+      docs.select(col("doc_id"), col("lang"), col("text")), col("doc_id"))
+      .select(col("doc_id"), col("lang"), ws.as("ws"))
       .select(col("doc_id"), col("lang"), y.as("y"), bigrams.as("bg"))
       .select(col("doc_id"), col("lang"), col("y"), buckets.as("bks"))
       .localCheckpoint(true)
@@ -405,22 +414,29 @@ object Select {
   private[graft] def qcTrain(
       s: SparkSession, hdr: DataFrame, featL: DataFrame,
       n: Double): (Double, Array[Double]) = {
+    // sentinel bucket -1 carries the INTERCEPT gradient: its x is
+    // exactly 1.0, so round(resid * x, 6) == round(resid, 6) bit for
+    // bit and one (K+1)-bucket aggregation per round replaces the two
+    // jobs (bucket gradients + separate intercept sum) the loop ran
+    // before — training collapses from 2 scoring-subtree executions +
+    // 2 aggregates per round to ONE join + ONE aggregate per round
+    // (guide §1.2: fewer passes first). Values are unchanged.
+    val featG = featL.unionByName(
+        hdr.select(col("doc_id"), lit(-1).as("b"), lit(1.0).as("x")))
+      .localCheckpoint(true)
     var wi = 0.0
     var w = Array.fill(QcK)(0.0)
     for (_ <- 1 to QcRounds) {
       val scored = qcScored(s, hdr, featL, wi, w)
       val resid = col("score") - col("y")
-      val gRows = scored.join(featL, Seq("doc_id"))
+      val g = scored.join(featG, Seq("doc_id"))
         .groupBy(col("b"))
         .agg(sum(round(resid * col("x"), 6).cast("decimal(27,6)"))
           .cast("double").as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val gi = scored
-        .agg(sum(round(resid, 6).cast("decimal(27,6)")).cast("double"))
-        .head().getDouble(0)
-      wi = wi - QcLr * (gi / n)
+      wi = wi - QcLr * (g.getOrElse(-1, 0.0) / n)
       w = Array.tabulate(QcK)(b =>
-        w(b) - QcLr * (gRows.getOrElse(b, 0.0) / n))
+        w(b) - QcLr * (g.getOrElse(b, 0.0) / n))
     }
     (wi, w)
   }

@@ -34,8 +34,13 @@ object Bpe {
     * unicode-safe in both engines).
     */
   def vocab(docs: DataFrame, textCol: String): DataFrame =
-    docs
-      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+    // fan-out below the tokenize+explode (guide §2): the corpus's one
+    // reduction pass otherwise runs single-core over a few-row-group
+    // scan; no-op at warehouse scale. Keyed by the text itself — the
+    // only column present — which is deterministic under retry
+    graft.ops.Ops.fanOutForCompute(
+        docs.select(col(textCol).as("__txt")), col("__txt"))
+      .select(explode(split(lower(trim(col("__txt"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))

@@ -194,14 +194,19 @@ class PlanSpec extends SparkSpec {
     // the probe exists in the physical plan as a codegen-able Filter...
     assert(probes.nonEmpty, all.map(_.nodeName).mkString(", "))
     probes.foreach { f =>
-      // ...and nothing below it shuffles: the blob is a literal, so
-      // the filter runs map-side on the exploded gram stream and only
-      // bloom survivors (true hits + fpp) reach the exact semi-join's
-      // exchange. At 100 TB that is the difference between shuffling
-      // every corpus gram and shuffling ~the contamination.
-      val shuffles = flattenPlan(f).filter(
-        p => p.nodeName.toLowerCase.contains("shuffle"))
-      assert(shuffles.isEmpty, f.toString)
+      // ...and no shuffle below it carries the GRAM stream: the blob
+      // is a literal, so the filter runs map-side on the exploded
+      // grams and only bloom survivors (true hits + fpp) reach the
+      // exact semi-join's exchange. At 100 TB that is the difference
+      // between shuffling every corpus gram and shuffling ~the
+      // contamination. (The round-14 scale-adaptive fan-out may
+      // repartition the RAW (doc_id, text) rows below the probe — a
+      // guarded no-op on warehouse-scale scans and never a gram-stream
+      // shuffle, so it is exempt here.)
+      val gramShuffles = flattenPlan(f).filter(p =>
+        p.nodeName.toLowerCase.contains("shuffle") &&
+          p.output.exists(_.name == "gram"))
+      assert(gramShuffles.isEmpty, f.toString)
     }
   }
 
