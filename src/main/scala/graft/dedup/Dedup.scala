@@ -734,8 +734,10 @@ object Dedup {
       textCol: String,
       k: Int = 8,
       maxDocsPerSpan: Int = 64): DataFrame = {
-    val spans = df.select(col(idCol).as("id"),
-        explode(array_distinct(wordShingles(col(textCol), k))).as("span"))
+    val spans = graft.ops.Ops.fanOutForCompute(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")), col("id"))
+      .select(col("id"),
+        explode(array_distinct(wordShingles(col("__txt"), k))).as("span"))
       .select(col("id"), sha2(col("span"), 256).as("h"))
     val buckets = spans.groupBy(col("h"))
       .agg(collect_set(col("id")).as("ids"))
@@ -786,7 +788,9 @@ object Dedup {
       textCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 2, s"span width must be >= 2 words, got $k")
-    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+    val toks = graft.ops.Ops.fanOutForCompute(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")), col("id"))
+      .select(col("id"), tokens(col("__txt")).as("ts"))
       .select(col("id"), col("ts"), size(col("ts")).as("nw"))
     val words = toks.select(col("id"),
       posexplode(col("ts")).as(Seq("pos", "word")))

@@ -285,7 +285,11 @@ object Advanced {
 
   /** Frame-parameterized core (expects doc_id/text). */
   private[graft] def tfidfCosineOn(docs: DataFrame, minCosine: Double): DataFrame = {
-    val bigrams = docs.select(col("doc_id"),
+    // fan-out below the bigram explode (guide §2): per-doc tokenize +
+    // bigram build otherwise single-core inside a few-row-group scan
+    val bigrams = graft.ops.Ops.fanOutForCompute(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
         split(lower(trim(col("text"))), "\\s+").as("ws"))
       .filter(size(col("ws")) >= 2) // sequence(1,0) would DESCEND in Spark
       .select(col("doc_id"), explode(expr(

@@ -941,7 +941,11 @@ object Extensions {
     */
   def nov1NgramNovelty(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = Tables.documents(s, d)
+    // fan-out below the shingle explode (guide §2): per-doc gram-set
+    // building otherwise single-core inside a few-row-group scan
+    val grams = graft.ops.Ops.fanOutForCompute(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(
         Dedup.wordShingles(col("text"), 3))).as("gram"))
     // doc-frequency via a window over the gram partition (iv1's

@@ -162,7 +162,9 @@ object Mining {
     // dd7/dd12 digest trick (a 64-bit collision over the gram
     // vocabulary is ~n²/2⁶⁵; the oracle joins on the gram text itself,
     // so a collision would FAIL the gate, not hide).
-    val grams = Tables.documents(s, d)
+    val grams = graft.ops.Ops.fanOutForCompute(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), Dedup.tokens(col("text")).as("ts"))
       .select(col("doc_id"),
         array_distinct(Dedup.wordShinglesFromTokens(col("ts"), 3)).as("shs"))

@@ -40,9 +40,12 @@ object Mining2 {
     * join), and the only other shuffle is the triple-count aggregate.
     */
   def apr1FrequentTriples(s: SparkSession, d: String): DataFrame = {
-    val baskets = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"),
-        pmod(col("l_partkey"), lit(2000L)).as("pk"))
+    // fan-out below the basket collapse (guide §2): the map-side
+    // collect_set partials otherwise run single-core over the scan
+    val baskets = graft.ops.Ops.fanOutForCompute(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"),
+            pmod(col("l_partkey"), lit(2000L)).as("pk")), col("ok"))
       .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("items"))
       .filter(size(col("items")).between(3, 50))
     baskets

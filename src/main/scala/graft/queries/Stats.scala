@@ -97,7 +97,12 @@ object Stats {
     * a fixed single-IEEE-op order, so round(·,6) is engine-exact.
     */
   def cor1CorrelationMatrix(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    // fan-out below the 14-sum moment aggregate (guide §2): the
+    // map-side partials over the whole fact table otherwise run
+    // single-core inside a few-row-group scan; no-op at scale
+    val li = graft.ops.Ops.fanOutForCompute(
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax"), col("l_orderkey"))
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val moments = li.agg(
       count(lit(1)).as("n"),
@@ -131,8 +136,13 @@ object Stats {
     * |obs|}) / (B+1), the standard add-one permutation p-value.
     */
   def perm1PermutationTest(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .filter(col("event_type").isin("purchase", "view"))
+    // fan-out below the 132 replicate aggregates (guide §2): the
+    // map-side partials otherwise run single-core over the scan
+    val ev = graft.ops.Ops.fanOutForCompute(
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "view"))
+          .select(col("event_id"), col("value"), col("event_type")),
+        col("event_id"))
       .select(col("event_id"), col("value"),
         (col("event_type") === "purchase").cast("int").as("lab"))
     def meanDiff(lab: org.apache.spark.sql.Column) = (

@@ -140,7 +140,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    // fan-out below the scoring projection (guide §2): |queries| x dim
+    // cosine ops per corpus row otherwise run single-core inside a
+    // few-row-group scan; a guarded no-op on warehouse-scale scans
+    val scored = graft.ops.Ops.fanOutForCompute(
+        corpus.select(col(idCol), col(vecCol)), col(idCol))
+      .crossJoin(broadcast(queries))
       .select(col(qidCol), col(idCol),
         cosine(col(vecCol), col(qvecCol)).as("sim"))
     scored.groupBy(col(qidCol))
