@@ -78,7 +78,15 @@ object Bench {
         }
       }
     warm(Seq("q0_flagship_bldgs", "dd2_minhash_pairs", "dd5_embedding_neardup",
-      "ann2_lsh", "asof1_backward"), sibling("sf0.001"))
+      "ann2_lsh", "asof1_backward",
+      // round-14 additions: the multimodal codec chains and the
+      // trained-classifier loop each carry a large unique codegen
+      // surface (md5 fixture expressions, codec mapPartitions, banded
+      // joins; 6 unrolled gradient rounds) — unwarmed, their FIRST
+      // execution measured 2-5x steady state (mm5: 23.4 s cold vs
+      // 4.3 s steady), which is JIT, not the query
+      "mm4_audio_neardup", "mm5_video_neardup", "mm6_crossmodal_neardup",
+      "qc1_quality_classifier"), sibling("sf0.001"))
     // the exact-similarity join's merge-scan/prefix kernels iterate
     // ~100M times at sf0.1 and measure ~2x slower on their FIRST
     // execution (janino compile + C2 ramp: 17s -> 8s steady,

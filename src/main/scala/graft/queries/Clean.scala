@@ -711,8 +711,14 @@ object Clean {
     */
   def ingestLifecyclePairs(base: DataFrame, batches: Seq[DataFrame],
       threshold: Double = 0.8, dfCap: Int = 16): DataFrame = {
-    val (pairs, index) = ingestLifecycleRaw(base, batches, threshold, dfCap)
-    compactPairs(pairs, index, dfCap)
+    val (pairs, index, dfs) =
+      ingestLifecycleRawWithDfs(base, batches, threshold, dfCap)
+    // hand compaction the df summary the fold already MAINTAINS
+    // (dfSummaryAppend is exact — CleanSpec's lifecycle equality rests
+    // on it) instead of letting compactPairs re-aggregate the whole
+    // O(corpus) index for the same numbers (guide §1.2: don't compute
+    // things twice)
+    compactPairs(pairs, index, dfCap, dfSummary = Some(dfs))
   }
 
   /** The lifecycle WITHOUT the final compaction — exposed so the spec
@@ -722,11 +728,23 @@ object Clean {
   private[graft] def ingestLifecycleRaw(base: DataFrame,
       batches: Seq[DataFrame], threshold: Double,
       dfCap: Int): (DataFrame, DataFrame) = {
+    val (pairs, index, _) =
+      ingestLifecycleRawWithDfs(base, batches, threshold, dfCap)
+    (pairs, index)
+  }
+
+  /** [[ingestLifecycleRaw]] plus the END-STATE df summary the fold
+    * maintains — so the public lifecycle can compact against it
+    * instead of re-aggregating the whole index.
+    */
+  private[graft] def ingestLifecycleRawWithDfs(base: DataFrame,
+      batches: Seq[DataFrame], threshold: Double,
+      dfCap: Int): (DataFrame, DataFrame, DataFrame) = {
     val basePairs = tieredNearDupPairsOn(base, threshold, dfCap)
     val baseIdx = winnowIndexOf(base).localCheckpoint(true)
     val init = (basePairs, baseIdx,
       indexDfSummary(baseIdx).localCheckpoint(true), base)
-    val (pairs, index, _, _) = batches.foldLeft(init) {
+    val (pairs, index, dfsEnd, _) = batches.foldLeft(init) {
       case ((acc, idx, dfs, corpus), batch) =>
         val bIdx = winnowIndexOf(batch).localCheckpoint(true)
         val stepPairs = incrementalTieredPairsFrom(
@@ -750,7 +768,7 @@ object Clean {
           dfSummaryAppend(dfs, bIdx).localCheckpoint(true),
           corpus.unionByName(batch))
     }
-    (pairs, index)
+    (pairs, index, dfsEnd)
   }
 
   /** dd26: the lifecycle as a driver-visible two-engine row — base =

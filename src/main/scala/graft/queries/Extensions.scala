@@ -610,7 +610,11 @@ object Extensions {
     * the same clusters, which float k-means cannot promise.
     */
   def km2LloydQ(s: SparkSession, d: String): DataFrame = {
-    val (q, init) = quantizedWithInit(s, d, k = 8)
+    // fan-out the embeddings BEFORE quantization (guide §2): all three
+    // Lloyd scans inherit the spread; km1 keeps the plain loader (its
+    // zero-Exchange pure-projection plan is a PlanSpec contract)
+    val (q, init) = quantizedWithInitOn(graft.ops.Ops.fanOutForCompute(
+      Tables.embeddings(s, d), col("vec_id")), k = 8)
     val (assigned, _) = Quantize.lloydQ(q, "vec_id", init, iters = 3)
     assigned.select(col("vec_id"), col("cluster"), col("dist2"))
   }
@@ -624,7 +628,9 @@ object Extensions {
     * shape. The dual replays the integer test in HUGEINT.
     */
   def sem1SemdedupQ(s: SparkSession, d: String): DataFrame = {
-    val (q, init) = quantizedWithInit(s, d, k = 8)
+    // fan-out before quantization, km2's rationale
+    val (q, init) = quantizedWithInitOn(graft.ops.Ops.fanOutForCompute(
+      Tables.embeddings(s, d), col("vec_id")), k = 8)
     Quantize.semDedupKeepQ(
       Quantize.assignQ(q, "vec_id", init), "vec_id",
       tauNum = 40L, tauDen = 100L)

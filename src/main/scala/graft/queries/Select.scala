@@ -208,7 +208,9 @@ object Select {
   def clb1ClusterBalanced(s: SparkSession, d: String): DataFrame =
     clb1ClusterBalancedOn(Tables.embeddings(s, d))
 
-  private[graft] def clb1ClusterBalancedOn(emb: DataFrame): DataFrame = {
+  private[graft] def clb1ClusterBalancedOn(embIn: DataFrame): DataFrame = {
+    // fan-out before quantization (km2's rationale)
+    val emb = graft.ops.Ops.fanOutForCompute(embIn, col("vec_id"))
     val (q, init) = Extensions.quantizedWithInitOn(emb, k = 8)
     val assigned = graft.similarity.Quantize.assignQ(q, "vec_id", init)
       .select(col("vec_id"), col("cluster"), col("dist2"))
