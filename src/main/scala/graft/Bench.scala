@@ -85,8 +85,8 @@ object Bench {
       // joins; 6 unrolled gradient rounds) — unwarmed, their FIRST
       // execution measured 2-5x steady state (mm5: 23.4 s cold vs
       // 4.3 s steady), which is JIT, not the query
-      "mm4_audio_neardup", "mm5_video_neardup", "mm6_crossmodal_neardup",
-      "qc1_quality_classifier"), sibling("sf0.001"))
+      "mm3_image_dhash_neardup", "mm4_audio_neardup", "mm5_video_neardup",
+      "mm6_crossmodal_neardup", "qc1_quality_classifier"), sibling("sf0.001"))
     // the exact-similarity join's merge-scan/prefix kernels iterate
     // ~100M times at sf0.1 and measure ~2x slower on their FIRST
     // execution (janino compile + C2 ramp: 17s -> 8s steady,
