@@ -45,12 +45,21 @@ def vintage_hash(sf_dir: str):
 # g2 11.9-13.1->14.2-16.4, dd12 3.1->5.6 with untouched plans. Bands
 # should be regenerated from each round's own quiet run.
 PROSE_HI = {
-    "dd7_exact_jaccard": 15.5,      # r22: 3 isolated same-session
-                                    # reads 8.38/9.70/13.09 at canary
-                                    # 0.136-0.149, 256 pairs — the
-                                    # spread is run-to-run variance of
-                                    # the salted join, NOT vintage
-                                    # density (13.6/14.0 r14 pair)
+    "dd7_exact_jaccard": 13.0,      # r25 (opt round): 3 isolated
+                                    # same-session reads 9.60/10.15/
+                                    # 9.66 at canary 0.108-0.128 —
+                                    # within ±3% after the kernel's
+                                    # hashed-join-key + fan-out rework
+                                    # killed the old 8.4-16 s salted-
+                                    # join variance (was 15.5)
+    # round-25 (optimization round) additions — first-landing ceilings
+    # for the round-24 queries, normalized to the committed canary ref
+    # 0.115 from warm bench-mode reads at canary 0.149 (the r23 append
+    # rule: never regenerate the whole file from a slower-host run)
+    "mm4_audio_neardup": 6.9,
+    "mm5_video_neardup": 6.0,
+    "mm6_crossmodal_neardup": 8.2,
+    "qc1_quality_classifier": 13.9,
     "dd6_cluster_keep": 15.0,       # 9.6/14.5 r14 pair (16.7 r13b one-off)
     "pipe2_training_prep": 23.0,    # 19.3/19.9 r14 pair, 18-23 recorded
     "g2_pagerank": 17.0,            # 11.1/11.9 r14; 14.2/16.4 r8 vintage
