@@ -610,11 +610,7 @@ object Extensions {
     * the same clusters, which float k-means cannot promise.
     */
   def km2LloydQ(s: SparkSession, d: String): DataFrame = {
-    // fan-out the embeddings BEFORE quantization (guide §2): all three
-    // Lloyd scans inherit the spread; km1 keeps the plain loader (its
-    // zero-Exchange pure-projection plan is a PlanSpec contract)
-    val (q, init) = quantizedWithInitOn(graft.ops.Ops.fanOutForCompute(
-      Tables.embeddings(s, d), col("vec_id")), k = 8)
+    val (q, init) = quantizedWithInit(s, d, k = 8)
     val (assigned, _) = Quantize.lloydQ(q, "vec_id", init, iters = 3)
     assigned.select(col("vec_id"), col("cluster"), col("dist2"))
   }
@@ -628,7 +624,11 @@ object Extensions {
     * shape. The dual replays the integer test in HUGEINT.
     */
   def sem1SemdedupQ(s: SparkSession, d: String): DataFrame = {
-    // fan-out before quantization, km2's rationale
+    // fan-out before quantization: unlike km2/clb1 (whose fan-outs
+    // were A/B'd and reverted — the added exchange cost more than the
+    // parallelism on the 2k-row embeddings), sem1's cluster-bounded
+    // self-join measurably profits from the spread assignment input
+    // (steady 1.42 -> 0.79 s, round-14 A/B)
     val (q, init) = quantizedWithInitOn(graft.ops.Ops.fanOutForCompute(
       Tables.embeddings(s, d), col("vec_id")), k = 8)
     Quantize.semDedupKeepQ(

@@ -208,9 +208,7 @@ object Select {
   def clb1ClusterBalanced(s: SparkSession, d: String): DataFrame =
     clb1ClusterBalancedOn(Tables.embeddings(s, d))
 
-  private[graft] def clb1ClusterBalancedOn(embIn: DataFrame): DataFrame = {
-    // fan-out before quantization (km2's rationale)
-    val emb = graft.ops.Ops.fanOutForCompute(embIn, col("vec_id"))
+  private[graft] def clb1ClusterBalancedOn(emb: DataFrame): DataFrame = {
     val (q, init) = Extensions.quantizedWithInitOn(emb, k = 8)
     val assigned = graft.similarity.Quantize.assignQ(q, "vec_id", init)
       .select(col("vec_id"), col("cluster"), col("dist2"))
@@ -259,12 +257,8 @@ object Select {
     // (pairCnt, w1Cnt, the scoring join). Materialize each once — the
     // win2 recompute lesson cited below applies here too, and without
     // these seams every downstream branch re-tokenizes the corpus.
-    // fan-out before tokenization (guide §2): the checkpoint otherwise
-    // pins the scan's few-partition layout for EVERY downstream pass
-    val toks = graft.ops.Ops.fanOutForCompute(
-      docs.select(col("doc_id"), col("lang"), col("text")), col("doc_id"))
-      .select(col("doc_id"), col("lang"),
-        split(lower(trim(col("text"))), "\\s+").as("t"))
+    val toks = docs.select(col("doc_id"), col("lang"),
+      split(lower(trim(col("text"))), "\\s+").as("t"))
       .localCheckpoint(true)
     val tk = toks.select(col("doc_id"), col("lang"),
       explode(col("t")).as("token"))

@@ -110,13 +110,7 @@ object Warp {
     * integer comparison.
     */
   def wmed1WeightedMedian(s: SparkSession, d: String): DataFrame = {
-    // fan-out below the cents aggregate (guide §2): the map-side
-    // partial agg over the whole fact table otherwise runs single-core
-    // inside a few-row-group scan; guarded no-op at warehouse scale
-    val cents = graft.ops.Ops.fanOutForCompute(
-        Tables.lineitem(s, d)
-          .select(col("l_extendedprice"), col("l_quantity"),
-            col("l_orderkey")), col("l_orderkey"))
+    val cents = Tables.lineitem(s, d)
       .select(round(col("l_extendedprice") * 100, 0).cast("long")
         .as("cents"),
         round(col("l_quantity"), 0).cast("long").as("wt"))
