@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the LAST
+// stdout line as the bench's one-line JSON. sbt's default LoggedOutput
+// strategy prefixes every forked-process line with `[info] `/`[error] `
+// and appends its own `[success] Total time …` line, which defeated
+// that parse in BENCH_r13/r14 (PERF_r14.json: parsed:null both rounds).
+// StdoutOutput makes the forked JVM inherit sbt's raw stdout/stderr
+// (no prefixes); showSuccess drops the trailing [success] line, so the
+// bench's final println IS the last stdout line. Failures still exit
+// nonzero and print [error] diagnostics — rc-based detection unchanged.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

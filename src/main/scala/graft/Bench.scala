@@ -416,7 +416,13 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // quiesce logging before stop: with the raw (unprefixed) output
+    // strategy the driver tails stdout for the JSON line below — a
+    // WARN from SparkContext.stop() or a shutdown hook landing after
+    // it (merged 2>&1 capture) would displace it from the tail
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(json)
+    Console.out.flush()
   }
 }

@@ -49,21 +49,37 @@ object Ops {
     // upstream query stage at CONSTRUCTION time (AdaptiveSparkPlanExec
     // finalizes the plan by executing its shuffle stages), so probing
     // the partition count of a join/aggregate subtree would execute it
-    // twice per query. A plan with no shuffle-implying operator has no
-    // AQE stages — its `.rdd` is pure planning — and it is exactly the
-    // narrow-scan shape this helper exists for; anything already past
-    // a shuffle is `spark.sql.shuffle.partitions` wide (or its author
-    // chose its layout) and is returned unchanged.
+    // twice per query. The guard is a WHITELIST of provably-narrow
+    // nodes (a blacklist missed Deduplicate/SetOperation/GlobalLimit —
+    // any future shuffle-implying node would re-open the
+    // double-execution hole): a plan built only of these has no AQE
+    // stages, its `.rdd` is pure planning, and it is exactly the
+    // narrow-scan shape this helper exists for. Anything else is
+    // treated as wide and returned unchanged — already
+    // shuffle-partitions wide, or its author chose its layout.
     import org.apache.spark.sql.catalyst.plans.{logical => lp}
-    val wide = df.queryExecution.analyzed.exists {
-      case _: lp.Join | _: lp.Aggregate | _: lp.Window | _: lp.Distinct |
-           _: lp.Sort => true
-      case _: lp.RepartitionOperation => true
-      case _ => false
+    import org.apache.spark.sql.{execution => ex}
+    val narrow = !df.queryExecution.analyzed.exists { // no non-whitelisted node
+      case _: lp.Project | _: lp.Filter | _: lp.Generate | _: lp.Union |
+           _: lp.SubqueryAlias | _: lp.LocalRelation | _: lp.Range |
+           _: lp.OneRowRelation => false
+      case _: ex.LogicalRDD => false
+      case _: ex.datasources.LogicalRelation => false
+      case _: ex.datasources.v2.DataSourceV2Relation => false
+      case _ => true
     }
-    if (wide) df
+    if (!narrow) df
     else {
-      val target = df.sparkSession.sparkContext.defaultParallelism
+      val sess = df.sparkSession
+      // width = max(defaultParallelism, shuffle.partitions): on a
+      // dynamic-allocation cluster at job start defaultParallelism can
+      // be tiny (executors not yet registered), which would silently
+      // under-partition the compute stage this helper exists to
+      // spread; shuffle.partitions is the session's declared reduce
+      // width. Locally the two are equal (the bench sets both to
+      // $SPARK_GRAFT_CPUS), so bench numbers are unaffected.
+      val target = math.max(sess.sparkContext.defaultParallelism,
+        sess.sessionState.conf.numShufflePartitions)
       if (df.rdd.getNumPartitions >= target) df
       else df.repartition(target, key)
     }

@@ -215,6 +215,41 @@ class OpsSpec extends SparkSpec {
     assert(rows.map(_.getString(2)).toSeq === Seq("best", "solo"))
   }
 
+  test("fanOutForCompute spreads narrow scan-shaped plans to the session width") {
+    val sess = spark
+    val target = math.max(sess.sparkContext.defaultParallelism,
+      sess.sessionState.conf.numShufflePartitions)
+    // narrow shapes: local relation + select/filter/explode chain
+    val narrow = Seq.tabulate(64)(i => (i.toLong, s"t$i x y")).toDF("id", "text")
+      .filter(col("id") >= 0)
+      .select(col("id"), explode(split(col("text"), " ")).as("tok"))
+    val fanned = graft.ops.Ops.fanOutForCompute(narrow, col("id"))
+    assert(fanned.rdd.getNumPartitions === target)
+    // fanning out is idempotent: a repartitioned plan is "already wide"
+    assert(graft.ops.Ops.fanOutForCompute(fanned, col("id")) eq fanned)
+  }
+
+  test("fanOutForCompute returns wide plans UNCHANGED (no .rdd probe under AQE)") {
+    val base = Seq.tabulate(16)(i => (i.toLong % 4, i.toLong)).toDF("k", "v")
+    // every shuffle-implying shape must come back `eq` — the guard must
+    // not even probe .rdd (which under AQE executes upstream stages):
+    // Deduplicate (the blacklist-era hole), Aggregate, Join, Limit,
+    // Intersect, Sort, Window
+    val shapes: Seq[org.apache.spark.sql.DataFrame] = Seq(
+      base.dropDuplicates("k"),
+      base.groupBy("k").count(),
+      base.join(base.withColumnRenamed("v", "w"), Seq("k")),
+      base.limit(3),
+      base.intersect(base),
+      base.orderBy("v"),
+      base.select(col("k"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("v")).as("rn")))
+    shapes.foreach { w =>
+      assert(graft.ops.Ops.fanOutForCompute(w, col("k")) eq w)
+    }
+  }
+
   test("firstOrderedBy survives a user/payload column named __top") {
     val d = Seq(("a", 1, "lo"), ("a", 2, "hi"), ("b", 3, "x"))
       .toDF("k", "v", "__top")
